@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing column expressions.
+  *
+  * All of these are composed from built-in (codegen'd) functions — no Scala
+  * UDFs in the hot path, so they stay inside WholeStageCodegen and scale to
+  * 100 TB without serialization overhead.
+  *
+  * Tokenizer: the operator shape of the reference's IK-analyzer UDTF
+  * (ref: realtime-dws/.../function/KwSplit.java:17-25, util/IKUtil.java:18-34)
+  * — string in, token rows out via explode. The reference dedupes tokens
+  * (IKUtil uses a Set); `tokenizeDistinct` mirrors that.
+  */
+object Text {
+
+  /** Lowercase word tokens; empty strings filtered out. */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Token set (order-preserving distinct), matching IKUtil's Set semantics. */
+  def tokenizeDistinct(c: Column): Column = array_distinct(tokenize(c))
+
+  /** Whitespace token count — cheap path for quota/length accounting. */
+  def wsTokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * punctuation singletons) as a proxy for tokenizer cost at scale.
+    * RE2-compatible pattern so the DuckDB oracle can mirror it.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics to single spaces, trim.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Deterministic document fingerprint = md5 of normalized text.
+    * (md5 is available in both Spark and DuckDB → oracle-checkable;
+    * at 100 TB this is one codegen'd pass, no shuffle.)
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Character-shingle array of size k over normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normalize(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(length(n) - k, lit(0))),
+        i => substring(n, lit(1) + i, lit(k))))
+  }
+
+  /** Word n-gram shingles (space-joined) over the token array. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokenize(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  /** Fraction of tokens that are English stopwords — the classic cheap
+    * quality / language signal.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokenize(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
+        .cast("double") / length(c).cast("double"))
+
+  /** N-gram-heuristic language ID: en if any English stopword appears,
+    * digits-only → "num", else "other". Deterministic and SQL-expressible
+    * so the DuckDB oracle can replicate it bit-for-bit.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokenize(c)
+    when(size(filter(toks, t => t.isin(stopwords.map(lit): _*))) > 0, lit("en"))
+      .when(c.rlike("^[0-9\\s\\p{Punct}]*$"), lit("num"))
+      .otherwise(lit("other"))
+  }
+}

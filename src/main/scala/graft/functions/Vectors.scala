@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * native higher-order functions (`zip_with`/`aggregate`) — codegen-friendly,
+  * no UDF serialization, distributes cleanly.
+  *
+  * Accumulation is in double precision (floats widened before multiply) so
+  * results match DuckDB's `list_cosine_similarity`/`list_dot_product`
+  * oracle semantics.
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖); 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Random-hyperplane (SimHash-style) LSH signature: `bits` sign bits, each
+    * from a deterministic pseudo-random hyperplane derived from (bit, dim)
+    * via a hash → ±1 component. Docs with equal signatures are ANN bucket
+    * candidates; bucket-join replaces the O(n²) cross join at scale.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+          // deterministic ±1 from (bit, dim): parity of a cheap integer mix
+          val h = pmod(hash(i * lit(31) + lit(b * 7919)), lit(2))
+          x.cast("double") * (h.cast("double") * 2.0 - 1.0)
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bitCols: _*)
+  }
+}

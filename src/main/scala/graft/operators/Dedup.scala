@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication suite over `documents` — exact, MinHash/LSH banded,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the whole point): NOTHING here is an all-pairs cross join.
+  *  - exact:    one hash-groupBy (map-side partial agg → single shuffle).
+  *  - minhash:  shingle → md5-minhash signature (narrow, codegen'd) →
+  *    band-bucket self-join (shuffle on (band, sig), only docs sharing a
+  *    bucket meet) → exact-Jaccard verify on the candidates only. This is
+  *    the canonical 100 TB near-dup pipeline shape.
+  *  - simhash:  narrow signature per doc; bucket-join on the signature.
+  *  - jaccard:  blocked pairwise (same source + length band) — correctness
+  *    oracle for the verify step, not the scale path.
+  *
+  * All hashing is md5-based so the DuckDB oracle reproduces signatures
+  * bit-for-bit (lexicographic min over hex strings).
+  */
+object Dedup extends OpModule {
+
+  /** md5-minhash for band b over a shingle array. */
+  private def minhash(shingles: org.apache.spark.sql.Column, b: Int) =
+    array_min(transform(shingles, x => md5(concat(lit(s"$b|"), x))))
+
+  def queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+    }),
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      // 3 bands × r=2 minhashes; candidates = same (band, sig);
+      // verify with true word-set Jaccard >= 0.6.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenizeDistinct(col("text")).as("toks"),
+          Text.wordShingles(col("text"), 3).as("sh"))
+      val sigs = docs.select(col("doc_id"), col("toks"),
+        array(
+          md5(concat(minhash(col("sh"), 0), minhash(col("sh"), 1))),
+          md5(concat(minhash(col("sh"), 2), minhash(col("sh"), 3))),
+          md5(concat(minhash(col("sh"), 4), minhash(col("sh"), 5)))).as("sigs"))
+      val banded = sigs.select(col("doc_id"), col("toks"),
+        posexplode(col("sigs"))).withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+      val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = banded.select(col("band").as("band_b"), col("sig").as("sig_b"),
+        col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+            .as("jac"))
+        .filter(col("jac") >= 0.6)
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
+      // across the doc's token set.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenizeDistinct(col("text")).as("toks"))
+      val bits = (0 until 16).map { j =>
+        val ones = size(filter(transform(col("toks"),
+          tk => substring(md5(tk), j + 1, 1)),
+          c => c.isin("8", "9", "a", "b", "c", "d", "e", "f")))
+        when(ones * 2 >= size(col("toks")), lit("1")).otherwise(lit("0"))
+      }
+      docs.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // blocked exact word-set Jaccard: same source, length within 30 chars
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Text.tokenizeDistinct(col("text")).as("toks"))
+      val l = d.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+        col("n_chars").as("nc_a"), col("toks").as("toks_a"))
+      val r = d.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("n_chars").as("nc_b"), col("toks").as("toks_b"))
+      l.join(r, col("src_a") === col("src_b") && col("doc_a") < col("doc_b") &&
+          abs(col("nc_a") - col("nc_b")) <= 30)
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+            .as("jac"))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+    }))
+
+  // DuckDB mirror of tokenizeDistinct
+  private val oraToks =
+    "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+
+  // DuckDB mirror of the RAW (non-distinct, in-order) token list that
+  // wordShingles builds from.
+  private val oraRawToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // DuckDB mirror of wordShingles(text, 3): i ∈ 1..max(len-2, 1),
+  // shingle = rtoks[i:i+2] joined by space, then distinct.
+  private val oraShingles =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(len(rtoks) - 2, 1)),
+      |  i -> array_to_string(rtoks[i:i+2], ' ')))""".stripMargin
+
+  private def oraMinhash(b: Int) =
+    s"list_min(list_transform(sh, x -> md5('$b|' || x)))"
+
+  private val oraSimhashBits = (0 until 16).map { j =>
+    s"""CASE WHEN 2 * len(list_filter(toks, tk -> substr(md5(tk), ${j + 1}, 1)
+       |  IN ('8','9','a','b','c','d','e','f'))) >= len(toks)
+       |THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" || ")
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars, $oraToks AS toks FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM d a JOIN d b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= 30
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+         |           FROM documents),
+         |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+         |sigs AS (SELECT doc_id, toks,
+         |  md5(${oraMinhash(0)} || ${oraMinhash(1)}) AS s0,
+         |  md5(${oraMinhash(2)} || ${oraMinhash(3)}) AS s1,
+         |  md5(${oraMinhash(4)} || ${oraMinhash(5)}) AS s2 FROM d2),
+         |banded AS (
+         |  SELECT doc_id, toks, 0 AS band, s0 AS sig FROM sigs
+         |  UNION ALL SELECT doc_id, toks, 1, s1 FROM sigs
+         |  UNION ALL SELECT doc_id, toks, 2, s2 FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, $oraSimhashBits AS simhash
+         |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin)
+}

@@ -1,0 +1,21 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** One module per operator family. Each module contributes named queries
+  * (driver contract: `(SparkSession, sfDir) => DataFrame`) plus matching
+  * DuckDB oracle SQL; `SparkEntry` concatenates all modules.
+  *
+  * Output discipline (so the driver's hash compare is deterministic):
+  *  - no raw timestamps in outputs — always `date_format(..)` strings
+  *  - no floating-point *aggregation* — cast to decimal(18,2) before sum
+  *  - every computed column aliased identically in Spark and oracle SQL.
+  */
+trait OpModule {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracles: Map[String, String]
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+}

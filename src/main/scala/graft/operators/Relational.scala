@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, joins, aggregations over the TPC-H-ish fixtures.
+  *
+  * J1 stream-stream inner equi-join (ref DwdTradeOrderDetail.java:99-100)
+  * J2 double left outer join        (ref DwdTradeOrderDetail.java:101-102)
+  * J3 interval join ±15min/15s      (ref DwdTradeOrderPaySucDetail.java:101-125)
+  * J4 lookup/temporal dim join      (ref DwdInteractionCommentInfo.java:64-80)
+  * K5 upsert latest-per-key         (ref SQLUtil.java:54-62)
+  * K6 dim MERGE put/delete          (ref DimHBaseSinkFunction.java:33-70)
+  *
+  * Scale notes:
+  *  - j1 is the big fact-fact join: shuffle hash/sort-merge on the join key;
+  *    AQE handles skew. No broadcast (both sides grow with SF).
+  *  - j4's dim side (nation/region) is tiny and bounded → explicit
+  *    `broadcast()` so the plan never shuffles the fact stream for a dim.
+  *  - k5/k6 latest-per-key uses a window function = single shuffle by key;
+  *    at 100 TB this is the canonical changelog-compaction shape.
+  */
+object Relational extends OpModule {
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: the headline scan+agg.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,2)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    "j1_order_lineitem_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    }),
+    "j2_double_left_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val firstLine = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey").as("first_part"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      o.join(firstLine, col("o_orderkey") === col("l_orderkey"), "left")
+        .join(c, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("first_part"), col("c_name"))
+    }),
+    "j3_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pay = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"),
+          col("ts").as("pay_ts"))
+      val det = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+      pay.join(det,
+          col("pay_user") === col("click_user") &&
+          col("pay_ts") >= col("click_ts") - expr("interval 15 minutes") &&
+          col("pay_ts") <= col("click_ts") + expr("interval 15 seconds"))
+        .select(col("pay_id"), col("click_id"), col("pay_user"))
+    }),
+    "j4_lookup_dim_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+    }),
+    "j5_broadcast_config_join" -> ((s, dir) => {
+      import s.implicits._
+      val config = Seq(
+        ("view", "dwd_traffic_page"), ("click", "dwd_traffic_action"),
+        ("purchase", "dwd_trade_pay_suc"), ("signup", "dwd_user_register"))
+        .toDF("etype", "sink_table")
+      t(s, dir, "events")
+        .join(broadcast(config), col("event_type") === col("etype"))
+        .groupBy(col("sink_table")).agg(count(lit(1)).as("routed_ct"))
+    }),
+    "k5_upsert_latest_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+    }),
+    "k6_dim_merge_state" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // changelog compaction with delete semantics: 'error' = delete op
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("value").as("dim_value"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,2))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "j1_order_lineitem_join" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    "j2_double_left_join" ->
+      """SELECT o_orderkey, o_custkey, fl.first_part, c.c_name
+        |FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, l_partkey AS first_part FROM lineitem
+        |           WHERE l_linenumber = 1) fl ON o.o_orderkey = fl.l_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "j3_interval_join" ->
+      """SELECT p.event_id AS pay_id, d.event_id AS click_id,
+        |  p.user_id AS pay_user
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type='click') d
+        |  ON p.user_id = d.user_id
+        | AND p.ts >= d.ts - INTERVAL 15 MINUTE
+        | AND p.ts <= d.ts + INTERVAL 15 SECOND""".stripMargin,
+    "j4_lookup_dim_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "j5_broadcast_config_join" ->
+      """SELECT cfg.sink_table, count(*) AS routed_ct
+        |FROM events e
+        |JOIN (VALUES ('view','dwd_traffic_page'), ('click','dwd_traffic_action'),
+        |             ('purchase','dwd_trade_pay_suc'), ('signup','dwd_user_register'))
+        |  AS cfg(etype, sink_table) ON e.event_type = cfg.etype
+        |GROUP BY 1""".stripMargin,
+    "k5_upsert_latest_per_key" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "k6_dim_merge_state" ->
+      """SELECT user_id, value AS dim_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
+}

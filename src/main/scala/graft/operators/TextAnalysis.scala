@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Text analysis over `documents` — the tokenizer UDTF family (U1/J6,
+  * ref KwSplit.java:17-25 + DwsTrafficSourceKeywordPageViewWindow.java:74-79)
+  * plus the LLM-pipeline text ops (language ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything is built from codegen'd built-ins (split/regexp/explode) —
+  * one narrow pass per document, no shuffle except the final keyword agg,
+  * which partial-aggregates map-side. At 100 TB: linear scan, no state.
+  */
+object TextAnalysis extends OpModule {
+
+  def queries: Map[String, Q] = Map(
+    // U1/J6: tokenize → explode → count per keyword (the reference flagship
+    // shape, minus the time window which a1 covers on events).
+    "u1_tokenize_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("keyword"))
+        .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("char_len"),
+        Text.wsTokenCount(col("text")).as("ws_tokens"),
+        Text.bpeishTokenCount(col("text")).as("bpe_tokens"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.punctRatio(col("text")).as("punct_ratio"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("pred_lang"))
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    }))
+
+  private val stop =
+    "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that']"
+
+  def oracles: Map[String, String] = Map(
+    "u1_tokenize_explode" ->
+      """SELECT keyword, count(*) AS keyword_count
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
+        |      FROM documents)
+        |WHERE keyword <> '' GROUP BY 1""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS char_len,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+         |            / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / CAST(length(text) AS DOUBLE) END AS punct_ratio
+         |FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '') AS toks
+         |      FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                        x -> x <> ''),
+         |                            x -> list_contains($stop, x))) > 0 THEN 'en'
+         |       WHEN regexp_full_match(text, '[0-9\\s[:punct:]]*') THEN 'num'
+         |       ELSE 'other' END AS pred_lang
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin)
+}

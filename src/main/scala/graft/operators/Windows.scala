@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window aggregates — the DWS layer of the reference re-expressed
+  * as declarative window aggregations over the `events` fixture.
+  *
+  * A1/W3: SQL 10s tumble COUNT
+  *   (ref DwsTrafficSourceKeywordPageViewWindow.java:61-72)
+  * A2/W1: keyed window reduce of several metrics
+  *   (ref DwsTrafficVcChArIsNewPageViewWindow.java:70-108)
+  * A3/W2: non-keyed (windowAll) tumble
+  *   (ref DwsTrafficHomeDetailPageViewWindow.java:71-95)
+  *
+  * Scale notes: `groupBy(window(..), keys)` compiles to partial hash-agg →
+  * shuffle on (window, keys) → final hash-agg; map-side combine makes the
+  * shuffle carry one row per (window × key) per task, not per event. Flink's
+  * windowAll is parallelism-1; Spark's keyless window agg still computes
+  * partials in parallel — strictly better at 100 TB.
+  */
+object Windows extends OpModule {
+
+  private val stt = date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt")
+  private val edt = date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt")
+
+  // DuckDB analog of window($"ts","10 seconds") bounds, epoch-aligned.
+  private def bucket(expr: String, off: Int) =
+    s"strftime(to_timestamp(floor(epoch(ts)/10)*10 + $off), '%Y-%m-%d %H:%M:%S') AS $expr"
+
+  def queries: Map[String, Q] = Map(
+    "a1_tumble_count" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type") === "view")
+        .groupBy(window(col("ts"), "10 seconds"))
+        .agg(count(lit(1)).as("view_count"))
+        .select(stt, edt, col("view_count"))
+    }),
+    "a2_keyed_window_reduce" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), "10 seconds"),
+          col("event_type"), pmod(col("user_id"), lit(4)).as("ch"))
+        .agg(count(lit(1)).as("pv_ct"),
+          sum(col("value").cast("decimal(18,2)")).as("val_sum"))
+        .select(stt, edt, col("event_type"), col("ch"), col("pv_ct"), col("val_sum"))
+    }),
+    "a3_global_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 seconds"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("view_ct"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_ct"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_ct"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signup_ct"))
+        .select(stt, edt, col("view_ct"), col("click_ct"),
+          col("purchase_ct"), col("signup_ct"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "a1_tumble_count" ->
+      s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, count(*) AS view_count
+         |FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+         |GROUP BY 1, 2""".stripMargin,
+    "a2_keyed_window_reduce" ->
+      s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, event_type,
+         |  user_id % 4 AS ch, count(*) AS pv_ct,
+         |  sum(CAST(value AS DECIMAL(18,2))) AS val_sum
+         |FROM events WHERE user_id IS NOT NULL
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "a3_global_window" ->
+      s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)},
+         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_ct,
+         |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+         |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_ct
+         |FROM events GROUP BY 1, 2""".stripMargin)
+}
