@@ -32,15 +32,19 @@ object Vectors {
 
   /** Random-hyperplane (SimHash-style) LSH signature: `bits` sign bits, each
     * from a deterministic pseudo-random hyperplane derived from (bit, dim)
-    * via a hash → ±1 component. Docs with equal signatures are ANN bucket
-    * candidates; bucket-join replaces the O(n²) cross join at scale.
+    * via a hash → ±1 component. Vectors with equal signatures are ANN
+    * bucket candidates; bucket-join replaces the O(n²) cross join at scale.
+    *
+    * `table` offsets the hyperplane family so multiple independent hash
+    * tables can be built (multi-table LSH: candidate if ANY table matches —
+    * the standard recall lever).
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+  def hyperplaneSignature(vec: Column, bits: Int, table: Int = 0): Column = {
     val bitCols = (0 until bits).map { b =>
       val s = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          // deterministic ±1 from (bit, dim): parity of a cheap integer mix
-          val h = pmod(hash(i * lit(31) + lit(b * 7919)), lit(2))
+          // deterministic ±1 from (table, bit, dim): parity of an int mix
+          val h = pmod(hash(i * lit(31) + lit(b * 7919 + table * 104729)), lit(2))
           x.cast("double") * (h.cast("double") * 2.0 - 1.0)
         }),
         lit(0.0), (acc, x) => acc + x)
@@ -48,4 +52,12 @@ object Vectors {
     }
     concat(bitCols: _*)
   }
+
+  /** Multi-table LSH signatures: `tables` independent `bits`-bit
+    * signatures, each prefixed with its table id (so a bucket join on the
+    * exploded (doc, signature) pairs never collides across tables).
+    */
+  def lshTables(vec: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      concat_ws(":", lit(t), hyperplaneSignature(vec, bits, t))): _*)
 }

@@ -53,15 +53,21 @@ object Similarity extends OpModule {
     }),
     "sim_lsh_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Multi-table LSH: 4 independent 6-bit hyperplane tables; candidate
+      // if ANY table bucket matches (union via explode + distinct). At
+      // corpus scale the exploded (vec, sig) relation shuffles on sig —
+      // never an all-pairs join.
       val emb = t(s, dir, "embeddings")
-        .withColumn("sig", Vectors.hyperplaneSignature(col("embedding"), 8))
+        .withColumn("sigs", Vectors.lshTables(col("embedding"), 6, 4))
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("sig").as("qsig"))
+          explode(col("sigs")).as("qsig"))
       val cand = emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("nv"), col("sig"))
+          col("embedding").as("nv"), explode(col("sigs")).as("sig"))
         .join(broadcast(q),
           col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
+        .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           Vectors.cosine(col("qv"), col("nv")).as("sim"))
       val w = Window.partitionBy(col("query_id"))

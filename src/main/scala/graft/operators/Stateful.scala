@@ -31,7 +31,7 @@ object Stateful extends OpModule {
         .as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          var state = -1L
+          var state = StateMachines.NoState
           it.toSeq.sortBy(e => (e.tsMillis, e.event_id)).flatMap { e =>
             val (ns, first, _) =
               StateMachines.dedupStep(state, StateMachines.epochDay(e.tsMillis))
@@ -51,7 +51,7 @@ object Stateful extends OpModule {
         .as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          var state = -1L
+          var state = StateMachines.NoState
           it.toSeq.sortBy(e => (e.tsMillis, e.event_id)).flatMap { e =>
             val day = StateMachines.epochDay(e.tsMillis)
             val (ns, first, back) = StateMachines.dedupStep(state, day)
@@ -74,7 +74,7 @@ object Stateful extends OpModule {
         .as[(Long, Long, Long, Int)]
         .groupByKey(_._2)
         .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long, Int)]) =>
-          var state = -1L
+          var state = StateMachines.NoState
           it.toSeq.sortBy(e => (e._3, e._1)).map { case (eid, _, ts, claimed) =>
             val (ns, fixed) =
               StateMachines.isNewStep(state, claimed == 1, StateMachines.epochDay(ts))

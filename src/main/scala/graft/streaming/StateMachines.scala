@@ -11,6 +11,11 @@ object StateMachines {
 
   val MsPerDay: Long = 86400000L
 
+  /** "No state" sentinel. Distinct from any reachable epoch-day value:
+    * `-1` would collide with the A5 backfill of day 0 (1970-01-01) - 1.
+    */
+  val NoState: Long = Long.MinValue
+
   def epochDay(tsMillis: Long): Long = Math.floorDiv(tsMillis, MsPerDay)
 
   def dayString(day: Long): String =
@@ -20,19 +25,19 @@ object StateMachines {
     * (ref DwsUserUserLoginWindow.java:95-135,
     *  DwsTrafficVcChArIsNewPageViewWindow.java:128-190).
     *
-    * State = last active epoch-day (negative = none). Returns
+    * State = last active epoch-day (NoState = none). Returns
     * (newState, firstOfDay, isBack): firstOfDay=true → count this user for
     * the day (UU/UV); isBack=true → user returns after >7 idle days.
     */
   def dedupStep(lastDay: Long, day: Long): (Long, Boolean, Boolean) =
-    if (lastDay < 0) (day, true, false)
+    if (lastDay == NoState) (day, true, false)
     else if (day == lastDay) (lastDay, false, false)
     else (day, true, day - lastDay > 7)
 
   /** A5 is_new repair (ref DwdBaseLog.java:154-198, in-file comments are the
     * spec).
     *
-    * State = first-visit epoch-day (negative = none). claimed = the raw
+    * State = first-visit epoch-day (NoState = none). claimed = the raw
     * is_new flag. Returns (newState, repairedIsNew):
     *  - claimed=1, no state        → keep 1, state := today
     *  - claimed=1, state == today  → keep 1
@@ -42,10 +47,10 @@ object StateMachines {
     */
   def isNewStep(firstDay: Long, claimed: Boolean, day: Long): (Long, Int) =
     if (claimed) {
-      if (firstDay < 0) (day, 1)
+      if (firstDay == NoState) (day, 1)
       else if (firstDay == day) (firstDay, 1)
       else (firstDay, 0)
     } else {
-      if (firstDay < 0) (day - 1, 0) else (firstDay, 0)
+      if (firstDay == NoState) (day - 1, 0) else (firstDay, 0)
     }
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch stateful operators: the same
+  * StateMachines transition functions executed incrementally via
+  * `flatMapGroupsWithState` with per-key `GroupState` + TTL.
+  *
+  * A4 per-day dedup w/ 1-day TTL  (ref DwsUserUserLoginWindow.java:95-135,
+  *   state TTL ref DwsTrafficVcChArIsNewPageViewWindow.java:143-146)
+  * A5 is_new repair               (ref DwdBaseLog.java:154-198)
+  * W6 state TTL                   (GroupStateTimeout.ProcessingTimeTimeout)
+  *
+  * Scale notes: state is one long per key (last/first epoch-day), hash
+  * partitioned by the group key — the same layout Flink keeps in keyed
+  * state. TTL bounds the store exactly like the reference's 1-day
+  * StateTtlConfig. At 100 TB the state store is RocksDB-backed per
+  * executor; nothing here is driver-resident.
+  */
+object StatefulStreaming {
+
+  case class KeyedEvent(event_id: Long, user_id: Long, tsMillis: Long,
+    claimed: Int)
+  case class FirstOfDay(user_id: Long, cur_date: String, back: Int)
+  case class Repaired(event_id: Long, is_new_claimed: Int, is_new: Int)
+
+  /** Normalize the events stream to the keyed shape both operators consume. */
+  def keyedEvents(events: DataFrame): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) * 1000).as("tsMillis"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("claimed"))
+      .as[KeyedEvent]
+  }
+
+  /** A4: emit one row per (user, day) first-seen, with the 7-day
+    * returning-user flag. Works identically on a batch or streaming
+    * Dataset (flatMapGroupsWithState runs in batch mode with
+    * once-per-group semantics).
+    *
+    * `ttl = Some(duration)` arms the W6 state TTL (the reference's 1-day
+    * StateTtlConfig). Note: a registered ProcessingTimeTimeout makes the
+    * micro-batch engine schedule continuous timeout-check batches — right
+    * for production state hygiene, but tests that rely on
+    * `processAllAvailable` settling pass `ttl = None`.
+    */
+  def firstOfDayStream(events: Dataset[KeyedEvent],
+      ttl: Option[String] = Some("1 day")): Dataset[FirstOfDay] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, FirstOfDay](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          if (ttl.isDefined && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            var last = state.getOption.getOrElse(StateMachines.NoState)
+            val out = it.toSeq.sortBy(e => (e.tsMillis, e.event_id)).flatMap { e =>
+              val day = StateMachines.epochDay(e.tsMillis)
+              val (ns, first, back) = StateMachines.dedupStep(last, day)
+              last = ns
+              if (first)
+                Some(FirstOfDay(uid, StateMachines.dayString(day),
+                  if (back) 1 else 0))
+              else None
+            }
+            state.update(last)
+            ttl.foreach(state.setTimeoutDuration) // W6: 1-day state TTL
+            out.iterator
+          }
+      }
+  }
+
+  /** A5: repair the claimed is_new flag with per-key first-visit state. */
+  def isNewRepairStream(events: Dataset[KeyedEvent]): Dataset[Repaired] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Repaired](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          var first = state.getOption.getOrElse(StateMachines.NoState)
+          val out = it.toSeq.sortBy(e => (e.tsMillis, e.event_id)).map { e =>
+            val (ns, fixed) = StateMachines.isNewStep(
+              first, e.claimed == 1, StateMachines.epochDay(e.tsMillis))
+            first = ns
+            Repaired(e.event_id, e.claimed, fixed)
+          }
+          state.update(first)
+          out.iterator
+      }
+  }
+
+  /** A1/W1/W3/W4: watermarked 10s tumbling count — the streaming form of
+    * the flagship query. W5: rows later than the 5s watermark are dropped
+    * by Spark (same late-data semantics class as the reference's bounded
+    * out-of-orderness watermark).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 seconds")
+      .filter(col("user_id").isNotNull && col("event_type") === "view")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("view_count"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("view_count"))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Planted-duplicate recall for the dedup pipelines and LSH-vs-bruteforce
+  * recall for ANN — behaviors no SQL oracle can express.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  /** Synthetic documents table (fixture schema) with planted duplicates:
+    * 0/1 exact dups, 2/3 near dups (one word changed), 4.. distinct.
+    */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base + " extra", "en", "src0", (base.length + 6).toLong),
+      (3L, base.replace("green", "blue"), "en", "src0", base.length.toLong),
+      (4L, "completely different content about spark catalyst optimizer " +
+        "rules and physical plans with whole stage codegen enabled",
+        "en", "src0", 100L),
+      (5L, "another unrelated short text", "en", "src0", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("planted").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups the two identical docs") {
+    val groups = graft.operators.Dedup
+      .queries("dedup_exact")(spark, plantedDir).collect()
+    val dupGroup = groups.filter(_.getLong(2) == 2)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getLong(1) === 0L) // keep_id = min doc_id
+  }
+
+  test("minhash LSH finds planted exact and near dups, not distinct docs") {
+    val pairs = graft.operators.Dedup
+      .queries("dedup_minhash_lsh")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    // near dups (one-word change) share nearly all shingles
+    assert(pairs.exists(p => p._1 <= 3 && p._2 <= 3 && p != ((0L, 1L))),
+      s"no near-dup pair found in $pairs")
+    assert(!pairs.exists(p => p._1 >= 4 || p._2 >= 4),
+      s"distinct docs must not pair: $pairs")
+  }
+
+  test("simhash: identical docs identical, near-dups close, distinct far") {
+    val sigs = graft.operators.Dedup
+      .queries("dedup_simhash")(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    assert(sigs(0L) === sigs(1L), "identical docs must collide")
+    // one added/changed word can flip majority-vote bits near ties —
+    // near-dups stay within a small Hamming radius, not exact equality
+    assert(hamming(sigs(0L), sigs(2L)) <= 3, s"${sigs(0L)} vs ${sigs(2L)}")
+    assert(hamming(sigs(0L), sigs(3L)) <= 3, s"${sigs(0L)} vs ${sigs(3L)}")
+    assert(sigs(0L) !== sigs(4L))
+  }
+
+  test("LSH ANN recall vs brute force at sf0.001") {
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity
+      .queries("sim_lsh_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH must return candidates")
+    // no self-pairs and sane k
+    assert(lsh.forall { case (q, n) => q != n })
+    // every LSH hit in the true top-k is a genuine neighbor; report recall
+    val recall = lsh.count(brute.contains).toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (bucketed candidates, 4x6-bit multi-table)")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting operator invariants at sf0.001. Exact oracle equivalence
+  * is the driver gate (tools/localcheck.py); these pin structural
+  * properties the oracle can't see.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("every declared query runs and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("X1 conservation: splits partition the filtered stream") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val sp = graft.operators.LogSplit.splits(ev)
+    val base = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val perType = Seq("page", "start", "err", "action").map(sp(_).count()).sum
+    val purchases = base.filter(col("event_type") === "purchase").count()
+    assert(perType + purchases === base.count(),
+      "page+start+err+action+purchase must equal all filtered rows")
+    // display rows == Σ (k % 3) + 1 over purchase rows
+    val expectedDisplays = base.filter(col("event_type") === "purchase")
+      .select(sum(expr("get_json_object(props, '$.k') % 3 + 1")))
+      .first().getLong(0)
+    assert(sp("display").count() === expectedDisplays)
+  }
+
+  test("J4 dim join broadcasts the dim side (no shuffle of dims)") {
+    val plan = graft.operators.Relational
+      .queries("j4_lookup_dim_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dim join must not shuffle")
+  }
+
+  test("J5 config join broadcasts the config side") {
+    val plan = graft.operators.Relational
+      .queries("j5_broadcast_config_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q1 scan prunes columns and pushes the shipdate filter") {
+    val plan = graft.operators.Relational
+      .queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan.take(3000))
+    // only the 6 needed columns reach the scan
+    assert(!plan.contains("l_partkey"), "column pruning failed")
+  }
+
+  test("A4 exact dedup matches approx HLL within 5%") {
+    val exact = graft.operators.Stateful
+      .queries("a4_uv_per_day")(spark, sfDir)
+      .agg(sum(col("uv_ct"))).first().getLong(0)
+    val approx = graft.operators.Stateful
+      .queries("approx_uv_hll")(spark, sfDir)
+      .agg(sum(col("approx_uv"))).first().getLong(0)
+    assert(math.abs(exact - approx).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("dedup_minhash candidates are verified near-dups (no false positives)") {
+    val pairs = graft.operators.Dedup
+      .queries("dedup_minhash_lsh")(spark, sfDir).collect()
+    // every emitted pair passed the >= 0.6 Jaccard verify by construction;
+    // structural sanity: a < b, no self-pairs, no duplicates
+    val tuples = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(tuples.forall { case (a, b) => a < b })
+    assert(tuples.distinct.length === tuples.length)
+  }
+}

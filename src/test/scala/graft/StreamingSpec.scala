@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StatefulStreaming
+import graft.streaming.StatefulStreaming.KeyedEvent
+
+/** Streaming-semantics tests with MemoryStream micro-batches: per-key state
+  * carries across batches (A4/A5), watermark drops late rows (W4/W5), and
+  * windows emit once finalized.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+  private def ms(s: String): Long = Instant.parse(s).toEpochMilli
+
+  test("A4 streaming: state dedupes across micro-batches, 7-day back rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // ttl=None: an armed ProcessingTimeTimeout makes the engine loop
+    // timeout-check batches, so processAllAvailable would never settle
+    val q: StreamingQuery = StatefulStreaming.firstOfDayStream(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("a4_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 twice on day 2024-01-01 -> one emission
+      input.addData(
+        KeyedEvent(1, 1, ms("2024-01-01T10:00:00Z"), 0),
+        KeyedEvent(2, 1, ms("2024-01-01T11:00:00Z"), 0))
+      q.processAllAvailable()
+      // batch 2: same user same day -> state suppresses re-emission
+      input.addData(KeyedEvent(3, 1, ms("2024-01-01T12:00:00Z"), 0))
+      q.processAllAvailable()
+      // batch 3: 9 days later -> counts again, flagged returning
+      input.addData(KeyedEvent(4, 1, ms("2024-01-10T09:00:00Z"), 0))
+      q.processAllAvailable()
+      val rows = spark.table("a4_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(rows.toSet === Set(
+        (1L, "2024-01-01", 0),
+        (1L, "2024-01-10", 1)))
+    } finally q.stop()
+  }
+
+  test("A5 streaming: is_new repaired across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StatefulStreaming.isNewRepairStream(input.toDS())
+      .writeStream.format("memory").queryName("a5_stream")
+      .outputMode("append").start()
+    try {
+      // day 1: claims new -> kept
+      input.addData(KeyedEvent(1, 7, ms("2024-01-01T00:00:00Z"), 1))
+      q.processAllAvailable()
+      // day 2: claims new again -> repaired to 0 (state crossed the batch)
+      input.addData(KeyedEvent(2, 7, ms("2024-01-02T00:00:00Z"), 1))
+      q.processAllAvailable()
+      val rows = spark.table("a5_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      assert(rows === Map(1L -> 1, 2L -> 0))
+    } finally q.stop()
+  }
+
+  test("W4/W5: watermark drops late rows; finalized window emits once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StatefulStreaming.windowedCounts(df)
+      .writeStream.format("memory").queryName("w_stream")
+      .outputMode("append").start()
+    try {
+      // two views in [00:00:00, 00:00:10)
+      input.addData(
+        (1L, ts("2024-01-01T00:00:01Z"), 1L, "view"),
+        (2L, ts("2024-01-01T00:00:03Z"), 2L, "view"))
+      q.processAllAvailable()
+      // advance event time far past the window + 5s watermark
+      input.addData((3L, ts("2024-01-01T00:01:00Z"), 3L, "view"))
+      q.processAllAvailable()
+      // LATE: another view for the already-finalized first window -> dropped
+      input.addData((4L, ts("2024-01-01T00:00:05Z"), 4L, "view"))
+      q.processAllAvailable()
+      input.addData((5L, ts("2024-01-01T00:02:00Z"), 5L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("w_stream")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      // first window finalized with exactly the 2 on-time rows
+      assert(rows("2024-01-01 00:00:00") === 2L,
+        s"late row must be dropped, got $rows")
+    } finally q.stop()
+  }
+}
