@@ -53,13 +53,17 @@ object Text {
         i => substring(n, lit(1) + i, lit(k))))
   }
 
-  /** Word n-gram shingles (space-joined) over the token array. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokenize(c)
+  /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED token
+    * array column. Taking the raw text here would inline `tokenize` into
+    * the per-element lambda: higher-order functions run interpreted with no
+    * common-subexpression reuse, so each shingle index would re-tokenize
+    * the whole document — measured 10x slower. Callers materialize tokens
+    * in a prior stage (attribute reference), then shingle.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
 
   private val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

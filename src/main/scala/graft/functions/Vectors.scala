@@ -60,4 +60,28 @@ object Vectors {
   def lshTables(vec: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map(t =>
       concat_ws(":", lit(t), hyperplaneSignature(vec, bits, t))): _*)
+
+  /** Same signatures as `lshTables`, computed as ONE codegen'd
+    * posexplode + (tables × bits) sum-aggregates pass instead of
+    * interpreted array lambdas — the scalable form (map-side partial sums,
+    * one shuffle on the id). Returns (idCol, sigs: Array[String]).
+    */
+  def lshSignaturesAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, bits: Int, tables: Int): org.apache.spark.sql.DataFrame = {
+    val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val sums = (0 until tables).flatMap { t =>
+      (0 until bits).map { b =>
+        val sign = pmod(hash(col("dim") * lit(31) + lit(b * 7919 + t * 104729)),
+          lit(2)).cast("double") * 2.0 - 1.0
+        sum(col("x").cast("double") * sign).as(s"s_${t}_$b")
+      }
+    }
+    val agg = expl.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val sigCols = (0 until tables).map { t =>
+      val bitStr = (0 until bits).map(b =>
+        when(col(s"s_${t}_$b") >= 0, lit("1")).otherwise(lit("0")))
+      concat_ws(":", lit(t), concat(bitStr: _*))
+    }
+    agg.select(col(idCol), array(sigCols: _*).as("sigs"))
+  }
 }

@@ -35,9 +35,21 @@ object Dedup extends OpModule {
       // (map-side partial min, tiny shuffle on doc_id). Computing the six
       // minhashes as array expressions would re-evaluate the shingling 6×
       // after CollapseProject — measured 10× slower.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenizeDistinct(col("text")).as("toks"),
-          Text.wordShingles(col("text"), 3).as("sh"))
+      // Two materialization points, both load-bearing:
+      //  1. tokens first (attribute), THEN shingles — shingling from the
+      //     raw text would re-tokenize per shingle index (interpreted HOF
+      //     lambdas don't share subexpressions).
+      //  2. localCheckpoint: the DAG below reads this relation three times
+      //     (shingle explode + toks join + self-join sides); without the
+      //     barrier each read recomputes the text ops (~4x slower). At
+      //     cluster scale this is a persist(DISK_ONLY)/shuffle-reuse point.
+      val toksDf = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks"))
+        .localCheckpoint()
+      val docs = toksDf.select(col("doc_id"),
+        array_distinct(col("rtoks")).as("toks"),
+        Text.wordShingles(col("rtoks"), 3).as("sh"))
+        .localCheckpoint()
       val mh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .groupBy(col("doc_id"))
         .agg(
@@ -55,6 +67,7 @@ object Dedup extends OpModule {
       val banded = sigs.select(col("doc_id"), col("toks"),
         posexplode(col("sigs"))).withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
+        .localCheckpoint() // both self-join sides read this once
       val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
         col("doc_id").as("doc_a"), col("toks").as("toks_a"))
       val b = banded.select(col("band").as("band_b"), col("sig").as("sig_b"),
@@ -70,16 +83,28 @@ object Dedup extends OpModule {
     }),
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
-      // across the doc's token set.
+      // across the doc's token set. Shape: explode tokens → md5 ONCE per
+      // token → 16 conditional sums in one codegen'd aggregate (the
+      // array-lambda form re-hashes every token per bit, 16x the work).
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenizeDistinct(col("text")).as("toks"))
-      val bits = (0 until 16).map { j =>
-        val ones = size(filter(transform(col("toks"),
-          tk => substring(md5(tk), j + 1, 1)),
-          c => c.isin("8", "9", "a", "b", "c", "d", "e", "f")))
-        when(ones * 2 >= size(col("toks")), lit("1")).otherwise(lit("0"))
-      }
-      docs.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      val hashed = docs
+        .select(col("doc_id"),
+          explode(Text.tokenizeDistinct(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+      val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val sums = (0 until 16).map(j =>
+        sum(when(substring(col("h"), j + 1, 1).isin(hi: _*), 1L)
+          .otherwise(0L)).as(s"ones_$j")) :+ count(lit(1)).as("n_toks")
+      val aggd = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val bits = (0 until 16).map(j =>
+        when(col(s"ones_$j") * 2 >= col("n_toks"), lit("1")).otherwise(lit("0")))
+      // empty-token docs have no exploded rows: majority over 0 tokens is
+      // all-ones (0 >= 0), restored via the left join + coalesce
+      docs.select(col("doc_id"))
+        .join(aggd.select(col("doc_id"), concat(bits: _*).as("simhash")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("simhash"), lit("1" * 16)).as("simhash"))
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // blocked exact word-set Jaccard: same source, length within 30 chars

@@ -56,13 +56,16 @@ object Similarity extends OpModule {
       // Multi-table LSH: 4 independent 6-bit hyperplane tables; candidate
       // if ANY table bucket matches (union via explode + distinct). At
       // corpus scale the exploded (vec, sig) relation shuffles on sig —
-      // never an all-pairs join.
+      // never an all-pairs join. Signatures come from ONE codegen'd
+      // posexplode + 24 sum-aggregates pass (the array-lambda form runs
+      // interpreted per bit and re-reads the vector 24x).
       val emb = t(s, dir, "embeddings")
-        .withColumn("sigs", Vectors.lshTables(col("embedding"), 6, 4))
-      val q = emb.filter(col("vec_id") < 8)
+      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+      val withSigs = emb.join(sigs, "vec_id").localCheckpoint()
+      val q = withSigs.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           explode(col("sigs")).as("qsig"))
-      val cand = emb.select(col("vec_id").as("neighbor_id"),
+      val cand = withSigs.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("nv"), explode(col("sigs")).as("sig"))
         .join(broadcast(q),
           col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
