@@ -27,6 +27,7 @@ object Similarity extends OpModule {
   def queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -34,7 +35,7 @@ object Similarity extends OpModule {
           col("embedding").as("nv"))
         .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+          expr("cosine_sim(qv, nv)").as("sim")) // native codegen'd expression
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -42,17 +43,19 @@ object Similarity extends OpModule {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     "sim_pairs_threshold" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val a = emb.select(col("vec_id").as("vec_a"), col("label").as("lab_a"),
         col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("vec_b"), col("label").as("lab_b"),
         col("embedding").as("eb"))
       a.join(b, col("lab_a") === col("lab_b") && col("vec_a") < col("vec_b"))
-        .filter(Vectors.cosine(col("ea"), col("eb")) >= 0.3)
+        .filter(expr("cosine_sim(ea, eb)") >= 0.3)
         .select(col("vec_a"), col("vec_b"))
     }),
     "sim_lsh_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
       // Multi-table LSH: 4 independent 6-bit hyperplane tables; candidate
       // if ANY table bucket matches (union via explode + distinct). At
       // corpus scale the exploded (vec, sig) relation shuffles on sig —
@@ -72,7 +75,7 @@ object Similarity extends OpModule {
         .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
         .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+          expr("cosine_sim(qv, nv)").as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       cand.withColumn("rank", row_number().over(w))
