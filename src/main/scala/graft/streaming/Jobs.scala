@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Cdc, Text}
+import graft.operators._
+
+/** The 13 reference entry points (SURVEY §0 job table) assembled from the
+  * operator library — the surface a user of the reference migrates to.
+  * Every job is `sources → pure transforms → named outputs`; `run` executes
+  * one in batch over a fixture dir and writes each output with the matching
+  * sink from `Sinks`. The same transforms run under readStream/writeStream
+  * (see StatefulStreaming for the stateful cores).
+  *
+  * Job names follow the reference classes (ref file paths in SURVEY §0):
+  * DimApp, DwdBaseLog, DwdBaseDb, DwdInteractionCommentInfo,
+  * DwdTradeCartAdd, DwdTradeOrderDetail, DwdTradeOrderPaySucDetail, and the
+  * six DWS window jobs.
+  */
+object Jobs {
+
+  /** name → (spark, sfDir) => outputs by name. */
+  val jobs: Map[String, (SparkSession, String) => Map[String, DataFrame]] = Map(
+
+    // DIM: CDC envelope → ETL → config route → op-select + prune → dim rows
+    // (ref DimApp.java:50-202)
+    "dim_app" -> ((s, dir) => {
+      val routed = LogSplit.queries("x2_fact_router")(s, dir)
+      val dimRows = CdcOps.queries("p6_op_selector")(s, dir)
+      Map("dim_routed" -> routed, "dim_rows" -> dimRows)
+    }),
+
+    // DWD log split: one parse, five outputs (ref DwdBaseLog.java:42-239)
+    "dwd_base_log" -> ((s, dir) =>
+      LogSplit.splits(Tables.load(s, dir, "events"))),
+
+    // DWD generic fact splitter (ref DwdBaseDb.java:47-183)
+    "dwd_base_db" -> ((s, dir) =>
+      Map("routed_facts" -> LogSplit.queries("x2_fact_router")(s, dir))),
+
+    // comment fact + dim lookup join (ref DwdInteractionCommentInfo.java:20-99)
+    "dwd_interaction_comment_info" -> ((s, dir) =>
+      Map("comment_info" -> Relational.queries("j4_lookup_dim_join")(s, dir))),
+
+    // cart-add fact w/ conditional delta (ref DwdTradeCartAdd.java:18-77)
+    "dwd_trade_cart_add" -> ((s, dir) =>
+      Map("cart_add" -> CdcOps.queries("p9_cart_delta")(s, dir))),
+
+    // order detail 3-way join (ref DwdTradeOrderDetail.java:22-158)
+    "dwd_trade_order_detail" -> ((s, dir) =>
+      Map("order_detail" -> Relational.queries("j2_double_left_join")(s, dir))),
+
+    // pay-success interval join (ref DwdTradeOrderPaySucDetail.java:21-168)
+    "dwd_trade_order_pay_suc_detail" -> ((s, dir) =>
+      Map("pay_suc" -> Relational.queries("j3_interval_join")(s, dir))),
+
+    // keyword tokenize → window count
+    // (ref DwsTrafficSourceKeywordPageViewWindow.java:22-90)
+    "dws_traffic_source_keyword_page_view_window" -> ((s, dir) => {
+      val keywords = Tables.load(s, dir, "documents")
+        .select(explode(Text.tokenize(col("text"))).as("keyword"))
+        .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
+      Map("keyword_counts" -> keywords,
+        "windowed_views" -> Windows.queries("a1_tumble_count")(s, dir))
+    }),
+
+    // keyed window metrics (ref DwsTrafficVcChArIsNewPageViewWindow.java:47-208)
+    "dws_traffic_vc_ch_ar_is_new_page_view_window" -> ((s, dir) =>
+      Map("page_view_metrics" -> Windows.queries("a2_keyed_window_reduce")(s, dir))),
+
+    // home/detail UV (ref DwsTrafficHomeDetailPageViewWindow.java:42-193)
+    "dws_traffic_home_detail_page_view_window" -> ((s, dir) =>
+      Map("home_detail" -> Windows.queries("a3_global_window")(s, dir))),
+
+    // login UU + returning (ref DwsUserUserLoginWindow.java:41-172)
+    "dws_user_user_login_window" -> ((s, dir) =>
+      Map("login_uu" -> Stateful.queries("a4_login_uu_window")(s, dir))),
+
+    // registrations (ref DwsUserUserRegisterWindow.java:33-106)
+    "dws_user_user_register_window" -> ((s, dir) =>
+      Map("registers" -> Tables.load(s, dir, "events")
+        .filter(col("event_type") === "signup" && col("user_id").isNotNull)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
+        .agg(count(lit(1)).as("register_ct")))),
+
+    // cart-add UU (ref DwsTradeCartAddUuWindow.java:43-153)
+    "dws_trade_cart_add_uu_window" -> ((s, dir) =>
+      Map("cart_uu" -> Stateful.queries("a4_uv_per_day")(s, dir))))
+
+  /** Batch-run one job over a fixture dir; writes each output under
+    * `outDir/<job>/<output>` and returns row counts.
+    */
+  def run(name: String, spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] =
+    jobs(name)(spark, sfDir).map { case (out, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name/$out")
+      out -> spark.read.parquet(s"$outDir/$name/$out").count()
+    }
+}

@@ -1,0 +1,23 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.Jobs
+
+/** Every reference entry point (13 jobs) runs end-to-end in batch over the
+  * fixtures and produces non-empty, readable output — the "a user of the
+  * reference could switch" smoke.
+  */
+class JobsSpec extends SparkSpec {
+
+  test("all 13 reference jobs run and write non-empty outputs") {
+    assert(Jobs.jobs.size === 13)
+    val out = Files.createTempDirectory("jobs").toString
+    Jobs.jobs.keys.toSeq.sorted.foreach { name =>
+      val counts = Jobs.run(name, spark, sfDir, out)
+      assert(counts.nonEmpty, s"$name produced no outputs")
+      counts.foreach { case (o, n) =>
+        assert(n > 0, s"$name/$o wrote 0 rows")
+      }
+    }
+  }
+}
