@@ -55,6 +55,28 @@ object CdcOps extends OpModule {
         .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
         .select(col("event_id"), col("parsed.k").as("k"))
     }),
+    "p4_config_pruning" -> ((s, dir) => {
+      import s.implicits._
+      // schema-as-data: the kept column set comes from a config row
+      // (broadcast-joined), applied with map_filter — changing the config
+      // reshapes the output without redeploy (ref DimApp.java:87-104)
+      val config = Seq(
+        ("order_info", "insert", "id,user_id,total_amount"),
+        ("order_info", "update", "id,status"),
+        ("order_info", "delete", "id"))
+        .toDF("cfg_table", "cfg_type", "sink_columns")
+      Cdc.envelopeFromOrders(t(s, dir, "orders"))
+        .join(broadcast(config),
+          col("tbl") === col("cfg_table") && col("type") === col("cfg_type"))
+        .withColumn("pruned", Cdc.pruneColumns(col("data"), col("sink_columns")))
+        .select(
+          element_at(col("pruned"), "id").cast("bigint").as("id"),
+          col("type"),
+          element_at(col("pruned"), "user_id").cast("bigint").as("user_id"),
+          element_at(col("pruned"), "status").as("status"),
+          element_at(col("pruned"), "total_amount").cast("decimal(18,2)")
+            .as("total_amount"))
+    }),
     "p6_op_selector" -> ((s, dir) => {
       val env = Cdc.etlFilter(Cdc.envelopeFromOrders(t(s, dir, "orders")))
       env.withColumn("img", Cdc.opSelect(col("type"), col("old"), col("data")))
@@ -127,6 +149,13 @@ object CdcOps extends OpModule {
     "p3_parse_or_drop" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE event_id % 7 <> 0""".stripMargin,
+    "p4_config_pruning" ->
+      s"""SELECT o_orderkey AS id, $oraType AS type,
+         |  CASE WHEN o_orderstatus = 'O' THEN o_custkey END AS user_id,
+         |  CASE WHEN o_orderstatus = 'F' THEN o_orderstatus END AS status,
+         |  CASE WHEN o_orderstatus = 'O'
+         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS total_amount
+         |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
     "p6_op_selector" ->
       s"""SELECT o_orderkey AS id, $oraType AS type,
          |  CAST(CAST(CASE WHEN o_orderstatus NOT IN ('O','F') THEN o_totalprice * 0.5

@@ -97,6 +97,21 @@ object StatefulStreaming {
       }
   }
 
+  /** J1/J3/W7 streaming form: stream-stream inner join with a time band.
+    * The watermarks on both sides bound the join state exactly like the
+    * reference's 5s idle-state retention (ref DwdTradeOrderDetail.java:31,
+    * DwdTradeOrderPaySucDetail.java:101-125): a buffered row is evicted
+    * once the other side's watermark passes its band, so state is
+    * O(rows-in-band) regardless of stream length.
+    */
+  def intervalJoinStream(pay: DataFrame, click: DataFrame): DataFrame =
+    pay.withWatermark("pay_ts", "5 seconds")
+      .join(click.withWatermark("click_ts", "5 seconds"),
+        expr("""pay_user = click_user
+                AND pay_ts >= click_ts - interval 15 minutes
+                AND pay_ts <= click_ts + interval 15 seconds"""))
+      .select(col("pay_id"), col("click_id"), col("pay_user"))
+
   /** A1/W1/W3/W4: watermarked 10s tumbling count — the streaming form of
     * the flagship query. W5: rows later than the 5s watermark are dropped
     * by Spark (same late-data semantics class as the reference's bounded

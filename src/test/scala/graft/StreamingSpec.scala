@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J3/W7 streaming: interval join matches within band across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pay = MemoryStream[(Long, Timestamp, Long)]
+    val click = MemoryStream[(Long, Timestamp, Long)]
+    val payDf = pay.toDF().toDF("pay_id", "pay_ts", "pay_user")
+    val clickDf = click.toDF().toDF("click_id", "click_ts", "click_user")
+    val q = graft.streaming.StatefulStreaming
+      .intervalJoinStream(payDf, clickDf)
+      .writeStream.format("memory").queryName("j3_stream")
+      .outputMode("append").start()
+    try {
+      // click arrives first (batch 1), matching pay arrives later (batch 2)
+      // -> the buffered click state joins across the batch boundary.
+      // band (ref DwdTradeOrderPaySucDetail.java:123):
+      //   pay_ts ∈ [click_ts - 15min, click_ts + 15s]
+      click.addData((100L, ts("2024-01-01T00:20:00Z"), 1L))
+      q.processAllAvailable()
+      pay.addData(
+        (200L, ts("2024-01-01T00:10:00Z"), 1L), // inside the band
+        (201L, ts("2024-01-01T00:10:00Z"), 2L), // wrong user -> no match
+        (202L, ts("2024-01-01T02:00:00Z"), 1L)) // outside the band
+      q.processAllAvailable()
+      val rows = spark.table("j3_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((200L, 100L)))
+    } finally q.stop()
+  }
+
   test("W4/W5: watermark drops late rows; finalized window emits once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
