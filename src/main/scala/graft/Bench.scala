@@ -21,7 +21,7 @@ object Bench {
     "a4_uv_per_day", "a5_is_new_repair", "k5_upsert_latest_per_key",
     "u1_tokenize_explode", "text_quality", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
-    "sim_lsh_ann", "mm_decode_features", "p7_map_projection")
+    "sim_lsh_ann", "sim_ivf_ann", "mm_decode_features", "p7_map_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

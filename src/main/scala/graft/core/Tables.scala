@@ -111,9 +111,14 @@ object Tables {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
         case f => f
       })
-      spark.readStream.schema(raw).parquet(s"$dir/$name.parquet")
+      // `{name}` glob: FileStreamSource force-sets basePath to the literal
+      // path when it is NOT a glob, and a single-file basePath is rejected
+      // downstream; a glob path keeps our directory basePath.
+      spark.readStream.schema(raw).option("basePath", dir)
+        .parquet(s"$dir/{$name}.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else
-      spark.readStream.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      spark.readStream.schema(schemas(name)).option("basePath", dir)
+        .parquet(s"$dir/{$name}.parquet")
 }

@@ -24,7 +24,9 @@ object Similarity extends OpModule {
 
   private val K = 5
 
-  def queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = baseQueries ++ queriesIvf
+
+  private val baseQueries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -74,6 +76,53 @@ object Similarity extends OpModule {
           col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
         .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          expr("cosine_sim(qv, nv)").as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }))
+
+  /** IVF-style ANN: a coarse quantizer (C deterministic centroids — the
+    * first C vectors, classic random-init) partitions the corpus into
+    * inverted lists; queries probe the nprobe nearest lists only. The
+    * centroid set is O(C) and broadcast; assignment is one pass over the
+    * corpus; candidate generation is a hash join on the cluster id —
+    * the second 100 TB ANN path next to multi-table LSH.
+    */
+  private def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
+      cCentroids: Int, nProbe: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = broadcast(emb.filter(col("vec_id") < cCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    val scored = emb.join(cents, lit(true))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        expr("cosine_sim(embedding, cv)").as("csim"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc,
+      col("cent_id").asc)
+    val ranked = scored.withColumn("crank", row_number().over(byVec))
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+      .localCheckpoint()
+    val probes = ranked.filter(col("vec_id") < 8 && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cent_id").as("probe"))
+    (assigned, probes)
+  }
+
+  def queriesIvf: Map[String, Q] = Map(
+    "sim_ivf_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val cand = assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("cluster"))
+        .join(broadcast(probes), col("cluster") === col("probe") &&
+          col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           expr("cosine_sim(qv, nv)").as("sim"))
       val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join split is the first line of
+  * defense (enabled in the session builders); explicit salting is the
+  * fallback for the shapes AQE can't fix — e.g. a shuffle join where one
+  * hot key dominates a partition, or a groupBy on a power-law key.
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed `big` side against `small`:
+    * the big side gets a deterministic salt in [0, buckets) derived from
+    * its whole row (no RNG — replays stay idempotent), the small side is
+    * replicated `buckets` times, and the join key becomes (key, salt).
+    * One hot key now spreads over `buckets` shuffle partitions.
+    * Result is row-identical to the unsalted join (SkewSpec).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+        big(key) === small(key))
+      .drop("__salt")
+  }
+
+  /** Two-stage aggregation for a skewed group key: partial aggregate on
+    * (key, salt), then final on key. For algebraic aggregates Spark's
+    * map-side partial aggregation already does this; use this form when
+    * the per-key state is big (collect_set-like) and one key floods a
+    * single reducer.
+    */
+  def saltedCountDistinct(df: DataFrame, key: Column, value: Column,
+      buckets: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("__salt", pmod(hash(col("v")), lit(buckets)))
+      .groupBy(col("k"), col("__salt"))
+      .agg(countDistinct(col("v")).as("partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("distinct_ct"))
+}

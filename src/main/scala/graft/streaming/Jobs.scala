@@ -97,4 +97,28 @@ object Jobs {
       df.write.mode("overwrite").parquet(s"$outDir/$name/$out")
       out -> spark.read.parquet(s"$outDir/$name/$out").count()
     }
+
+  /** The DwdBaseLog job in STREAMING mode: readStream over the events
+    * table, the SAME `LogSplit.splits` transform per micro-batch, five
+    * outputs written from one `foreachBatch` (the Spark shape of Flink's
+    * side outputs, ref DwdBaseLog.java:76-92). The batch is persisted so
+    * the parse runs once per micro-batch, not once per split — the X1
+    * one-parse invariant. Exactly-once: parquet append + the streaming
+    * commit log; checkpointed under `outDir/_chk`.
+    */
+  def runLogSplitStreaming(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val stream = Tables.loadStream(spark, sfDir, "events")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try LogSplit.splits(b.toDF()).foreach { case (name, df) =>
+          df.write.mode("append").parquet(s"$outDir/$name")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$outDir/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

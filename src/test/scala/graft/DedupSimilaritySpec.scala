@@ -64,6 +64,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(0L) !== sigs(4L))
   }
 
+  test("IVF ANN recall vs brute force at sf0.001") {
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Similarity
+      .queries("sim_ivf_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF must return candidates")
+    assert(ivf.forall { case (q, n) => q != n })
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (16 centroids, nprobe=4)")
+    assert(recall > 0.1, "probing 1/4 of the lists must recover some of top-k")
+  }
+
   test("LSH ANN recall vs brute force at sf0.001") {
     val brute = graft.operators.Similarity
       .queries("sim_topk_bruteforce")(spark, sfDir)

@@ -9,6 +9,22 @@ import graft.streaming.Jobs
   */
 class JobsSpec extends SparkSpec {
 
+  test("log splitter: streaming run produces exactly the batch outputs") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("logstream").toString
+    Jobs.runLogSplitStreaming(spark, sfDir, out)
+    val batchSplits = graft.operators.LogSplit
+      .splits(graft.core.Tables.load(spark, sfDir, "events"))
+    batchSplits.foreach { case (name, batchDf) =>
+      val streamed = spark.read.parquet(s"$out/$name")
+      assert(streamed.count() === batchDf.count(), s"split $name count")
+      // exact same rows, not just counts
+      assert(streamed.exceptAll(batchDf).count() === 0 &&
+        batchDf.exceptAll(streamed).count() === 0,
+        s"split $name rows differ between batch and streaming")
+    }
+  }
+
   test("all 13 reference jobs run and write non-empty outputs") {
     assert(Jobs.jobs.size === 13)
     val out = Files.createTempDirectory("jobs").toString
