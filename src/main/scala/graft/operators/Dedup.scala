@@ -106,6 +106,16 @@ object Dedup extends OpModule {
         .select(col("doc_id"),
           coalesce(col("simhash"), lit("1" * 16)).as("simhash"))
     }),
+    // the end-to-end dedup op: drop every doc that near-dup-matches an
+    // earlier (lower-id) doc — "keep first" canonicalization. The pair
+    // relation is the minhash pipeline above; at scale this is the same
+    // bucket-join plus one anti-join, no extra shuffle of the corpus.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // blocked exact word-set Jaccard: same source, length within 30 chars
       val d = t(s, dir, "documents")
@@ -162,24 +172,32 @@ object Dedup extends OpModule {
          | AND abs(a.n_chars - b.n_chars) <= 30
          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
-         |           FROM documents),
-         |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
-         |sigs AS (SELECT doc_id, toks,
-         |  md5(${oraMinhash(0)} || ${oraMinhash(1)}) AS s0,
-         |  md5(${oraMinhash(2)} || ${oraMinhash(3)}) AS s1,
-         |  md5(${oraMinhash(4)} || ${oraMinhash(5)}) AS s2 FROM d2),
-         |banded AS (
-         |  SELECT doc_id, toks, 0 AS band, s0 AS sig FROM sigs
-         |  UNION ALL SELECT doc_id, toks, 1, s1 FROM sigs
-         |  UNION ALL SELECT doc_id, toks, 2, s2 FROM sigs)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6""".stripMargin,
+    "dedup_minhash_lsh" -> oraclesMinhash,
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
-         |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin)
+         |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,
+    "dedup_keep_canonical" ->
+      s"""SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_b FROM ($oraclesMinhash))""".stripMargin)
+
+  /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
+    * shared by dedup_minhash_lsh and dedup_keep_canonical.
+    */
+  private lazy val oraclesMinhash: String =
+    s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+       |           FROM documents),
+       |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+       |sigs AS (SELECT doc_id, toks,
+       |  md5(${oraMinhash(0)} || ${oraMinhash(1)}) AS s0,
+       |  md5(${oraMinhash(2)} || ${oraMinhash(3)}) AS s1,
+       |  md5(${oraMinhash(4)} || ${oraMinhash(5)}) AS s2 FROM d2),
+       |banded AS (
+       |  SELECT doc_id, toks, 0 AS band, s0 AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, toks, 1, s1 FROM sigs
+       |  UNION ALL SELECT doc_id, toks, 2, s2 FROM sigs)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6""".stripMargin
 }

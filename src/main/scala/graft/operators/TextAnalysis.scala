@@ -31,6 +31,16 @@ object TextAnalysis extends OpModule {
         Text.stopwordRatio(col("text")).as("stopword_ratio"),
         Text.punctRatio(col("text")).as("punct_ratio"))
     }),
+    // the pipeline form of quality scoring: gate documents on combined
+    // thresholds (the filter a pretraining corpus actually applies)
+    "text_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 100 &&
+          Text.wsTokenCount(col("text")) >= 20 &&
+          Text.stopwordRatio(col("text")) >= 0.05 &&
+          Text.punctRatio(col("text")) <= 0.2)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -64,6 +74,19 @@ object TextAnalysis extends OpModule {
          |FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                            x -> x <> '') AS toks
          |      FROM documents)""".stripMargin,
+    "text_quality_filter" ->
+      s"""SELECT doc_id, lang, source
+         |FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '') AS toks
+         |      FROM documents)
+         |WHERE CAST(length(text) AS INT) >= 100
+         |  AND len(string_split_regex(trim(text), '\\s+')) >= 20
+         |  AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+         |            / CAST(len(toks) AS DOUBLE) END) >= 0.05
+         |  AND (CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / CAST(length(text) AS DOUBLE) END) <= 0.2""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

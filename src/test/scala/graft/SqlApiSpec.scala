@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SqlCatalog
+
+/** The SQL surface (BaseSQLApp analog) must be interchangeable with the
+  * DataFrame API: literal spark.sql over the registered views produces the
+  * same rows as the module queries.
+  */
+class SqlApiSpec extends SparkSpec {
+
+  test("SQL-text form of the cart-add filter equals the DataFrame form") {
+    val sqlDf = SqlCatalog.sql(spark, sfDir,
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'bootstrap-start'
+        |       WHEN o_orderstatus = 'O' THEN 'insert'
+        |       WHEN o_orderstatus = 'F' THEN 'update'
+        |       ELSE 'delete' END AS type
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 0 AND o_orderstatus IN ('O', 'F')""".stripMargin)
+    val dfApi = graft.operators.CdcOps
+      .queries("p8_predicate_filter")(spark, sfDir)
+    assert(sqlDf.exceptAll(dfApi).count() === 0 &&
+      dfApi.exceptAll(sqlDf).count() === 0)
+  }
+
+  test("SQL tumbling window (A1/W3 SQL form) equals the DataFrame form") {
+    val sqlDf = SqlCatalog.sql(spark, sfDir,
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+        |       date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+        |       count(1) AS view_count
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type = 'view'
+        |GROUP BY window(ts, '10 seconds')""".stripMargin)
+    val dfApi = graft.operators.Windows.queries("a1_tumble_count")(spark, sfDir)
+    assert(sqlDf.exceptAll(dfApi).count() === 0 &&
+      dfApi.exceptAll(sqlDf).count() === 0)
+  }
+}
