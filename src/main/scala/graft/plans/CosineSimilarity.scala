@@ -37,6 +37,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // literal arguments constant-fold via Catalyst's ConstantFolding
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -112,6 +112,22 @@ object StatefulStreaming {
                 AND pay_ts <= click_ts + interval 15 seconds"""))
       .select(col("pay_id"), col("click_id"), col("pay_user"))
 
+  /** J2 streaming form: stream-stream LEFT OUTER equi-join with
+    * watermark-bounded state. Flink emits an immediate null-padded row and
+    * retracts it when the match arrives (forcing an upsert sink, ref
+    * DwdTradeOrderDetail.java:52-54,101-102); Spark instead holds the
+    * unmatched left row until the watermark proves no match can come, then
+    * emits the null-padded row ONCE — same final answer, no retractions
+    * (SURVEY §7.4.1). The time-band condition is what lets state evict.
+    */
+  def leftJoinStream(orders: DataFrame, details: DataFrame): DataFrame =
+    orders.withWatermark("o_ts", "5 seconds")
+      .join(details.withWatermark("d_ts", "5 seconds"),
+        expr("""o_id = d_order_id
+                AND d_ts >= o_ts AND d_ts <= o_ts + interval 1 minute"""),
+        "leftOuter")
+      .select(col("o_id"), col("d_id"), col("o_ts"))
+
   /** A1/W1/W3/W4: watermarked 10s tumbling count — the streaming form of
     * the flagship query. W5: rows later than the 5s watermark are dropped
     * by Spark (same late-data semantics class as the reference's bounded

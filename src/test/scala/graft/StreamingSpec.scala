@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J2 streaming: left join emits matches now, null-padding at watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val details = MemoryStream[(Long, Long, Timestamp)]
+    val q = graft.streaming.StatefulStreaming.leftJoinStream(
+        orders.toDF().toDF("o_id", "o_ts"),
+        details.toDF().toDF("d_id", "d_order_id", "d_ts"))
+      .writeStream.format("memory").queryName("j2_stream")
+      .outputMode("append").start()
+    try {
+      // order 1 gets a detail; order 2 never will
+      orders.addData((1L, ts("2024-01-01T00:00:00Z")),
+        (2L, ts("2024-01-01T00:00:00Z")))
+      details.addData((10L, 1L, ts("2024-01-01T00:00:30Z")))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("j2_stream")
+        .collect().map(r => (r.getLong(0), r.get(1))).toSet
+      assert(matchedOnly === Set((1L, 10L)),
+        "matched row emits immediately; unmatched must WAIT for the watermark")
+      // advance both watermarks past order 2's band -> null-padded row emits
+      orders.addData((9L, ts("2024-01-01T01:00:00Z")))
+      details.addData((99L, 9L, ts("2024-01-01T01:00:00Z")))
+      q.processAllAvailable()
+      // one more batch so the watermark-triggered output is committed
+      orders.addData((8L, ts("2024-01-01T02:00:00Z")))
+      details.addData((98L, 8L, ts("2024-01-01T02:00:00Z")))
+      q.processAllAvailable()
+      val all = spark.table("j2_stream")
+        .collect().map(r => (r.getLong(0), r.get(1))).toSet
+      assert(all.contains((2L, null)),
+        s"null-padded row for the never-matched order must appear, got $all")
+    } finally q.stop()
+  }
+
   test("W4/W5: watermark drops late rows; finalized window emits once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
