@@ -95,9 +95,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // ns-fixture: ts arrives as a nanos long (convert); derived copies
+      // written by this library already carry a real timestamp
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Streaming read of the same table — identical downstream transforms.

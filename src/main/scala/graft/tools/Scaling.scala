@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.SparkEntry
+
+/** Scale-up experiment: materialize k× copies of the fixture tables (ids
+  * offset per replica so keys stay distinct and dedup/ANN don't collapse)
+  * and time the headline scale paths at increasing k. Near-linear growth
+  * here is the evidence behind the 100 TB design claims in PLANS.md.
+  *
+  * Usage: runMain graft.tools.Scaling <baseSfDir> <factors e.g. 1,2,4,8>
+  */
+object Scaling {
+
+  val queries = Seq("q1_pricing_summary", "j1_order_lineitem_join",
+    "a1_tumble_count", "a4_uv_per_day", "k5_upsert_latest_per_key",
+    "u1_tokenize_explode", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "sim_lsh_ann", "sim_ivf_ann", "text_quality")
+
+  def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
+    val df = Tables.load(spark, base, name)
+    val idCol = name match {
+      case "documents" => Some("doc_id")
+      case "embeddings" => Some("vec_id")
+      case "events" => Some("event_id")
+      case "lineitem" => Some("l_orderkey")
+      case "orders" => Some("o_orderkey")
+      case _ => None
+    }
+    val n = df.count()
+    (0 until k).map { i =>
+      idCol.fold(df)(c => df.withColumn(c, col(c) + lit(i * n)))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,2,4").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
+
+    factors.foreach { k =>
+      val dir = s"/tmp/graft_scale_${k}x"
+      Tables.names.foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      queries.foreach { q =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scale] k=$k%-3d $q%-26s ${times.min}%7.3fs")
+      }
+    }
+    spark.stop()
+  }
+}
