@@ -45,13 +45,15 @@ object Text {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Character-shingle array of size k over normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalize(c)
+  /** Character-shingle array of size k over an ALREADY-MATERIALIZED
+    * normalized-text column (see wordShingles for why the input must be an
+    * attribute, not an inline expression: interpreted HOF lambdas would
+    * re-normalize per shingle index).
+    */
+  def charShingles(norm: Column, k: Int): Column =
     array_distinct(
-      transform(sequence(lit(0), greatest(length(n) - k, lit(0))),
-        i => substring(n, lit(1) + i, lit(k))))
-  }
+      transform(sequence(lit(0), greatest(length(norm) - k, lit(0))),
+        i => substring(norm, lit(1) + i, lit(k))))
 
   /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED token
     * array column. Taking the raw text here would inline `tokenize` into

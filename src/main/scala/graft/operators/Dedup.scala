@@ -116,6 +116,28 @@ object Dedup extends OpModule {
       t(s, dir, "documents").select(col("doc_id"), col("source"))
         .join(dropped, Seq("doc_id"), "left_anti")
     }),
+    // character 5-gram Jaccard — the classic n-gram form (word-set form
+    // below); same blocking, shingles from a materialized normalized col
+    "dedup_char_ngram_jaccard" -> ((s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Text.normalize(col("text")).as("norm"))
+        .localCheckpoint()
+      val d = normed.select(col("doc_id"), col("source"), col("n_chars"),
+        Text.charShingles(col("norm"), 5).as("grams"))
+      val l = d.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+        col("n_chars").as("nc_a"), col("grams").as("g_a"))
+      val r = d.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("n_chars").as("nc_b"), col("grams").as("g_b"))
+      l.join(r, col("src_a") === col("src_b") && col("doc_a") < col("doc_b") &&
+          abs(col("nc_a") - col("nc_b")) <= 30)
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+           size(array_union(col("g_a"), col("g_b"))).cast("double"))
+            .as("jac"))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // blocked exact word-set Jaccard: same source, length within 30 chars
       val d = t(s, dir, "documents")
@@ -160,7 +182,24 @@ object Dedup extends OpModule {
        |THEN '1' ELSE '0' END""".stripMargin
   }.mkString(" || ")
 
+  // DuckDB mirror of normalize + charShingles(5): i ∈ 1..max(len-4, 1)
+  private val oraCharGrams =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(length(norm) - 4, 1)),
+      |  i -> substr(norm, i, 5)))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_char_ngram_jaccard" ->
+      s"""WITH n AS (SELECT doc_id, source, n_chars,
+         |             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |           FROM documents),
+         |d AS (SELECT doc_id, source, n_chars, $oraCharGrams AS grams FROM n)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM d a JOIN d b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= 30
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_ct
         |FROM documents GROUP BY 1""".stripMargin,
