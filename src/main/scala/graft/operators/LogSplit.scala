@@ -55,6 +55,8 @@ object LogSplit extends OpModule {
         .select(col("event_id"), col("event_type"), col("user_id"))
     }),
     "x1_split_page" -> ((s, dir) => splits(t(s, dir, "events"))("page")),
+    "x1_split_start" -> ((s, dir) => splits(t(s, dir, "events"))("start")),
+    "x1_split_action" -> ((s, dir) => splits(t(s, dir, "events"))("action")),
     "x1_split_err" -> ((s, dir) => splits(t(s, dir, "events"))("err")),
     "x1_explode_display" -> ((s, dir) => splits(t(s, dir, "events"))("display")),
     "x2_fact_router" -> ((s, dir) => {
@@ -81,6 +83,16 @@ object LogSplit extends OpModule {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |  AND event_type = 'view'""".stripMargin,
+    "x1_split_start" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type = 'signup'""".stripMargin,
+    "x1_split_action" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type = 'click'""".stripMargin,
     "x1_split_err" ->
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
