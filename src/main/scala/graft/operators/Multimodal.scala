@@ -39,6 +39,21 @@ object Multimodal extends OpModule {
           md5(col("payload")).as("payload_md5"),
           lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
     }),
+    // frame sampling: treat the payload as a "video", emit one row per
+    // sampled frame (every 64th byte offset) with a per-frame fingerprint
+    // — the explode-per-frame plumbing of a real frame-sample stage, with
+    // the codec stubbed to a deterministic hash.
+    "mm_frame_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"), col("text"),
+          // integer div: `/` on columns is double division
+          explode(sequence(lit(0L),
+            expr("(length(payload) - 1) div 64"))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(concat(col("text"),
+            col("frame_idx").cast("string"))).as("frame_fp"))
+    }),
     "mm_decode_features" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -61,6 +76,12 @@ object Multimodal extends OpModule {
         |  md5(text) AS payload_md5,
         |  lower(hex(encode(substring(text, 1, 4)))) AS head_hex
         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, f.frame_idx,
+        |  md5(text || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
+        |FROM documents,
+        |  UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 64))
+        |    AS f(frame_idx)""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,

@@ -52,6 +52,17 @@ object Profile {
     time("minhash agg")(force(mh))
     time("full query")(force(
       graft.operators.Dedup.queries("dedup_minhash_lsh")(spark, dir)))
+
+    // native codegen'd expression vs interpreted HOF composition
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(emb.select(col("vec_id").as("idb"), col("embedding").as("eb")),
+        col("ida") =!= col("idb") && col("idb") < 64)
+    time("cosine HOF (interpreted)")(force(
+      pairs.select(graft.functions.Vectors.cosine(col("ea"), col("eb")))))
+    time("cosine native (codegen)")(force(
+      pairs.select(expr("cosine_sim(ea, eb)"))))
     spark.stop()
   }
 }
