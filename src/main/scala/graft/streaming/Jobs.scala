@@ -98,6 +98,35 @@ object Jobs {
       out -> spark.read.parquet(s"$outDir/$name/$out").count()
     }
 
+  /** The DwdBaseDb job in STREAMING mode: readStream over orders, CDC
+    * envelope + broadcast config routing per micro-batch, one routed write
+    * per batch partitioned by `sink_table` (K2 dynamic-topic analog; for
+    * Kafka the partition column becomes the per-row `topic` column).
+    */
+  def runRoutedStreaming(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    import spark.implicits._
+    val config = Seq(
+      ("order_info", "insert", "dwd_trade_order_add"),
+      ("order_info", "update", "dwd_trade_order_upd"))
+      .toDF("cfg_table", "cfg_type", "sink_table")
+    val stream = Tables.loadStream(spark, sfDir, "orders")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val routed = Cdc.envelopeFromOrders(batch.toDF())
+          .join(org.apache.spark.sql.functions.broadcast(config),
+            col("tbl") === col("cfg_table") && col("type") === col("cfg_type"))
+          .select(element_at(col("data"), "id").cast("bigint").as("id"),
+            col("sink_table"))
+        Sinks.writeRouted(routed, outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The DwdBaseLog job in STREAMING mode: readStream over the events
     * table, the SAME `LogSplit.splits` transform per micro-batch, five
     * outputs written from one `foreachBatch` (the Spark shape of Flink's

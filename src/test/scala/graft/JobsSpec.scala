@@ -25,6 +25,23 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("routed streaming sink partitions by sink_table and matches batch") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("routedstream").toString
+    Jobs.runRoutedStreaming(spark, sfDir, out)
+    val parts = new java.io.File(out).list()
+      .filter(_.startsWith("sink_table=")).toSet
+    assert(parts === Set("sink_table=dwd_trade_order_add",
+      "sink_table=dwd_trade_order_upd"))
+    val streamed = spark.read.parquet(out)
+      .select(col("id"), col("sink_table").cast("string"))
+    val batch = graft.operators.LogSplit
+      .queries("x2_fact_router")(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "streaming routed output must equal the batch router")
+  }
+
   test("all 13 reference jobs run and write non-empty outputs") {
     assert(Jobs.jobs.size === 13)
     val out = Files.createTempDirectory("jobs").toString
