@@ -46,6 +46,16 @@ object TextAnalysis extends OpModule {
         col("doc_id"), col("lang"),
         Text.langId(col("text")).as("pred_lang"))
     }),
+    // corpus accounting: the per-(lang, source) rollup every training-data
+    // pipeline reports — doc counts, token budget, quality aggregates
+    "text_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(Text.wsTokenCount(col("text")).cast("long")).as("total_ws_tokens"),
+          sum(Text.bpeishTokenCount(col("text")).cast("long")).as("total_bpe_tokens"))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -95,6 +105,14 @@ object TextAnalysis extends OpModule {
          |       WHEN regexp_full_match(text, '[0-9\\s[:punct:]]*') THEN 'num'
          |       ELSE 'other' END AS pred_lang
          |FROM documents""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, source, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |    AS total_bpe_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

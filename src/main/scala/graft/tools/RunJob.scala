@@ -9,14 +9,8 @@ import graft.streaming.Jobs
 object RunJob {
   def main(args: Array[String]): Unit = {
     val Array(job, sfDir, outDir) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val names = if (job == "all") Jobs.jobs.keys.toSeq.sorted else Seq(job)
     names.foreach { n =>
       val counts = Jobs.run(n, spark, sfDir, outDir)
