@@ -34,6 +34,27 @@ object Relational extends OpModule {
             .cast("decimal(18,2)")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
+    // beyond the reference (free from Catalyst, SURVEY §2.10): top-N per
+    // group via rank — compiles to WindowGroupLimit (per-partition k rows
+    // kept before the final exchange)
+    "q_topn_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+    }),
+    // rollup with subtotal + grand-total rows (grouping-set semantics)
+    "q_rollup_sales" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
     "j1_order_lineitem_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
@@ -112,6 +133,18 @@ object Relational extends OpModule {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3""".stripMargin,
+    "q_rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "j1_order_lineitem_join" ->
       """SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
         |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price

@@ -44,6 +44,18 @@ object Windows extends OpModule {
           sum(col("value").cast("decimal(18,2)")).as("val_sum"))
         .select(stt, edt, col("event_type"), col("ch"), col("pv_ct"), col("val_sum"))
     }),
+    // beyond the reference: event-time sessionization (session_window is
+    // native — state is one [start, last+gap) interval per open session)
+    "a6_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("events_in_session"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("user_id"), col("events_in_session"))
+    }),
     "a3_global_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 seconds"))
@@ -67,6 +79,22 @@ object Windows extends OpModule {
          |  sum(CAST(value AS DECIMAL(18,2))) AS val_sum
          |FROM events WHERE user_id IS NOT NULL
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "a6_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+        |  user_id, count(*) AS events_in_session
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "a3_global_window" ->
       s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)},
          |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_ct,
