@@ -82,7 +82,9 @@ object Windows extends OpModule {
     "a6_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    -- >= : Spark's session is [start, last+gap); an event at
+        |    -- exactly last+gap falls outside and opens a new session
+        |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events WHERE user_id IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
