@@ -33,6 +33,7 @@ object Bench {
     // best of 2 runs per query: run 1 pays one-time codegen/JIT for that
     // query's generated classes (fixed overhead, irrelevant at scale);
     // run 2 measures the steady-state plan.
+    var failed = List.empty[String]
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
@@ -40,15 +41,18 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!failed.contains(name)) failed ::= name
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must not shrink the total into a fake improvement
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

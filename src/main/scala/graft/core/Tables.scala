@@ -108,9 +108,15 @@ object Tables {
     * (Kafka source analog, ref FlinkSourceUtil.java:24-56; in production
     * this becomes readStream.format("kafka") + from_json.)
     */
-  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // same ns-long vs real-timestamp dual case as load(): probe the actual
+    // file schema, since library-written events copies carry a TIMESTAMP
+    val tsIsLong = name == "events" && {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .schema("ts").dataType == LongType
+    }
+    if (tsIsLong) {
       val raw = StructType(schemas("events").map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
         case f => f
@@ -125,4 +131,5 @@ object Tables {
     } else
       spark.readStream.schema(schemas(name)).option("basePath", dir)
         .parquet(s"$dir/{$name}.parquet")
+  }
 }

@@ -23,6 +23,13 @@ object LogSplit extends OpModule {
 
   private val kSchema = StructType(Seq(StructField("k", LongType)))
 
+  /** (table, type) -> sink_table routing config — single definition shared
+    * by the batch router query and the streaming routed job.
+    */
+  val routingConfig: Seq[(String, String, String)] = Seq(
+    ("order_info", "insert", "dwd_trade_order_add"),
+    ("order_info", "update", "dwd_trade_order_upd"))
+
   /** Parse once, split five ways (page/start/err/display/action analog on
     * the events fixture: view/signup/error/purchase(displays)/click).
     */
@@ -62,10 +69,7 @@ object LogSplit extends OpModule {
     "x2_fact_router" -> ((s, dir) => {
       import s.implicits._
       // (table, type) → sink_table config, broadcast-joined (J5/K2 shape)
-      val config = Seq(
-        ("order_info", "insert", "dwd_trade_order_add"),
-        ("order_info", "update", "dwd_trade_order_upd"))
-        .toDF("cfg_table", "cfg_type", "sink_table")
+      val config = routingConfig.toDF("cfg_table", "cfg_type", "sink_table")
       graft.functions.Cdc.envelopeFromOrders(t(s, dir, "orders"))
         .join(broadcast(config),
           col("tbl") === col("cfg_table") && col("type") === col("cfg_type"))

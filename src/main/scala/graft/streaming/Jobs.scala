@@ -106,9 +106,7 @@ object Jobs {
   def runRoutedStreaming(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
     import spark.implicits._
-    val config = Seq(
-      ("order_info", "insert", "dwd_trade_order_add"),
-      ("order_info", "update", "dwd_trade_order_upd"))
+    val config = LogSplit.routingConfig
       .toDF("cfg_table", "cfg_type", "sink_table")
     val stream = Tables.loadStream(spark, sfDir, "orders")
     val q = stream.writeStream

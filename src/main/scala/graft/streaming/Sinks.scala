@@ -53,12 +53,12 @@ object Sinks {
   def upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
       seqCol: String, dir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val existing =
-      try spark.read.parquet(dir)
-      catch { case _: Throwable => spark.emptyDataFrame }
+    // existence check, NOT try/catch: a transient read error on a real
+    // table must propagate, or the swap below would silently drop it
     val unioned =
-      if (existing.isEmpty) incoming
-      else existing.unionByName(incoming, allowMissingColumns = false)
+      if (!new java.io.File(dir).exists()) incoming
+      else spark.read.parquet(dir)
+        .unionByName(incoming, allowMissingColumns = false)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -71,11 +71,10 @@ object Sinks {
   def mergeDim(spark: SparkSession, changes: DataFrame, keyCol: String,
       seqCol: String, opCol: String, dir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val existing =
-      try spark.read.parquet(dir).withColumn(opCol, lit("r"))
-      catch { case _: Throwable => null }
-    val unioned = if (existing == null) changes
-      else existing.unionByName(changes, allowMissingColumns = true)
+    val unioned =
+      if (!new java.io.File(dir).exists()) changes
+      else spark.read.parquet(dir).withColumn(opCol, lit("r"))
+        .unionByName(changes, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "d")
@@ -114,6 +113,8 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(dir)
     if (target.exists()) { target.listFiles().foreach(deleteRec); target.delete() }
-    new java.io.File(tmp).renameTo(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(
+        s"swap failed: could not rename $tmp to $dir (data is at $tmp)")
   }
 }

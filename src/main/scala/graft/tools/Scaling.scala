@@ -21,17 +21,22 @@ object Scaling {
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
-    val idCol = name match {
-      case "documents" => Some("doc_id")
-      case "embeddings" => Some("vec_id")
-      case "events" => Some("event_id")
-      case "lineitem" => Some("l_orderkey")
-      case "orders" => Some("o_orderkey")
-      case _ => None
+    // FK columns must offset by the PARENT table's cardinality so replica
+    // i of lineitem still joins replica i of orders — otherwise the scaled
+    // join measures a broken (mostly-empty) workload
+    val nOrders = Tables.load(spark, base, "orders").count()
+    val offsets: Seq[(String, Long)] = name match {
+      case "documents" => Seq("doc_id" -> df.count())
+      case "embeddings" => Seq("vec_id" -> df.count())
+      case "events" => Seq("event_id" -> df.count())
+      case "lineitem" => Seq("l_orderkey" -> nOrders)
+      case "orders" => Seq("o_orderkey" -> nOrders)
+      case _ => Seq.empty
     }
-    val n = df.count()
     (0 until k).map { i =>
-      idCol.fold(df)(c => df.withColumn(c, col(c) + lit(i * n)))
+      offsets.foldLeft(df) { case (d, (c, n)) =>
+        d.withColumn(c, col(c) + lit(i * n))
+      }
     }.reduce(_ unionByName _)
   }
 
