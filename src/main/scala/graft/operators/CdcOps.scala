@@ -75,7 +75,7 @@ object CdcOps extends OpModule {
           element_at(col("pruned"), "user_id").cast("bigint").as("user_id"),
           element_at(col("pruned"), "status").as("status"),
           element_at(col("pruned"), "total_amount").cast("decimal(18,2)")
-            .as("total_amount"))
+            .cast("string").as("total_amount"))
     }),
     "p6_op_selector" -> ((s, dir) => {
       val env = Cdc.etlFilter(Cdc.envelopeFromOrders(t(s, dir, "orders")))
@@ -83,7 +83,7 @@ object CdcOps extends OpModule {
         .select(element_at(col("img"), "id").cast("bigint").as("id"),
           col("type"),
           element_at(col("img"), "total_amount").cast("decimal(18,2)")
-            .as("amount"))
+            .cast("string").as("amount"))
     }),
     "p7_map_projection" -> ((s, dir) => {
       Cdc.envelopeFromOrders(t(s, dir, "orders"))
@@ -92,7 +92,7 @@ object CdcOps extends OpModule {
           element_at(col("data"), "user_id").cast("bigint").as("user_id"),
           element_at(col("data"), "status").as("status"),
           element_at(col("data"), "total_amount").cast("decimal(18,2)")
-            .as("total_amount"))
+            .cast("string").as("total_amount"))
     }),
     "p8_predicate_filter" -> ((s, dir) => {
       Cdc.envelopeFromOrders(t(s, dir, "orders"))
@@ -114,7 +114,7 @@ object CdcOps extends OpModule {
             .otherwise(
               element_at(col("data"), "total_amount").cast("decimal(18,2)") -
               element_at(col("old"), "total_amount").cast("decimal(18,2)"))
-            .as("delta"))
+            .cast("string").as("delta"))
     }),
     "p10_snakecase_json" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderkey").as("order_id"),
@@ -153,17 +153,17 @@ object CdcOps extends OpModule {
       s"""SELECT o_orderkey AS id, $oraType AS type,
          |  CASE WHEN o_orderstatus = 'O' THEN o_custkey END AS user_id,
          |  CASE WHEN o_orderstatus = 'F' THEN o_orderstatus END AS status,
-         |  CASE WHEN o_orderstatus = 'O'
-         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS total_amount
+         |  CAST(CASE WHEN o_orderstatus = 'O'
+         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS VARCHAR) AS total_amount
          |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
     "p6_op_selector" ->
       s"""SELECT o_orderkey AS id, $oraType AS type,
-         |  CAST(CAST(CASE WHEN o_orderstatus NOT IN ('O','F') THEN o_totalprice * 0.5
-         |            ELSE o_totalprice END AS VARCHAR) AS DECIMAL(18,2)) AS amount
+         |  CAST(CAST(CAST(CASE WHEN o_orderstatus NOT IN ('O','F') THEN o_totalprice * 0.5
+         |            ELSE o_totalprice END AS VARCHAR) AS DECIMAL(18,2)) AS VARCHAR) AS amount
          |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
     "p7_map_projection" ->
       s"""SELECT o_orderkey AS id, o_custkey AS user_id, o_orderstatus AS status,
-         |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_amount
          |FROM orders""".stripMargin,
     "p8_predicate_filter" ->
       s"""SELECT o_orderkey AS id, $oraType AS type
@@ -173,11 +173,11 @@ object CdcOps extends OpModule {
          |       OR (o_orderstatus = 'F' AND o_totalprice > o_totalprice * 0.5))""".stripMargin,
     "p9_cart_delta" ->
       s"""SELECT o_orderkey AS id,
-         |  CASE WHEN o_orderstatus = 'O'
+         |  CAST(CASE WHEN o_orderstatus = 'O'
          |       THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
          |       ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
          |            - CAST(CAST(o_totalprice * 0.5 AS VARCHAR) AS DECIMAL(18,2))
-         |       END AS delta
+         |       END AS VARCHAR) AS delta
          |FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderstatus IN ('O','F')""".stripMargin,
     "p10_snakecase_json" ->
       """SELECT o_orderkey AS order_id,

@@ -10,6 +10,10 @@ import graft.core.Tables
   * Output discipline (so the driver's hash compare is deterministic):
   *  - no raw timestamps in outputs — always `date_format(..)` strings
   *  - no floating-point *aggregation* — cast to decimal(18,2) before sum
+  *  - no DECIMAL in *outputs* — the driver's hasher does not normalize
+  *    decimals; keep decimal math internal and cast money/sum columns to
+  *    string at the output boundary (Spark cast("string") ≡ DuckDB
+  *    CAST(x AS VARCHAR) for DECIMAL — both print `123.45`)
   *  - every computed column aliased identically in Spark and oracle SQL.
   */
 trait OpModule {

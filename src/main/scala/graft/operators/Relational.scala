@@ -28,10 +28,14 @@ object Relational extends OpModule {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // decimal math internally; string at the output boundary so the
+          // driver's hasher sees a canonical textual form (see OpModule)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
+            .as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,2)")).as("sum_disc_price"),
+            .cast("decimal(18,2)")).cast("string").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
     // beyond the reference (free from Catalyst, SURVEY §2.10): top-N per
@@ -46,14 +50,15 @@ object Relational extends OpModule {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("total_price"))
     }),
     // rollup with subtotal + grand-total rows (grouping-set semantics)
     "q_rollup_sales" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("string")
+          .as("sum_qty"), count(lit(1)).as("n"))
     }),
     "j1_order_lineitem_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -61,7 +66,8 @@ object Relational extends OpModule {
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderstatus"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+          col("l_extendedprice").cast("decimal(18,2)").cast("string")
+            .as("price"))
     }),
     "j2_double_left_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -127,15 +133,15 @@ object Relational extends OpModule {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,2))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
     "q_topn_per_group" ->
       """SELECT c_mktsegment, rn, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price
         |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY c_mktsegment
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -143,11 +149,12 @@ object Relational extends OpModule {
         |WHERE rn <= 3""".stripMargin,
     "q_rollup_sales" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+        |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "j1_order_lineitem_join" ->
       """SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     "j2_double_left_join" ->
       """SELECT o_orderkey, o_custkey, fl.first_part, c.c_name

@@ -41,7 +41,7 @@ object Windows extends OpModule {
         .groupBy(window(col("ts"), "10 seconds"),
           col("event_type"), pmod(col("user_id"), lit(4)).as("ch"))
         .agg(count(lit(1)).as("pv_ct"),
-          sum(col("value").cast("decimal(18,2)")).as("val_sum"))
+          sum(col("value").cast("decimal(18,2)")).cast("string").as("val_sum"))
         .select(stt, edt, col("event_type"), col("ch"), col("pv_ct"), col("val_sum"))
     }),
     // beyond the reference: event-time sessionization (session_window is
@@ -76,7 +76,7 @@ object Windows extends OpModule {
     "a2_keyed_window_reduce" ->
       s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, event_type,
          |  user_id % 4 AS ch, count(*) AS pv_ct,
-         |  sum(CAST(value AS DECIMAL(18,2))) AS val_sum
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS val_sum
          |FROM events WHERE user_id IS NOT NULL
          |GROUP BY 1, 2, 3, 4""".stripMargin,
     "a6_session_window" ->
