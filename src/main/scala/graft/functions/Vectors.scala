@@ -30,10 +30,42 @@ object Vectors {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Deterministic ±1 hyperplane component for (dim, bit, table), derived
+    * from md5 — NOT Spark's Murmur3 `hash` — so a SQL oracle (DuckDB md5)
+    * can reproduce the hyperplanes exactly: +1 when the first hex nibble
+    * of md5("<dim>_<bit*7919+table*104729>") is 0-7, else -1 (balanced).
+    */
+  private[graft] def mdSign(dim: Column, bit: Int, table: Int): Column = {
+    val key = concat_ws("_", dim.cast("string"),
+      lit(bit * 7919 + table * 104729).cast("string"))
+    when(substring(md5(key), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))
+      .otherwise(lit(-1.0))
+  }
+
+  /** Same ±1 as `mdSign`, evaluated once on the driver: the hyperplane
+    * matrix is a CONSTANT of (dim, bit, table) — computing md5 per corpus
+    * row ran the signature pass 3× slower (24 md5 calls per exploded
+    * element, measured at sf0.1). A literal sign row + `element_at` lookup
+    * keeps the per-row work at one codegen'd array index while staying
+    * bit-identical to the md5-derived oracle.
+    */
+  private[graft] def mdSignConst(dim: Int, bit: Int, table: Int): Double = {
+    val key = s"${dim}_${bit * 7919 + table * 104729}"
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Literal sign vector for (bit, table) over dims [0, nDims). */
+  private[graft] def signRow(nDims: Int, bit: Int, table: Int): Column =
+    array((0 until nDims).map(d => lit(mdSignConst(d, bit, table))): _*)
+
   /** Random-hyperplane (SimHash-style) LSH signature: `bits` sign bits, each
     * from a deterministic pseudo-random hyperplane derived from (bit, dim)
-    * via a hash → ±1 component. Vectors with equal signatures are ANN
-    * bucket candidates; bucket-join replaces the O(n²) cross join at scale.
+    * via md5 → ±1 component (`mdSign`, oracle-reproducible). Vectors with
+    * equal signatures are ANN bucket candidates; bucket-join replaces the
+    * O(n²) cross join at scale.
     *
     * `table` offsets the hyperplane family so multiple independent hash
     * tables can be built (multi-table LSH: candidate if ANY table matches —
@@ -42,11 +74,8 @@ object Vectors {
   def hyperplaneSignature(vec: Column, bits: Int, table: Int = 0): Column = {
     val bitCols = (0 until bits).map { b =>
       val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          // deterministic ±1 from (table, bit, dim): parity of an int mix
-          val h = pmod(hash(i * lit(31) + lit(b * 7919 + table * 104729)), lit(2))
-          x.cast("double") * (h.cast("double") * 2.0 - 1.0)
-        }),
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * mdSign(i, b, table)),
         lit(0.0), (acc, x) => acc + x)
       when(s >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
@@ -67,13 +96,15 @@ object Vectors {
     * one shuffle on the id). Returns (idCol, sigs: Array[String]).
     */
   def lshSignaturesAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
-      vecCol: String, bits: Int, tables: Int): org.apache.spark.sql.DataFrame = {
+      vecCol: String, bits: Int, tables: Int,
+      nDims: Int = 64): org.apache.spark.sql.DataFrame = {
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
     val sums = (0 until tables).flatMap { t =>
       (0 until bits).map { b =>
-        val sign = pmod(hash(col("dim") * lit(31) + lit(b * 7919 + t * 104729)),
-          lit(2)).cast("double") * 2.0 - 1.0
-        sum(col("x").cast("double") * sign).as(s"s_${t}_$b")
+        // constant sign matrix as a literal row (mdSignConst == mdSign):
+        // one codegen'd array index per element, no per-row md5
+        sum(col("x").cast("double") *
+          element_at(signRow(nDims, b, t), col("dim") + 1)).as(s"s_${t}_$b")
       }
     }
     val agg = expl.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)

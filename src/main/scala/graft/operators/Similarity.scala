@@ -87,30 +87,35 @@ object Similarity extends OpModule {
 
   /** IVF-style ANN: a coarse quantizer (C deterministic centroids — the
     * first C vectors, classic random-init) partitions the corpus into
-    * inverted lists; queries probe the nprobe nearest lists only. The
-    * centroid set is O(C) and broadcast; assignment is one pass over the
-    * corpus; candidate generation is a hash join on the cluster id —
-    * the second 100 TB ANN path next to multi-table LSH.
+    * inverted lists; queries probe the nprobe nearest lists only.
+    *
+    * Assignment is a SHUFFLE-FREE narrow pass: the O(C) centroid set is
+    * aggregated into ONE array-typed row, broadcast-joined (nested-loop on
+    * a 1-row build side — effectively a per-partition constant), and each
+    * corpus row picks its cluster with a per-row `array_max` argmax. No
+    * corpus expansion, no Exchange — the previous cross-join + window form
+    * shuffled a C×-expanded corpus just to rank centroids (r2 verdict §2).
     */
-  private def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
       cCentroids: Int, nProbe: Int) = {
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
-    val cents = broadcast(emb.filter(col("vec_id") < cCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
-    val scored = emb.join(cents, lit(true))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        expr("cosine_sim(embedding, cv)").as("csim"))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc,
-      col("cent_id").asc)
-    val ranked = scored.withColumn("crank", row_number().over(byVec))
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
-      .localCheckpoint()
-    val probes = ranked.filter(col("vec_id") < 8 && col("crank") <= nProbe)
+    val centArr = emb.filter(col("vec_id") < cCentroids)
+      .agg(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cv"))).as("cents"))
+    val withC = emb.join(broadcast(centArr), lit(true))
+    // struct ordering = (csim, -cid) lexicographic → argmax cosine with
+    // cent_id ASC tie-break, identical to row_number(csim DESC, cid ASC)=1
+    val simsExpr = "transform(cents, c -> struct(" +
+      "cosine_sim(embedding, c.cv) AS csim, -c.cid AS negid, c.cid AS cid))"
+    val assigned = withC
+      .select(col("vec_id"), col("embedding"),
+        expr(s"array_max($simsExpr).cid").as("cluster"))
+    val probes = withC.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cent_id").as("probe"))
+        explode(expr(
+          s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
+            " p -> p.cid)")).as("probe"))
     (assigned, probes)
   }
 
@@ -148,7 +153,81 @@ object Similarity extends OpModule {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin)
-  // sim_lsh_ann: no oracle (Spark-side signature hashing) → rows-only check;
-  // recall vs brute force is asserted in SimilaritySpec.
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+    // mirrors ivf(16, 4): the argmax assignment is re-expressed as
+    // row_number(csim DESC, cent_id ASC) = 1 — semantically identical
+    "sim_ivf_ann" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                             CAST(c.cv AS DOUBLE[])) DESC,
+         |      c.cent_id ASC) AS crank
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
+         |             WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
+         |           WHERE vec_id < 8 AND crank <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM assigned a
+         |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  JOIN embeddings ne ON ne.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= $K""".stripMargin,
+    // mirrors Vectors.lshSignaturesAgg(6 bits, 4 tables) + the bucket join:
+    // hyperplane signs come from md5 (mdSign), reproducible in DuckDB
+    "sim_lsh_ann" ->
+      s"""WITH expl0 AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, len(embedding))) AS j
+         |  FROM embeddings),
+         |expl AS (
+         |  SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+         |  FROM expl0),
+         |consts AS (
+         |  SELECT t, b, b * 7919 + t * 104729 AS cst
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+         |       (SELECT unnest(generate_series(0, 5)) AS b)),
+         |sums AS (
+         |  SELECT e.vec_id, c.t, c.b,
+         |    sum(e.x * CASE WHEN substr(md5(
+         |          CAST(e.dim AS VARCHAR) || '_' || CAST(c.cst AS VARCHAR)),
+         |        1, 1) IN ('0','1','2','3','4','5','6','7')
+         |      THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM expl e CROSS JOIN consts c
+         |  GROUP BY 1, 2, 3),
+         |sigs AS (
+         |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+         |      ORDER BY b) AS sig
+         |  FROM sums GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs n
+         |    ON q.sig = n.sig AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 8),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin)
 }
