@@ -44,42 +44,102 @@ object Sinks {
   def writeServing(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy("cur_date").parquet(outDir)
 
+  /** Hash-bucket partition column of the keyed stores (K5/K6). The store
+    * is laid out as `dir/__bucket=N/...`; a micro-batch reads and rewrites
+    * ONLY the buckets its keys hash into — O(touched buckets), not
+    * O(table), per batch. At 100 TB, size `buckets` so one bucket is a few
+    * GB; the default 16 keeps local tests fast.
+    */
+  private val BucketCol = "__bucket"
+
+  /** Read a keyed store back without its internal bucket column. */
+  def readStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop(BucketCol)
+
   /** K5: upsert-by-key into a keyed store: merge incoming rows with the
-    * existing table, keep the newest version per key (version = seq
-    * column). Used from foreachBatch in streaming; idempotent under
-    * replays (same input → same winner), which is what makes micro-batch
-    * retries exactly-once in effect.
+    * existing rows OF THE TOUCHED BUCKETS ONLY, keep the newest version
+    * per key (version = seq column). Used from foreachBatch in streaming;
+    * idempotent under replays (same input → same winner), which is what
+    * makes micro-batch retries exactly-once in effect.
     */
   def upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
-      seqCol: String, dir: String): Unit = {
+      seqCol: String, dir: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.expressions.Window
-    // existence check, NOT try/catch: a transient read error on a real
-    // table must propagate, or the swap below would silently drop it
-    val unioned =
-      if (!new java.io.File(dir).exists()) incoming
-      else spark.read.parquet(dir)
-        .unionByName(incoming, allowMissingColumns = false)
+    val inc = incoming.withColumn(BucketCol,
+      pmod(hash(col(keyCol)), lit(buckets)))
+    val touched = touchedBuckets(inc)
+    val unioned = readTouched(spark, touched, dir) match {
+      case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
+      case None     => inc
+    }
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    writeAtomic(merged, dir)
+    overwriteTouched(merged, touched, dir)
   }
 
   /** K6: dim MERGE — apply a put/delete changelog (op column: 'd' deletes,
-    * anything else upserts) to a keyed dim table.
+    * anything else upserts) to a keyed dim table. Bucketed like `upsert`:
+    * only the buckets the changelog touches are read or rewritten.
     */
   def mergeDim(spark: SparkSession, changes: DataFrame, keyCol: String,
-      seqCol: String, opCol: String, dir: String): Unit = {
+      seqCol: String, opCol: String, dir: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val unioned =
-      if (!new java.io.File(dir).exists()) changes
-      else spark.read.parquet(dir).withColumn(opCol, lit("r"))
-        .unionByName(changes, allowMissingColumns = true)
+    val inc = changes.withColumn(BucketCol,
+      pmod(hash(col(keyCol)), lit(buckets)))
+    val touched = touchedBuckets(inc)
+    val unioned = readTouched(spark, touched, dir) match {
+      case Some(ex) => ex.withColumn(opCol, lit("r"))
+        .unionByName(inc, allowMissingColumns = true)
+      case None => inc
+    }
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "d")
       .drop("__rn", opCol)
-    writeAtomic(merged, dir)
+    overwriteTouched(merged, touched, dir)
+  }
+
+  /** Distinct bucket ids of a batch — bounded by the constant bucket
+    * count (layout metadata, like AQE's partition stats), NOT by data
+    * size, so the driver-side collect is safe.
+    */
+  private def touchedBuckets(inc: DataFrame): Seq[Int] =
+    inc.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Read only the touched buckets' directories (partition pruning by
+    * construction). Existence check, NOT try/catch: a transient read
+    * error on a real table must propagate, or the merge would silently
+    * drop existing rows.
+    */
+  private def readTouched(spark: SparkSession, touched: Seq[Int],
+      dir: String): Option[DataFrame] = {
+    val dirs = touched.map(b => new java.io.File(dir, s"$BucketCol=$b"))
+      .filter(_.exists()).map(_.getPath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(dirs: _*))
+  }
+
+  /** Rewrite only the touched buckets: dynamic partition overwrite
+    * replaces exactly the partitions present in the output (Spark's
+    * commit protocol stages then swaps per-partition). localCheckpoint
+    * breaks lineage so the rewrite never reads the files it replaces.
+    * A touched bucket whose every key was deleted yields no output rows —
+    * dynamic overwrite leaves absent partitions alone, so those are
+    * dropped explicitly.
+    */
+  private def overwriteTouched(merged: DataFrame, touched: Seq[Int],
+      dir: String): Unit = {
+    val out = merged.localCheckpoint()
+    out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BucketCol).parquet(dir)
+    val present = out.select(BucketCol).distinct().collect()
+      .map(_.getInt(0)).toSet
+    touched.filterNot(present).foreach { b =>
+      val d = new java.io.File(dir, s"$BucketCol=$b")
+      if (d.exists()) { d.listFiles().foreach(deleteRec); d.delete() }
+    }
   }
 
   /** K7: DDL side effects driven by config-change events — create/drop of
@@ -103,18 +163,5 @@ object Sinks {
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete()
-  }
-
-  /** Rewrite a keyed table in place without reading+writing the same files
-    * concurrently (write to a temp dir, then swap).
-    */
-  private def writeAtomic(df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(dir)
-    if (target.exists()) { target.listFiles().foreach(deleteRec); target.delete() }
-    if (!new java.io.File(tmp).renameTo(target))
-      throw new java.io.IOException(
-        s"swap failed: could not rename $tmp to $dir (data is at $tmp)")
   }
 }

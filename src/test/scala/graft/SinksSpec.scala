@@ -18,7 +18,7 @@ class SinksSpec extends SparkSpec {
     // replay the same batch (micro-batch retry) — result must not change
     Sinks.upsert(spark, Seq((1L, "a2", 2L), (3L, "c", 2L))
       .toDF("k", "v", "seq"), "k", "seq", dir)
-    val out = spark.read.parquet(dir).collect()
+    val out = Sinks.readStore(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
@@ -30,9 +30,53 @@ class SinksSpec extends SparkSpec {
       .toDF("k", "v", "seq", "op"), "k", "seq", "op", dir)
     Sinks.mergeDim(spark, Seq((1L, "x2", 2L, "u"), (2L, "y", 2L, "d"))
       .toDF("k", "v", "seq", "op"), "k", "seq", "op", dir)
-    val out = spark.read.parquet(dir).collect()
+    val out = Sinks.readStore(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "x2"))
+  }
+
+  test("K5/K6 store is bucketed: a batch rewrites only touched buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val dir = Files.createTempDirectory("bucketed").toString + "/t"
+    // group candidate keys by their store bucket, pick two different ones
+    val byBucket = spark.range(1, 200)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (bA, keysA) = byBucket.head
+    val (bB, keysB) = byBucket.find(_._1 != bA).get
+    Sinks.upsert(spark,
+      Seq(keysA.head -> "a0", keysB.head -> "b0")
+        .map { case (k, v) => (k, v, 1L) }.toDF("k", "v", "seq"),
+      "k", "seq", dir)
+    val dirB = new java.io.File(dir, s"__bucket=$bB")
+    assert(dirB.exists(), "seed batch must create bucket B")
+    val before = dirB.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // second batch touches ONLY bucket A keys
+    Sinks.upsert(spark,
+      Seq((keysA.head, "a1", 2L), (keysA(1), "a2", 2L)).toDF("k", "v", "seq"),
+      "k", "seq", dir)
+    val after = dirB.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "untouched bucket was rewritten")
+    val out = Sinks.readStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(keysA.head -> "a1", keysA(1) -> "a2",
+      keysB.head -> "b0"))
+  }
+
+  test("K6 deleting every key of a bucket drops the bucket directory") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dimdrop").toString + "/d"
+    Sinks.mergeDim(spark, Seq((1L, "x", 1L, "c"))
+      .toDF("k", "v", "seq", "op"), "k", "seq", "op", dir)
+    Sinks.mergeDim(spark, Seq((1L, "x", 2L, "d"))
+      .toDF("k", "v", "seq", "op"), "k", "seq", "op", dir)
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+    assert(buckets.isEmpty, buckets.mkString(","))
+    // a fully-emptied store has no parquet footers left → nothing to read
+    // (schema would come from the catalog in a production deployment)
   }
 
   test("K2 routed write partitions by sink_table") {
