@@ -133,6 +133,46 @@ object Jobs {
     * one-parse invariant. Exactly-once: parquet append + the streaming
     * commit log; checkpointed under `outDir/_chk`.
     */
+  /** S2 full lifecycle: CDC snapshot-then-tail (ref
+    * FlinkSourceUtil.java:58-77 — MySqlSource with `initial` startup reads
+    * a consistent snapshot, then switches to the binlog). Spark shape:
+    *
+    *  - snapshot phase: one bounded, idempotent `Sinks.upsert` of the
+    *    current table state into the bucketed store;
+    *  - tail phase: the changelog directory is a file STREAM — each newly
+    *    discovered file is a binlog segment; every micro-batch MERGEs its
+    *    put/delete ops into the same store via foreachBatch.
+    *
+    * There is no startup race by construction: the tail's checkpoint
+    * starts at offset 0 of the changelog dir, and the merge is keyed by
+    * (key, seq), so a changelog row older than the snapshot row loses the
+    * latest-per-key window. `maxFilesPerTrigger 1` rate-limits the tail to
+    * one segment per micro-batch (bounded per-batch state by
+    * construction). Exactly-once: file-source offsets in the checkpoint +
+    * idempotent merge under replay. Returns the running query; the caller
+    * owns its lifecycle.
+    */
+  def runCdcUpsertStreaming(spark: SparkSession,
+      snapshot: DataFrame, changelogDir: String, keyCol: String,
+      seqCol: String, opCol: String, storeDir: String,
+      chkDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    Sinks.upsert(spark, snapshot, keyCol, seqCol, storeDir)
+    // changelog rows = snapshot schema + the op column
+    val chgSchema = org.apache.spark.sql.types.StructType(
+      snapshot.schema.fields :+ org.apache.spark.sql.types.StructField(
+        opCol, org.apache.spark.sql.types.StringType))
+    spark.readStream.schema(chgSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changelogDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.mergeDim(spark, batch.toDF(), keyCol, seqCol, opCol, storeDir)
+        ()
+      }
+      .option("checkpointLocation", chkDir)
+      .start()
+  }
+
   def runLogSplitStreaming(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
     val stream = Tables.loadStream(spark, sfDir, "events")

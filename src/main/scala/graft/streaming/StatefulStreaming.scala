@@ -133,6 +133,61 @@ object StatefulStreaming {
     * by Spark (same late-data semantics class as the reference's bounded
     * out-of-orderness watermark).
     */
+  /** A6 streaming form: watermarked event-time SESSION windows (gap-merged
+    * per key, finalized and emitted once the watermark passes gap's end) —
+    * the streaming twin of the a6_session_window batch query. Spark merges
+    * overlapping session fragments across micro-batches in the state
+    * store; state per (key, open session) is one window + count.
+    */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("user_id").isNotNull)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("user_id"), col("events_in_session"))
+
+  case class Scored(group: String, item_id: Long, score: Double)
+  case class TopNState(ver: Long, top: List[(Long, Double)])
+  case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,
+    score: Double)
+
+  /** Streaming top-N per group — the q_topn_per_group twin. row_number
+    * can't run in streaming append mode, so the operator keeps the current
+    * top-N per group in `GroupState` (bounded: N entries per key) and
+    * re-emits the refreshed ranking whenever a batch changes it, stamped
+    * with a monotonically increasing `ver`. Downstream, latest-ver-per-
+    * (group, rn) — e.g. `Sinks.upsert` keyed by (group, rn) with ver as
+    * the seq column — materializes the true current top-N. This is the
+    * Spark shape of Flink's retract-stream top-N (the reference's upsert
+    * sinks play the same role).
+    */
+  def topNStream(rows: Dataset[Scored], n: Int): Dataset[TopNEntry] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[TopNState, TopNEntry](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[Scored], state: GroupState[TopNState]) =>
+          val cur = state.getOption.getOrElse(TopNState(0L, Nil))
+          val merged = (cur.top ++ it.map(r => (r.item_id, r.score)))
+            .distinct
+            .sortBy { case (id, score) => (-score, id) }
+            .take(n)
+          if (merged == cur.top) Iterator.empty
+          else {
+            val ver = cur.ver + 1
+            state.update(TopNState(ver, merged))
+            merged.zipWithIndex.iterator.map { case ((id, score), i) =>
+              TopNEntry(g, ver, i + 1, id, score)
+            }
+          }
+      }
+  }
+
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "5 seconds")

@@ -129,6 +129,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A6 streaming: session windows merge across batches, emit when finalized") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = StatefulStreaming.sessionizedCounts(df, gap = "30 seconds")
+      .writeStream.format("memory").queryName("a6_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10s apart -> same session (gap 30s)
+      input.addData((1L, ts("2024-01-01T00:00:00Z"), 1L))
+      q.processAllAvailable()
+      // batch 2: extends the SAME session across the batch boundary
+      input.addData((2L, ts("2024-01-01T00:00:10Z"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("a6_stream").isEmpty,
+        "open session must not emit before the watermark closes it")
+      // batch 3: far-future event advances the watermark -> session closes
+      input.addData((3L, ts("2024-01-01T01:00:00Z"), 1L))
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01T02:00:00Z"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("a6_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      // one merged session [00:00:00, 00:00:40) with both events
+      assert(rows.contains(("2024-01-01 00:00:00", "2024-01-01 00:00:40", 2L)),
+        rows.mkString("; "))
+    } finally q.stop()
+  }
+
+  test("topN streaming: ranking refreshes across batches, latest-ver wins") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StatefulStreaming.{Scored, TopNEntry}
+    val input = MemoryStream[Scored]
+    val q = StatefulStreaming.topNStream(input.toDS(), n = 2)
+      .writeStream.format("memory").queryName("topn_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Scored("A", 1L, 10.0), Scored("A", 2L, 20.0))
+      q.processAllAvailable()
+      // a new leader displaces item 1 from the top-2
+      input.addData(Scored("A", 3L, 30.0))
+      q.processAllAvailable()
+      // a row that does NOT change the top-2 -> no re-emission
+      input.addData(Scored("A", 4L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("topn_stream").as[TopNEntry].collect()
+      assert(all.map(_.ver).max === 2L,
+        s"no-change batch must not bump ver: ${all.mkString("; ")}")
+      // downstream upsert semantics: latest ver per (group, rn)
+      val latest = all.groupBy(e => (e.group, e.rn))
+        .map { case (k, vs) => k -> vs.maxBy(_.ver).item_id }
+      assert(latest === Map(("A", 1) -> 3L, ("A", 2) -> 2L))
+    } finally q.stop()
+  }
+
+  test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc").toString
+    val chg = s"$base/changelog"
+    new java.io.File(chg).mkdirs()
+    // phase 1: consistent snapshot of the table (seq 0)
+    val snapshot = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "seq")
+    val q = graft.streaming.Jobs.runCdcUpsertStreaming(spark, snapshot,
+      chg, "k", "seq", "op", s"$base/store", s"$base/chk")
+    try {
+      // phase 2, segment 1: update k=1, insert k=3 — discovered as a new
+      // file by the tail, merged in its own micro-batch
+      Seq((1L, "a1", 1L, "u"), (3L, "c", 1L, "c"))
+        .toDF("k", "v", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(chg)
+      q.processAllAvailable()
+      val s1 = graft.streaming.Sinks.readStore(spark, s"$base/store")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s1 === Map(1L -> "a1", 2L -> "b", 3L -> "c"))
+      // segment 2: delete k=2 — crosses another micro-batch boundary
+      Seq((2L, "b", 2L, "d")).toDF("k", "v", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(chg)
+      q.processAllAvailable()
+      val s2 = graft.streaming.Sinks.readStore(spark, s"$base/store")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s2 === Map(1L -> "a1", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("W4/W5: watermark drops late rows; finalized window emits once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
