@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.operators.Skew
 import graft.SparkEntry
 
 /** Scale-up experiment: materialize k× copies of the fixture tables (ids
@@ -40,8 +41,71 @@ object Scaling {
     }.reduce(_ unionByName _)
   }
 
+  /** Skew experiment: a power-law keyed fact (one hot key owning
+    * `hotShare` of all rows) joined to a keyed dim, unsalted vs
+    * `Skew.saltedJoin`. Broadcast and AQE are disabled HERE ONLY, to
+    * expose the raw skewed-shuffle shape salting fixes — the shape that
+    * appears at 100 TB when the dim outgrows the broadcast threshold and
+    * a single hot key floods one reducer. Asserts row-identity, prints
+    * best-of-2 times for both plans.
+    */
+  def skewDemo(spark: SparkSession, rows: Long, hotShare: Double = 0.5,
+      nKeys: Int = 10000, buckets: Int = 16): Unit = {
+    val hotPermille = (hotShare * 1000).toInt
+    val big = spark.range(rows).select(
+      when(pmod(hash(col("id")), lit(1000)) < hotPermille, 0L)
+        .otherwise(pmod(hash(col("id") * 7), lit(nKeys)).cast("long"))
+        .as("k"),
+      col("id").as("payload"))
+    val small = spark.range(nKeys).select(col("id").as("k"),
+      (col("id") * 3 + 1).as("dim_val"))
+    // count + checksum: cheap full-materialization proof of row identity
+    // (exact row-level identity is pinned separately in SkewSpec)
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("payload") + col("dim_val")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    withConf(spark, "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      def time[T](f: => T): (Double, T) = {
+        var res: T = f // warmup + result
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); res = f
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (t, res)
+      }
+      val (tU, rU) = time(agg(big.join(small, "k")))
+      val (tS, rS) = time(agg(Skew.saltedJoin(big, small, "k", buckets)))
+      require(rU == rS, s"salted join changed the result: $rU vs $rS")
+      println(f"[skew] rows=$rows hotShare=$hotShare unsalted=$tU%.3fs " +
+        f"salted($buckets)=$tS%.3fs speedup=${tU / tS}%.2fx rows_identical=true")
+    }
+  }
+
+  private def withConf(spark: SparkSession, kv: (String, String)*)(
+      body: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("skew")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      skewDemo(spark, rows = args.lift(2).map(_.toLong).getOrElse(20000000L))
+      spark.stop()
+      return
+    }
     val factors = args.lift(1).getOrElse("1,2,4").split(",").map(_.trim.toInt)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

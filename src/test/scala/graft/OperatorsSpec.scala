@@ -58,6 +58,16 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("l_partkey"), "column pruning failed")
   }
 
+  test("IVF centroid assignment is shuffle-free: no corpus Exchange, no Window") {
+    val (assigned, _) = graft.operators.Similarity.ivf(spark, sfDir, 16, 4)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the r2 plan shuffled a 16x-expanded corpus through a window to rank
+    // centroids; the argmax form must keep the corpus narrow end to end
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("A4 exact dedup matches approx HLL within 5% (per-day verdict)") {
     val out = graft.operators.Stateful
       .queries("approx_uv_hll")(spark, sfDir).collect()
