@@ -55,6 +55,17 @@ object Similarity extends OpModule {
         .filter(expr("cosine_sim(ea, eb)") >= 0.3)
         .select(col("vec_a"), col("vec_b"))
     }),
+    // embedding-cosine near-dup as a DEDUP op: keep-first canonicalization
+    // over the thresholded pair relation (the cosine twin of
+    // dedup_keep_canonical). At scale the pair relation comes from the
+    // LSH-bucketed path rather than blocked all-pairs; the anti-join shape
+    // is identical.
+    "dedup_embedding_canonical" -> ((s, dir) => {
+      val pairs = baseQueries("sim_pairs_threshold")(s, dir)
+      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+    }),
     "sim_lsh_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -154,6 +165,13 @@ object Similarity extends OpModule {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+    "dedup_embedding_canonical" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT b.vec_id FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.3)""".stripMargin,
     // mirrors ivf(16, 4): the argmax assignment is re-expressed as
     // row_number(csim DESC, cent_id ASC) = 1 — semantically identical
     "sim_ivf_ann" ->
