@@ -31,10 +31,14 @@ object Dedup extends OpModule {
       // 3 bands × r=2 minhashes; candidates = same (band, sig);
       // verify with true word-set Jaccard >= 0.6.
       //
-      // Shape: explode shingles once → 6 min-aggregates in ONE pass
-      // (map-side partial min, tiny shuffle on doc_id). Computing the six
-      // minhashes as array expressions would re-evaluate the shingling 6×
-      // after CollapseProject — measured 10× slower.
+      // Shape: explode shingles once → ONE md5 per shingle → 6
+      // min-aggregates in ONE pass (map-side partial min, tiny shuffle on
+      // doc_id). The six minhash orderings are disjoint 5-hex-char
+      // substrings of the single digest — 6× less hashing than one md5
+      // per (function, shingle), and hashing dominates minhash cost at
+      // 100 TB. Computing the six minhashes as array expressions would
+      // re-evaluate the shingling 6× after CollapseProject — measured
+      // 10× slower.
       // Two materialization points, both load-bearing:
       //  1. tokens first (attribute), THEN shingles — shingling from the
       //     raw text would re-tokenize per shingle index (interpreted HOF
@@ -51,14 +55,15 @@ object Dedup extends OpModule {
         Text.wordShingles(col("rtoks"), 3).as("sh"))
         .localCheckpoint()
       val mh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), md5(col("shingle")).as("h"))
         .groupBy(col("doc_id"))
         .agg(
-          min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-          min(md5(concat(lit("1|"), col("shingle")))).as("mh1"),
-          min(md5(concat(lit("2|"), col("shingle")))).as("mh2"),
-          min(md5(concat(lit("3|"), col("shingle")))).as("mh3"),
-          min(md5(concat(lit("4|"), col("shingle")))).as("mh4"),
-          min(md5(concat(lit("5|"), col("shingle")))).as("mh5"))
+          min(substring(col("h"), 1, 5)).as("mh0"),
+          min(substring(col("h"), 6, 5)).as("mh1"),
+          min(substring(col("h"), 11, 5)).as("mh2"),
+          min(substring(col("h"), 16, 5)).as("mh3"),
+          min(substring(col("h"), 21, 5)).as("mh4"),
+          min(substring(col("h"), 26, 5)).as("mh5"))
       val sigs = mh.join(docs.select(col("doc_id"), col("toks")), "doc_id")
         .select(col("doc_id"), col("toks"),
           array(md5(concat(col("mh0"), col("mh1"))),
@@ -174,7 +179,7 @@ object Dedup extends OpModule {
       |  i -> array_to_string(rtoks[i:i+2], ' ')))""".stripMargin
 
   private def oraMinhash(b: Int) =
-    s"list_min(list_transform(sh, x -> md5('$b|' || x)))"
+    s"list_min(list_transform(sh, x -> substring(md5(x), ${1 + 5 * b}, 5)))"
 
   private val oraSimhashBits = (0 until 16).map { j =>
     s"""CASE WHEN 2 * len(list_filter(toks, tk -> substr(md5(tk), ${j + 1}, 1)

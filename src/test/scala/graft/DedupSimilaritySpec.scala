@@ -78,6 +78,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, "probing 1/4 of the lists must recover some of top-k")
   }
 
+  test("embedding canonicalization keeps exactly the non-dropped vectors") {
+    val pairs = graft.operators.Similarity
+      .queries("sim_pairs_threshold")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = graft.operators.Similarity
+      .queries("dedup_embedding_canonical")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = pairs.map(_._2).toSet
+    assert(kept === (all -- dropped), "kept = corpus minus near-dup targets")
+    // pair relation is oriented vec_a < vec_b, so the smallest id survives
+    assert(kept.contains(all.min))
+    assert(pairs.forall { case (_, b) => !kept.contains(b) })
+  }
+
   test("LSH ANN recall vs brute force at sf0.001") {
     val brute = graft.operators.Similarity
       .queries("sim_topk_bruteforce")(spark, sfDir)
