@@ -33,10 +33,13 @@ object Dedup extends OpModule {
       //
       // Shape: explode shingles once → ONE md5 per shingle → 6
       // min-aggregates in ONE pass (map-side partial min, tiny shuffle on
-      // doc_id). The six minhash orderings are disjoint 5-hex-char
-      // substrings of the single digest — 6× less hashing than one md5
-      // per (function, shingle), and hashing dominates minhash cost at
-      // 100 TB. Computing the six minhashes as array expressions would
+      // doc_id). The six minhash orderings are disjoint 20-bit slices of
+      // the single digest — 6× less hashing than one md5 per
+      // (function, shingle), and hashing dominates minhash cost at
+      // 100 TB. The slices are BIGINTs, not strings: fixed-width agg
+      // buffers keep this a HashAggregate (string mins would fall back
+      // to SortAggregate and sort the whole exploded relation twice).
+      // Computing the six minhashes as array expressions would
       // re-evaluate the shingling 6× after CollapseProject — measured
       // 10× slower.
       // Two materialization points, both load-bearing:
@@ -58,20 +61,29 @@ object Dedup extends OpModule {
         .select(col("doc_id"), md5(col("shingle")).as("h"))
         .groupBy(col("doc_id"))
         .agg(
-          min(substring(col("h"), 1, 5)).as("mh0"),
-          min(substring(col("h"), 6, 5)).as("mh1"),
-          min(substring(col("h"), 11, 5)).as("mh2"),
-          min(substring(col("h"), 16, 5)).as("mh3"),
-          min(substring(col("h"), 21, 5)).as("mh4"),
-          min(substring(col("h"), 26, 5)).as("mh5"))
+          min(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("mh0"),
+          min(conv(substring(col("h"), 6, 5), 16, 10).cast("long")).as("mh1"),
+          min(conv(substring(col("h"), 11, 5), 16, 10).cast("long")).as("mh2"),
+          min(conv(substring(col("h"), 16, 5), 16, 10).cast("long")).as("mh3"),
+          min(conv(substring(col("h"), 21, 5), 16, 10).cast("long")).as("mh4"),
+          min(conv(substring(col("h"), 26, 5), 16, 10).cast("long")).as("mh5"))
+      def bandSig(i: Int, j: Int) = md5(concat(
+        col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
       val sigs = mh.join(docs.select(col("doc_id"), col("toks")), "doc_id")
         .select(col("doc_id"), col("toks"),
-          array(md5(concat(col("mh0"), col("mh1"))),
-            md5(concat(col("mh2"), col("mh3"))),
-            md5(concat(col("mh4"), col("mh5")))).as("sigs"))
+          array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
+      // repartition ON THE BUCKET KEY before the barrier: the verify
+      // self-join below is the expensive stage, and its parallelism must
+      // not be inherited from the signature aggregate's shuffle — AQE
+      // coalesces that tiny relation down to one partition and the
+      // bucket join would run on a single core (measured 3.5×). This is
+      // also the 100 TB shape: both join sides arrive co-partitioned by
+      // (band, sig), so the join itself needs no further exchange.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val banded = sigs.select(col("doc_id"), col("toks"),
         posexplode(col("sigs"))).withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
+        .repartition(nPart, col("band"), col("sig"))
         .localCheckpoint() // both self-join sides read this once
       val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
         col("doc_id").as("doc_a"), col("toks").as("toks_a"))
@@ -179,7 +191,7 @@ object Dedup extends OpModule {
       |  i -> array_to_string(rtoks[i:i+2], ' ')))""".stripMargin
 
   private def oraMinhash(b: Int) =
-    s"list_min(list_transform(sh, x -> substring(md5(x), ${1 + 5 * b}, 5)))"
+    s"list_min(list_transform(sh, x -> ('0x' || substring(md5(x), ${1 + 5 * b}, 5))::BIGINT))"
 
   private val oraSimhashBits = (0 until 16).map { j =>
     s"""CASE WHEN 2 * len(list_filter(toks, tk -> substr(md5(tk), ${j + 1}, 1)
@@ -232,9 +244,9 @@ object Dedup extends OpModule {
        |           FROM documents),
        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
        |sigs AS (SELECT doc_id, toks,
-       |  md5(${oraMinhash(0)} || ${oraMinhash(1)}) AS s0,
-       |  md5(${oraMinhash(2)} || ${oraMinhash(3)}) AS s1,
-       |  md5(${oraMinhash(4)} || ${oraMinhash(5)}) AS s2 FROM d2),
+       |  md5(${oraMinhash(0)}::VARCHAR || '_' || ${oraMinhash(1)}::VARCHAR) AS s0,
+       |  md5(${oraMinhash(2)}::VARCHAR || '_' || ${oraMinhash(3)}::VARCHAR) AS s1,
+       |  md5(${oraMinhash(4)}::VARCHAR || '_' || ${oraMinhash(5)}::VARCHAR) AS s2 FROM d2),
        |banded AS (
        |  SELECT doc_id, toks, 0 AS band, s0 AS sig FROM sigs
        |  UNION ALL SELECT doc_id, toks, 1, s1 FROM sigs

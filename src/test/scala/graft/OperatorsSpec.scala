@@ -68,6 +68,18 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("dedup pair relations never cartesian-join the corpus") {
+    // the 100 TB invariant: candidates meet only inside buckets/blocks —
+    // an unconditioned join anywhere here would be corpus² at scale
+    Seq("dedup_minhash_lsh", "dedup_keep_canonical",
+        "dedup_embedding_canonical", "sim_pairs_threshold").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(2000)}")
+    }
+  }
+
   test("A4 exact dedup matches approx HLL within 5% (per-day verdict)") {
     val out = graft.operators.Stateful
       .queries("approx_uv_hll")(spark, sfDir).collect()
