@@ -97,14 +97,19 @@ object Vectors {
     */
   def lshSignaturesAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, bits: Int, tables: Int,
-      nDims: Int = 64): org.apache.spark.sql.DataFrame = {
+      nDims: Int = -1): org.apache.spark.sql.DataFrame = {
+    // nDims <= 0 → infer from the data (one first() probe, O(1)): a sign
+    // matrix narrower than the vectors would silently drop the tail dims
+    // from every signature and diverge from hyperplaneSignature/the oracle
+    val dims = if (nDims > 0) nDims
+      else df.select(size(col(vecCol))).first().getInt(0)
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
     val sums = (0 until tables).flatMap { t =>
       (0 until bits).map { b =>
         // constant sign matrix as a literal row (mdSignConst == mdSign):
         // one codegen'd array index per element, no per-row md5
         sum(col("x").cast("double") *
-          element_at(signRow(nDims, b, t), col("dim") + 1)).as(s"s_${t}_$b")
+          element_at(signRow(dims, b, t), col("dim") + 1)).as(s"s_${t}_$b")
       }
     }
     val agg = expl.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)

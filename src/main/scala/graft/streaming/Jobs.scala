@@ -125,14 +125,6 @@ object Jobs {
     q.awaitTermination()
   }
 
-  /** The DwdBaseLog job in STREAMING mode: readStream over the events
-    * table, the SAME `LogSplit.splits` transform per micro-batch, five
-    * outputs written from one `foreachBatch` (the Spark shape of Flink's
-    * side outputs, ref DwdBaseLog.java:76-92). The batch is persisted so
-    * the parse runs once per micro-batch, not once per split — the X1
-    * one-parse invariant. Exactly-once: parquet append + the streaming
-    * commit log; checkpointed under `outDir/_chk`.
-    */
   /** S2 full lifecycle: CDC snapshot-then-tail (ref
     * FlinkSourceUtil.java:58-77 — MySqlSource with `initial` startup reads
     * a consistent snapshot, then switches to the binlog). Spark shape:
@@ -173,6 +165,14 @@ object Jobs {
       .start()
   }
 
+  /** The DwdBaseLog job in STREAMING mode: readStream over the events
+    * table, the SAME `LogSplit.splits` transform per micro-batch, five
+    * outputs written from one `foreachBatch` (the Spark shape of Flink's
+    * side outputs, ref DwdBaseLog.java:76-92). The batch is persisted so
+    * the parse runs once per micro-batch, not once per split — the X1
+    * one-parse invariant. Exactly-once: parquet append + the streaming
+    * commit log; checkpointed under `outDir/_chk`.
+    */
   def runLogSplitStreaming(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
     val stream = Tables.loadStream(spark, sfDir, "events")

@@ -52,6 +52,26 @@ object Sinks {
     */
   private val BucketCol = "__bucket"
 
+  /** The store's bucket count is LAYOUT, not a per-call knob: it is
+    * pinned in a `_graft_buckets` marker on first write and reused on
+    * every later call (parquet readers skip `_`-prefixed files). Without
+    * this, a caller passing a different count than the store was written
+    * with would hash keys into buckets `readTouched` never looks at and
+    * silently break the latest-per-key invariant with duplicates.
+    */
+  private def resolveBuckets(dir: String, requested: Int): Int = {
+    val marker = new java.io.File(dir, "_graft_buckets")
+    if (marker.exists())
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim.toInt
+    else {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(marker.toPath,
+        requested.toString.getBytes("UTF-8"))
+      requested
+    }
+  }
+
   /** Read a keyed store back without its internal bucket column. */
   def readStore(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop(BucketCol)
@@ -66,7 +86,7 @@ object Sinks {
       seqCol: String, dir: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.expressions.Window
     val inc = incoming.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(buckets)))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
@@ -86,7 +106,7 @@ object Sinks {
       seqCol: String, opCol: String, dir: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.expressions.Window
     val inc = changes.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(buckets)))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) => ex.withColumn(opCol, lit("r"))

@@ -128,11 +128,6 @@ object StatefulStreaming {
         "leftOuter")
       .select(col("o_id"), col("d_id"), col("o_ts"))
 
-  /** A1/W1/W3/W4: watermarked 10s tumbling count — the streaming form of
-    * the flagship query. W5: rows later than the 5s watermark are dropped
-    * by Spark (same late-data semantics class as the reference's bounded
-    * out-of-orderness watermark).
-    */
   /** A6 streaming form: watermarked event-time SESSION windows (gap-merged
     * per key, finalized and emitted once the watermark passes gap's end) —
     * the streaming twin of the a6_session_window batch query. Spark merges
@@ -173,8 +168,15 @@ object StatefulStreaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (g: String, it: Iterator[Scored], state: GroupState[TopNState]) =>
           val cur = state.getOption.getOrElse(TopNState(0L, Nil))
-          val merged = (cur.top ++ it.map(r => (r.item_id, r.score)))
-            .distinct
+          // one score per item: a batch's update REPLACES the item's held
+          // score (retract semantics), never ranks beside it; within a
+          // batch the last update wins. State stays bounded at N entries,
+          // so an item evicted from the top N needs a fresh event to
+          // re-enter — the documented bounded-state approximation.
+          val updates = it.foldLeft(Map.empty[Long, Double]) {
+            (m, r) => m.updated(r.item_id, r.score)
+          }
+          val merged = (cur.top.toMap ++ updates).toList
             .sortBy { case (id, score) => (-score, id) }
             .take(n)
           if (merged == cur.top) Iterator.empty
@@ -188,6 +190,11 @@ object StatefulStreaming {
       }
   }
 
+  /** A1/W1/W3/W4: watermarked 10s tumbling count — the streaming form of
+    * the flagship query. W5: rows later than the 5s watermark are dropped
+    * by Spark (same late-data semantics class as the reference's bounded
+    * out-of-orderness watermark).
+    */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "5 seconds")

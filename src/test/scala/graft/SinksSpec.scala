@@ -23,6 +23,21 @@ class SinksSpec extends SparkSpec {
     assert(out === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("K5 bucket count is pinned by the store, not the caller") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("buckpin").toString + "/t"
+    Sinks.upsert(spark, Seq((1L, "a", 1L)).toDF("k", "v", "seq"),
+      "k", "seq", dir, buckets = 16)
+    // a later caller passing a different count must keep hashing into the
+    // 16-bucket layout — otherwise the old row is never merged and the
+    // store ends up with two versions of key 1
+    Sinks.upsert(spark, Seq((1L, "a2", 2L)).toDF("k", "v", "seq"),
+      "k", "seq", dir, buckets = 32)
+    val out = Sinks.readStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq === Seq(1L -> "a2"), s"latest-per-key broken: ${out.toList}")
+  }
+
   test("K6 dim merge applies puts then deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dim").toString + "/d"

@@ -186,6 +186,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topN streaming: a score update replaces the item, never ranks twice") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StatefulStreaming.{Scored, TopNEntry}
+    val input = MemoryStream[Scored]
+    val q = StatefulStreaming.topNStream(input.toDS(), n = 3)
+      .writeStream.format("memory").queryName("topn_update")
+      .outputMode("append").start()
+    try {
+      input.addData(Scored("A", 1L, 10.0), Scored("A", 2L, 20.0))
+      q.processAllAvailable()
+      // item 1's score is UPDATED — retract semantics: the old (1, 10.0)
+      // must not survive beside the new (1, 50.0)
+      input.addData(Scored("A", 1L, 50.0))
+      q.processAllAvailable()
+      val all = spark.table("topn_update").as[TopNEntry].collect()
+      val ver = all.map(_.ver).max
+      val ranking = all.filter(_.ver == ver).sortBy(_.rn)
+        .map(e => (e.rn, e.item_id, e.score)).toList
+      assert(ranking === List((1, 1L, 50.0), (2, 2L, 20.0)),
+        s"stale score must be replaced: $ranking")
+    } finally q.stop()
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
