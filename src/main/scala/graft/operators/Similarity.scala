@@ -57,13 +57,42 @@ object Similarity extends OpModule {
     }),
     // embedding-cosine near-dup as a DEDUP op: keep-first canonicalization
     // over the thresholded pair relation (the cosine twin of
-    // dedup_keep_canonical). At scale the pair relation comes from the
-    // LSH-bucketed path rather than blocked all-pairs; the anti-join shape
-    // is identical.
+    // dedup_keep_canonical). This variant is the exhaustive-within-block
+    // verify oracle; `dedup_embedding_lsh` below is the bucketed scale
+    // path with the identical anti-join shape.
     "dedup_embedding_canonical" -> ((s, dir) => {
       val pairs = baseQueries("sim_pairs_threshold")(s, dir)
       val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
       t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+    }),
+    // The 100 TB embedding-dedup path: candidate pairs meet only inside
+    // an LSH bucket (4 tables × 6-bit hyperplane signatures — the same
+    // signature pass as sim_lsh_ann), cosine-verified, then one anti-join
+    // drops every vector that near-dups an earlier one. The corpus is
+    // shuffled on the signature, never cross-joined; the bucket-key
+    // repartition before the checkpoint keeps the verify join's
+    // parallelism independent of the signature aggregate's shuffle size.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val withSigs = emb.select(col("vec_id"), col("embedding")).join(sigs, "vec_id")
+        .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
+        .repartition(nPart, col("sig"))
+        .localCheckpoint()
+      val a = withSigs.select(col("sig").as("sig_a"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = withSigs.select(col("sig").as("sig_b"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b,
+          col("sig_a") === col("sig_b") && col("vec_a") < col("vec_b"))
+        .dropDuplicates("vec_a", "vec_b") // tables overlap: one verify/pair
+        .filter(expr("cosine_sim(ea, eb)") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      emb.select(col("vec_id"), col("label"))
         .join(dropped, Seq("vec_id"), "left_anti")
     }),
     "sim_lsh_ann" -> ((s, dir) => {
@@ -203,33 +232,24 @@ object Similarity extends OpModule {
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM cand)
          |WHERE rank <= $K""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $oraLshSigs,
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |nd AS (
+         |  SELECT p.vec_a, p.vec_b FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b
+         |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_b FROM nd)""".stripMargin,
     // mirrors Vectors.lshSignaturesAgg(6 bits, 4 tables) + the bucket join:
     // hyperplane signs come from md5 (mdSign), reproducible in DuckDB
     "sim_lsh_ann" ->
-      s"""WITH expl0 AS (
-         |  SELECT vec_id, embedding,
-         |    unnest(generate_series(1, len(embedding))) AS j
-         |  FROM embeddings),
-         |expl AS (
-         |  SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
-         |  FROM expl0),
-         |consts AS (
-         |  SELECT t, b, b * 7919 + t * 104729 AS cst
-         |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
-         |       (SELECT unnest(generate_series(0, 5)) AS b)),
-         |sums AS (
-         |  SELECT e.vec_id, c.t, c.b,
-         |    sum(e.x * CASE WHEN substr(md5(
-         |          CAST(e.dim AS VARCHAR) || '_' || CAST(c.cst AS VARCHAR)),
-         |        1, 1) IN ('0','1','2','3','4','5','6','7')
-         |      THEN 1.0 ELSE -1.0 END) AS s
-         |  FROM expl e CROSS JOIN consts c
-         |  GROUP BY 1, 2, 3),
-         |sigs AS (
-         |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
-         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-         |      ORDER BY b) AS sig
-         |  FROM sums GROUP BY vec_id, t),
+      s"""WITH $oraLshSigs,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
          |  FROM sigs q JOIN sigs n
@@ -248,4 +268,35 @@ object Similarity extends OpModule {
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin)
+
+  /** DuckDB mirror of `Vectors.lshSignaturesAgg(6 bits, 4 tables)`: the
+    * exploded-dims → md5-sign products → per-(table) bit-string CTE chain,
+    * shared by the sim_lsh_ann and dedup_embedding_lsh oracles. Yields a
+    * `sigs(vec_id, sig)` relation, one row per (vector, table).
+    */
+  private val oraLshSigs: String =
+    """expl0 AS (
+      |  SELECT vec_id, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS j
+      |  FROM embeddings),
+      |expl AS (
+      |  SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+      |  FROM expl0),
+      |consts AS (
+      |  SELECT t, b, b * 7919 + t * 104729 AS cst
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS b)),
+      |sums AS (
+      |  SELECT e.vec_id, c.t, c.b,
+      |    sum(e.x * CASE WHEN substr(md5(
+      |          CAST(e.dim AS VARCHAR) || '_' || CAST(c.cst AS VARCHAR)),
+      |        1, 1) IN ('0','1','2','3','4','5','6','7')
+      |      THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM expl e CROSS JOIN consts c
+      |  GROUP BY 1, 2, 3),
+      |sigs AS (
+      |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+      |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+      |      ORDER BY b) AS sig
+      |  FROM sums GROUP BY vec_id, t)""".stripMargin
 }

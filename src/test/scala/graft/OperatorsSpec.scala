@@ -72,7 +72,8 @@ class OperatorsSpec extends SparkSpec {
     // the 100 TB invariant: candidates meet only inside buckets/blocks —
     // an unconditioned join anywhere here would be corpus² at scale
     Seq("dedup_minhash_lsh", "dedup_keep_canonical",
-        "dedup_embedding_canonical", "sim_pairs_threshold").foreach { q =>
+        "dedup_embedding_canonical", "dedup_embedding_lsh",
+        "sim_pairs_threshold").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
