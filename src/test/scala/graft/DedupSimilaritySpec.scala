@@ -94,6 +94,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (_, b) => !kept.contains(b) })
   }
 
+  test("LSH embedding dedup drops an exact duplicate vector, keeps first") {
+    import spark.implicits._
+    // identical vectors share every hyperplane signature, so the pair is
+    // guaranteed to meet in a bucket and cosine=1.0 passes the verify
+    val base = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val maxId = base.agg(max(col("vec_id"))).first().getLong(0)
+    val clone = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("label"),
+        col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    base.unionByName(clone).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val kept = graft.operators.Similarity
+      .queries("dedup_embedding_lsh")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L), "the earlier copy must survive")
+    assert(!kept.contains(maxId + 1), "the planted clone must be dropped")
+  }
+
   test("LSH ANN recall vs brute force at sf0.001") {
     val brute = graft.operators.Similarity
       .queries("sim_topk_bruteforce")(spark, sfDir)
