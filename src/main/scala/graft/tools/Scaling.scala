@@ -18,7 +18,8 @@ object Scaling {
   val queries = Seq("q1_pricing_summary", "j1_order_lineitem_join",
     "a1_tumble_count", "a4_uv_per_day", "k5_upsert_latest_per_key",
     "u1_tokenize_explode", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "sim_lsh_ann", "sim_ivf_ann", "text_quality")
+    "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
+    "text_quality")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
