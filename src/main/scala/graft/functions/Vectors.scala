@@ -98,11 +98,16 @@ object Vectors {
   def lshSignaturesAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, bits: Int, tables: Int,
       nDims: Int = -1): org.apache.spark.sql.DataFrame = {
-    // nDims <= 0 → infer from the data (one first() probe, O(1)): a sign
-    // matrix narrower than the vectors would silently drop the tail dims
-    // from every signature and diverge from hyperplaneSignature/the oracle
+    // nDims <= 0 → infer from the data (one O(1) limit-1 probe job): a
+    // sign matrix narrower than the vectors would silently drop the tail
+    // dims from every signature and diverge from hyperplaneSignature/the
+    // oracle. Empty input or null first vector → dims 1; the aggregate
+    // emits no rows for those inputs anyway, the literal just has to be
+    // a valid array.
     val dims = if (nDims > 0) nDims
-      else df.select(size(col(vecCol))).first().getInt(0)
+      else df.select(size(col(vecCol)).as("n"))
+        .filter(col("n") > 0).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
     val sums = (0 until tables).flatMap { t =>
       (0 until bits).map { b =>

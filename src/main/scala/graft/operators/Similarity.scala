@@ -57,9 +57,11 @@ object Similarity extends OpModule {
     }),
     // embedding-cosine near-dup as a DEDUP op: keep-first canonicalization
     // over the thresholded pair relation (the cosine twin of
-    // dedup_keep_canonical). This variant is the exhaustive-within-block
-    // verify oracle; `dedup_embedding_lsh` below is the bucketed scale
-    // path with the identical anti-join shape.
+    // dedup_keep_canonical). NOTE: this variant blocks candidate pairs by
+    // label, `dedup_embedding_lsh` below by hyperplane bucket — same
+    // canonicalization semantics, deliberately different candidate
+    // generation (their kept-sets differ where blocking differs; each is
+    // pinned exactly by its own DuckDB oracle).
     "dedup_embedding_canonical" -> ((s, dir) => {
       val pairs = baseQueries("sim_pairs_threshold")(s, dir)
       val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()

@@ -58,16 +58,33 @@ object Sinks {
     * this, a caller passing a different count than the store was written
     * with would hash keys into buckets `readTouched` never looks at and
     * silently break the latest-per-key invariant with duplicates.
+    * The marker is staged then atomically moved, so a crash mid-write
+    * can't leave a half-written count. A store that has bucket
+    * directories but no marker (foreign or pre-marker layout) is
+    * refused loudly rather than guessed at. Single writer per store is
+    * the operating model (one foreachBatch owns a store), as with any
+    * file-based sink.
     */
   private def resolveBuckets(dir: String, requested: Int): Int = {
-    val marker = new java.io.File(dir, "_graft_buckets")
-    if (marker.exists())
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        "UTF-8").trim.toInt
-    else {
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.write(marker.toPath,
-        requested.toString.getBytes("UTF-8"))
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_graft_buckets")
+    if (marker.exists()) {
+      val txt = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim
+      require(txt.nonEmpty && txt.forall(_.isDigit),
+        s"corrupt bucket marker $marker: '$txt'")
+      txt.toInt
+    } else {
+      require(!d.exists() ||
+          d.listFiles() == null ||
+          !d.listFiles().exists(_.getName.startsWith(s"$BucketCol=")),
+        s"store $dir has bucket directories but no _graft_buckets marker; " +
+          "write the marker matching the existing layout before merging")
+      d.mkdirs()
+      val tmp = java.nio.file.Files.createTempFile(d.toPath, "_graft_buckets", ".tmp")
+      java.nio.file.Files.write(tmp, requested.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       requested
     }
   }

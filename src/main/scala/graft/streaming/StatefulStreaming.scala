@@ -169,12 +169,16 @@ object StatefulStreaming {
         (g: String, it: Iterator[Scored], state: GroupState[TopNState]) =>
           val cur = state.getOption.getOrElse(TopNState(0L, Nil))
           // one score per item: a batch's update REPLACES the item's held
-          // score (retract semantics), never ranks beside it; within a
-          // batch the last update wins. State stays bounded at N entries,
-          // so an item evicted from the top N needs a fresh event to
-          // re-enter — the documented bounded-state approximation.
-          val updates = it.foldLeft(Map.empty[Long, Double]) {
-            (m, r) => m.updated(r.item_id, r.score)
+          // score (retract semantics), never ranks beside it. Scored has
+          // no sequence field and the group iterator's order is NOT
+          // guaranteed, so within-batch conflicts resolve to the MAX
+          // score — deterministic under replay regardless of arrival
+          // order. State stays bounded at N entries, so an item evicted
+          // from the top N needs a fresh event to re-enter — the
+          // documented bounded-state approximation.
+          val updates = it.foldLeft(Map.empty[Long, Double]) { (m, r) =>
+            m.updated(r.item_id, math.max(r.score, m.getOrElse(r.item_id,
+              Double.NegativeInfinity)))
           }
           val merged = (cur.top.toMap ++ updates).toList
             .sortBy { case (id, score) => (-score, id) }
