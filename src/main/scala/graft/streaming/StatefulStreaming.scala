@@ -146,6 +146,22 @@ object StatefulStreaming {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("user_id"), col("events_in_session"))
 
+  /** Streaming ingest dedup — the LLM-pipeline `dedup_exact` twin: drop
+    * every document whose content fingerprint (md5 of text) was already
+    * seen, across micro-batches. Spark's stateful `dropDuplicates` keeps
+    * one state row per fingerprint; the event-time watermark bounds the
+    * store (a duplicate arriving later than the watermark horizon can
+    * slip through — the standard streaming-dedup contract). At 100 TB
+    * ingest the state is hash-partitioned by fingerprint across
+    * executors' RocksDB stores; nothing is driver-resident.
+    */
+  def dedupIngest(docs: DataFrame, tsCol: String,
+      watermark: String = "10 seconds"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fp")
+
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
   case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,

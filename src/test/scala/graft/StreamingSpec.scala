@@ -210,6 +210,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: repeated fingerprints dropped across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StatefulStreaming.dedupIngest(docs, "ts")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha", ts("2024-01-01T00:00:00Z")),
+        (2L, "beta", ts("2024-01-01T00:00:01Z")),
+        (3L, "alpha", ts("2024-01-01T00:00:02Z"))) // in-batch dup
+      q.processAllAvailable()
+      // cross-batch dup of "beta" + one fresh doc
+      input.addData((4L, "beta", ts("2024-01-01T00:00:03Z")),
+        (5L, "gamma", ts("2024-01-01T00:00:04Z")))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_ingest").select("text")
+        .collect().map(_.getString(0)).sorted.toList
+      assert(texts === List("alpha", "beta", "gamma"),
+        s"each content fingerprint must survive exactly once: $texts")
+    } finally q.stop()
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
