@@ -59,6 +59,29 @@ object TextAnalysis extends OpModule {
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    }),
+    // Deterministic hash-mod sampling — the reproducible alternative to
+    // RNG sampling a training pipeline actually wants: membership depends
+    // only on doc_id, so reruns, backfills, and different cluster sizes
+    // select the SAME subset (and the oracle can reproduce it exactly).
+    // 10%-per-source stratified keep; pure narrow filter, no shuffle.
+    "sample_hash_stratified" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(conv(substring(md5(concat(lit("smp|"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 100 < 10)
+        .select(col("doc_id"), col("source"))
+    }),
+    // train/val/test split by the same device: an 80/10/10 assignment
+    // that is stable under reprocessing and joins (split is a FUNCTION of
+    // doc_id, never a stored random draw).
+    "sample_train_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("spl|"),
+        col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
     }))
 
   private val stop =
@@ -116,5 +139,17 @@ object TextAnalysis extends OpModule {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "sample_hash_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substring(md5('smp|' || doc_id::VARCHAR), 1, 6))::BIGINT
+        |      % 100 < 10""".stripMargin,
+    "sample_train_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substring(md5('spl|' || doc_id::VARCHAR), 1, 6))::BIGINT
+        |        % 100 AS b
+        |      FROM documents)""".stripMargin)
 }
