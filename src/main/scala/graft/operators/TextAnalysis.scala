@@ -60,6 +60,25 @@ object TextAnalysis extends OpModule {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     }),
+    // Repetition metrics — the repeated-content heuristics corpus filters
+    // gate on: low distinct/total token ratio or one token dominating the
+    // doc flags boilerplate and degenerate text. One narrow pass; the
+    // token arrays are materialized once (HOF re-evaluation trap).
+    "text_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks"))
+        .select(col("doc_id"), explode(col("rtoks")).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_c"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_distinct").cast("double") / col("n_toks").cast("double"))
+            .as("distinct_ratio"),
+          (col("max_c").cast("double") / col("n_toks").cast("double"))
+            .as("top_token_share"))
+    }),
     // Deterministic hash-mod sampling — the reproducible alternative to
     // RNG sampling a training pipeline actually wants: membership depends
     // only on doc_id, so reruns, backfills, and different cluster sizes
@@ -140,6 +159,17 @@ object TextAnalysis extends OpModule {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id, count(*) AS n_toks,
+        |  CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS distinct_ratio,
+        |  CAST(max(c) AS DOUBLE) / count(*) AS top_token_share
+        |FROM (SELECT doc_id, tok,
+        |        count(*) OVER (PARTITION BY doc_id, tok) AS c
+        |      FROM (SELECT doc_id,
+        |              unnest(list_filter(string_split_regex(lower(text),
+        |                '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |            FROM documents))
+        |GROUP BY doc_id""".stripMargin,
     "sample_hash_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substring(md5('smp|' || doc_id::VARCHAR), 1, 6))::BIGINT
