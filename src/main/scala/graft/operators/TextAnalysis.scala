@@ -60,6 +60,21 @@ object TextAnalysis extends OpModule {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     }),
+    // Cross-source contamination check — the decontamination primitive:
+    // how many exact content fingerprints does each pair of sources
+    // share? (train/benchmark overlap detection). The join key is the
+    // fingerprint, so candidates meet only on identical content — one
+    // shuffle on fp, never an all-pairs source comparison.
+    "text_contamination" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("source"), Text.fingerprint(col("text")).as("fp"))
+        .distinct()
+      val a = fp.select(col("source").as("src_a"), col("fp"))
+      val b = fp.select(col("source").as("src_b"), col("fp"))
+      a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+    }),
     // Repetition metrics — the repeated-content heuristics corpus filters
     // gate on: low distinct/total token ratio or one token dominating the
     // doc flags boilerplate and degenerate text. One narrow pass; the
@@ -159,6 +174,14 @@ object TextAnalysis extends OpModule {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_contamination" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id, count(*) AS n_toks,
         |  CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS distinct_ratio,

@@ -94,6 +94,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (_, b) => !kept.contains(b) })
   }
 
+  test("contamination check counts shared fingerprints across sources") {
+    import spark.implicits._
+    // doc 10 in srcB is a content clone of doc 0 in srcA (fingerprint
+    // normalizes case/punctuation); doc 11 is unique to srcB
+    val docs = Seq(
+      (0L, "shared benchmark question one", "en", "srcA", 29L),
+      (1L, "ordinary training text", "en", "srcA", 22L),
+      (10L, "Shared BENCHMARK question one!", "en", "srcB", 30L),
+      (11L, "unique evaluation item", "en", "srcB", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("contam").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis
+      .queries("text_contamination")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toList === List(("srcA", "srcB", 1L)),
+      s"exactly one shared fingerprint expected: ${out.toList}")
+  }
+
   test("LSH embedding dedup drops an exact duplicate vector, keeps first") {
     import spark.implicits._
     // identical vectors share every hyperplane signature, so the pair is
