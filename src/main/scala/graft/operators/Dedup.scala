@@ -239,7 +239,7 @@ object Dedup extends OpModule {
   /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
     * shared by dedup_minhash_lsh and dedup_keep_canonical.
     */
-  private lazy val oraclesMinhash: String =
+  private[operators] lazy val oraclesMinhash: String =
     s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
        |           FROM documents),
        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),

@@ -75,6 +75,22 @@ object TextAnalysis extends OpModule {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("shared_fps"))
     }),
+    // Near-dup tier of the contamination check: decontamination matches
+    // paraphrased/reformatted benchmark text, not just exact clones, so
+    // the pair relation is the MinHash-LSH pipeline (bucketed, verified)
+    // joined back to source attribution — still no all-pairs anywhere.
+    "text_contamination_neardup" -> ((s, dir) => {
+      val pairs = Dedup.queries("dedup_minhash_lsh")(s, dir)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .filter(col("src_a") =!= col("src_b"))
+        .select(least(col("src_a"), col("src_b")).as("src_x"),
+          greatest(col("src_a"), col("src_b")).as("src_y"))
+        .groupBy(col("src_x"), col("src_y"))
+        .agg(count(lit(1)).as("neardup_pairs"))
+    }),
     // Repetition metrics — the repeated-content heuristics corpus filters
     // gate on: low distinct/total token ratio or one token dominating the
     // doc flags boilerplate and degenerate text. One narrow pass; the
@@ -174,6 +190,16 @@ object TextAnalysis extends OpModule {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_contamination_neardup" ->
+      s"""WITH pairs AS (${Dedup.oraclesMinhash})
+         |SELECT least(da.source, db.source) AS src_x,
+         |  greatest(da.source, db.source) AS src_y,
+         |  count(*) AS neardup_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |WHERE da.source <> db.source
+         |GROUP BY 1, 2""".stripMargin,
     "text_contamination" ->
       """WITH fp AS (SELECT DISTINCT source,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
