@@ -93,8 +93,9 @@ object TextAnalysis extends OpModule {
     }),
     // Repetition metrics — the repeated-content heuristics corpus filters
     // gate on: low distinct/total token ratio or one token dominating the
-    // doc flags boilerplate and degenerate text. One narrow pass; the
-    // token arrays are materialized once (HOF re-evaluation trap).
+    // doc flags boilerplate and degenerate text. One narrow explode pass
+    // (the generator evaluates the token array once per row) feeding two
+    // partial-aggregating groupBys on the same doc_id key.
     "text_repetition" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks"))
@@ -117,22 +118,30 @@ object TextAnalysis extends OpModule {
     // 10%-per-source stratified keep; pure narrow filter, no shuffle.
     "sample_hash_stratified" -> ((s, dir) => {
       t(s, dir, "documents")
-        .filter(conv(substring(md5(concat(lit("smp|"),
-          col("doc_id").cast("string"))), 1, 6), 16, 10)
-          .cast("long") % 100 < 10)
+        .filter(hashBucket("smp|", col("doc_id")) < 10)
         .select(col("doc_id"), col("source"))
     }),
     // train/val/test split by the same device: an 80/10/10 assignment
     // that is stable under reprocessing and joins (split is a FUNCTION of
     // doc_id, never a stored random draw).
     "sample_train_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(concat(lit("spl|"),
-        col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100
+      val bucket = hashBucket("spl|", col("doc_id"))
       t(s, dir, "documents").select(col("doc_id"), col("source"),
         when(bucket < 80, lit("train"))
           .when(bucket < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
     }))
+
+  /** Deterministic percent bucket of an id: first 6 hex chars of a salted
+    * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
+    */
+  private def hashBucket(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100
+
+  /** DuckDB mirror of `hashBucket`. */
+  private def oraHashBucket(salt: String) =
+    s"('0x' || substring(md5('$salt' || doc_id::VARCHAR), 1, 6))::BIGINT % 100"
 
   private val stop =
     "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that']"
@@ -220,15 +229,12 @@ object TextAnalysis extends OpModule {
         |            FROM documents))
         |GROUP BY doc_id""".stripMargin,
     "sample_hash_stratified" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE ('0x' || substring(md5('smp|' || doc_id::VARCHAR), 1, 6))::BIGINT
-        |      % 100 < 10""".stripMargin,
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,
     "sample_train_split" ->
-      """SELECT doc_id, source,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (SELECT doc_id, source,
-        |        ('0x' || substring(md5('spl|' || doc_id::VARCHAR), 1, 6))::BIGINT
-        |        % 100 AS b
-        |      FROM documents)""".stripMargin)
+      s"""SELECT doc_id, source,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source, ${oraHashBucket("spl|")} AS b
+         |      FROM documents)""".stripMargin)
 }

@@ -148,19 +148,23 @@ object StatefulStreaming {
 
   /** Streaming ingest dedup — the LLM-pipeline `dedup_exact` twin: drop
     * every document whose content fingerprint (md5 of text) was already
-    * seen, across micro-batches. Spark's stateful `dropDuplicates` keeps
-    * one state row per fingerprint; the event-time watermark bounds the
-    * store (a duplicate arriving later than the watermark horizon can
-    * slip through — the standard streaming-dedup contract). At 100 TB
-    * ingest the state is hash-partitioned by fingerprint across
-    * executors' RocksDB stores; nothing is driver-resident.
+    * seen, across micro-batches. `dropDuplicatesWithinWatermark` is the
+    * load-bearing choice: it dedups on the fingerprint ALONE while
+    * evicting each state row once the watermark passes its event time —
+    * plain `dropDuplicates("fp")` under a watermark would never evict
+    * (unbounded state) and would silently discard late-arriving NEW
+    * documents. The contract: duplicates separated by more than the
+    * watermark horizon can slip through — the standard streaming-dedup
+    * trade. At 100 TB ingest the state is hash-partitioned by
+    * fingerprint across executors' RocksDB stores; nothing is
+    * driver-resident.
     */
   def dedupIngest(docs: DataFrame, tsCol: String,
       watermark: String = "10 seconds"): DataFrame =
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
