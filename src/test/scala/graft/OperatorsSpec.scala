@@ -73,7 +73,8 @@ class OperatorsSpec extends SparkSpec {
     // an unconditioned join anywhere here would be corpus² at scale
     Seq("dedup_minhash_lsh", "dedup_keep_canonical",
         "dedup_embedding_canonical", "dedup_embedding_lsh",
-        "sim_pairs_threshold").foreach { q =>
+        "sim_pairs_threshold", "text_contamination",
+        "text_contamination_neardup").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
