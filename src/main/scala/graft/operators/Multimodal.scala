@@ -67,6 +67,26 @@ object Multimodal extends OpModule {
           }
         }
         .toDF("doc_id", "width", "height", "channels")
+    }),
+    // resize stage: aspect-preserving fit of the decoded dims into
+    // 224x224 (integer math, so the oracle reproduces it exactly). Same
+    // typed mapPartitions plumbing as decode — in a real deployment the
+    // body calls the imaging lib; the batch shape, schema, and narrow
+    // no-shuffle stage are what carry to 100 TB.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"), col("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.map { r =>
+            val (w, h, _) = decodeImageStub(r.payload)
+            val m = math.max(math.max(w, h), 1)
+            (r.doc_id, w, h, w * 224 / m, h * 224 / m)
+          }
+        }
+        .toDF("doc_id", "width", "height", "out_w", "out_h")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -87,5 +107,15 @@ object Multimodal extends OpModule {
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
         |  3 AS channels
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, width, height,
+        |  CAST(width * 224 // m AS INT) AS out_w,
+        |  CAST(height * 224 // m AS INT) AS out_h
+        |FROM (SELECT doc_id,
+        |        CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |        CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |        greatest(octet_length(encode(text)) % 640,
+        |                 octet_length(encode(text)) % 480, 1) AS m
+        |      FROM documents)""".stripMargin)
 }
