@@ -9,6 +9,8 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// CJK literals in the script-aware tokenizer fixtures must survive compile
+scalacOptions ++= Seq("-encoding", "utf8")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -23,6 +23,34 @@ object Text {
   /** Token set (order-preserving distinct), matching IKUtil's Set semantics. */
   def tokenizeDistinct(c: Column): Column = array_distinct(tokenize(c))
 
+  /** Han codepoint range (CJK Unified Ideographs, U+4E00–U+9FFF) as a regex
+    * char class — written with literal chars so the identical pattern runs in
+    * both Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  private val HanClass = "[一-鿿]"
+
+  /** Script-aware tokenizer — the CJK-capable tier of the reference's IK
+    * Chinese analyzer (ref: realtime-dws/.../function/KwSplit.java:17-25,
+    * realtime-common/.../util/IKUtil.java:18-34). The gmall keyword stream
+    * is Chinese text; a latin-only split deletes it entirely, so:
+    *   - latin/digit runs tokenize as before (lowercased words), and
+    *   - han spans emit overlapping codepoint bigrams (the IK-smart-style
+    *     unit for unsegmented Chinese; a 1-char span emits itself),
+    * in one pass: extract `han+|latin+` spans, then expand each span. The
+    * outer HOF lambdas bind the already-extracted span attribute (never the
+    * document), so nothing is re-derived per element — one narrow codegen'd
+    * extract plus an interpreted expansion over short spans.
+    */
+  def tokenizeCjk(c: Column): Column = {
+    val spans = regexp_extract_all(lower(c), lit(s"$HanClass+|[a-z0-9]+"), lit(0))
+    flatten(transform(spans, sp =>
+      when(sp.rlike(s"^$HanClass"),
+        when(length(sp) === 1, array(sp))
+          .otherwise(transform(sequence(lit(1), length(sp) - 1),
+            i => sp.substr(i, lit(2)))))
+        .otherwise(array(sp))))
+  }
+
   /** Whitespace token count — cheap path for quota/length accounting. */
   def wsTokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
 

@@ -1,18 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal column handling: opaque `binary` payloads + typed metadata,
-  * with a decode/feature-extract stage whose *plumbing* (schema, typed
-  * Dataset, per-partition batching) is real and whose byte-level decoder is
-  * a clearly-marked deterministic STUB (no image/audio libs in this
-  * container).
+  * with a REAL decode stage: payloads are genuine PNG bytes and the decoder
+  * is `javax.imageio` (ships inside the JDK — zero extra dependencies).
   *
-  * The binary payloads are synthesized from `documents.text` (utf-8 bytes)
-  * so the DuckDB oracle can verify the Spark-side byte plumbing
-  * (octet_length / md5 / hex prefix) exactly.
+  * The sf tables carry no image payloads, so each row *synthesizes* a real
+  * PNG whose dimensions are pure functions of the row
+  * (width = 1 + byte_len(text) % 31, height = 1 + doc_id % 17); the DuckDB
+  * oracle re-derives those dims independently, so the gate only passes if
+  * the encode→decode round-trip through a genuine codec preserves them.
   *
-  * Scale notes: decode runs as `mapPartitions` over the binary column —
+  * Scale notes: synth+decode run as `mapPartitions` over the binary column —
   * same batch shape as a Pandas-UDF/mapInPandas pipeline (iterator of
   * batches in, iterator out), one narrow stage, no shuffle; partition
   * sizing is controlled by files.maxPartitionBytes on the scan.
@@ -21,13 +24,37 @@ case class MmRow(doc_id: Long, payload: Array[Byte])
 
 object Multimodal extends OpModule {
 
-  /** STUB decoder: stands in for image decode (no codec libs here).
-    * Deterministic features from the payload bytes; a real deployment swaps
-    * this body for an actual decoder, keeping the signature and plumbing.
+  /** Deterministic PNG fixture: a real `BufferedImage` rendered from the
+    * row (dims + pixel fill are pure functions of doc_id and the payload
+    * bytes) and encoded through the JDK PNG writer. Stands in for the image
+    * column a production table would already carry.
     */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val len = bytes.length
-    (len % 640, len % 480, 3)
+  def synthPng(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = 1 + (textBytes.length % 31)
+    val h = (1 + (docId % 17)).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((docId + x * 31 + y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (JDK `ImageIO`): PNG/BMP/GIF bytes in →
+    * (width, height, raster bands) out. Swapping in a heavier codec
+    * (JPEG-XL, video keyframes) keeps this signature and the mapPartitions
+    * batch shape unchanged.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    (img.getWidth, img.getHeight, img.getRaster.getNumBands)
   }
 
   def queries: Map[String, Q] = Map(
@@ -62,17 +89,17 @@ object Multimodal extends OpModule {
         .as[MmRow]
         .mapPartitions { it =>
           it.map { r =>
-            val (w, h, c) = decodeImageStub(r.payload)
+            val (w, h, c) = decodeImage(synthPng(r.doc_id, r.payload))
             (r.doc_id, w, h, c)
           }
         }
         .toDF("doc_id", "width", "height", "channels")
     }),
-    // resize stage: aspect-preserving fit of the decoded dims into
-    // 224x224 (integer math, so the oracle reproduces it exactly). Same
-    // typed mapPartitions plumbing as decode — in a real deployment the
-    // body calls the imaging lib; the batch shape, schema, and narrow
-    // no-shuffle stage are what carry to 100 TB.
+    // resize stage: aspect-preserving fit of the DECODED dims into 224x224
+    // (integer math, so the oracle reproduces it exactly). Runs the real
+    // codec round-trip in the same narrow mapPartitions stage — a real
+    // pixel resample would slot in right after decodeImage with the batch
+    // shape, schema, and no-shuffle plan unchanged.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -81,8 +108,8 @@ object Multimodal extends OpModule {
         .as[MmRow]
         .mapPartitions { it =>
           it.map { r =>
-            val (w, h, _) = decodeImageStub(r.payload)
-            val m = math.max(math.max(w, h), 1)
+            val (w, h, _) = decodeImage(synthPng(r.doc_id, r.payload))
+            val m = math.max(w, h)
             (r.doc_id, w, h, w * 224 / m, h * 224 / m)
           }
         }
@@ -102,20 +129,20 @@ object Multimodal extends OpModule {
         |FROM documents,
         |  UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 64))
         |    AS f(frame_idx)""".stripMargin,
+    // dims re-derived independently of the codec: only a correct
+    // PNG encode→decode round-trip makes the Spark side agree
     "mm_decode_features" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
+        |  CAST(1 + doc_id % 17 AS INT) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, width, height,
-        |  CAST(width * 224 // m AS INT) AS out_w,
-        |  CAST(height * 224 // m AS INT) AS out_h
+        |  CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+        |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h
         |FROM (SELECT doc_id,
-        |        CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |        CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-        |        greatest(octet_length(encode(text)) % 640,
-        |                 octet_length(encode(text)) % 480, 1) AS m
+        |        CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
+        |        CAST(1 + doc_id % 17 AS INT) AS height
         |      FROM documents)""".stripMargin)
 }

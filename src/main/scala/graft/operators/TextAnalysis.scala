@@ -22,6 +22,20 @@ object TextAnalysis extends OpModule {
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("keyword"))
         .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
     }),
+    // U1, CJK tier: the reference's tokenizer is the IK *Chinese* analyzer
+    // (ref KwSplit.java:17-25 — gmall keywords are Chinese); a latin-only
+    // split drops that text entirely. Script-aware path: han spans → overlap
+    // codepoint bigrams, latin/digit runs → words. The sf tables are
+    // ASCII-only, so deterministic mixed-script fixture rows are unioned in
+    // (identically in the oracle) to exercise the CJK path under the gate.
+    "u1_tokenize_cjk" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = cjkFixture.toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixture)
+        .select(explode(Text.tokenizeCjk(col("text"))).as("keyword"))
+        .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
+    }),
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -132,6 +146,16 @@ object TextAnalysis extends OpModule {
           .otherwise(lit("test")).as("split"))
     }))
 
+  /** Mixed-script fixture rows (negative ids, disjoint from generated data)
+    * exercising: han+latin mix, digit runs, a single-char han span, and a
+    * pure-han keyword — mirrored verbatim in the DuckDB oracle.
+    */
+  private val cjkFixture = Seq(
+    (-1L, "深度学习 deep learning 模型训练"),
+    (-2L, "大规模数据 spark 引擎 100 terabytes"),
+    (-3L, "我"),
+    (-4L, "搜索关键词分析"))
+
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
     */
@@ -152,6 +176,25 @@ object TextAnalysis extends OpModule {
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
         |      FROM documents)
         |WHERE keyword <> '' GROUP BY 1""".stripMargin,
+    "u1_tokenize_cjk" -> {
+      val values = cjkFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text))
+         |SELECT tok AS keyword, count(*) AS keyword_count FROM (
+         |  SELECT unnest(flatten(list_transform(
+         |    regexp_extract_all(lower(text), '[一-鿿]+|[a-z0-9]+'),
+         |    sp -> CASE WHEN regexp_matches(sp, '^[一-鿿]')
+         |           THEN CASE WHEN length(sp) = 1 THEN [sp]
+         |                ELSE list_transform(range(1, length(sp)),
+         |                       i -> substring(sp, CAST(i AS INT), 2)) END
+         |           ELSE [sp] END))) AS tok
+         |  FROM docs)
+         |GROUP BY 1""".stripMargin
+    },
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INT) AS char_len,

@@ -18,6 +18,35 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("U1 CJK tier: han bigram recall, latin path unchanged, mixed scripts") {
+    import spark.implicits._
+    val toks = Seq("深度学习 deep learning 2024", "我", "abc 123", "")
+      .toDF("text")
+      .select(graft.functions.Text.tokenizeCjk(col("text")).as("toks"))
+      .as[Seq[String]].collect()
+    assert(toks(0) === Seq("深度", "度学", "学习", "deep", "learning", "2024"))
+    assert(toks(1) === Seq("我"), "single-char han span emits itself")
+    assert(toks(2) === Seq("abc", "123"), "latin/digit path unchanged")
+    assert(toks(3) === Seq.empty)
+    // full recall: every adjacent han bigram of a pure-CJK keyword survives
+    val kw = "搜索关键词分析"
+    val got = Seq(kw).toDF("text")
+      .select(graft.functions.Text.tokenizeCjk(col("text")).as("toks"))
+      .as[Seq[String]].head
+    kw.sliding(2).foreach(bg => assert(got.contains(bg), s"missing bigram $bg"))
+  }
+
+  test("mm: synthesized payload is a real PNG and ImageIO decodes its dims") {
+    import graft.operators.Multimodal
+    val png = Multimodal.synthPng(42L, Array.fill(100)(1.toByte))
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    assert(png.take(8).map(_ & 0xff).sameElements(magic), "PNG signature")
+    val (w, h, c) = Multimodal.decodeImage(png)
+    assert(w === 1 + 100 % 31)
+    assert(h === 1 + (42 % 17))
+    assert(c === 3)
+  }
+
   test("X1 conservation: splits partition the filtered stream") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val sp = graft.operators.LogSplit.splits(ev)
