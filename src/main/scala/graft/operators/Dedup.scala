@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import graft.core.Barrier.BarrierOps
 
 /** Deduplication suite over `documents` — exact, MinHash/LSH banded,
   * SimHash, and n-gram Jaccard.
@@ -46,17 +47,19 @@ object Dedup extends OpModule {
       //  1. tokens first (attribute), THEN shingles — shingling from the
       //     raw text would re-tokenize per shingle index (interpreted HOF
       //     lambdas don't share subexpressions).
-      //  2. localCheckpoint: the DAG below reads this relation three times
+      //  2. barrier(): the DAG below reads this relation three times
       //     (shingle explode + toks join + self-join sides); without the
-      //     barrier each read recomputes the text ops (~4x slower). At
-      //     cluster scale this is a persist(DISK_ONLY)/shuffle-reuse point.
+      //     barrier each read recomputes the text ops (~4x slower).
+      //     core.Barrier picks localCheckpoint locally and
+      //     persist(DISK_ONLY) on clusters (lineage kept for fault
+      //     recovery); long sessions release via Barrier.releaseAll.
       val toksDf = t(s, dir, "documents")
         .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks"))
-        .localCheckpoint()
+        .barrier()
       val docs = toksDf.select(col("doc_id"),
         array_distinct(col("rtoks")).as("toks"),
         Text.wordShingles(col("rtoks"), 3).as("sh"))
-        .localCheckpoint()
+        .barrier()
       val mh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .select(col("doc_id"), md5(col("shingle")).as("h"))
         .groupBy(col("doc_id"))
@@ -84,7 +87,7 @@ object Dedup extends OpModule {
         posexplode(col("sigs"))).withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "sig")
         .repartition(nPart, col("band"), col("sig"))
-        .localCheckpoint() // both self-join sides read this once
+        .barrier() // both self-join sides read this once
       val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
         col("doc_id").as("doc_a"), col("toks").as("toks_a"))
       val b = banded.select(col("band").as("band_b"), col("sig").as("sig_b"),
@@ -139,7 +142,7 @@ object Dedup extends OpModule {
       val normed = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
           Text.normalize(col("text")).as("norm"))
-        .localCheckpoint()
+        .barrier()
       val d = normed.select(col("doc_id"), col("source"), col("n_chars"),
         Text.charShingles(col("norm"), 5).as("grams"))
       val l = d.select(col("doc_id").as("doc_a"), col("source").as("src_a"),

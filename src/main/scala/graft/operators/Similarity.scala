@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
+import graft.core.Barrier.BarrierOps
 
 /** Similarity search over the `embeddings` fixture (64-d float vectors).
   *
@@ -83,7 +84,7 @@ object Similarity extends OpModule {
       val withSigs = emb.select(col("vec_id"), col("embedding")).join(sigs, "vec_id")
         .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
         .repartition(nPart, col("sig"))
-        .localCheckpoint()
+        .barrier()
       val a = withSigs.select(col("sig").as("sig_a"), col("vec_id").as("vec_a"),
         col("embedding").as("ea"))
       val b = withSigs.select(col("sig").as("sig_b"), col("vec_id").as("vec_b"),
@@ -108,7 +109,7 @@ object Similarity extends OpModule {
       // interpreted per bit and re-reads the vector 24x).
       val emb = t(s, dir, "embeddings")
       val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
-      val withSigs = emb.join(sigs, "vec_id").localCheckpoint()
+      val withSigs = emb.join(sigs, "vec_id").barrier()
       val q = withSigs.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           explode(col("sigs")).as("qsig"))

@@ -159,8 +159,11 @@ object Sinks {
 
   /** Rewrite only the touched buckets: dynamic partition overwrite
     * replaces exactly the partitions present in the output (Spark's
-    * commit protocol stages then swaps per-partition). localCheckpoint
-    * breaks lineage so the rewrite never reads the files it replaces.
+    * commit protocol stages then swaps per-partition). Deliberately
+    * localCheckpoint (NOT the pluggable core.Barrier): lineage must be
+    * SEVERED here so the rewrite can never re-read the files it is about
+    * to replace — on block loss mid-write, failing the job is the safe
+    * outcome, recomputing from replaced inputs is not.
     * A touched bucket whose every key was deleted yields no output rows —
     * dynamic overwrite leaves absent partitions alone, so those are
     * dropped explicitly.

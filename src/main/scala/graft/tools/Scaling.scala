@@ -130,6 +130,9 @@ object Scaling {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[scale] k=$k%-3d $q%-26s ${times.min}%7.3fs")
+        // release barrier blocks so the in-sequence reading measures the
+        // query, not accumulated storage pressure from earlier queries
+        graft.core.Barrier.releaseAll(spark)
       }
     }
     spark.stop()

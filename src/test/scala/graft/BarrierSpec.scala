@@ -1,0 +1,47 @@
+package graft
+
+/** The pluggable reuse barrier (core.Barrier): mode equivalence and the
+  * release lifecycle that keeps long sessions from accumulating blocks
+  * (the 2x-at-16x inflation SCALING.md measured).
+  */
+class BarrierSpec extends SparkSpec {
+
+  private def runMinhash(): Set[(Long, Long)] =
+    SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("persist mode is result-identical to localCheckpoint mode") {
+    val viaLocal = runMinhash() // default mode
+    spark.conf.set(graft.core.Barrier.ConfKey, "persist")
+    try {
+      val viaPersist = runMinhash()
+      assert(viaPersist === viaLocal)
+    } finally spark.conf.unset(graft.core.Barrier.ConfKey)
+  }
+
+  test("releaseAll drops every barrier block from the session") {
+    runMinhash() // parks localCheckpoint blocks as persistent RDDs
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the barrier should have persisted something")
+    graft.core.Barrier.releaseAll(spark)
+    // unpersist is async (blocking=false); the registry drop is immediate
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("persist mode keeps lineage (logical plan is not an RDD scan)") {
+    spark.conf.set(graft.core.Barrier.ConfKey, "persist")
+    try {
+      val df = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id")
+      val b = graft.core.Barrier(df)
+      // localCheckpoint rewrites the plan to LogicalRDD (no lineage);
+      // persist keeps the original plan wrapped in InMemoryRelation on
+      // execution — the analyzed plan still reads the source
+      assert(!b.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    } finally {
+      spark.conf.unset(graft.core.Barrier.ConfKey)
+      graft.core.Barrier.releaseAll(spark)
+    }
+  }
+}
