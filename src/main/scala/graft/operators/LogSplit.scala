@@ -32,26 +32,30 @@ object LogSplit extends OpModule {
 
   /** Parse once, split five ways (page/start/err/display/action analog on
     * the events fixture: view/signup/error/purchase(displays)/click).
+    * `extra` appends passthrough columns (e.g. `ts` for downstream DWS
+    * event-time windows) without changing the x1 query contract.
     */
-  def splits(events: DataFrame): Map[String, DataFrame] = {
+  def splits(events: DataFrame, extra: Seq[String] = Nil)
+      : Map[String, DataFrame] = {
+    val more = extra.map(col)
     val parsed = events
       .withColumn("parsed", from_json(col("props"), kSchema))
       .withColumn("k", col("parsed.k"))
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
     Map(
       "page" -> parsed.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("k")),
+        .select(col("event_id") +: col("user_id") +: col("k") +: more: _*),
       "start" -> parsed.filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"), col("k")),
+        .select(col("event_id") +: col("user_id") +: col("k") +: more: _*),
       "err" -> parsed.filter(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("k")),
+        .select(col("event_id") +: col("user_id") +: col("k") +: more: _*),
       // displays[] analog: k spawns (k % 3) + 1 display rows, exploded
       "display" -> parsed.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
+        .select(col("event_id") +: col("user_id") +:
           explode(sequence(lit(1L), pmod(col("k"), lit(3L)) + 1L))
-            .as("display_pos")),
+            .as("display_pos") +: more: _*),
       "action" -> parsed.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("k")))
+        .select(col("event_id") +: col("user_id") +: col("k") +: more: _*))
   }
 
   def queries: Map[String, Q] = Map(

@@ -165,6 +165,79 @@ object Jobs {
       .start()
   }
 
+  /** End-to-end streaming soak of the reference DAG — three jobs CHAINED
+    * as rate-limited multi-micro-batch streams, the whole-graph form of
+    * what the per-job streaming tests pin piecewise:
+    *
+    *   events (N-file source, 1 file/trigger)
+    *     → [DwdBaseLog] one-parse five-way split, DWD facts appended
+    *       → [DWS page-view window] day×channel pv/k_sum aggregate
+    *       → [DWS error window] day error counts
+    *     each DWS consuming the splitter's STREAMED output as its own
+    *     file stream, holding aggregate state across micro-batches
+    *     (complete mode), and upserting every trigger into a bucketed
+    *     serving store (the Doris-upsert shape, seq = micro-batch id so
+    *     replays keep the newest aggregate — idempotent final state).
+    *
+    * After the run, each store must equal the batch composition of the
+    * same transforms (SoakSpec asserts this).
+    */
+  def runSoak(spark: SparkSession, sfDir: String, workDir: String,
+      srcFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"$workDir/src"
+    val events = Tables.load(spark, sfDir, "events")
+    events.repartition(srcFiles).write.mode("overwrite").parquet(src)
+
+    // STAGE 1 — DwdBaseLog: the same one-parse splitter per micro-batch,
+    // five DWD fact streams appended (ts carried through for event time)
+    val dwd = s"$workDir/dwd"
+    val q1 = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try LogSplit.splits(b.toDF(), extra = Seq("ts")).foreach {
+          case (name, df) => df.write.mode("append").parquet(s"$dwd/$name")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$workDir/_chk_dwd")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+
+    // STAGE 2/3 — a DWS window job over one streamed DWD fact: file
+    // stream in, streaming aggregate state across triggers, bucketed
+    // upsert out. Complete mode emits the full current aggregate, so the
+    // store's final state is exactly the all-data aggregate.
+    def dws(factDir: String, chk: String, store: String)(
+        agg: DataFrame => DataFrame): Unit = {
+      val schema = spark.read.parquet(factDir).schema
+      val q = agg(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(factDir))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Sinks.upsert(spark,
+            batch.toDF().withColumn("__seq", lit(id)), "__k", "__seq", store)
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    dws(s"$dwd/page", s"$workDir/_chk_page", s"$workDir/store_page") { df =>
+      df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"),
+          pmod(col("k"), lit(3L)).as("ch"))
+        .agg(count(lit(1)).as("pv"), sum(col("k")).as("k_sum"))
+        .withColumn("__k", concat(col("cur_date"), lit("|"), col("ch")))
+    }
+    dws(s"$dwd/err", s"$workDir/_chk_err", s"$workDir/store_err") { df =>
+      df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
+        .agg(count(lit(1)).as("err_ct"))
+        .withColumn("__k", col("cur_date"))
+    }
+  }
+
   /** The DwdBaseLog job in STREAMING mode: readStream over the events
     * table, the SAME `LogSplit.splits` transform per micro-batch, five
     * outputs written from one `foreachBatch` (the Spark shape of Flink's

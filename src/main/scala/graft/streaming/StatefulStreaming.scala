@@ -166,6 +166,29 @@ object StatefulStreaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming decontamination gate — the filter an ingest pipeline runs
+    * BEFORE admitting training data: drop every incoming document whose
+    * content fingerprint (md5 of normalized text, same derivation as the
+    * batch `text_contamination` check) appears in a static benchmark set.
+    *
+    * Shape: stream–static LEFT ANTI join with the benchmark side
+    * broadcast. No state, no watermark, no shuffle of the stream — each
+    * micro-batch probes an executor-local hash table. That is the 100 TB
+    * shape by construction: ingest is unbounded but benchmarks are MBs,
+    * so the small side rides the broadcast and the stream stays narrow.
+    * (Near-dup tier at scale: swap the fp equi-key for MinHash band
+    * signatures — same join shape, the batch twin is
+    * `text_contamination_neardup`.)
+    */
+  def contaminationGate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val fps = org.apache.spark.sql.functions.broadcast(
+      benchmark.select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+        .distinct())
+    docs.withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .join(fps, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
   case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,

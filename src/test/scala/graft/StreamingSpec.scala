@@ -235,6 +235,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination gate: benchmark clones dropped, parity with batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // benchmark = a slice of the corpus, so real cross-set clones exist
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val benchmark = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .select("text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StatefulStreaming.contaminationGate(stream, benchmark)
+      .writeStream.format("memory").queryName("contam_gate")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2) // two micro-batches
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("contam_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch twin: same gate applied as a plain batch anti-join
+      val want = StatefulStreaming.contaminationGate(
+        docs.select("doc_id", "text"), benchmark)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, "streamed gate must equal the batch gate")
+      // the gate actually dropped the benchmark members (and any clones)
+      assert(got.size < rows.length, "something must be dropped")
+      assert(!got.exists(_ % 7 == 0), "no benchmark member survives the gate")
+    } finally q.stop()
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
