@@ -29,6 +29,39 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Hottest-key share of `df`'s key column, measured on a SAMPLE — one
+    * column-pruned narrow scan plus a partial-aggregated shuffle of
+    * sampled distinct keys. Never collects the histogram to the driver
+    * (only the two-number max/total reduction comes back). Deterministic
+    * seed so replays of a micro-batch make the same decision.
+    * Returns 0.0 for an empty sample.
+    */
+  def hotKeyShare(df: DataFrame, key: String,
+      sampleFraction: Double = 0.05): Double = {
+    val r = df.select(col(key).as("__k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col("__k")).count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("mx"),
+        coalesce(sum(col("count")), lit(0L)).as("tot"))
+      .head()
+    if (r.getLong(1) == 0L) 0.0 else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** Salting, auto-applied: inspect the big side's sampled key histogram
+    * and salt only when one key owns more than `hotShare` of the rows —
+    * the per-micro-batch guard a streaming foreachBatch join wants
+    * (hotness changes batch to batch; unconditional salting taxes the
+    * uniform case with `buckets`x replication of the small side).
+    * Result is row-identical on both paths (SkewSpec).
+    */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16, hotShare: Double = 0.2,
+      sampleFraction: Double = 0.05): DataFrame =
+    if (hotKeyShare(big, key, sampleFraction) >= hotShare)
+      saltedJoin(big, small, key, buckets)
+    else
+      big.join(small, big(key) === small(key))
+
   /** Two-stage aggregation for a skewed group key: partial aggregate on
     * (key, salt), then final on key. For algebraic aggregates Spark's
     * map-side partial aggregation already does this; use this form when

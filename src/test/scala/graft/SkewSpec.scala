@@ -21,6 +21,38 @@ class SkewSpec extends SparkSpec {
       plain.exceptAll(salted).count() === 0)
   }
 
+  test("auto-salting triggers on a hot key, stays plain when uniform") {
+    import spark.implicits._
+    // 50%-hot-key power law vs uniform keys, same schema
+    val hot = spark.range(20000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(pmod(col("id"), lit(100)))
+        .as("k"), col("id").as("payload"))
+    val uniform = spark.range(20000).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      (col("id") * 3).as("dim_val"))
+
+    assert(Skew.hotKeyShare(hot, "k", 0.5) > 0.4)
+    assert(Skew.hotKeyShare(uniform, "k", 0.5) < 0.05)
+
+    val auto = Skew.autoSaltedJoin(hot, dim, "k", buckets = 8)
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+      "hot input must take the salted path")
+    val plainAuto = Skew.autoSaltedJoin(uniform, dim, "k", buckets = 8)
+    assert(!plainAuto.queryExecution.analyzed.toString.contains("__salt"),
+      "uniform input must take the plain path")
+
+    // both paths result-identical to the reference join
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("payload"), col("dim_val"))
+    val refHot = canon(hot.join(dim, "k"))
+    assert(canon(auto).exceptAll(refHot).count() === 0 &&
+      refHot.exceptAll(canon(auto)).count() === 0)
+    val refUni = canon(uniform.join(dim, "k"))
+    assert(canon(plainAuto).exceptAll(refUni).count() === 0 &&
+      refUni.exceptAll(canon(plainAuto)).count() === 0)
+  }
+
   test("salted count-distinct equals direct count-distinct") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val direct = ev.groupBy(col("event_type"))
