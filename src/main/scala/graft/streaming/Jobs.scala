@@ -56,10 +56,13 @@ object Jobs {
       Map("pay_suc" -> Relational.queries("j3_interval_join")(s, dir))),
 
     // keyword tokenize → window count
-    // (ref DwsTrafficSourceKeywordPageViewWindow.java:22-90)
+    // (ref DwsTrafficSourceKeywordPageViewWindow.java:22-90). The
+    // script-aware tokenizer is the IK-Chinese-analyzer tier: gmall
+    // keywords are Chinese, and on pure-ASCII text it emits exactly the
+    // latin path's tokens, so this is strictly more reference-shaped.
     "dws_traffic_source_keyword_page_view_window" -> ((s, dir) => {
       val keywords = Tables.load(s, dir, "documents")
-        .select(explode(Text.tokenize(col("text"))).as("keyword"))
+        .select(explode(Text.tokenizeCjk(col("text"))).as("keyword"))
         .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
       Map("keyword_counts" -> keywords,
         "windowed_views" -> Windows.queries("a1_tumble_count")(s, dir))

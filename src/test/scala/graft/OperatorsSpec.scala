@@ -36,6 +36,16 @@ class OperatorsSpec extends SparkSpec {
     kw.sliding(2).foreach(bg => assert(got.contains(bg), s"missing bigram $bg"))
   }
 
+  test("tokenizeCjk reduces to tokenize on pure-ASCII text") {
+    // guards the flagship keyword job's switch to the script-aware tier
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val a = docs.select(explode(
+      graft.functions.Text.tokenize(col("text"))).as("t"))
+    val b = docs.select(explode(
+      graft.functions.Text.tokenizeCjk(col("text"))).as("t"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("mm: synthesized payload is a real PNG and ImageIO decodes its dims") {
     import graft.operators.Multimodal
     val png = Multimodal.synthPng(42L, Array.fill(100)(1.toByte))
