@@ -95,11 +95,12 @@ object Multimodal extends OpModule {
         }
         .toDF("doc_id", "width", "height", "channels")
     }),
-    // resize stage: aspect-preserving fit of the DECODED dims into 224x224
-    // (integer math, so the oracle reproduces it exactly). Runs the real
-    // codec round-trip in the same narrow mapPartitions stage — a real
-    // pixel resample would slot in right after decodeImage with the batch
-    // shape, schema, and no-shuffle plan unchanged.
+    // resize stage: decode → REAL pixel resample (Graphics2D bilinear
+    // draw into the aspect-preserving fit-to-224 target) → re-decode the
+    // resampled PNG and report ITS dims. The oracle re-derives the target
+    // dims with integer math from the row alone, so the gate passes only
+    // if decode, resample, re-encode, and re-decode all really happened
+    // and preserved the geometry. One narrow mapPartitions stage.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -108,13 +109,32 @@ object Multimodal extends OpModule {
         .as[MmRow]
         .mapPartitions { it =>
           it.map { r =>
-            val (w, h, _) = decodeImage(synthPng(r.doc_id, r.payload))
+            val png = synthPng(r.doc_id, r.payload)
+            val (w, h, _) = decodeImage(png)
             val m = math.max(w, h)
-            (r.doc_id, w, h, w * 224 / m, h * 224 / m)
+            val resized = resizePng(png, w * 224 / m, h * 224 / m)
+            val (ow, oh, _) = decodeImage(resized)
+            (r.doc_id, w, h, ow, oh)
           }
         }
         .toDF("doc_id", "width", "height", "out_w", "out_h")
     }))
+
+  /** Real resample: decode → bilinear Graphics2D draw into (outW, outH) →
+    * PNG re-encode. JDK-only, per-row pure, no shuffle.
+    */
+  def resizePng(png: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(png))
+    val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, outW, outH, null)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
 
   def oracles: Map[String, String] = Map(
     "mm_binary_features" ->

@@ -55,6 +55,9 @@ class OperatorsSpec extends SparkSpec {
     assert(w === 1 + 100 % 31)
     assert(h === 1 + (42 % 17))
     assert(c === 3)
+    // real resample: output PNG decodes to exactly the requested geometry
+    val (rw, rh, rc) = Multimodal.decodeImage(Multimodal.resizePng(png, 224, 77))
+    assert((rw, rh, rc) === ((224, 77, 3)))
   }
 
   test("X1 conservation: splits partition the filtered stream") {
