@@ -24,6 +24,13 @@ case class MmRow(doc_id: Long, payload: Array[Byte])
 
 object Multimodal extends OpModule {
 
+  // ImageIO defaults to a DISK-backed stream cache: one temp file created
+  // and deleted per encode/decode. At thousands of tiny images per
+  // executor that is pure filesystem churn (measured: per-row cost DRIFTS
+  // upward run over run as the temp dir fills). Byte-array streams fit in
+  // memory by construction here — cache in heap.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic PNG fixture: a real `BufferedImage` rendered from the
     * row (dims + pixel fill are pure functions of doc_id and the payload
     * bytes) and encoded through the JDK PNG writer. Stands in for the image
