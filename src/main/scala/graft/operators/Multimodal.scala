@@ -125,7 +125,54 @@ object Multimodal extends OpModule {
           }
         }
         .toDF("doc_id", "width", "height", "out_w", "out_h")
+    }),
+    // audio modality, same contract as decode: a real WAV round-trips
+    // through the JDK codec and the reported frame count / rate / channel
+    // / duration columns come from the DECODED header, while the oracle
+    // re-derives them from the row alone
+    "mm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"), col("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.map { r =>
+            val (rate, frames, ch) = decodeWav(synthWav(r.doc_id, r.payload))
+            (r.doc_id, rate, frames, ch, frames * 1000L / rate)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_frames", "channels", "duration_ms")
     }))
+
+  /** Deterministic WAV fixture: real 8 kHz mono 8-bit PCM rendered from
+    * the row (frame count + samples are pure functions of doc_id and the
+    * payload bytes), written through the JDK WAVE encoder — the audio
+    * sibling of [[synthPng]].
+    */
+  def synthWav(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val n = 500 + textBytes.length % 1000
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = ((docId + i * 7) % 256 - 128).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (JDK `AudioSystem`): WAV bytes in →
+    * (sampleRate, frameLength, channels) out.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Long, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    (f.getSampleRate.toInt, ais.getFrameLength, f.getChannels)
+  }
 
   /** Real resample: decode → bilinear Graphics2D draw into (outW, outH) →
     * PNG re-encode. JDK-only, per-row pure, no shuffle.
@@ -163,6 +210,13 @@ object Multimodal extends OpModule {
         |  CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
         |  CAST(1 + doc_id % 17 AS INT) AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+    "mm_audio_features" ->
+      """SELECT doc_id, 8000 AS sample_rate,
+        |  CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n_frames,
+        |  1 AS channels,
+        |  CAST((500 + octet_length(encode(text)) % 1000) * 1000 // 8000
+        |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, width, height,

@@ -60,6 +60,17 @@ class OperatorsSpec extends SparkSpec {
     assert((rw, rh, rc) === ((224, 77, 3)))
   }
 
+  test("mm: synthesized audio is a real WAV and AudioSystem decodes it") {
+    import graft.operators.Multimodal
+    val wav = Multimodal.synthWav(7L, Array.fill(123)(1.toByte))
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF", "RIFF magic")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, frames, ch) = Multimodal.decodeWav(wav)
+    assert(rate === 8000)
+    assert(frames === 500 + 123 % 1000)
+    assert(ch === 1)
+  }
+
   test("X1 conservation: splits partition the filtered stream") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val sp = graft.operators.LogSplit.splits(ev)
