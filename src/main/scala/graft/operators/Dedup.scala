@@ -53,28 +53,6 @@ object Dedup extends OpModule {
       //     core.Barrier picks localCheckpoint locally and
       //     persist(DISK_ONLY) on clusters (lineage kept for fault
       //     recovery); long sessions release via Barrier.releaseAll.
-      val toksDf = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks"))
-        .barrier()
-      val docs = toksDf.select(col("doc_id"),
-        array_distinct(col("rtoks")).as("toks"),
-        Text.wordShingles(col("rtoks"), 3).as("sh"))
-        .barrier()
-      val mh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), md5(col("shingle")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(
-          min(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("mh0"),
-          min(conv(substring(col("h"), 6, 5), 16, 10).cast("long")).as("mh1"),
-          min(conv(substring(col("h"), 11, 5), 16, 10).cast("long")).as("mh2"),
-          min(conv(substring(col("h"), 16, 5), 16, 10).cast("long")).as("mh3"),
-          min(conv(substring(col("h"), 21, 5), 16, 10).cast("long")).as("mh4"),
-          min(conv(substring(col("h"), 26, 5), 16, 10).cast("long")).as("mh5"))
-      def bandSig(i: Int, j: Int) = md5(concat(
-        col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
-      val sigs = mh.join(docs.select(col("doc_id"), col("toks")), "doc_id")
-        .select(col("doc_id"), col("toks"),
-          array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
       // repartition ON THE BUCKET KEY before the barrier: the verify
       // self-join below is the expensive stage, and its parallelism must
       // not be inherited from the signature aggregate's shuffle — AQE
@@ -83,9 +61,7 @@ object Dedup extends OpModule {
       // also the 100 TB shape: both join sides arrive co-partitioned by
       // (band, sig), so the join itself needs no further exchange.
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val banded = sigs.select(col("doc_id"), col("toks"),
-        posexplode(col("sigs"))).withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "sig")
+      val banded = bandedSigs(t(s, dir, "documents"), _.barrier())
         .repartition(nPart, col("band"), col("sig"))
         .barrier() // both self-join sides read this once
       val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
@@ -176,6 +152,44 @@ object Dedup extends OpModule {
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
     }))
+
+  /** Banded MinHash signatures of `docs(doc_id, text, ...)`:
+    * (doc_id, toks, band, sig) — 3 bands × r=2 of the six 20-bit BIGINT
+    * min-slices of ONE md5 per 3-word shingle (see dedup_minhash_lsh's
+    * comments for why slices/HashAggregate/attribute-first all matter).
+    *
+    * `reuse` is the materialization hook: dedup's self-join DAG reads the
+    * intermediates three times and passes `_.barrier()`; single-read
+    * callers (the streaming decontamination gate computes signatures
+    * per micro-batch and joins them once) keep the default identity —
+    * barriers are illegal mid-stream and pointless for one read.
+    */
+  def bandedSigs(docs: org.apache.spark.sql.DataFrame,
+      reuse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): org.apache.spark.sql.DataFrame = {
+    val toksDf = reuse(docs
+      .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks")))
+    val d = reuse(toksDf.select(col("doc_id"),
+      array_distinct(col("rtoks")).as("toks"),
+      Text.wordShingles(col("rtoks"), 3).as("sh")))
+    val mh = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("mh0"),
+        min(conv(substring(col("h"), 6, 5), 16, 10).cast("long")).as("mh1"),
+        min(conv(substring(col("h"), 11, 5), 16, 10).cast("long")).as("mh2"),
+        min(conv(substring(col("h"), 16, 5), 16, 10).cast("long")).as("mh3"),
+        min(conv(substring(col("h"), 21, 5), 16, 10).cast("long")).as("mh4"),
+        min(conv(substring(col("h"), 26, 5), 16, 10).cast("long")).as("mh5"))
+    def bandSig(i: Int, j: Int) = md5(concat(
+      col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
+    mh.join(d.select(col("doc_id"), col("toks")), "doc_id")
+      .select(col("doc_id"), col("toks"),
+        array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
+      .select(col("doc_id"), col("toks"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+  }
 
   // DuckDB mirror of tokenizeDistinct
   private val oraToks =

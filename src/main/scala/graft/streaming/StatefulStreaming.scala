@@ -189,6 +189,31 @@ object StatefulStreaming {
       .drop("fp")
   }
 
+  /** Near-dup tier of the decontamination gate, for `foreachBatch`: drop
+    * batch documents that share a MinHash band signature with a benchmark
+    * document AND verify at word-set Jaccard >= 0.6 — the same candidate
+    * generation + verify as `dedup_minhash_lsh` /
+    * `text_contamination_neardup`, so paraphrased/reformatted benchmark
+    * text is caught, not just exact clones.
+    *
+    * `benchSigs` = `Dedup.bandedSigs(benchmark)` computed ONCE at job
+    * start; benchmarks are MBs, so the signature+token relation rides a
+    * broadcast and each micro-batch's only work is its own single-pass
+    * signature derivation plus an executor-local hash join.
+    */
+  def nearDupGateBatch(batch: DataFrame, benchSigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val contaminated = graft.operators.Dedup.bandedSigs(batch)
+      .join(broadcast(benchSigs.select(col("band").as("b_band"),
+          col("sig").as("b_sig"), col("toks").as("b_toks"))),
+        col("band") === col("b_band") && col("sig") === col("b_sig"))
+      .filter(
+        size(array_intersect(col("toks"), col("b_toks"))).cast("double") /
+        size(array_union(col("toks"), col("b_toks"))).cast("double") >= 0.6)
+      .select(col("doc_id")).distinct()
+    batch.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
   case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,

@@ -266,6 +266,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    // benchmark: one real doc; the stream carries an exact clone under a
+    // new id, a PARAPHRASE (token appended — near-dup, not exact), and
+    // the rest of the corpus
+    val benchText = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .head.getString(1)
+    val benchmark = Seq((0L, benchText)).toDF("doc_id", "text")
+    val benchSigs = graft.operators.Dedup.bandedSigs(benchmark)
+      .cache() // computed once at job start, reused every micro-batch
+    val paraphrase = benchText + " zzzz"
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((100001L, benchText), (100002L, paraphrase))
+
+    val out = java.nio.file.Files.createTempDirectory("ndgate").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StatefulStreaming.nearDupGateBatch(b.toDF(), benchSigs)
+            .write.mode("append").parquet(out)
+          ()
+      }.start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!got.contains(100001L), "exact benchmark clone must be dropped")
+      assert(!got.contains(100002L), "PARAPHRASED benchmark text must be dropped")
+      assert(!got.contains(0L), "the benchmark doc itself is contaminated")
+      // parity: streamed union of per-batch gates == one batch gate
+      val want = StatefulStreaming.nearDupGateBatch(
+        rows.toSeq.toDF("doc_id", "text"), benchSigs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+    } finally {
+      q.stop()
+      benchSigs.unpersist()
+    }
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
