@@ -70,6 +70,26 @@ object TextAnalysis extends OpModule {
           sum(Text.wsTokenCount(col("text")).cast("long")).as("total_ws_tokens"),
           sum(Text.bpeishTokenCount(col("text")).cast("long")).as("total_bpe_tokens"))
     }),
+    // PII scrub — the redaction pass every training corpus runs before
+    // the tokenizer: emails then phone-like sequences replaced by typed
+    // sentinels, with per-doc redaction counts for auditability. One
+    // narrow codegen'd pass (regexp_replace/extract_all), no shuffle.
+    // The sf tables carry no PII, so planted fixture rows (negative ids,
+    // mirrored in the oracle) exercise both pattern families under the
+    // gate; scrubbed text is fingerprinted, not emitted — the audit
+    // record needs proof-of-scrub, not a second copy of the corpus.
+    "text_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(piiFixture.toDF("doc_id", "text"))
+      val deEmailed = regexp_replace(col("text"), EmailPat, "<EMAIL>")
+      docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(deEmailed, lit(PhonePat), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(deEmailed, PhonePat, "<PHONE>")).as("scrubbed_fp"))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -156,6 +176,21 @@ object TextAnalysis extends OpModule {
     (-3L, "我"),
     (-4L, "搜索关键词分析"))
 
+  /** PII patterns — literal-char classes only, identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB): no lookarounds, no escapes that
+    * differ between engines.
+    */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  /** Planted PII rows (negative ids, mirrored in the oracle): the sf
+    * corpus is PII-free, these make the scrub observable under the gate.
+    */
+  private val piiFixture = Seq(
+    (-11L, "contact bob.smith@example.com or +1 (555) 123-4567 now"),
+    (-12L, "two mails a@b.io c@d.org and 555-867-5309 plus 555 123 9999"),
+    (-13L, "no pii in this row at all"))
+
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
     */
@@ -238,6 +273,25 @@ object TextAnalysis extends OpModule {
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
         |    AS total_bpe_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_pii_scrub" -> {
+      val values = piiFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      val oraEmail = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+      val oraPhone = """\+?[0-9][0-9 ()-]{7,}[0-9]"""
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |s1 AS (SELECT doc_id, text,
+         |         regexp_replace(text, '$oraEmail', '<EMAIL>', 'g') AS de
+         |       FROM docs)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$oraEmail')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(de, '$oraPhone')) AS INT) AS n_phones,
+         |  md5(regexp_replace(de, '$oraPhone', '<PHONE>', 'g')) AS scrubbed_fp
+         |FROM s1""".stripMargin
+    },
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

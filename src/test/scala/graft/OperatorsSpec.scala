@@ -46,6 +46,15 @@ class OperatorsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("PII scrub: planted emails/phones redacted with correct counts") {
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
+      .filter(col("doc_id") < 0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(-11L) === ((1, 1)), "one email + one phone")
+    assert(rows(-12L) === ((2, 2)), "two emails + two phones")
+    assert(rows(-13L) === ((0, 0)), "clean row untouched")
+  }
+
   test("mm: synthesized payload is a real PNG and ImageIO decodes its dims") {
     import graft.operators.Multimodal
     val png = Multimodal.synthPng(42L, Array.fill(100)(1.toByte))
