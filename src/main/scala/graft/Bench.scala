@@ -23,15 +23,24 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
     "sim_lsh_ann", "sim_ivf_ann", "mm_decode_features", "p7_map_projection")
 
-  /** Per-query seconds from the committed `bench_out.json`, if present —
-    * the reference for the contention guard. (Round 4 lesson: one noisy
-    * driver run recorded a fake 1.8x regression; a committed record plus a
-    * retry guard lets the harness defend itself.)
+  /** Per-query seconds from the GIT-COMMITTED `bench_out.json` — the
+    * reference for the contention guard. (Round 4 lesson: one noisy
+    * driver run recorded a fake 1.8x regression; a committed record plus
+    * a retry guard lets the harness defend itself.) Read via
+    * `git show HEAD:` — the working file is overwritten by every run, so
+    * reading it instead would let the baseline silently drift to whatever
+    * the last (possibly contended) run produced. Falls back to the file
+    * only when git is unavailable.
     */
   private def committedRecord(): Map[String, Double] = {
-    val p = java.nio.file.Paths.get("bench_out.json")
-    if (!java.nio.file.Files.exists(p)) return Map.empty
-    val s = java.nio.file.Files.readString(p)
+    val s =
+      try scala.sys.process.Process(
+        Seq("git", "show", "HEAD:bench_out.json")).!!
+      catch { case _: Throwable =>
+        val p = java.nio.file.Paths.get("bench_out.json")
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+        else ""
+      }
     val start = s.indexOf("\"queries\":{")
     if (start < 0) return Map.empty
     val body = s.substring(start + 11, s.indexOf('}', start))
@@ -66,7 +75,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           if (!failed.contains(name)) failed ::= name
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // release AFTER the timer, after EVERY run: barrier blocks must
+        // not accumulate across runs or queries (SCALING.md measured a 2x
+        // inflation at 16x from exactly that), and release cost is not
+        // part of the query
+        graft.core.Barrier.releaseAll(spark)
+        t
       }
       var times = Seq.fill(3)(once())
       val guard = committed.get(name).filter(_ > 0)
@@ -76,9 +91,6 @@ object Bench {
         times :+= once()
       }
       raw(name) = times
-      // barrier blocks must not accumulate across the in-sequence run
-      // (SCALING.md measured a 2x inflation at 16x from exactly that)
-      graft.core.Barrier.releaseAll(spark)
       // a failed query must not shrink the total into a fake improvement
       name -> (if (failed.contains(name)) -1.0 else median(times))
     }

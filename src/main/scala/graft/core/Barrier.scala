@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   *  - `localCheckpoint` (default, right for local[n]): truncates lineage
   *    into the block manager. Fastest single-JVM barrier, but an executor
   *    loss on a real cluster kills the job (no lineage to recompute), and
-  *    blocks live until the session drops them.
+  *    blocks live until released.
   *  - `persist`: `persist(DISK_ONLY)` + eager materialization. Keeps
   *    lineage (executor loss recomputes only lost blocks), never competes
   *    with execution memory, and releases deterministically via
@@ -23,10 +23,21 @@ import org.apache.spark.storage.StorageLevel
   * Long-lived sessions that run many queries back-to-back (Bench, Scaling,
   * a notebook) must call [[releaseAll]] between queries; per-query driver
   * runs (Verify) get release for free when the session stops.
+  *
+  * [[releaseAll]] is BARRIER-SCOPED: every `apply` records exactly the
+  * blocks it created (the persisted Dataset, or the RDD ids the local
+  * checkpoint parked), and release drops only those. Caller-owned caches
+  * (a benchmark signature table `cache()`d for a whole streaming job, a
+  * notebook's persisted working set) are never touched — session-wide
+  * `clearCache` would silently evict them, and a caller-held
+  * localCheckpoint has no lineage to recompute from at all.
   */
 object Barrier {
 
   val ConfKey = "spark.graft.reuseBarrier"
+
+  private val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val ckptRddIds = scala.collection.mutable.Set.empty[Int]
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
@@ -35,8 +46,15 @@ object Barrier {
         // materialize now: downstream readers hit the store instead of
         // racing to populate it, mirroring localCheckpoint's eagerness
         p.queryExecution.toRdd.count()
+        synchronized { persisted += p }
         p
-      case _ => df.localCheckpoint()
+      case _ =>
+        val sc = df.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        val created = sc.getPersistentRDDs.keySet.diff(before)
+        synchronized { ckptRddIds ++= created }
+        out
     }
 
   /** `df.barrier()` chain syntax at call sites. */
@@ -44,13 +62,17 @@ object Barrier {
     def barrier(): DataFrame = Barrier(df)
   }
 
-  /** Drop every barrier block of the session — cached plans and persistent
-    * RDDs (localCheckpoint parks its blocks as persistent RDDs, so both
-    * modes release through the same call).
+  /** Drop every block a [[apply]] call created in this JVM — and nothing
+    * else (see class doc). Safe to call repeatedly.
     */
-  def releaseAll(s: SparkSession): Unit = {
-    s.sharedState.cacheManager.clearCache()
-    s.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+  def releaseAll(s: SparkSession): Unit = synchronized {
+    persisted.foreach { p =>
+      try { p.unpersist(blocking = false); () } catch { case _: Throwable => }
+    }
+    persisted.clear()
+    val registry = s.sparkContext.getPersistentRDDs
+    ckptRddIds.foreach(id =>
+      registry.get(id).foreach(_.unpersist(blocking = false)))
+    ckptRddIds.clear()
   }
 }

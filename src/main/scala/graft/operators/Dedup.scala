@@ -158,11 +158,11 @@ object Dedup extends OpModule {
     * min-slices of ONE md5 per 3-word shingle (see dedup_minhash_lsh's
     * comments for why slices/HashAggregate/attribute-first all matter).
     *
-    * `reuse` is the materialization hook: dedup's self-join DAG reads the
-    * intermediates three times and passes `_.barrier()`; single-read
-    * callers (the streaming decontamination gate computes signatures
-    * per micro-batch and joins them once) keep the default identity —
-    * barriers are illegal mid-stream and pointless for one read.
+    * `reuse` is the materialization hook: callers whose DAG reads the
+    * intermediates more than once pass `_.barrier()` (dedup's self-join;
+    * the per-micro-batch decontamination gate, which runs on a batch
+    * DataFrame inside foreachBatch where barriers are legal); truly
+    * single-read callers keep the default identity.
     */
   def bandedSigs(docs: org.apache.spark.sql.DataFrame,
       reuse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =

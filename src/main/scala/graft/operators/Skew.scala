@@ -53,6 +53,13 @@ object Skew {
     * (hotness changes batch to batch; unconditional salting taxes the
     * uniform case with `buckets`x replication of the small side).
     * Result is row-identical on both paths (SkewSpec).
+    *
+    * The detection sample is a SEPARATE action: on an unmaterialized
+    * `big` it re-evaluates the upstream lineage once before the join
+    * does. Callers probing a derived relation (a foreachBatch transform
+    * chain, a multi-join intermediate) should persist/barrier `big`
+    * first; on a materialized source (table scan, persisted batch) the
+    * probe is one cheap column-pruned pass.
     */
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16, hotShare: Double = 0.2,

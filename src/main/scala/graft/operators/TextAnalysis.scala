@@ -176,20 +176,29 @@ object TextAnalysis extends OpModule {
     (-3L, "我"),
     (-4L, "搜索关键词分析"))
 
-  /** PII patterns — literal-char classes only, identical semantics in
-    * Java regex (Spark) and RE2 (DuckDB): no lookarounds, no escapes that
-    * differ between engines.
+  /** PII patterns — literal-char classes + the (?i) flag only, identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+    * escapes that differ between engines. The phone pattern demands the
+    * structured 3-3-4 shape with separators (optional +country and
+    * parens) rather than "any long digit run" — a bare `[0-9 ]{9,}` class
+    * would redact dates, ID lists, and quantity tables wholesale (fixture
+    * row -15 pins that it does not).
     */
-  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhonePat = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  private val EmailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat =
+    "(?:\\+[0-9]{1,3}[ ])?\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}"
 
   /** Planted PII rows (negative ids, mirrored in the oracle): the sf
-    * corpus is PII-free, these make the scrub observable under the gate.
+    * corpus is PII-free, these make the scrub observable under the gate —
+    * including the adversarial cases (mixed-case email, digit runs that
+    * must NOT be treated as phones).
     */
   private val piiFixture = Seq(
     (-11L, "contact bob.smith@example.com or +1 (555) 123-4567 now"),
     (-12L, "two mails a@b.io c@d.org and 555-867-5309 plus 555 123 9999"),
-    (-13L, "no pii in this row at all"))
+    (-13L, "no pii in this row at all"),
+    (-14L, "Reach John.Doe@Example.COM today"),
+    (-15L, "revenue 2020 2021 2022 totals 123456789 and 12 34 56 78 90"))
 
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
@@ -276,8 +285,9 @@ object TextAnalysis extends OpModule {
     "text_pii_scrub" -> {
       val values = piiFixture
         .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
-      val oraEmail = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
-      val oraPhone = """\+?[0-9][0-9 ()-]{7,}[0-9]"""
+      val oraEmail = """(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+      val oraPhone =
+        """(?:\+[0-9]{1,3}[ ])?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"""
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL

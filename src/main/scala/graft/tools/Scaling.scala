@@ -127,12 +127,13 @@ object Scaling {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // release after the timer, every run: the in-sequence reading
+          // must measure the query, not accumulated barrier storage
+          graft.core.Barrier.releaseAll(spark)
+          t
         }
         println(f"[scale] k=$k%-3d $q%-26s ${times.min}%7.3fs")
-        // release barrier blocks so the in-sequence reading measures the
-        // query, not accumulated storage pressure from earlier queries
-        graft.core.Barrier.releaseAll(spark)
       }
     }
     spark.stop()

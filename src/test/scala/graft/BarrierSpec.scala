@@ -20,13 +20,23 @@ class BarrierSpec extends SparkSpec {
     } finally spark.conf.unset(graft.core.Barrier.ConfKey)
   }
 
-  test("releaseAll drops every barrier block from the session") {
+  test("releaseAll drops barrier blocks but never caller-owned caches") {
+    graft.core.Barrier.releaseAll(spark) // start from a tracked-clean slate
+    // a cache the CALLER owns — e.g. a benchmark signature table held for
+    // a whole streaming job — must survive barrier release
+    val mine = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").cache()
+    mine.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     runMinhash() // parks localCheckpoint blocks as persistent RDDs
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert(spark.sparkContext.getPersistentRDDs.size > before.size,
       "the barrier should have persisted something")
     graft.core.Barrier.releaseAll(spark)
     // unpersist is async (blocking=false); the registry drop is immediate
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "exactly the barrier blocks must be gone")
+    assert(mine.storageLevel.useMemory, "caller cache must survive")
+    mine.unpersist()
   }
 
   test("persist mode keeps lineage (logical plan is not an RDD scan)") {

@@ -53,6 +53,9 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(-11L) === ((1, 1)), "one email + one phone")
     assert(rows(-12L) === ((2, 2)), "two emails + two phones")
     assert(rows(-13L) === ((0, 0)), "clean row untouched")
+    assert(rows(-14L) === ((1, 0)), "mixed-case email caught by (?i)")
+    assert(rows(-15L) === ((0, 0)),
+      "digit runs / dates / ID lists must NOT be redacted as phones")
   }
 
   test("mm: synthesized payload is a real PNG and ImageIO decodes its dims") {

@@ -242,9 +242,12 @@ class StreamingSpec extends SparkSpec {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val benchmark = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
       .select("text")
+    // fingerprints computed once + cached — the static side must not pay
+    // its scan/distinct per trigger
+    val fps = StatefulStreaming.benchmarkFps(benchmark).cache()
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
-    val q = StatefulStreaming.contaminationGate(stream, benchmark)
+    val q = StatefulStreaming.contaminationGateFps(stream, fps)
       .writeStream.format("memory").queryName("contam_gate")
       .outputMode("append").start()
     try {
@@ -263,7 +266,7 @@ class StreamingSpec extends SparkSpec {
       // the gate actually dropped the benchmark members (and any clones)
       assert(got.size < rows.length, "something must be dropped")
       assert(!got.exists(_ % 7 == 0), "no benchmark member survives the gate")
-    } finally q.stop()
+    } finally { q.stop(); fps.unpersist(); () }
   }
 
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
@@ -290,6 +293,9 @@ class StreamingSpec extends SparkSpec {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           StatefulStreaming.nearDupGateBatch(b.toDF(), benchSigs)
             .write.mode("append").parquet(out)
+          // the gate's per-batch barrier blocks are released after the
+          // write — the long-running-ingest lifecycle
+          graft.core.Barrier.releaseAll(b.sparkSession)
           ()
       }.start()
     try {
