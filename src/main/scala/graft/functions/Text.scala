@@ -27,7 +27,8 @@ object Text {
     * char class — written with literal chars so the identical pattern runs in
     * both Java regex (Spark) and RE2 (DuckDB oracle).
     */
-  private val HanClass = "[一-鿿]"
+  private val HanRange = "一-鿿"
+  private val HanClass = s"[$HanRange]"
 
   /** Script-aware tokenizer — the CJK-capable tier of the reference's IK
     * Chinese analyzer (ref: realtime-dws/.../function/KwSplit.java:17-25,
@@ -115,13 +116,17 @@ object Text {
       (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
         .cast("double") / length(c).cast("double"))
 
-  /** N-gram-heuristic language ID: en if any English stopword appears,
-    * digits-only → "num", else "other". Deterministic and SQL-expressible
-    * so the DuckDB oracle can replicate it bit-for-bit.
+  /** N-gram-heuristic language ID: zh when ≥30% of characters are han
+    * codepoints (integer math so both engines agree exactly), en if any
+    * English stopword appears, digits-only → "num", else "other".
+    * Deterministic and SQL-expressible so the DuckDB oracle can replicate
+    * it bit-for-bit.
     */
   def langId(c: Column): Column = {
     val toks = tokenize(c)
-    when(size(filter(toks, t => t.isin(stopwords.map(lit): _*))) > 0, lit("en"))
+    val hanChars = length(regexp_replace(c, s"[^$HanRange]", ""))
+    when(length(c) > 0 && hanChars * 10 >= length(c) * 3, lit("zh"))
+      .when(size(filter(toks, t => t.isin(stopwords.map(lit): _*))) > 0, lit("en"))
       .when(c.rlike("^[0-9\\s\\p{Punct}]*$"), lit("num"))
       .otherwise(lit("other"))
   }

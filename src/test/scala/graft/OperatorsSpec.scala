@@ -46,6 +46,16 @@ class OperatorsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("langid: zh tier fires on han-majority text, never on ASCII") {
+    val preds = SparkEntry.queries("text_langid")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(-1L) === "zh", "mixed han-majority row")
+    assert(preds(-3L) === "zh", "single han char")
+    assert(preds(-4L) === "zh", "pure han keyword")
+    assert(preds.filter(_._1 >= 0).values.forall(_ != "zh"),
+      "ASCII corpus rows must never predict zh")
+  }
+
   test("PII scrub: planted emails/phones redacted with correct counts") {
     val rows = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
       .filter(col("doc_id") < 0)
