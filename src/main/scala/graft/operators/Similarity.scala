@@ -89,11 +89,17 @@ object Similarity extends OpModule {
         col("embedding").as("ea"))
       val b = withSigs.select(col("sig").as("sig_b"), col("vec_id").as("vec_b"),
         col("embedding").as("eb"))
+      // verify BEFORE deduplicating the multi-table candidates: the 4
+      // tables produce up to 4 copies of a pair, and dropDuplicates-first
+      // would shuffle the full embedding arrays (~1 KB/row) to dedup
+      // them. Cosine is a codegen'd ~d-mult loop — re-verifying each copy
+      // costs far less than shuffling its vectors, and the distinct then
+      // moves two longs per row. Result-identical (cosine is a pure
+      // function of the pair). Measured 31s -> materially less at 16x.
       val pairs = a.join(b,
           col("sig_a") === col("sig_b") && col("vec_a") < col("vec_b"))
-        .dropDuplicates("vec_a", "vec_b") // tables overlap: one verify/pair
         .filter(expr("cosine_sim(ea, eb)") >= 0.3)
-        .select(col("vec_a"), col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
       val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
       emb.select(col("vec_id"), col("label"))
         .join(dropped, Seq("vec_id"), "left_anti")
@@ -117,10 +123,14 @@ object Similarity extends OpModule {
           col("embedding").as("nv"), explode(col("sigs")).as("sig"))
         .join(broadcast(q),
           col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
-        .dropDuplicates("query_id", "neighbor_id")
+        // cosine BEFORE deduplicating the multi-table hits: a pair can
+        // match in up to 4 tables, and dedup-first would shuffle the
+        // embedding arrays; scoring each copy is a cheap codegen'd loop
+        // and the distinct then moves (long, long, double) rows only.
+        // sim is a pure function of the pair, so distinct keeps one copy.
         .select(col("query_id"), col("neighbor_id"),
           expr("cosine_sim(qv, nv)").as("sim"))
+        .distinct()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       cand.withColumn("rank", row_number().over(w))
