@@ -53,29 +53,44 @@ object Dedup extends OpModule {
       //     core.Barrier picks localCheckpoint locally and
       //     persist(DISK_ONLY) on clusters (lineage kept for fault
       //     recovery); long sessions release via Barrier.releaseAll.
-      // repartition ON THE BUCKET KEY before the barrier: the verify
+      // repartition ON THE BUCKET KEY before the barrier: the candidate
       // self-join below is the expensive stage, and its parallelism must
       // not be inherited from the signature aggregate's shuffle — AQE
       // coalesces that tiny relation down to one partition and the
       // bucket join would run on a single core (measured 3.5×). This is
       // also the 100 TB shape: both join sides arrive co-partitioned by
       // (band, sig), so the join itself needs no further exchange.
+      //
+      // The band join is THIN: (doc_id, band, sig) only. Token arrays
+      // must not ride the banded shuffle — 3 bands/doc would move the
+      // token volume 3× just to have it on hand for verify. Candidates
+      // (docs actually sharing a bucket — tiny by construction) re-join
+      // the token table by doc_id instead, so tokens move once per
+      // verify side.
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val banded = bandedSigs(t(s, dir, "documents"), _.barrier())
+      val sigsAll = bandedSigs(t(s, dir, "documents"), _.barrier())
+        .barrier() // read by the band join AND (toks) by the verify joins
+      val banded = sigsAll.select(col("doc_id"), col("band"), col("sig"))
         .repartition(nPart, col("band"), col("sig"))
-        .barrier() // both self-join sides read this once
-      val a = banded.select(col("band").as("band_a"), col("sig").as("sig_a"),
-        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val b = banded.select(col("band").as("band_b"), col("sig").as("sig_b"),
-        col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
+      val cand = banded.select(col("band").as("band_a"),
+          col("sig").as("sig_a"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band").as("band_b"),
+            col("sig").as("sig_b"), col("doc_id").as("doc_b")),
+          col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val toks = sigsAll.filter(col("band") === 0)
+        .select(col("doc_id"), col("toks"))
+      cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+          "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+          "doc_b")
+        .filter(
           (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
            size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-            .as("jac"))
-        .filter(col("jac") >= 0.6)
-        .select(col("doc_a"), col("doc_b")).distinct()
+            >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
     }),
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
