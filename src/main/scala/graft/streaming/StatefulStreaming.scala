@@ -234,6 +234,74 @@ object StatefulStreaming {
     b.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming NEAR-DUP ingest dedup, for `foreachBatch` — the self-dedup
+    * sibling of [[nearDupGateBatch]] (which gates against a fixed
+    * benchmark): admit only documents that do not near-dup-match anything
+    * ALREADY ADMITTED, across micro-batches, at MinHash+Jaccard fidelity.
+    *
+    * Per batch: derive band signatures once (barriered), drop docs that
+    * match the signature STORE (everything admitted so far), keep-first
+    * within the batch (lower doc_id wins, same canonicalization as
+    * `dedup_keep_canonical`), then append the admitted docs' signatures
+    * to the store. The store is laid out bucketed by hash(sig) so the
+    * per-batch join prunes to touched buckets and, at 100 TB, both sides
+    * arrive co-partitioned by the signature — the same layout contract as
+    * `Sinks.upsert`. Exact-fp tier with bounded state: [[dedupIngest]];
+    * this tier's state is the admitted signature set, which is the
+    * irreducible cost of exact-horizon near-dup ingest.
+    *
+    * Returns the admitted subset of `batch`. Callers release barrier
+    * blocks after writing (`Barrier.releaseAll`).
+    */
+  def nearDupIngestBatch(batch: DataFrame, storeDir: String,
+      buckets: Int = 16): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    val sigs = graft.operators.Dedup.bandedSigs(batch, _.barrier()).barrier()
+    val store = new java.io.File(storeDir)
+    val seen =
+      if (store.exists() && store.list().nonEmpty)
+        Some(spark.read.parquet(storeDir))
+      else None
+    // vs-store matches: same (band, sig) bucket + Jaccard verify
+    val vsStore = seen.map { sn =>
+      sigs.join(sn.select(col("band").as("s_band"), col("sig").as("s_sig"),
+          col("toks").as("s_toks")),
+        col("band") === col("s_band") && col("sig") === col("s_sig"))
+        .filter(
+          size(array_intersect(col("toks"), col("s_toks"))).cast("double") /
+          size(array_union(col("toks"), col("s_toks"))).cast("double") >= 0.6)
+        .select(col("doc_id"))
+    }
+    // in-batch keep-first: later (higher-id) member of a verified pair drops
+    val thin = sigs.select(col("doc_id"), col("band"), col("sig"))
+    val inBatch = thin.select(col("band").as("band_a"),
+        col("sig").as("sig_a"), col("doc_id").as("doc_a"))
+      .join(thin.select(col("band").as("band_b"), col("sig").as("sig_b"),
+          col("doc_id").as("doc_b")),
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(sigs.filter(col("band") === 0)
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(sigs.filter(col("band") === 0)
+        .select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .filter(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+        size(array_union(col("toks_a"), col("toks_b"))).cast("double") >= 0.6)
+      .select(col("doc_b").as("doc_id"))
+    val dropped = vsStore.map(_.unionByName(inBatch)).getOrElse(inBatch)
+      .distinct()
+    val admitted = batch.join(dropped, Seq("doc_id"), "left_anti").barrier()
+    // persist the admitted signatures, bucketed by hash(sig) for pruned,
+    // co-partitioned joins on future batches
+    sigs.join(admitted.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("band"), col("sig"), col("toks"),
+        pmod(hash(col("sig")), lit(buckets)).as("__bucket"))
+      .write.mode("append").partitionBy("__bucket").parquet(storeDir)
+    admitted
+  }
+
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
   case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,

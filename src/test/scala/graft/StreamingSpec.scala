@@ -318,6 +318,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup ingest: clones dropped across AND within micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = docs.head._2
+    val storeDir = java.nio.file.Files.createTempDirectory("ndstore").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ndout").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StatefulStreaming.nearDupIngestBatch(b.toDF(), storeDir)
+            .write.mode("append").parquet(outDir)
+          graft.core.Barrier.releaseAll(b.sparkSession)
+          ()
+      }.start()
+    try {
+      // batch 1: originals + an IN-BATCH paraphrase of doc 0
+      input.addData(docs.take(10).toSeq :+ (200001L, base + " xyzzy"))
+      q.processAllAvailable()
+      // batch 2: a CROSS-BATCH paraphrase + exact clone + fresh docs
+      input.addData(Seq((200002L, base + " plugh"), (200003L, base)) ++
+        docs.slice(10, 20).toSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.contains(0L), "the FIRST copy is admitted")
+      assert(!got.contains(200001L), "in-batch paraphrase dropped")
+      assert(!got.contains(200002L), "cross-batch paraphrase dropped")
+      assert(!got.contains(200003L), "cross-batch exact clone dropped")
+      // expected admissions among the originals: arrival order == id
+      // order here, so keep-first-by-arrival == the batch keep-canonical
+      // relation (drop doc_b of every verified pair within the presented
+      // set — the fixture plants real near-dups, e.g. doc 12)
+      val presented = docs.take(20).map(_._1).toSet
+      val droppedExpected = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => presented(p._1) && presented(p._2))
+        .map(_._2).toSet
+      docs.take(20).foreach { case (id, _) =>
+        assert(got.contains(id) === !droppedExpected(id),
+          s"doc $id admission must match the batch keep-canonical relation")
+      }
+    } finally q.stop()
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
