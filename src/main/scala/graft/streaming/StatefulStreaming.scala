@@ -240,65 +240,79 @@ object StatefulStreaming {
     * ALREADY ADMITTED, across micro-batches, at MinHash+Jaccard fidelity.
     *
     * Per batch: derive band signatures once (barriered), drop docs that
-    * match the signature STORE (everything admitted so far), keep-first
-    * within the batch (lower doc_id wins, same canonicalization as
-    * `dedup_keep_canonical`), then append the admitted docs' signatures
-    * to the store. The store is laid out bucketed by hash(sig) so the
-    * per-batch join prunes to touched buckets and, at 100 TB, both sides
-    * arrive co-partitioned by the signature — the same layout contract as
-    * `Sinks.upsert`. Exact-fp tier with bounded state: [[dedupIngest]];
-    * this tier's state is the admitted signature set, which is the
-    * irreducible cost of exact-horizon near-dup ingest.
+    * match the signature STORE (everything admitted by PRIOR batches),
+    * keep-first within the batch (lower doc_id wins, the same verified
+    * pair relation as `dedup_keep_canonical` via `Dedup.verifiedPairs`),
+    * then write the admitted docs' signatures under this batch's store
+    * directory. Idempotent under micro-batch replay by construction: the
+    * store is one Overwrite-mode directory per batchId and the current
+    * batch's directory is excluded from the read (see inline comments).
+    * The store partitions by hash(sig) bucket, which is part of the join
+    * key. Exact-fp tier with watermark-bounded state: [[dedupIngest]];
+    * this tier's state is the admitted signature set — the irreducible
+    * cost of exact-horizon near-dup ingest.
     *
     * Returns the admitted subset of `batch`. Callers release barrier
     * blocks after writing (`Barrier.releaseAll`).
     */
-  def nearDupIngestBatch(batch: DataFrame, storeDir: String,
+  def nearDupIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
       buckets: Int = 16): DataFrame = {
     import graft.core.Barrier.BarrierOps
     val spark = batch.sparkSession
-    val sigs = graft.operators.Dedup.bandedSigs(batch, _.barrier()).barrier()
-    val store = new java.io.File(storeDir)
+    val b = batch.barrier() // read by the signature pass AND the anti-join
+    val sigs = graft.operators.Dedup.bandedSigs(b, _.barrier()).barrier()
+    // Prior batches' admitted signatures. The store is one directory PER
+    // micro-batch (`__batch=<id>`, written with Overwrite below) and the
+    // current batch's own directory is EXCLUDED from the read — so a
+    // REPLAYED batch neither self-matches against its own failed attempt
+    // nor double-appends: replay is idempotent end to end. Hadoop
+    // FileSystem, not java.io.File — the store lives on the cluster FS.
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorDirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName != s"__batch=$batchId").map(_.toString)
+      else Array.empty[String]
     val seen =
-      if (store.exists() && store.list().nonEmpty)
-        Some(spark.read.parquet(storeDir))
-      else None
-    // vs-store matches: same (band, sig) bucket + Jaccard verify
+      if (priorDirs.isEmpty) None
+      else
+        try Some(spark.read.option("basePath", storeDir)
+          .parquet(priorDirs.toIndexedSeq: _*))
+        catch { // every prior batch was empty (dirs hold only _SUCCESS)
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+    // vs-store matches: same (band, sig) + Jaccard verify. __bucket =
+    // pmod(hash(sig)) is a partition column of the store and part of the
+    // join key, so the scan is eligible for dynamic partition pruning and
+    // at scale both sides arrive bucketed by the signature hash.
+    val bucketOf = pmod(hash(col("sig")), lit(buckets))
     val vsStore = seen.map { sn =>
-      sigs.join(sn.select(col("band").as("s_band"), col("sig").as("s_sig"),
-          col("toks").as("s_toks")),
-        col("band") === col("s_band") && col("sig") === col("s_sig"))
-        .filter(
-          size(array_intersect(col("toks"), col("s_toks"))).cast("double") /
-          size(array_union(col("toks"), col("s_toks"))).cast("double") >= 0.6)
+      sigs.withColumn("__b", bucketOf)
+        .join(sn.select(col("band").as("s_band"), col("sig").as("s_sig"),
+            col("toks").as("s_toks"), col("__bucket").as("s_bucket")),
+          col("band") === col("s_band") && col("sig") === col("s_sig") &&
+            col("__b") === col("s_bucket"))
+        .filter(graft.operators.Dedup.jaccard(col("toks"), col("s_toks"))
+          >= 0.6)
         .select(col("doc_id"))
     }
-    // in-batch keep-first: later (higher-id) member of a verified pair drops
-    val thin = sigs.select(col("doc_id"), col("band"), col("sig"))
-    val inBatch = thin.select(col("band").as("band_a"),
-        col("sig").as("sig_a"), col("doc_id").as("doc_a"))
-      .join(thin.select(col("band").as("band_b"), col("sig").as("sig_b"),
-          col("doc_id").as("doc_b")),
-        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .join(sigs.filter(col("band") === 0)
-        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
-      .join(sigs.filter(col("band") === 0)
-        .select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .filter(
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-        size(array_union(col("toks_a"), col("toks_b"))).cast("double") >= 0.6)
+    // in-batch keep-first: the later (higher-id) member of every verified
+    // pair drops — the SAME pair relation as the batch operator
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val inBatch = graft.operators.Dedup.verifiedPairs(sigs, nPart)
       .select(col("doc_b").as("doc_id"))
     val dropped = vsStore.map(_.unionByName(inBatch)).getOrElse(inBatch)
       .distinct()
-    val admitted = batch.join(dropped, Seq("doc_id"), "left_anti").barrier()
-    // persist the admitted signatures, bucketed by hash(sig) for pruned,
-    // co-partitioned joins on future batches
+    val admitted = b.join(dropped, Seq("doc_id"), "left_anti").barrier()
+    // persist the admitted signatures under this batch's directory
+    // (Overwrite: a replay rewrites the same dir), partitioned by the
+    // signature-hash bucket the vs-store join keys on
     sigs.join(admitted.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("band"), col("sig"), col("toks"),
-        pmod(hash(col("sig")), lit(buckets)).as("__bucket"))
-      .write.mode("append").partitionBy("__bucket").parquet(storeDir)
+        bucketOf.as("__bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(s"$storeDir/__batch=$batchId")
     admitted
   }
 
