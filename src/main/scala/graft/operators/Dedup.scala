@@ -122,9 +122,7 @@ object Dedup extends OpModule {
       l.join(r, col("src_a") === col("src_b") && col("doc_a") < col("doc_b") &&
           abs(col("nc_a") - col("nc_b")) <= 30)
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-           size(array_union(col("g_a"), col("g_b"))).cast("double"))
-            .as("jac"))
+          jaccard(col("g_a"), col("g_b")).as("jac"))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
     }),
@@ -140,9 +138,7 @@ object Dedup extends OpModule {
       l.join(r, col("src_a") === col("src_b") && col("doc_a") < col("doc_b") &&
           abs(col("nc_a") - col("nc_b")) <= 30)
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-            .as("jac"))
+          jaccard(col("toks_a"), col("toks_b")).as("jac"))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
     }))

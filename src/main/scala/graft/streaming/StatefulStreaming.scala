@@ -227,9 +227,8 @@ object StatefulStreaming {
       .join(broadcast(benchSigs.select(col("band").as("b_band"),
           col("sig").as("b_sig"), col("toks").as("b_toks"))),
         col("band") === col("b_band") && col("sig") === col("b_sig"))
-      .filter(
-        size(array_intersect(col("toks"), col("b_toks"))).cast("double") /
-        size(array_union(col("toks"), col("b_toks"))).cast("double") >= 0.6)
+      .filter(graft.operators.Dedup.jaccard(col("toks"), col("b_toks"))
+        >= 0.6)
       .select(col("doc_id")).distinct()
     b.join(contaminated, Seq("doc_id"), "left_anti")
   }
