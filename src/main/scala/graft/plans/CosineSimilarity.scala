@@ -87,12 +87,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object GraftFunctions {
 
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        CosineSimilarity(children(0), children(1))),
+    // SQL-text surface for the script-aware tokenizer — the analog of the
+    // reference registering its KwSplit UDTF in the table environment
+    // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder
+    // composes the same built-in expression tree the Column API builds,
+    // so `LATERAL VIEW explode(tokenize_cjk(text))` is plan-identical to
+    // the DataFrame form.
+    (FunctionIdentifier("tokenize_cjk"),
+      new ExpressionInfo("graft.functions.Text", "tokenize_cjk"),
+      (children: Seq[Expression]) =>
+        expression(graft.functions.Text.tokenizeCjk(column(children.head)))),
+    // content fingerprint (md5 of normalized text) as SQL text
+    (FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo("graft.functions.Text", "doc_fingerprint"),
+      (children: Seq[Expression]) =>
+        expression(graft.functions.Text.fingerprint(column(children.head)))),
+    // word-set Jaccard of two token arrays — THE dedup verify expression
+    (FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo("graft.operators.Dedup", "jaccard_sim"),
+      (children: Seq[Expression]) =>
+        expression(graft.operators.Dedup.jaccard(
+          column(children(0)), column(children(1))))))
 
   /** Runtime registration for sessions created without the extensions conf. */
   def register(spark: SparkSession): Unit =
