@@ -24,20 +24,40 @@ import org.apache.spark.storage.StorageLevel
   * a notebook) must call [[releaseAll]] between queries; per-query driver
   * runs (Verify) get release for free when the session stops.
   *
-  * [[releaseAll]] is BARRIER-SCOPED: every `apply` records exactly the
-  * blocks it created (the persisted Dataset, or the RDD ids the local
-  * checkpoint parked), and release drops only those. Caller-owned caches
-  * (a benchmark signature table `cache()`d for a whole streaming job, a
-  * notebook's persisted working set) are never touched — session-wide
-  * `clearCache` would silently evict them, and a caller-held
-  * localCheckpoint has no lineage to recompute from at all.
+  * OWNERSHIP — tracking is per-thread, release is caller-scoped. Every
+  * `apply` records the blocks it created in the CALLING THREAD's scope, and
+  * [[releaseAll]] drops only the calling thread's accumulated blocks. Two
+  * concurrently running barrier users (e.g. two streaming queries, each
+  * calling `barrier()` + `releaseAll` from its own stream-execution thread
+  * inside `foreachBatch`) therefore never release each other's blocks — a
+  * JVM-global registry would let query A's release unpersist query B's
+  * in-flight localCheckpoint, which has no lineage to recompute from.
+  * Caller-owned caches (a benchmark signature table `cache()`d for a whole
+  * streaming job, a notebook's persisted working set) are never touched:
+  * the localCheckpoint path attributes blocks by a before/after diff of the
+  * persistent-RDD registry taken under a global lock AND filtered to
+  * locally-checkpointed RDDs, so a concurrent `cache()` registered in the
+  * window is excluded on both counts.
+  *
+  * The one contract left with the caller: create and release on the same
+  * thread (true of every in-repo user — operators build their barriers on
+  * the thread that runs the query, foreachBatch bodies run on their query's
+  * stream-execution thread). A scope abandoned by a dying thread leaks its
+  * blocks until the session stops — the same exposure the old global
+  * registry had, without its cross-query unpersist hazard.
   */
 object Barrier {
 
   val ConfKey = "spark.graft.reuseBarrier"
 
-  private val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private val ckptRddIds = scala.collection.mutable.Set.empty[Int]
+  private final class Scope {
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val ckptRddIds = scala.collection.mutable.Set.empty[Int]
+  }
+
+  private val scopes = new ThreadLocal[Scope] {
+    override def initialValue(): Scope = new Scope
+  }
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
@@ -46,14 +66,25 @@ object Barrier {
         // materialize now: downstream readers hit the store instead of
         // racing to populate it, mirroring localCheckpoint's eagerness
         p.queryExecution.toRdd.count()
-        synchronized { persisted += p }
+        scopes.get().persisted += p
         p
       case _ =>
         val sc = df.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint()
-        val created = sc.getPersistentRDDs.keySet.diff(before)
-        synchronized { ckptRddIds ++= created }
+        // the diff runs under a global lock so two concurrent apply()
+        // calls can't capture each other's fresh blocks; the
+        // isCheckpointed filter (true here: eager localCheckpoint has
+        // materialized by diff time) excludes any OTHER registration (a
+        // caller's cache()) that lands inside the window
+        val (out, created) = this.synchronized[(DataFrame, Set[Int])] {
+          val before = sc.getPersistentRDDs.keySet
+          val o = df.localCheckpoint()
+          val c = sc.getPersistentRDDs
+            .filter { case (id, rdd) =>
+              !before.contains(id) && rdd.isCheckpointed }
+            .keySet.toSet
+          (o, c)
+        }
+        scopes.get().ckptRddIds ++= created
         out
     }
 
@@ -62,17 +93,18 @@ object Barrier {
     def barrier(): DataFrame = Barrier(df)
   }
 
-  /** Drop every block a [[apply]] call created in this JVM — and nothing
-    * else (see class doc). Safe to call repeatedly.
+  /** Drop every block an [[apply]] call on THIS THREAD created — and
+    * nothing else (see class doc). Safe to call repeatedly.
     */
-  def releaseAll(s: SparkSession): Unit = synchronized {
-    persisted.foreach { p =>
+  def releaseAll(s: SparkSession): Unit = {
+    val scope = scopes.get()
+    scope.persisted.foreach { p =>
       try { p.unpersist(blocking = false); () } catch { case _: Throwable => }
     }
-    persisted.clear()
+    scope.persisted.clear()
     val registry = s.sparkContext.getPersistentRDDs
-    ckptRddIds.foreach(id =>
+    scope.ckptRddIds.foreach(id =>
       registry.get(id).foreach(_.unpersist(blocking = false)))
-    ckptRddIds.clear()
+    scope.ckptRddIds.clear()
   }
 }

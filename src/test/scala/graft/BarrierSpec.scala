@@ -39,6 +39,38 @@ class BarrierSpec extends SparkSpec {
     mine.unpersist()
   }
 
+  test("release is caller-scoped: another thread's barriers survive") {
+    graft.core.Barrier.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a concurrent query's barrier lives on ITS stream-execution thread;
+    // the latches freeze the moment where both "queries" are in flight
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    val mayRelease = new java.util.concurrent.CountDownLatch(1)
+    @volatile var otherBlocks: Set[Int] = Set.empty
+    val other = new Thread(() => {
+      graft.core.Barrier(
+        graft.core.Tables.load(spark, sfDir, "documents").select("doc_id"))
+      otherBlocks =
+        spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+      parked.countDown()
+      mayRelease.await()
+      graft.core.Barrier.releaseAll(spark) // the owner's own release works
+    })
+    other.start()
+    parked.await()
+    assert(otherBlocks.nonEmpty, "the other thread parked a block")
+    // this thread releases ITS scope — the other query's in-flight
+    // localCheckpoint (no lineage!) must not be evicted
+    graft.core.Barrier.releaseAll(spark)
+    assert(otherBlocks.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "releaseAll must never drop another thread's barrier blocks")
+    mayRelease.countDown()
+    other.join()
+    assert(otherBlocks.intersect(
+      spark.sparkContext.getPersistentRDDs.keySet).isEmpty,
+      "the owning thread's release must drop its own blocks")
+  }
+
   test("persist mode keeps lineage (logical plan is not an RDD scan)") {
     spark.conf.set(graft.core.Barrier.ConfKey, "persist")
     try {
