@@ -221,6 +221,60 @@ object Dedup extends OpModule {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** Dropped set of GREEDY KEEP-FIRST canonicalization over a verified
+    * near-dup pair relation (doc_a < doc_b): processing docs in id order,
+    * a doc drops iff it pairs with an earlier doc that itself SURVIVED —
+    * pairing only with already-dropped docs does not drop, so a dup chain
+    * a<b<c with pairs (a,b),(b,c) keeps c. This is the semantics the
+    * streaming near-dup ingest needs for cross-tier consistency: its store
+    * holds ADMITTED docs only, so the vs-store tier is greedy by
+    * construction and the in-batch tier must match. (`dedup_keep_canonical`
+    * is the deliberately more aggressive batch form — every doc_b drops —
+    * with its own oracle.)
+    *
+    * `preDropped(doc_id)` seeds docs eliminated by an outer tier (the
+    * ingest store match), so they can't block anything in-batch.
+    *
+    * Shape: distributed iterative fixpoint on the pair relation. Each
+    * round decides every doc whose smaller partners are all decided —
+    * round count = dup-chain depth (near-dup clusters are near-cliques in
+    * practice, so 1–2 rounds), and every per-round relation is the tiny
+    * verified-pair set (barriered so round lineage doesn't stack). The
+    * corpus itself is never touched.
+    */
+  def greedyDroppedDocs(pairs: org.apache.spark.sql.DataFrame,
+      preDropped: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var dropped = preDropped.map(_.select(col("doc_id")).distinct().barrier())
+      .getOrElse(Seq.empty[Long].toDF("doc_id"))
+    // pairs with a pre-dropped endpoint are inert: a dropped doc_a can't
+    // drop its doc_b, and a dropped doc_b needs no further cause
+    var remaining = (preDropped match {
+      case Some(_) => pairs
+        .join(dropped.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(dropped.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      case None => pairs
+    }).barrier()
+    while (!remaining.isEmpty) {
+      // doc_a values that are nobody's doc_b among remaining pairs are
+      // decided-admitted; their partners drop this round. Non-empty while
+      // pairs remain (the minimum undecided endpoint only appears as
+      // doc_a), so the loop strictly shrinks and terminates.
+      val sureA = remaining.select(col("doc_a"))
+        .except(remaining.select(col("doc_b").as("doc_a")))
+      val newly = remaining.join(sureA, "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct().barrier()
+      dropped = dropped.unionByName(newly)
+      remaining = remaining
+        .join(newly.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(newly.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+        .barrier()
+    }
+    dropped
+  }
+
   // DuckDB mirror of tokenizeDistinct
   private val oraToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"

@@ -240,10 +240,14 @@ object StatefulStreaming {
     *
     * Per batch: derive band signatures once (barriered), drop docs that
     * match the signature STORE (everything admitted by PRIOR batches),
-    * keep-first within the batch (lower doc_id wins, the same verified
-    * pair relation as `dedup_keep_canonical` via `Dedup.verifiedPairs`),
-    * then write the admitted docs' signatures under this batch's store
-    * directory. Idempotent under micro-batch replay by construction: the
+    * GREEDY keep-first within the batch (lower doc_id wins; a doc whose
+    * only matches were themselves dropped is admitted —
+    * `Dedup.greedyDroppedDocs` over the `Dedup.verifiedPairs` relation,
+    * seeded with the store drops so a store-eliminated doc can't block an
+    * in-batch sibling; both tiers therefore share one semantics: admit iff
+    * no match against anything ADMITTED), then write the admitted docs'
+    * signatures under this batch's store directory. Idempotent under
+    * micro-batch replay by construction: the
     * store is one Overwrite-mode directory per batchId and the current
     * batch's directory is excluded from the read (see inline comments).
     * The store partitions by hash(sig) bucket, which is part of the join
@@ -251,11 +255,26 @@ object StatefulStreaming {
     * this tier's state is the admitted signature set — the irreducible
     * cost of exact-horizon near-dup ingest.
     *
+    * COMPACTION bounds the store's directory count over a long-lived
+    * stream: once the prior `__batch=*` directories exceed
+    * `compactThreshold`, they are rewritten together with the previous
+    * generation into one bucketed `__gen=<N>` directory and deleted, so
+    * steady-state listing is O(compactThreshold) directories and each
+    * batch reads one compacted generation plus a bounded tail of recent
+    * batch dirs — not one directory per batch since job start. Replay
+    * stays idempotent through a crash at ANY point of the compaction:
+    * the new generation is written BEFORE the inputs are deleted, and a
+    * replayed batch that sees both simply reads duplicate signatures —
+    * harmless (drops feed a distinct/anti-join) — while the compaction
+    * itself dedupes on (doc_id, band), so a half-finished predecessor
+    * never doubles the store. The current batch's own directory is never
+    * compacted (it must stay excludable on replay).
+    *
     * Returns the admitted subset of `batch`. Callers release barrier
     * blocks after writing (`Barrier.releaseAll`).
     */
   def nearDupIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, compactThreshold: Int = 16): DataFrame = {
     import graft.core.Barrier.BarrierOps
     val spark = batch.sparkSession
     val b = batch.barrier() // read by the signature pass AND the anti-join
@@ -268,19 +287,31 @@ object StatefulStreaming {
     // FileSystem, not java.io.File — the store lives on the cluster FS.
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val priorDirs =
+    val allDirs =
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-          .filter(_.getName != s"__batch=$batchId").map(_.toString)
-      else Array.empty[String]
-    val seen =
-      if (priorDirs.isEmpty) None
+      else Array.empty[org.apache.hadoop.fs.Path]
+    val batchDirs = allDirs.filter(p => p.getName.startsWith("__batch=") &&
+      p.getName != s"__batch=$batchId")
+    val genDirs = allDirs.filter(_.getName.startsWith("__gen="))
+    // gen and batch dirs carry different partition-path shapes, so each
+    // family reads under its own discovery (same basePath) and the select
+    // normalizes both to the one schema the joins need
+    def readDirs(dirs: Array[org.apache.hadoop.fs.Path])
+        : Option[DataFrame] =
+      if (dirs.isEmpty) None
       else
         try Some(spark.read.option("basePath", storeDir)
-          .parquet(priorDirs.toIndexedSeq: _*))
-        catch { // every prior batch was empty (dirs hold only _SUCCESS)
+          .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+          .select(col("doc_id"), col("band"), col("sig"), col("toks"),
+            col("__bucket")))
+        catch { // every dir was empty (holds only _SUCCESS)
           case _: org.apache.spark.sql.AnalysisException => None
         }
+    val seen = (readDirs(genDirs), readDirs(batchDirs)) match {
+      case (Some(g), Some(bd)) => Some(g.unionByName(bd))
+      case (g, bd) => g.orElse(bd)
+    }
     // vs-store matches: same (band, sig) + Jaccard verify. __bucket =
     // pmod(hash(sig)) is a partition column of the store and part of the
     // join key, so the scan is eligible for dynamic partition pruning and
@@ -296,13 +327,12 @@ object StatefulStreaming {
           >= 0.6)
         .select(col("doc_id"))
     }
-    // in-batch keep-first: the later (higher-id) member of every verified
-    // pair drops — the SAME pair relation as the batch operator
+    // in-batch GREEDY keep-first over the same verified pair relation as
+    // the batch operator, seeded with the store drops: a doc dropped by
+    // either tier never blocks a later in-batch doc (see Scaladoc)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val inBatch = graft.operators.Dedup.verifiedPairs(sigs, nPart)
-      .select(col("doc_b").as("doc_id"))
-    val dropped = vsStore.map(_.unionByName(inBatch)).getOrElse(inBatch)
-      .distinct()
+    val pairs = graft.operators.Dedup.verifiedPairs(sigs, nPart)
+    val dropped = graft.operators.Dedup.greedyDroppedDocs(pairs, vsStore)
     val admitted = b.join(dropped, Seq("doc_id"), "left_anti").barrier()
     // persist the admitted signatures under this batch's directory
     // (Overwrite: a replay rewrites the same dir), partitioned by the
@@ -312,6 +342,22 @@ object StatefulStreaming {
         bucketOf.as("__bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__bucket").parquet(s"$storeDir/__batch=$batchId")
+    // COMPACTION (see Scaladoc): fold the prior batch dirs + old
+    // generations into one new bucketed generation, THEN delete the
+    // inputs — a crash in between leaves both readable (duplicate
+    // signatures are harmless to the drop joins, and the (doc_id, band)
+    // dedupe below collapses them at the next compaction). The current
+    // batch's dir is never an input: replay must keep excluding it.
+    if (batchDirs.length > compactThreshold) {
+      val nextGen = genDirs.map(_.getName.stripPrefix("__gen=").toLong)
+        .foldLeft(0L)(math.max) + 1
+      seen.foreach { sn => // None = all inputs empty: just drop the dirs
+        sn.dropDuplicates("doc_id", "band")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(s"$storeDir/__gen=$nextGen")
+      }
+      (genDirs ++ batchDirs).foreach(p => fs.delete(p, true))
+    }
     admitted
   }
 

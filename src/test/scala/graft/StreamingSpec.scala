@@ -372,6 +372,96 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest: greedy keep-first — a dropped doc never blocks its chain") {
+    import spark.implicits._
+    // dup CHAIN a<b<c: (a,b) and (b,c) verify at >=0.6 but (a,c) does not —
+    // 5 base tokens give J(a,b)=5/6, J(b,c)=6/9≈0.667, J(a,c)=5/9≈0.556
+    val aText = "alpha bravo charlie delta echo"
+    val bText = aText + " xyzzy"
+    val cText = aText + " xyzzy plugh waldo fred"
+    val (a, b, c) = (10L, 11L, 12L)
+    // precondition: the LSH pipeline must see exactly the chain pairs — if
+    // a fixture tweak breaks the band collisions, fail HERE with a clear
+    // message rather than deep in the semantics asserts below
+    val pairs = graft.operators.Dedup.verifiedPairs(
+      graft.operators.Dedup.bandedSigs(
+        Seq((a, aText), (b, bText), (c, cText)).toDF("doc_id", "text")), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((a, b), (b, c)),
+      s"fixture must form the chain (a,b),(b,c) and nothing else: $pairs")
+    try {
+      // in-batch tier: one batch [a,b,c] — b drops against admitted a;
+      // c's ONLY match b was dropped, so greedy ADMITS c (the old
+      // drop-every-doc_b semantics would wrongly drop it)
+      val store1 = java.nio.file.Files.createTempDirectory("ndchain1").toString
+      val adm1 = StatefulStreaming.nearDupIngestBatch(
+        Seq((a, aText), (b, bText), (c, cText)).toDF("doc_id", "text"),
+        store1, 0L).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(adm1 === Set(a, c), s"in-batch greedy keep-first: $adm1")
+      // cross-tier seed: batch 1 admits a; batch 2 carries [b, c] — b
+      // drops against the STORE, and that store-drop must not block c
+      val store2 = java.nio.file.Files.createTempDirectory("ndchain2").toString
+      val admA = StatefulStreaming.nearDupIngestBatch(
+        Seq((a, aText)).toDF("doc_id", "text"), store2, 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admA === Set(a))
+      val admBc = StatefulStreaming.nearDupIngestBatch(
+        Seq((b, bText), (c, cText)).toDF("doc_id", "text"), store2, 1L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admBc === Set(c),
+        s"store-dropped b must not block its in-batch chain sibling c: $admBc")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
+  test("near-dup ingest: generation compaction bounds the store, admissions unchanged") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(12)
+    val base = docs.head._2
+    // 7 batches: six of fresh docs, a last one carrying near-dup clones of
+    // doc 0 — by then doc 0's signatures live only in the compacted
+    // generation, so the drops below prove the gen dir is actually read
+    val batches: Seq[Seq[(Long, String)]] =
+      docs.grouped(2).map(_.toSeq).toSeq :+
+        Seq((300001L, base + " xyzzy"), (300002L, base))
+    def runAll(store: String, threshold: Int): Seq[Set[Long]] =
+      batches.zipWithIndex.map { case (rows, id) =>
+        val adm = StatefulStreaming.nearDupIngestBatch(
+          rows.toDF("doc_id", "text"), store, id.toLong,
+          compactThreshold = threshold)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.core.Barrier.releaseAll(spark)
+        adm
+      }
+    val storeC = java.nio.file.Files.createTempDirectory("ndcomp").toString
+    val storeN = java.nio.file.Files.createTempDirectory("ndnone").toString
+    val admC = runAll(storeC, threshold = 2)
+    val admN = runAll(storeN, threshold = 1000)
+    assert(admC === admN,
+      "admissions must be identical with and without compaction")
+    assert(!admC.last.contains(300001L) && !admC.last.contains(300002L),
+      "clones of a COMPACTED admitted doc must still drop")
+    def dirs(store: String): Array[String] = new java.io.File(store)
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs(storeN).count(_.startsWith("__batch=")) === batches.length,
+      "control store accumulates one dir per batch")
+    assert(dirs(storeC).length <= 5, // ≤ threshold batch dirs + current + 1 gen
+      s"compacted store must stay bounded: ${dirs(storeC).toList}")
+    assert(dirs(storeC).exists(_.startsWith("__gen=")),
+      "compaction must have produced a generation")
+    // REPLAY of the final (compacting) batch: same admissions, store still
+    // bounded, and the replayed batch must not self-match its failed write
+    val replay = StatefulStreaming.nearDupIngestBatch(
+      batches.last.toSeq.toDF("doc_id", "text"), storeC,
+      (batches.length - 1).toLong, compactThreshold = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.core.Barrier.releaseAll(spark)
+    assert(replay === admC.last, "replay of the compacting batch is idempotent")
+    assert(dirs(storeC).length <= 5,
+      s"replay must not unbound the store: ${dirs(storeC).toList}")
+  }
+
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("cdc").toString
