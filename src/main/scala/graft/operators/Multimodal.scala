@@ -37,8 +37,10 @@ object Multimodal extends OpModule {
     * column a production table would already carry.
     */
   def synthPng(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    // floorMod, not %: planted fixture rows use NEGATIVE doc_ids, and a
+    // Java remainder would hand BufferedImage a non-positive height
     val w = 1 + (textBytes.length % 31)
-    val h = (1 + (docId % 17)).toInt
+    val h = 1 + java.lang.Math.floorMod(docId, 17L).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < h) {
@@ -64,6 +66,58 @@ object Multimodal extends OpModule {
     (img.getWidth, img.getHeight, img.getRaster.getNumBands)
   }
 
+  /** Deterministic multi-frame GIF fixture — the "video" sibling of
+    * [[synthPng]]: k = 1 + floorMod(doc_id, 4) frames, every frame a real
+    * grayscale image (dims pure functions of the row, fill gray a pure
+    * function of (doc_id, frame_idx)) written through the JDK GIF encoder
+    * as ONE animated-GIF byte stream (`ImageWriter.writeToSequence`).
+    * Grayscale fills round-trip GIF's palette quantization exactly, which
+    * is what lets the oracle re-derive the decoded pixel value.
+    */
+  def synthGif(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = 1 + (textBytes.length % 31)
+    val h = 1 + java.lang.Math.floorMod(docId, 17L).toInt
+    val k = 1 + java.lang.Math.floorMod(docId, 4L).toInt
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < k) {
+      val g = java.lang.Math.floorMod(docId * 31 + i * 7, 256L).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.flush(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode (JDK `ImageIO` GIF reader): one animated-GIF
+    * byte stream in → one (width, height, gray-of-pixel-0,0) per DECODED
+    * frame out, frame count discovered from the stream itself
+    * (`ImageReader.getNumImages(true)` + per-frame `read(i)`).
+    */
+  def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int, Int)] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      (0 until reader.getNumImages(true)).map { i =>
+        val img = reader.read(i)
+        (img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xff)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_binary_features" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -73,20 +127,29 @@ object Multimodal extends OpModule {
           md5(col("payload")).as("payload_md5"),
           lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
     }),
-    // frame sampling: treat the payload as a "video", emit one row per
-    // sampled frame (every 64th byte offset) with a per-frame fingerprint
-    // — the explode-per-frame plumbing of a real frame-sample stage, with
-    // the codec stubbed to a deterministic hash.
+    // frame sampling over a REAL multi-frame codec: each row synthesizes
+    // an animated GIF (frame count a pure function of doc_id), the JDK GIF
+    // reader decodes every frame, and one row per DECODED frame comes back
+    // with the decoded dims, the decoded pixel value, and a fingerprint of
+    // all three. The oracle re-derives k / dims / pixel independently, so
+    // the gate passes only if a genuine encode→multi-frame-decode
+    // round-trip happened (same contract as mm_decode_features).
     "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
       t(s, dir, "documents")
         .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("text"),
-          // integer div: `/` on columns is double division
-          explode(sequence(lit(0L),
-            expr("(length(payload) - 1) div 64"))).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          md5(concat(col("text"),
-            col("frame_idx").cast("string"))).as("frame_fp"))
+        .select(col("doc_id"), col("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
+              .map { case ((w, h, px), i) => (r.doc_id, i.toLong, w, h, px) }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "frame_px")
+        // fingerprint of the DECODED values, hashed by the codegen'd md5
+        .withColumn("frame_fp", md5(concat_ws("_",
+          col("frame_px"), col("width"), col("height"))))
     }),
     "mm_decode_features" -> ((s, dir) => {
       import s.implicits._
@@ -197,18 +260,30 @@ object Multimodal extends OpModule {
         |  md5(text) AS payload_md5,
         |  lower(hex(encode(substring(text, 1, 4)))) AS head_hex
         |FROM documents""".stripMargin,
+    // frame count, dims, and the per-frame gray fill all re-derived with
+    // integer math, independently of the codec ((x % m + m) % m mirrors
+    // Java's floorMod so negative planted doc_ids agree): only a genuine
+    // multi-frame GIF encode→decode round-trip makes the Spark side agree
     "mm_frame_sample" ->
       """SELECT doc_id, f.frame_idx,
-        |  md5(text || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
+        |  CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
+        |  CAST(1 + ((doc_id % 17) + 17) % 17 AS INT) AS height,
+        |  CAST(((doc_id * 31 + f.frame_idx * 7) % 256 + 256) % 256 AS INT)
+        |    AS frame_px,
+        |  md5(CAST(((doc_id * 31 + f.frame_idx * 7) % 256 + 256) % 256
+        |        AS VARCHAR)
+        |      || '_' || CAST(1 + octet_length(encode(text)) % 31 AS VARCHAR)
+        |      || '_' || CAST(1 + ((doc_id % 17) + 17) % 17 AS VARCHAR))
+        |    AS frame_fp
         |FROM documents,
-        |  UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 64))
-        |    AS f(frame_idx)""".stripMargin,
+        |  UNNEST(generate_series(0, ((doc_id % 4) + 4) % 4)) AS f(frame_idx)
+        |""".stripMargin,
     // dims re-derived independently of the codec: only a correct
     // PNG encode→decode round-trip makes the Spark side agree
     "mm_decode_features" ->
       """SELECT doc_id,
         |  CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
-        |  CAST(1 + doc_id % 17 AS INT) AS height,
+        |  CAST(1 + ((doc_id % 17) + 17) % 17 AS INT) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin,
     "mm_audio_features" ->
@@ -224,6 +299,6 @@ object Multimodal extends OpModule {
         |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h
         |FROM (SELECT doc_id,
         |        CAST(1 + octet_length(encode(text)) % 31 AS INT) AS width,
-        |        CAST(1 + doc_id % 17 AS INT) AS height
+        |        CAST(1 + ((doc_id % 17) + 17) % 17 AS INT) AS height
         |      FROM documents)""".stripMargin)
 }

@@ -82,6 +82,29 @@ class OperatorsSpec extends SparkSpec {
     assert((rw, rh, rc) === ((224, 77, 3)))
   }
 
+  test("mm: animated GIF round-trips frame count, dims and pixel values") {
+    import graft.operators.Multimodal
+    val gif = Multimodal.synthGif(42L, Array.fill(100)(1.toByte))
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"), "GIF magic")
+    val frames = Multimodal.decodeGifFrames(gif)
+    assert(frames.length === 1 + 42 % 4, "frame count decoded from stream")
+    frames.zipWithIndex.foreach { case ((w, h, px), i) =>
+      assert(w === 1 + 100 % 31)
+      assert(h === 1 + 42 % 17)
+      assert(px === (42 * 31 + i * 7) % 256,
+        s"frame $i gray fill must survive the GIF palette round-trip")
+    }
+    // total over negative doc_ids (the planted-fixture convention)
+    val neg = Multimodal.decodeGifFrames(
+      Multimodal.synthGif(-5L, Array.fill(3)(1.toByte)))
+    assert(neg.length === 1 + java.lang.Math.floorMod(-5L, 4L).toInt)
+    assert(neg.head._2 === 1 + java.lang.Math.floorMod(-5L, 17L).toInt)
+    assert(Multimodal.decodeImage(
+      Multimodal.synthPng(-5L, Array.fill(3)(1.toByte)))._2 ===
+      1 + java.lang.Math.floorMod(-5L, 17L).toInt,
+      "synthPng must be total over negative doc_ids")
+  }
+
   test("mm: synthesized audio is a real WAV and AudioSystem decodes it") {
     import graft.operators.Multimodal
     val wav = Multimodal.synthWav(7L, Array.fill(123)(1.toByte))
