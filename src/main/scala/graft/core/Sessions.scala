@@ -8,16 +8,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** The RocksDB streaming state store — the CLUSTER tier, conf-gated like
+    * the reuse barrier. The default HDFS-backed provider keeps every
+    * stateful operator's state ON-HEAP per executor: fine for local[n]
+    * tests, an OOM at 100 TB ingest where per-key dedup/join state runs to
+    * hundreds of GB per executor. RocksDB spills to local disk with an
+    * off-heap block cache, which is what the StatefulStreaming scale notes
+    * assume. Select with SPARK_GRAFT_STATESTORE=rocksdb (or set the Spark
+    * conf directly before starting a query — the provider is read per
+    * query start). StreamingSpec runs the A4 state machine under it.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       : SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

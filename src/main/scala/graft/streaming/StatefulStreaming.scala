@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partitioned by the group key — the same layout Flink keeps in keyed
   * state. TTL bounds the store exactly like the reference's 1-day
   * StateTtlConfig. At 100 TB the state store is RocksDB-backed per
-  * executor; nothing here is driver-resident.
+  * executor (the conf-gated cluster tier in `Sessions` —
+  * SPARK_GRAFT_STATESTORE=rocksdb sets the provider class, and
+  * StreamingSpec runs this file's A4 machine under it); nothing here is
+  * driver-resident.
   */
 object StatefulStreaming {
 
@@ -156,7 +159,8 @@ object StatefulStreaming {
     * documents. The contract: duplicates separated by more than the
     * watermark horizon can slip through — the standard streaming-dedup
     * trade. At 100 TB ingest the state is hash-partitioned by
-    * fingerprint across executors' RocksDB stores; nothing is
+    * fingerprint across executors' state stores — RocksDB-backed under
+    * the conf-gated cluster tier (`Sessions.RocksDbProvider`); nothing is
     * driver-resident.
     */
   def dedupIngest(docs: DataFrame, tsCol: String,

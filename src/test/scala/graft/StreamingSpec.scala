@@ -45,6 +45,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A4 streaming under the RocksDB state store (cluster tier)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the provider class is read at QUERY start, so setting it on the
+    // shared session here exercises exactly what the cluster profile
+    // (SPARK_GRAFT_STATESTORE=rocksdb in Sessions) would configure
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.core.Sessions.RocksDbProvider)
+    val input = MemoryStream[KeyedEvent]
+    val q = StatefulStreaming.firstOfDayStream(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("a4_rocksdb")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        KeyedEvent(1, 1, ms("2024-01-01T10:00:00Z"), 0),
+        KeyedEvent(2, 1, ms("2024-01-01T11:00:00Z"), 0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(3, 1, ms("2024-01-01T12:00:00Z"), 0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(4, 1, ms("2024-01-10T09:00:00Z"), 0))
+      q.processAllAvailable()
+      // the state genuinely lives in RocksDB for this query: the provider
+      // exports its own custom metrics into the progress events
+      assert(q.lastProgress.stateOperators.nonEmpty)
+      val metricKeys = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator must report RocksDB metrics, got: ${metricKeys.toList}")
+      val rows = spark.table("a4_rocksdb")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(rows.toSet === Set(
+        (1L, "2024-01-01", 0),
+        (1L, "2024-01-10", 1)),
+        "per-key state must carry across micro-batches under RocksDB")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("A5 streaming: is_new repaired across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
