@@ -168,40 +168,98 @@ object Jobs {
       .start()
   }
 
-  /** End-to-end streaming soak of the reference DAG — three jobs CHAINED
+  /** End-to-end streaming soak of the reference DAG — the jobs CHAINED
     * as rate-limited multi-micro-batch streams, the whole-graph form of
     * what the per-job streaming tests pin piecewise:
     *
+    *   documents (ordered N-file source, 1 file/trigger)
+    *     → [STAGE 0: ingest hygiene] contamination gate (stream-static
+    *       broadcast anti-join vs the benchmark fp set) → near-dup ingest
+    *       dedup vs the compacting signature store → admitted docs,
+    *       one Overwrite dir per micro-batch (replay rewrites, never
+    *       double-appends)
+    *       → [DWS keyword window] the reference keyword job consuming
+    *         the ADMITTED stream (tokenize → count), upserted per trigger
     *   events (N-file source, 1 file/trigger)
-    *     → [DwdBaseLog] one-parse five-way split, DWD facts appended
+    *     → [DwdBaseLog] one-parse five-way split, each DWD fact written
+    *       to an Overwrite-mode per-batch directory — a replayed batch
+    *       rewrites its own directory, so the DWD layer is idempotent
+    *       end to end, not just the serving-store upserts
     *       → [DWS page-view window] day×channel pv/k_sum aggregate
     *       → [DWS error window] day error counts
-    *     each DWS consuming the splitter's STREAMED output as its own
-    *     file stream, holding aggregate state across micro-batches
+    *     each DWS consuming the previous stage's STREAMED output as its
+    *     own file stream, holding aggregate state across micro-batches
     *     (complete mode), and upserting every trigger into a bucketed
     *     serving store (the Doris-upsert shape, seq = micro-batch id so
     *     replays keep the newest aggregate — idempotent final state).
     *
     * After the run, each store must equal the batch composition of the
-    * same transforms (SoakSpec asserts this).
+    * same transforms (SoakSpec asserts this). The hygiene source files
+    * are written in doc_id order with strictly increasing mod times, so
+    * arrival order = id order and the batch twin of the streamed
+    * admissions is exactly greedy keep-first over the gated corpus.
     */
   def runSoak(spark: SparkSession, sfDir: String, workDir: String,
       srcFiles: Int = 4): Unit = {
     import org.apache.spark.sql.streaming.Trigger
+
+    // STAGE 0 — ingest hygiene front door over the documents table
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val docSrc = s"$workDir/doc_src"
+    val hadoopFs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunk = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val docsC = docs.withColumn("__c", ntile(srcFiles).over(chunk)).persist()
+    (1 to srcFiles).foreach { i =>
+      docsC.filter(col("__c") === i).drop("__c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$docSrc/c$i")
+      // strict arrival order: the file source replays oldest-mtime first
+      hadoopFs.listStatus(new org.apache.hadoop.fs.Path(s"$docSrc/c$i"))
+        .filter(_.isFile).foreach(f =>
+          hadoopFs.setTimes(f.getPath, 1700000000000L + i * 60000L, -1))
+    }
+    docsC.unpersist()
+    // benchmark fp set: computed once, cached — the static side must not
+    // pay its scan + distinct per trigger
+    val benchFps = StatefulStreaming.benchmarkFps(
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text")).cache()
+    val sigStore = s"$workDir/sig_store"
+    val admittedDir = s"$workDir/admitted"
+    val q0 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$docSrc/c*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val gated = StatefulStreaming.contaminationGateFps(batch.toDF(), benchFps)
+        StatefulStreaming.nearDupIngestBatch(gated, sigStore, id,
+            compactThreshold = 2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$admittedDir/batch_$id")
+        graft.core.Barrier.releaseAll(spark)
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/_chk_hygiene")
+      .trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination()
+    benchFps.unpersist()
+
     val src = s"$workDir/src"
     val events = Tables.load(spark, sfDir, "events")
     events.repartition(srcFiles).write.mode("overwrite").parquet(src)
 
     // STAGE 1 — DwdBaseLog: the same one-parse splitter per micro-batch,
-    // five DWD fact streams appended (ts carried through for event time)
+    // five DWD fact streams, one Overwrite-mode directory per (fact,
+    // batch) so a replayed batch rewrites instead of double-appending
+    // (ts carried through for event time)
     val dwd = s"$workDir/dwd"
     val q1 = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = batch.persist()
         try LogSplit.splits(b.toDF(), extra = Seq("ts")).foreach {
-          case (name, df) => df.write.mode("append").parquet(s"$dwd/$name")
+          case (name, df) =>
+            df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$dwd/$name/batch_$id")
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", s"$workDir/_chk_dwd")
@@ -228,13 +286,21 @@ object Jobs {
       q.awaitTermination()
     }
 
-    dws(s"$dwd/page", s"$workDir/_chk_page", s"$workDir/store_page") { df =>
+    // the reference keyword DWS consumes the HYGIENE stage's admitted
+    // stream — contaminated/duplicate docs must never reach the counts
+    dws(s"$admittedDir/batch_*", s"$workDir/_chk_kw", s"$workDir/store_kw") {
+      df =>
+        df.select(explode(Text.tokenizeCjk(col("text"))).as("keyword"))
+          .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
+          .withColumn("__k", col("keyword"))
+    }
+    dws(s"$dwd/page/batch_*", s"$workDir/_chk_page", s"$workDir/store_page") { df =>
       df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"),
           pmod(col("k"), lit(3L)).as("ch"))
         .agg(count(lit(1)).as("pv"), sum(col("k")).as("k_sum"))
         .withColumn("__k", concat(col("cur_date"), lit("|"), col("ch")))
     }
-    dws(s"$dwd/err", s"$workDir/_chk_err", s"$workDir/store_err") { df =>
+    dws(s"$dwd/err/batch_*", s"$workDir/_chk_err", s"$workDir/store_err") { df =>
       df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
         .agg(count(lit(1)).as("err_ct"))
         .withColumn("__k", col("cur_date"))

@@ -2,13 +2,15 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.{Jobs, Sinks}
+import graft.streaming.{Jobs, Sinks, StatefulStreaming}
 
-/** Whole-graph streaming soak: splitter → DWD facts → DWS windows →
-  * bucketed serving stores as one chained multi-micro-batch run
-  * (Jobs.runSoak), with every final store equal to the batch composition
-  * of the same transforms. Closes the "each piece streams, the whole graph
-  * never has" residual from round 2–4.
+/** Whole-graph streaming soak: ingest hygiene (contamination gate →
+  * near-dup ingest dedup → keyword DWS) chained with the reference DAG
+  * (splitter → DWD facts → DWS windows → bucketed serving stores) as one
+  * multi-micro-batch run (Jobs.runSoak), with every final store equal to
+  * the batch composition of the same transforms. Closes the "each piece
+  * streams, the whole graph never has" residual from round 2–4 and, since
+  * round 6, the "hygiene stages only run in their own specs" residual.
   */
 class SoakSpec extends SparkSpec {
 
@@ -16,11 +18,55 @@ class SoakSpec extends SparkSpec {
     val work = Files.createTempDirectory("soak").toString
     Jobs.runSoak(spark, sfDir, work, srcFiles = 4)
 
+    // STAGE 0: streamed hygiene admissions ≡ batch gate + GLOBAL greedy
+    // keep-first (arrival order = id order by construction)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val benchFps = StatefulStreaming.benchmarkFps(
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text"))
+    val gatedAll = StatefulStreaming.contaminationGateFps(docs, benchFps)
+    val pairs = graft.operators.Dedup.verifiedPairs(
+      graft.operators.Dedup.bandedSigs(gatedAll), 4)
+    val admittedTwinDf = gatedAll.join(
+      graft.operators.Dedup.greedyDroppedDocs(pairs), Seq("doc_id"),
+      "left_anti")
+    val admittedTwin = admittedTwinDf.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin of the keyword DWS over the admitted twin — materialized
+    // BEFORE the barrier release below (its plan rides the greedy barriers)
+    val kwTwin = admittedTwinDf
+      .select(explode(graft.functions.Text.tokenizeCjk(col("text")))
+        .as("keyword"))
+      .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.core.Barrier.releaseAll(spark)
+    val admittedGot = spark.read.parquet(s"$work/admitted/batch_*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedGot === admittedTwin,
+      "streamed hygiene admissions must equal the batch gate + greedy twin")
+    assert(!admittedGot.exists(_ % 13 == 0),
+      "no benchmark member survives the contamination gate")
+    // the signature store compacted instead of growing per batch
+    val sigDirs = new java.io.File(s"$work/sig_store")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(sigDirs.exists(_.startsWith("__gen=")),
+      s"hygiene store must have compacted: ${sigDirs.toList}")
+    assert(sigDirs.length <= 5, s"store must stay bounded: ${sigDirs.toList}")
+
+    // keyword DWS consumed the ADMITTED stream: store ≡ batch keyword
+    // counts over the admitted twin
+    val kwGot = Sinks.readStore(spark, s"$work/store_kw")
+      .select("keyword", "keyword_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kwGot === kwTwin,
+      "keyword DWS store differs from the batch twin over admitted docs")
+    assert(kwGot.nonEmpty)
+
     // stage 1 streamed DWD facts ≡ batch splitter outputs
     val batchSplits = graft.operators.LogSplit
       .splits(graft.core.Tables.load(spark, sfDir, "events"), Seq("ts"))
     Seq("page", "start", "err", "display", "action").foreach { name =>
-      val streamed = spark.read.parquet(s"$work/dwd/$name")
+      val streamed = spark.read.parquet(s"$work/dwd/$name/batch_*")
       val batch = batchSplits(name)
       assert(streamed.exceptAll(batch).count() === 0 &&
         batch.exceptAll(streamed).count() === 0,
@@ -53,6 +99,9 @@ class SoakSpec extends SparkSpec {
     // log records one entry per micro-batch
     def commits(chk: String): Int =
       new java.io.File(s"$chk/commits").list().count(!_.startsWith("."))
+    assert(commits(s"$work/_chk_hygiene") >= 4,
+      "hygiene front stage ran >=4 micro-batches")
+    assert(commits(s"$work/_chk_kw") >= 2, "keyword DWS ran >=2 micro-batches")
     assert(commits(s"$work/_chk_dwd") >= 4, "splitter ran >=4 micro-batches")
     assert(commits(s"$work/_chk_page") >= 2, "page DWS ran >=2 micro-batches")
     assert(commits(s"$work/_chk_err") >= 2, "err DWS ran >=2 micro-batches")
