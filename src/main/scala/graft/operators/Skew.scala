@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities. AQE's skew-join split is the first line of
@@ -68,6 +68,91 @@ object Skew {
       saltedJoin(big, small, key, buckets)
     else
       big.join(small, big(key) === small(key))
+
+  /** Zero-extra-job skew adaptation for per-micro-batch joins — the
+    * `Observation`-based successor to [[autoSaltedJoin]]'s sampled probe.
+    *
+    * [[autoSaltedJoin]] pays one extra blocking Spark job per call to
+    * measure the hot-key share BEFORE choosing the plan; called from a
+    * streaming `foreachBatch` that is one extra job per trigger, forever.
+    * This probe instead rides the batch's EXISTING materialization: an
+    * `observe` node on the big side collects `mode(key)` (the most
+    * frequent key), a count-min sketch of the key column, and the row
+    * count in the same pass that executes the join, and the share =
+    * cms(mode)/count decides the NEXT batch's plan. Skew is a property of
+    * the stream, not of one micro-batch, so a one-batch-late decision is
+    * the right trade for deleting a per-trigger job — and the very first
+    * batch (share unknown, 0.0) takes the unsalted plan, exactly what the
+    * cold-start sample would have concluded anyway on uniform data.
+    *
+    * At scale nothing here is driver-resident beyond the sketch (KBs,
+    * eps/confidence-bounded): mode and the CMS merge per-partition and
+    * only the merged result returns. CMS overestimates rare keys, never
+    * underestimates the hot one, so the error direction errs toward
+    * salting — the safe side.
+    *
+    * Per-micro-batch lifecycle (serial, matching foreachBatch):
+    * {{{
+    *   val joined = probe.join(batch, dim)   // plan chosen from LAST batch
+    *   joined.write...                       // the batch's own action
+    *   probe.refresh()                       // read this batch's metrics
+    * }}}
+    */
+  final class SkewProbe(key: String, buckets: Int = 16,
+      hotShare: Double = 0.2) {
+    @volatile private var lastShare = 0.0
+    private var pending: Option[Observation] = None
+
+    /** Hot-key share observed on the most recently refreshed batch. */
+    def share: Double = lastShare
+
+    /** Join `big ⋈ small` on `key`, salted iff the LAST refreshed batch
+      * ran hot; instruments `big` so [[refresh]] can read this batch's
+      * stats after the caller's terminal action.
+      */
+    def join(big: DataFrame, small: DataFrame): DataFrame = {
+      val obs = Observation()
+      val instrumented = big.observe(obs,
+        mode(col(key)).as("mode_k"),
+        count_min_sketch(col(key), lit(0.001d), lit(0.99d), lit(42))
+          .as("cms"),
+        count(lit(1)).as("n"))
+      pending = Some(obs)
+      if (lastShare >= hotShare)
+        saltedJoin(instrumented, small, key, buckets)
+      else
+        instrumented.join(small, instrumented(key) === small(key))
+    }
+
+    /** Fold the observed metrics of the last [[join]]'s materialization
+      * into the next decision. Call AFTER the batch's DATASET action (a
+      * raw `toRdd` action bypasses the QueryExecutionListener that feeds
+      * observations — `foreachBatch` writes fire it). Metrics ride the
+      * async listener bus, so the blocking `get` runs under a `waitMs`
+      * guard; on timeout — the caller never ran an action — the previous
+      * decision simply stands for one more batch.
+      */
+    def refresh(waitMs: Long = 10000): Unit = pending.foreach { obs =>
+      pending = None
+      val m =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(
+            scala.concurrent.ExecutionContext.global),
+          scala.concurrent.duration.Duration(waitMs, "ms"))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          Map.empty[String, Any] }
+      if (m.nonEmpty) {
+        val n = m("n").asInstanceOf[Long]
+        lastShare =
+          if (n == 0L || m("mode_k") == null) 0.0
+          else {
+            val cms = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(m("cms").asInstanceOf[Array[Byte]])
+            math.min(1.0, cms.estimateCount(m("mode_k")).toDouble / n)
+          }
+      }
+    }
+  }
 
   /** Two-stage aggregation for a skewed group key: partial aggregate on
     * (key, salt), then final on key. For algebraic aggregates Spark's

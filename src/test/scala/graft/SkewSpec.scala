@@ -53,6 +53,70 @@ class SkewSpec extends SparkSpec {
       refUni.exceptAll(canon(plainAuto)).count() === 0)
   }
 
+  test("SkewProbe adapts across batches with zero extra jobs") {
+    // same hot/uniform shapes as the auto-salting test
+    val hot = spark.range(20000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(pmod(col("id"), lit(100)))
+        .as("k"), col("id").as("payload"))
+    val uniform = spark.range(20000).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      (col("id") * 3).as("dim_val"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("payload"), col("dim_val"))
+
+    val probe = new Skew.SkewProbe("k", buckets = 8)
+    // job accounting: the observe-based probe must add NOTHING to the
+    // batch's own action, while autoSaltedJoin's sampled probe is a
+    // separate blocking job every call
+    def countJobs(group: String)(action: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try action finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously; settle until stable
+      var jobs = 0
+      (1 to 100).takeWhile { _ =>
+        val now = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).length
+        val changed = now != jobs || now == 0
+        jobs = now; Thread.sleep(30); changed
+      }
+      jobs
+    }
+    val jPlain = countJobs("skew_plain") {
+      hot.join(dim, hot("k") === dim("k")).count(); () }
+    // batch 1 (cold start): plain plan, probe rides the action via observe
+    val b1 = probe.join(hot, dim)
+    assert(!b1.queryExecution.analyzed.toString.contains("__salt"),
+      "cold start takes the plain plan")
+    val j1 = countJobs("skew_probe") { b1.count(); () }
+    probe.refresh()
+    assert(j1 === jPlain,
+      s"probe must add no job beyond the plain join's own ($j1 vs $jPlain)")
+    val jAuto = countJobs("skew_auto") {
+      Skew.autoSaltedJoin(hot, dim, "k", buckets = 8).count(); () }
+    assert(jAuto > jPlain,
+      s"the sampled probe pays extra jobs ($jAuto vs $jPlain) — " +
+        "exactly what SkewProbe deletes")
+    assert(probe.share > 0.4, s"hot share learned from batch 1: ${probe.share}")
+
+    // batch 2: the learned share salts the plan; result still identical
+    val b2 = probe.join(hot, dim)
+    assert(b2.queryExecution.analyzed.toString.contains("__salt"),
+      "batch 2 must take the salted plan learned from batch 1")
+    val refHot = canon(hot.join(dim, "k"))
+    assert(canon(b2).exceptAll(refHot).count() === 0 &&
+      refHot.exceptAll(canon(b2)).count() === 0)
+    probe.refresh()
+
+    // batch 3 goes uniform: share decays, batch 4 is plain again
+    val b3 = probe.join(uniform, dim)
+    b3.count()
+    probe.refresh()
+    assert(probe.share < 0.05, s"uniform share: ${probe.share}")
+    assert(!probe.join(uniform, dim).queryExecution.analyzed.toString
+      .contains("__salt"), "probe must fall back to the plain plan")
+  }
+
   test("salted count-distinct equals direct count-distinct") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val direct = ev.groupBy(col("event_type"))
