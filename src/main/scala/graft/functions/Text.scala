@@ -116,16 +116,25 @@ object Text {
       (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
         .cast("double") / length(c).cast("double"))
 
-  /** N-gram-heuristic language ID: zh when ≥30% of characters are han
-    * codepoints (integer math so both engines agree exactly), en if any
-    * English stopword appears, digits-only → "num", else "other".
-    * Deterministic and SQL-expressible so the DuckDB oracle can replicate
-    * it bit-for-bit.
+  /** Cyrillic codepoint class (а–я U+0430–044F, А–Я U+0410–042F, plus ё/Ё
+    * which live outside the contiguous range) — literal chars so the
+    * identical pattern runs in Java regex (Spark) and RE2 (DuckDB).
+    */
+  private val CyrRange = "а-яА-ЯёЁ"
+
+  /** N-gram-heuristic language ID, script tiers first: zh when ≥30% of
+    * characters are han codepoints, ru when ≥30% are cyrillic (same
+    * integer math so both engines agree exactly), en if any English
+    * stopword appears, digits-only → "num", else "other". Deterministic
+    * and SQL-expressible so the DuckDB oracle can replicate it
+    * bit-for-bit.
     */
   def langId(c: Column): Column = {
     val toks = tokenize(c)
     val hanChars = length(regexp_replace(c, s"[^$HanRange]", ""))
+    val cyrChars = length(regexp_replace(c, s"[^$CyrRange]", ""))
     when(length(c) > 0 && hanChars * 10 >= length(c) * 3, lit("zh"))
+      .when(length(c) > 0 && cyrChars * 10 >= length(c) * 3, lit("ru"))
       .when(size(filter(toks, t => t.isin(stopwords.map(lit): _*))) > 0, lit("en"))
       .when(c.rlike("^[0-9\\s\\p{Punct}]*$"), lit("num"))
       .otherwise(lit("other"))

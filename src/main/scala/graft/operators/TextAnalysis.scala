@@ -57,9 +57,12 @@ object TextAnalysis extends OpModule {
     }),
     "text_langid" -> ((s, dir) => {
       import s.implicits._
-      // CJK fixture rows (labeled zh) exercise the zh tier under the gate
+      // CJK fixture rows (labeled zh) exercise the zh tier under the
+      // gate; cyrillic rows the ru tier (incl. the ё-outside-а-я edge and
+      // a minority-cyrillic row that must NOT trip it)
       val fixture = cjkFixture.toDF("doc_id", "text")
         .select(col("doc_id"), col("text"), lit("zh").as("lang"))
+        .unionByName(cyrFixture.toDF("doc_id", "text", "lang"))
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
         .unionByName(fixture)
         .select(col("doc_id"), col("lang"),
@@ -181,6 +184,17 @@ object TextAnalysis extends OpModule {
     (-3L, "我"),
     (-4L, "搜索关键词分析"))
 
+  /** Cyrillic fixture rows (negative ids, disjoint from generated data and
+    * the CJK block) for the ru tier: pure cyrillic, majority-cyrillic with
+    * a latin term (and ё, which sits OUTSIDE the contiguous а-я range), and
+    * a minority-cyrillic row that must classify by the later tiers —
+    * mirrored verbatim in the DuckDB oracle. Third column = true label.
+    */
+  private val cyrFixture = Seq(
+    (-21L, "глубокое обучение моделей", "ru"),
+    (-22L, "распределённый spark движок", "ru"),
+    (-23L, "data engineering через spark 2024", "en"))
+
   /** PII patterns — literal-char classes + the (?i) flag only, identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
     * escapes that differ between engines. The phone pattern demands the
@@ -272,8 +286,10 @@ object TextAnalysis extends OpModule {
          |       ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
          |            / CAST(length(text) AS DOUBLE) END) <= 0.2""".stripMargin,
     "text_langid" -> {
-      val values = cjkFixture
-        .map { case (id, txt) => s"($id, '$txt', 'zh')" }.mkString(",\n          ")
+      val values = (cjkFixture.map { case (id, txt) => (id, txt, "zh") } ++
+        cyrFixture)
+        .map { case (id, txt, lb) => s"($id, '$txt', '$lb')" }
+        .mkString(",\n          ")
       s"""WITH docs AS (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
@@ -283,6 +299,9 @@ object TextAnalysis extends OpModule {
          |  CASE WHEN length(text) > 0 AND
          |            length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 10
          |              >= length(text) * 3 THEN 'zh'
+         |       WHEN length(text) > 0 AND
+         |            length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) * 10
+         |              >= length(text) * 3 THEN 'ru'
          |       WHEN len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                                        x -> x <> ''),
          |                            x -> list_contains($stop, x))) > 0 THEN 'en'

@@ -56,6 +56,18 @@ class OperatorsSpec extends SparkSpec {
       "ASCII corpus rows must never predict zh")
   }
 
+  test("langid: ru tier fires on cyrillic-majority text only") {
+    val preds = SparkEntry.queries("text_langid")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(-21L) === "ru", "pure cyrillic row")
+    assert(preds(-22L) === "ru",
+      "majority-cyrillic row with a latin term and ё")
+    assert(preds(-23L) !== "ru",
+      "minority cyrillic must fall through to the later tiers")
+    assert(preds.filter(_._1 >= 0).values.forall(_ != "ru"),
+      "ASCII corpus rows must never predict ru")
+  }
+
   test("PII scrub: planted emails/phones redacted with correct counts") {
     val rows = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
       .filter(col("doc_id") < 0)
