@@ -37,15 +37,31 @@ object Bench {
       try scala.sys.process.Process(
         Seq("git", "show", "HEAD:bench_out.json")).!!
       catch { case _: Throwable =>
+        // the working file is rewritten by every run, so this baseline can
+        // drift — say so instead of silently guarding against the wrong
+        // numbers
+        System.err.println(
+          "[bench] git unavailable; contention guard falls back to the " +
+            "working-tree bench_out.json (may drift)")
         val p = java.nio.file.Paths.get("bench_out.json")
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
         else ""
       }
-    val start = s.indexOf("\"queries\":{")
-    if (start < 0) return Map.empty
-    val body = s.substring(start + 11, s.indexOf('}', start))
-    "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    if (s.isEmpty) return Map.empty
+    // a real JSON parse (jackson ships on Spark's classpath): immune to
+    // key reordering and to objects (raw_runs) preceding `queries`
+    try {
+      import scala.jdk.CollectionConverters._
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).get("queries")
+      if (node == null) Map.empty
+      else node.fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] committed record unparseable " +
+        s"(${e.getMessage}); contention guard disabled for this run")
+      Map.empty
+    }
   }
 
   /** Lower median (sorted middle element) — robust to one contended run. */

@@ -43,16 +43,17 @@ object Dedup extends OpModule {
       // Computing the six minhashes as array expressions would
       // re-evaluate the shingling 6× after CollapseProject — measured
       // 10× slower.
-      // Two materialization points, both load-bearing:
-      //  1. tokens first (attribute), THEN shingles — shingling from the
-      //     raw text would re-tokenize per shingle index (interpreted HOF
-      //     lambdas don't share subexpressions).
-      //  2. barrier(): the DAG below reads this relation three times
-      //     (shingle explode + toks join + self-join sides); without the
-      //     barrier each read recomputes the text ops (~4x slower).
-      //     core.Barrier picks localCheckpoint locally and
-      //     persist(DISK_ONLY) on clusters (lineage kept for fault
-      //     recovery); long sessions release via Barrier.releaseAll.
+      // Materialization: tokens bind as a GENERATE output before
+      // shingling (see bandedSigs — shingling from the raw text would
+      // re-tokenize per shingle index; interpreted HOF lambdas don't
+      // share subexpressions, and CollapseProject re-inlines plain
+      // projections), so the signature derivation runs with ZERO
+      // intermediate materializations. One barrier() remains, on the
+      // final sigs relation: verifiedPairs reads it three times (two
+      // self-join sides + the toks verify join); without it each read
+      // recomputes the whole derivation. core.Barrier picks
+      // localCheckpoint locally and persist(DISK_ONLY) on clusters;
+      // long sessions release via Barrier.releaseAll.
       // repartition ON THE BUCKET KEY before the barrier: the candidate
       // self-join below is the expensive stage, and its parallelism must
       // not be inherited from the signature aggregate's shuffle — AQE
@@ -69,7 +70,7 @@ object Dedup extends OpModule {
       // verify side.
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       verifiedPairs(
-        bandedSigs(t(s, dir, "documents"), _.barrier()).barrier(), nPart)
+        bandedSigs(t(s, dir, "documents")).barrier(), nPart)
     }),
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
@@ -148,22 +149,29 @@ object Dedup extends OpModule {
     * min-slices of ONE md5 per 3-word shingle (see dedup_minhash_lsh's
     * comments for why slices/HashAggregate/attribute-first all matter).
     *
-    * `reuse` is the materialization hook: callers whose DAG reads the
-    * intermediates more than once pass `_.barrier()` (dedup's self-join;
-    * the per-micro-batch decontamination gate, which runs on a batch
-    * DataFrame inside foreachBatch where barriers are legal); truly
-    * single-read callers keep the default identity.
+    * Materialization strategy (round-6 measurement, MinhashLab at sf0.1):
+    * the shingle path pins `rtoks` behind `explode(array(tokenize))` — a
+    * one-element Generate. CollapseProject cannot push a projection
+    * through Generate, so the shingling lambda binds the generated
+    * ATTRIBUTE and tokenize runs once per row on that side — the same
+    * effect the previous intermediate `barrier()` calls bought, at zero
+    * materialization cost (no block-manager writes, nothing for
+    * per-micro-batch callers to release, no lineage truncation on
+    * clusters). Without the Generate, CollapseProject inlines tokenize
+    * into every consumer (measured 3× slower); with the old barriers the
+    * pipeline paid three block-manager round-trips (measured ~20% slower
+    * end-to-end and O(corpus) storage churn). The toks side re-derives
+    * tokenizeDistinct in its own single pass — one extra codegen'd
+    * tokenize beats materializing token arrays.
     */
-  def bandedSigs(docs: org.apache.spark.sql.DataFrame,
-      reuse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        identity): org.apache.spark.sql.DataFrame = {
-    val toksDf = reuse(docs
-      .select(col("doc_id"), Text.tokenize(col("text")).as("rtoks")))
-    val d = reuse(toksDf.select(col("doc_id"),
-      array_distinct(col("rtoks")).as("toks"),
-      Text.wordShingles(col("rtoks"), 3).as("sh")))
-    val mh = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("h"))
+  def bandedSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val shDf = docs
+      .select(col("doc_id"),
+        explode(array(Text.tokenize(col("text")))).as("rtoks"))
+      .select(col("doc_id"),
+        explode(Text.wordShingles(col("rtoks"), 3)).as("shingle"))
+    val mh = shDf.select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
         min(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("mh0"),
@@ -172,9 +180,11 @@ object Dedup extends OpModule {
         min(conv(substring(col("h"), 16, 5), 16, 10).cast("long")).as("mh3"),
         min(conv(substring(col("h"), 21, 5), 16, 10).cast("long")).as("mh4"),
         min(conv(substring(col("h"), 26, 5), 16, 10).cast("long")).as("mh5"))
+    val toks = docs.select(col("doc_id"),
+      Text.tokenizeDistinct(col("text")).as("toks"))
     def bandSig(i: Int, j: Int) = md5(concat(
       col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
-    mh.join(d.select(col("doc_id"), col("toks")), "doc_id")
+    mh.join(toks, "doc_id")
       .select(col("doc_id"), col("toks"),
         array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
       .select(col("doc_id"), col("toks"), posexplode(col("sigs")))

@@ -227,7 +227,7 @@ object StatefulStreaming {
     import org.apache.spark.sql.functions.broadcast
     import graft.core.Barrier.BarrierOps
     val b = batch.barrier()
-    val contaminated = graft.operators.Dedup.bandedSigs(b, _.barrier())
+    val contaminated = graft.operators.Dedup.bandedSigs(b)
       .join(broadcast(benchSigs.select(col("band").as("b_band"),
           col("sig").as("b_sig"), col("toks").as("b_toks"))),
         col("band") === col("b_band") && col("sig") === col("b_sig"))
@@ -282,7 +282,7 @@ object StatefulStreaming {
     import graft.core.Barrier.BarrierOps
     val spark = batch.sparkSession
     val b = batch.barrier() // read by the signature pass AND the anti-join
-    val sigs = graft.operators.Dedup.bandedSigs(b, _.barrier()).barrier()
+    val sigs = graft.operators.Dedup.bandedSigs(b).barrier()
     // Prior batches' admitted signatures. The store is one directory PER
     // micro-batch (`__batch=<id>`, written with Overwrite below) and the
     // current batch's own directory is EXCLUDED from the read — so a
