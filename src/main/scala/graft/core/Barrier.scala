@@ -34,10 +34,10 @@ import org.apache.spark.storage.StorageLevel
   * in-flight localCheckpoint, which has no lineage to recompute from.
   * Caller-owned caches (a benchmark signature table `cache()`d for a whole
   * streaming job, a notebook's persisted working set) are never touched:
-  * the localCheckpoint path attributes blocks by a before/after diff of the
-  * persistent-RDD registry taken under a global lock AND filtered to
-  * locally-checkpointed RDDs, so a concurrent `cache()` registered in the
-  * window is excluded on both counts.
+  * the localCheckpoint path attributes blocks EXACTLY — the returned plan
+  * is a LogicalRDD over the checkpointed RDD, whose id is read straight
+  * out of it — so nothing another thread registers can ever be claimed,
+  * and concurrent barrier materializations run fully in parallel.
   *
   * The one contract left with the caller: create and release on the same
   * thread (true of every in-repo user — operators build their barriers on
@@ -69,22 +69,15 @@ object Barrier {
         scopes.get().persisted += p
         p
       case _ =>
-        val sc = df.sparkSession.sparkContext
-        // the diff runs under a global lock so two concurrent apply()
-        // calls can't capture each other's fresh blocks; the
-        // isCheckpointed filter (true here: eager localCheckpoint has
-        // materialized by diff time) excludes any OTHER registration (a
-        // caller's cache()) that lands inside the window
-        val (out, created) = this.synchronized[(DataFrame, Set[Int])] {
-          val before = sc.getPersistentRDDs.keySet
-          val o = df.localCheckpoint()
-          val c = sc.getPersistentRDDs
-            .filter { case (id, rdd) =>
-              !before.contains(id) && rdd.isCheckpointed }
-            .keySet.toSet
-          (o, c)
+        val out = df.localCheckpoint()
+        // exact attribution, no registry diff and no lock: the returned
+        // plan IS a LogicalRDD over the checkpointed RDD, so concurrent
+        // queries' barrier jobs run fully in parallel and a concurrent
+        // caller's cache() can never be captured by mistake
+        val ids = out.queryExecution.logical.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
         }
-        scopes.get().ckptRddIds ++= created
+        scopes.get().ckptRddIds ++= ids
         out
     }
 

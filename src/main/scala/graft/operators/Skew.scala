@@ -109,15 +109,27 @@ object Skew {
     /** Join `big ⋈ small` on `key`, salted iff the LAST refreshed batch
       * ran hot; instruments `big` so [[refresh]] can read this batch's
       * stats after the caller's terminal action.
+      *
+      * Key-type note: `count_min_sketch` supports integral / string /
+      * binary keys. For other key types (decimal, date, …) the probe
+      * degrades gracefully to the plain join with no instrumentation —
+      * it never fails the batch — but a caller wanting adaptation there
+      * should keep [[autoSaltedJoin]]'s sampled probe instead.
       */
     def join(big: DataFrame, small: DataFrame): DataFrame = {
-      val obs = Observation()
-      val instrumented = big.observe(obs,
-        mode(col(key)).as("mode_k"),
-        count_min_sketch(col(key), lit(0.001d), lit(0.99d), lit(42))
-          .as("cms"),
-        count(lit(1)).as("n"))
-      pending = Some(obs)
+      val instrumented =
+        try {
+          val obs = Observation()
+          val o = big.observe(obs,
+            mode(col(key)).as("mode_k"),
+            count_min_sketch(col(key), lit(0.001d), lit(0.99d), lit(42))
+              .as("cms"),
+            count(lit(1)).as("n"))
+          pending = Some(obs)
+          o
+        } catch { // unsupported key type for the sketch: probe stays inert
+          case _: org.apache.spark.sql.AnalysisException => big
+        }
       if (lastShare >= hotShare)
         saltedJoin(instrumented, small, key, buckets)
       else
@@ -134,13 +146,21 @@ object Skew {
       */
     def refresh(waitMs: Long = 10000): Unit = pending.foreach { obs =>
       pending = None
-      val m =
-        try scala.concurrent.Await.result(
-          scala.concurrent.Future(obs.get)(
-            scala.concurrent.ExecutionContext.global),
-          scala.concurrent.duration.Duration(waitMs, "ms"))
-        catch { case _: java.util.concurrent.TimeoutException =>
-          Map.empty[String, Any] }
+      // a short-lived OWNED daemon thread, interrupted on timeout —
+      // obs.get blocks in an interruptible wait(), so a no-action batch
+      // costs one thread for waitMs and then nothing (a shared pool
+      // would park a worker forever per timeout and eventually starve)
+      val result = new java.util.concurrent.atomic.AtomicReference[
+        Map[String, Any]](Map.empty)
+      val t = new Thread(() => {
+        try result.set(obs.get)
+        catch { case _: InterruptedException => () }
+      }, "skew-probe-refresh")
+      t.setDaemon(true)
+      t.start()
+      t.join(waitMs)
+      if (t.isAlive) t.interrupt()
+      val m = result.get()
       if (m.nonEmpty) {
         val n = m("n").asInstanceOf[Long]
         lastShare =

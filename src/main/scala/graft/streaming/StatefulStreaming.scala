@@ -262,17 +262,23 @@ object StatefulStreaming {
     * COMPACTION bounds the store's directory count over a long-lived
     * stream: once the prior `__batch=*` directories exceed
     * `compactThreshold`, they are rewritten together with the previous
-    * generation into one bucketed `__gen=<N>` directory and deleted, so
-    * steady-state listing is O(compactThreshold) directories and each
-    * batch reads one compacted generation plus a bounded tail of recent
-    * batch dirs — not one directory per batch since job start. Replay
-    * stays idempotent through a crash at ANY point of the compaction:
-    * the new generation is written BEFORE the inputs are deleted, and a
-    * replayed batch that sees both simply reads duplicate signatures —
-    * harmless (drops feed a distinct/anti-join) — while the compaction
-    * itself dedupes on (doc_id, band), so a half-finished predecessor
-    * never doubles the store. The current batch's own directory is never
-    * compacted (it must stay excludable on replay).
+    * generation into one bucketed `__gen=<N>` directory, so steady-state
+    * listing is O(compactThreshold) directories and each batch reads one
+    * compacted generation plus a bounded tail of recent batch dirs — not
+    * one directory per batch since job start. Superseded inputs are NOT
+    * deleted in the same batch: the returned `admitted` relation's
+    * lineage (kept for fault recovery under the persist barrier mode)
+    * still reaches their files until the caller's write completes, so
+    * the compaction only drops an `_OBSOLETE` tombstone into each input
+    * and the NEXT batch — when nothing can reference them any more —
+    * reaps tombstoned dirs before reading. Replay stays idempotent
+    * through a crash at ANY point: the new generation is fully written
+    * BEFORE any tombstone, a replayed batch that sees both reads
+    * duplicate signatures — harmless (drops feed a distinct/anti-join) —
+    * and the compaction itself dedupes on (doc_id, band), so a
+    * half-finished predecessor never doubles the store. The current
+    * batch's own directory is never compacted (it must stay excludable
+    * on replay).
     *
     * Returns the admitted subset of `batch`. Callers release barrier
     * blocks after writing (`Barrier.releaseAll`).
@@ -295,23 +301,41 @@ object StatefulStreaming {
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       else Array.empty[org.apache.hadoop.fs.Path]
-    val batchDirs = allDirs.filter(p => p.getName.startsWith("__batch=") &&
+    // reap dirs a prior batch's compaction tombstoned: their content lives
+    // in the generation written before the tombstone, the stream runs one
+    // batch at a time, and any replay reads that generation — so nothing
+    // can reference them any more
+    val (deadDirs, liveDirs) = allDirs.partition(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_OBSOLETE")))
+    deadDirs.foreach(p => fs.delete(p, true))
+    val batchDirs = liveDirs.filter(p => p.getName.startsWith("__batch=") &&
       p.getName != s"__batch=$batchId")
-    val genDirs = allDirs.filter(_.getName.startsWith("__gen="))
+    val genDirs = liveDirs.filter(_.getName.startsWith("__gen="))
+    // an explicit data probe, not a broad AnalysisException catch: a dir
+    // holding only _SUCCESS is EMPTY (skip it), but a genuine read/schema
+    // failure must fail the batch loudly — swallowing it would admit the
+    // whole batch undeduped and let the compaction below destroy the store
+    def hasData(d: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(d, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.getLen > 0 && !f.getPath.getName.startsWith("_")
+      }
+      found
+    }
     // gen and batch dirs carry different partition-path shapes, so each
     // family reads under its own discovery (same basePath) and the select
     // normalizes both to the one schema the joins need
     def readDirs(dirs: Array[org.apache.hadoop.fs.Path])
-        : Option[DataFrame] =
-      if (dirs.isEmpty) None
-      else
-        try Some(spark.read.option("basePath", storeDir)
-          .parquet(dirs.map(_.toString).toIndexedSeq: _*)
-          .select(col("doc_id"), col("band"), col("sig"), col("toks"),
-            col("__bucket")))
-        catch { // every dir was empty (holds only _SUCCESS)
-          case _: org.apache.spark.sql.AnalysisException => None
-        }
+        : Option[DataFrame] = {
+      val nonEmpty = dirs.filter(hasData)
+      if (nonEmpty.isEmpty) None
+      else Some(spark.read.option("basePath", storeDir)
+        .parquet(nonEmpty.map(_.toString).toIndexedSeq: _*)
+        .select(col("doc_id"), col("band"), col("sig"), col("toks"),
+          col("__bucket")))
+    }
     val seen = (readDirs(genDirs), readDirs(batchDirs)) match {
       case (Some(g), Some(bd)) => Some(g.unionByName(bd))
       case (g, bd) => g.orElse(bd)
@@ -347,20 +371,27 @@ object StatefulStreaming {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__bucket").parquet(s"$storeDir/__batch=$batchId")
     // COMPACTION (see Scaladoc): fold the prior batch dirs + old
-    // generations into one new bucketed generation, THEN delete the
-    // inputs — a crash in between leaves both readable (duplicate
-    // signatures are harmless to the drop joins, and the (doc_id, band)
-    // dedupe below collapses them at the next compaction). The current
-    // batch's dir is never an input: replay must keep excluding it.
+    // generations into one new bucketed generation, THEN tombstone the
+    // inputs — deletion waits for the next batch because the admitted
+    // relation returned above still holds lineage over these files under
+    // the persist barrier mode (an executor loss between here and the
+    // caller's write would recompute through them). A crash in between
+    // leaves both generations readable: duplicate signatures are harmless
+    // to the drop joins, and the (doc_id, band) dedupe collapses them at
+    // the next fold. The current batch's dir is never an input: replay
+    // must keep excluding it.
     if (batchDirs.length > compactThreshold) {
       val nextGen = genDirs.map(_.getName.stripPrefix("__gen=").toLong)
         .foldLeft(0L)(math.max) + 1
-      seen.foreach { sn => // None = all inputs empty: just drop the dirs
+      seen.foreach { sn => // None = all inputs empty: tombstone only
         sn.dropDuplicates("doc_id", "band")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("__bucket").parquet(s"$storeDir/__gen=$nextGen")
       }
-      (genDirs ++ batchDirs).foreach(p => fs.delete(p, true))
+      (genDirs ++ batchDirs).foreach { p =>
+        fs.create(new org.apache.hadoop.fs.Path(p, "_OBSOLETE"), true)
+          .close()
+      }
     }
     admitted
   }

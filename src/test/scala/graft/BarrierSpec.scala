@@ -56,15 +56,17 @@ class BarrierSpec extends SparkSpec {
       mayRelease.await()
       graft.core.Barrier.releaseAll(spark) // the owner's own release works
     })
+    other.setDaemon(true) // a failed assert below must not hang the JVM
     other.start()
-    parked.await()
-    assert(otherBlocks.nonEmpty, "the other thread parked a block")
-    // this thread releases ITS scope — the other query's in-flight
-    // localCheckpoint (no lineage!) must not be evicted
-    graft.core.Barrier.releaseAll(spark)
-    assert(otherBlocks.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
-      "releaseAll must never drop another thread's barrier blocks")
-    mayRelease.countDown()
+    try {
+      parked.await()
+      assert(otherBlocks.nonEmpty, "the other thread parked a block")
+      // this thread releases ITS scope — the other query's in-flight
+      // localCheckpoint (no lineage!) must not be evicted
+      graft.core.Barrier.releaseAll(spark)
+      assert(otherBlocks.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+        "releaseAll must never drop another thread's barrier blocks")
+    } finally mayRelease.countDown()
     other.join()
     assert(otherBlocks.intersect(
       spark.sparkContext.getPersistentRDDs.keySet).isEmpty,

@@ -53,11 +53,14 @@ class StreamingSpec extends SparkSpec {
     // (SPARK_GRAFT_STATESTORE=rocksdb in Sessions) would configure
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.core.Sessions.RocksDbProvider)
-    val input = MemoryStream[KeyedEvent]
-    val q = StatefulStreaming.firstOfDayStream(input.toDS(), ttl = None)
-      .writeStream.format("memory").queryName("a4_rocksdb")
-      .outputMode("append").start()
+    var q: StreamingQuery = null
     try {
+      // inside the try: if start() itself throws, the finally still
+      // unsets the provider on the SHARED session
+      val input = MemoryStream[KeyedEvent]
+      q = StatefulStreaming.firstOfDayStream(input.toDS(), ttl = None)
+        .writeStream.format("memory").queryName("a4_rocksdb")
+        .outputMode("append").start()
       input.addData(
         KeyedEvent(1, 1, ms("2024-01-01T10:00:00Z"), 0),
         KeyedEvent(2, 1, ms("2024-01-01T11:00:00Z"), 0))
@@ -80,7 +83,7 @@ class StreamingSpec extends SparkSpec {
         (1L, "2024-01-10", 1)),
         "per-key state must carry across micro-batches under RocksDB")
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
@@ -484,14 +487,21 @@ class StreamingSpec extends SparkSpec {
       "clones of a COMPACTED admitted doc must still drop")
     def dirs(store: String): Array[String] = new java.io.File(store)
       .listFiles().filter(_.isDirectory).map(_.getName)
+    // live = not yet tombstoned; superseded dirs linger ONE batch (the
+    // returned relation's lineage may still reach them) and the next
+    // batch reaps them
+    def live(store: String): Array[String] = new java.io.File(store)
+      .listFiles().filter(d => d.isDirectory &&
+        !new java.io.File(d, "_OBSOLETE").exists()).map(_.getName)
     assert(dirs(storeN).count(_.startsWith("__batch=")) === batches.length,
       "control store accumulates one dir per batch")
-    assert(dirs(storeC).length <= 5, // ≤ threshold batch dirs + current + 1 gen
-      s"compacted store must stay bounded: ${dirs(storeC).toList}")
+    assert(live(storeC).length <= 5, // ≤ threshold batch dirs + current + 1 gen
+      s"compacted store must stay bounded: ${live(storeC).toList}")
     assert(dirs(storeC).exists(_.startsWith("__gen=")),
       "compaction must have produced a generation")
     // REPLAY of the final (compacting) batch: same admissions, store still
-    // bounded, and the replayed batch must not self-match its failed write
+    // bounded (the replay reaps the tombstoned inputs), and the replayed
+    // batch must not self-match its failed write
     val replay = StatefulStreaming.nearDupIngestBatch(
       batches.last.toSeq.toDF("doc_id", "text"), storeC,
       (batches.length - 1).toLong, compactThreshold = 2)
@@ -499,7 +509,7 @@ class StreamingSpec extends SparkSpec {
     graft.core.Barrier.releaseAll(spark)
     assert(replay === admC.last, "replay of the compacting batch is idempotent")
     assert(dirs(storeC).length <= 5,
-      s"replay must not unbound the store: ${dirs(storeC).toList}")
+      s"replay must reap tombstoned dirs and stay bounded: ${dirs(storeC).toList}")
   }
 
   test("S2 CDC snapshot-then-tail: changelog segments merge into the store") {
