@@ -34,16 +34,22 @@ object Text {
     * Chinese analyzer (ref: realtime-dws/.../function/KwSplit.java:17-25,
     * realtime-common/.../util/IKUtil.java:18-34). The gmall keyword stream
     * is Chinese text; a latin-only split deletes it entirely, so:
-    *   - latin/digit runs tokenize as before (lowercased words), and
+    *   - latin/digit runs tokenize as before (lowercased words),
+    *   - cyrillic runs tokenize as whole words (space-delimited script,
+    *     same treatment as latin — without this every doc the `ru` langId
+    *     tier admits would tokenize to NOTHING), and
     *   - han spans emit overlapping codepoint bigrams (the IK-smart-style
     *     unit for unsegmented Chinese; a 1-char span emits itself),
-    * in one pass: extract `han+|latin+` spans, then expand each span. The
-    * outer HOF lambdas bind the already-extracted span attribute (never the
-    * document), so nothing is re-derived per element — one narrow codegen'd
-    * extract plus an interpreted expansion over short spans.
+    * in one pass: extract `han+|latin+|cyr+` spans, then expand each span.
+    * The outer HOF lambdas bind the already-extracted span attribute
+    * (never the document), so nothing is re-derived per element — one
+    * narrow codegen'd extract plus an interpreted expansion over short
+    * spans. Only lowercase `а-яё` appears in the span class: the input is
+    * lowercased first (both engines case-fold cyrillic).
     */
   def tokenizeCjk(c: Column): Column = {
-    val spans = regexp_extract_all(lower(c), lit(s"$HanClass+|[a-z0-9]+"), lit(0))
+    val spans = regexp_extract_all(lower(c),
+      lit(s"$HanClass+|[a-z0-9]+|[а-яё]+"), lit(0))
     flatten(transform(spans, sp =>
       when(sp.rlike(s"^$HanClass"),
         when(length(sp) === 1, array(sp))

@@ -30,7 +30,11 @@ object TextAnalysis extends OpModule {
     // (identically in the oracle) to exercise the CJK path under the gate.
     "u1_tokenize_cjk" -> ((s, dir) => {
       import s.implicits._
+      // han fixtures exercise the bigram tier, cyrillic fixtures the
+      // whole-word tier (ru docs must not tokenize to nothing)
       val fixture = cjkFixture.toDF("doc_id", "text")
+        .unionByName(cyrFixture.map { case (id, txt, _) => (id, txt) }
+          .toDF("doc_id", "text"))
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(fixture)
         .select(explode(Text.tokenizeCjk(col("text"))).as("keyword"))
@@ -240,7 +244,8 @@ object TextAnalysis extends OpModule {
         |      FROM documents)
         |WHERE keyword <> '' GROUP BY 1""".stripMargin,
     "u1_tokenize_cjk" -> {
-      val values = cjkFixture
+      val values = (cjkFixture ++
+        cyrFixture.map { case (id, txt, _) => (id, txt) })
         .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
@@ -249,7 +254,7 @@ object TextAnalysis extends OpModule {
          |          $values) v(doc_id, text))
          |SELECT tok AS keyword, count(*) AS keyword_count FROM (
          |  SELECT unnest(flatten(list_transform(
-         |    regexp_extract_all(lower(text), '[一-鿿]+|[a-z0-9]+'),
+         |    regexp_extract_all(lower(text), '[一-鿿]+|[a-z0-9]+|[а-яё]+'),
          |    sp -> CASE WHEN regexp_matches(sp, '^[一-鿿]')
          |           THEN CASE WHEN length(sp) = 1 THEN [sp]
          |                ELSE list_transform(range(1, length(sp)),

@@ -28,6 +28,12 @@ class OperatorsSpec extends SparkSpec {
     assert(toks(1) === Seq("我"), "single-char han span emits itself")
     assert(toks(2) === Seq("abc", "123"), "latin/digit path unchanged")
     assert(toks(3) === Seq.empty)
+    // cyrillic runs tokenize as whole lowercased words (the ru tier's
+    // documents must not tokenize to nothing)
+    val ru = Seq("Распределённый Spark движок 2024").toDF("text")
+      .select(graft.functions.Text.tokenizeCjk(col("text")).as("toks"))
+      .as[Seq[String]].head
+    assert(ru === Seq("распределённый", "spark", "движок", "2024"))
     // full recall: every adjacent han bigram of a pure-CJK keyword survives
     val kw = "搜索关键词分析"
     val got = Seq(kw).toDF("text")
