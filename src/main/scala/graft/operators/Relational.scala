@@ -53,6 +53,40 @@ object Relational extends OpModule {
           col("o_totalprice").cast("decimal(18,2)").cast("string")
             .as("total_price"))
     }),
+    // Approximate quantiles — the percentile sketch every corpus/metrics
+    // rollup needs at scale. Production path is percentile_approx (one
+    // partial-aggregating pass, mergeable sketch, no sort); the exact
+    // twin here is the verification harness (rank-select via row_number,
+    // integer index arithmetic → bit-exact in both engines, no
+    // interpolation-formula drift), same discipline as approx_uv_hll:
+    // the oracle recomputes the exact side and expects within_tol=true.
+    "q_quantiles_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      val wr = wp.orderBy(col("l_extendedprice"))
+      val ranked = base
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wp))
+      val exact = ranked.groupBy(col("l_returnflag")).agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("l_extendedprice"))).as("p50x"),
+        max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
+          col("l_extendedprice"))).as("p95x"))
+      val approx = base.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("a95"))
+      exact.join(approx, "l_returnflag").select(
+        col("l_returnflag"),
+        col("p50x").cast("decimal(18,2)").cast("string").as("exact_p50"),
+        col("p95x").cast("decimal(18,2)").cast("string").as("exact_p95"),
+        (abs(col("a50") - col("p50x")) / col("p50x") <= 0.01 &&
+          abs(col("a95") - col("p95x")) / col("p95x") <= 0.01)
+          .as("within_tol"))
+    }),
     // rollup with subtotal + grand-total rows (grouping-set semantics)
     "q_rollup_sales" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -147,6 +181,24 @@ object Relational extends OpModule {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 3""".stripMargin,
+    // the sketch estimate is approximate by design; deterministic are the
+    // exact rank-selected percentiles and the 1%-tolerance verdict
+    "q_quantiles_approx" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN l_extendedprice END) AS DECIMAL(18,2)) AS VARCHAR)
+        |    AS exact_p50,
+        |  CAST(CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |    THEN l_extendedprice END) AS DECIMAL(18,2)) AS VARCHAR)
+        |    AS exact_p95,
+        |  true AS within_tol
+        |FROM r GROUP BY 1""".stripMargin,
     "q_rollup_sales" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,

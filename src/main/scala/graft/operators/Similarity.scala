@@ -25,7 +25,7 @@ object Similarity extends OpModule {
 
   private val K = 5
 
-  def queries: Map[String, Q] = baseQueries ++ queriesIvf
+  def queries: Map[String, Q] = baseQueries ++ queriesIvf ++ queriesSq
 
   private val baseQueries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -190,7 +190,125 @@ object Similarity extends OpModule {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }))
 
+  /** Scalar-quantized (int8) ANN — the compressed-scan tier of the ANN
+    * family. ONE global symmetric scale (127 / corpus max|x|, no per-dim
+    * shift — a uniform scale cancels in cosine, so quantized cosine tracks
+    * true cosine; a per-dim affine map would not) turns each float into an
+    * 8-bit code. Candidate ranking runs on quantized cosine
+    * dotq/sqrt(n2a*n2b) — every input an exact integer, one double
+    * division → deterministic, oracle-reproducible — then only the top C
+    * survivors are re-scored with exact cosine on the original vectors.
+    * At 100 TB the win is the scan: codes are 64 B/vector vs 256 B of
+    * floats (4× less parquet + broadcast traffic), the scale pass is one
+    * partial-aggregating max (no corpus shuffle), quantization is a
+    * narrow per-row transform against ONE broadcast scalar, and the
+    * rescoring join moves (long, long) ids only — full vectors re-join
+    * for C·|Q| rows, never shuffled corpus-wide.
+    */
+  def queriesSq: Map[String, Q] = Map(
+    "sim_sq_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val scale = emb
+        .select(explode(col("embedding")).as("x"))
+        .agg(max(abs(col("x"))).cast("double").as("am"))
+      val withCodes = emb.join(broadcast(scale), lit(true))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) / am * 127.0D) AS INT))")
+            .as("codes"))
+        .select(col("vec_id"), col("codes"),
+          expr("aggregate(codes, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)")
+            .as("n2"))
+        .barrier()
+      val q = withCodes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+          col("n2").as("n2q"))
+      // integer dot product + integer norms → exact quantized cosine, so
+      // the candidate cut (top 4K, id tie-break) is deterministic
+      val scored = withCodes
+        .select(col("vec_id").as("neighbor_id"), col("codes").as("nc"),
+          col("n2").as("n2n"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("CAST(aggregate(zip_with(qc, nc, (a, b) -> CAST(a AS BIGINT) * b)," +
+            " 0L, (acc, v) -> acc + v) AS DOUBLE) " +
+            "/ sqrt(CAST(n2q * n2n AS DOUBLE))").as("qsim"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("neighbor_id").asc)
+      val cand = scored.withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= K * 4)
+        .select(col("query_id"), col("neighbor_id"))
+      // rescore ONLY the surviving candidates with exact cosine: vectors
+      // re-join by id (the verify-before-shuffle pattern), never ride the
+      // ranking shuffle
+      val ne = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      val qe = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cand.join(ne, "neighbor_id").join(broadcast(qe), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          expr("cosine_sim(qv, nv)").as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }))
+
   def oracles: Map[String, String] = Map(
+    // mirrors queriesSq: same double quantization arithmetic, same exact
+    // integer prefilter, same cosine rescoring of the top-4K candidates
+    "sim_sq_ann" ->
+      s"""WITH amax AS (
+         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
+         |  FROM (SELECT embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |codes AS (
+         |  SELECT vec_id, j - 1 AS dim,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE)
+         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |n2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
+         |  FROM codes GROUP BY 1),
+         |scores AS (
+         |  SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
+         |    CAST(sum(CAST(cq.c AS BIGINT) * cn.c) AS BIGINT) AS dotq
+         |  FROM codes cq JOIN codes cn ON cq.dim = cn.dim
+         |    AND cq.vec_id < 8 AND cq.vec_id <> cn.vec_id
+         |  GROUP BY 1, 2),
+         |qsims AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CAST(s.dotq AS DOUBLE) / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE))
+         |      AS qsim
+         |  FROM scores s
+         |  JOIN n2 nq ON nq.vec_id = s.query_id
+         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+         |    FROM qsims)
+         |  WHERE qrank <= ${K * 4}),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

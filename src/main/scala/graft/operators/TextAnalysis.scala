@@ -137,6 +137,40 @@ object TextAnalysis extends OpModule {
         .groupBy(col("src_x"), col("src_y"))
         .agg(count(lit(1)).as("neardup_pairs"))
     }),
+    // N-gram-overlap decontamination — the published test-set-overlap
+    // method (13 consecutive word tokens shared with any held-out
+    // benchmark doc flags the training doc). The eval split is a
+    // deterministic hash-mod of doc_id plus the planted bench fixtures
+    // (ids <= -100), so membership is reproducible and the oracle can
+    // mirror it. Scale shape: each doc emits its DISTINCT 13-grams as
+    // 60-bit md5-prefix fingerprints — the join key is 8 bytes, never
+    // the gram string — and the benchmark side (held-out eval suites
+    // are small by construction at any corpus size) broadcasts, so the
+    // 100 TB training scan is one narrow gram pass + a map-side join.
+    "text_contamination_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val n = 13
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(ngramFixture.toDF("doc_id", "text"))
+      val isBench = col("doc_id") <= -100 ||
+        (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20)
+      val grams = docs
+        .select(col("doc_id"), isBench.as("is_bench"),
+          Text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("is_bench"),
+          explode(expr(s"transform(sequence(0, size(toks) - $n), " +
+            s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+        .select(col("doc_id"), col("is_bench"),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10)
+            .cast("long").as("gfp"))
+        .distinct()
+      val bench = grams.filter(col("is_bench")).select(col("gfp")).distinct()
+      grams.filter(!col("is_bench"))
+        .join(broadcast(bench), Seq("gfp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("shared_13grams"))
+    }),
     // Repetition metrics — the repeated-content heuristics corpus filters
     // gate on: low distinct/total token ratio or one token dominating the
     // doc flags boilerplate and degenerate text. One narrow explode pass
@@ -156,6 +190,32 @@ object TextAnalysis extends OpModule {
             .as("distinct_ratio"),
           (col("max_c").cast("double") / col("n_toks").cast("double"))
             .as("top_token_share"))
+    }),
+    // Snapshot diff — the incremental-ingest primitive: given yesterday's
+    // corpus and today's, classify every doc_id as added / removed /
+    // changed / unchanged by comparing content fingerprints. The two
+    // snapshots are deterministic slices of the fixture corpus (hash-mod
+    // membership; 10% of the common docs carry a text revision) so the
+    // oracle reproduces them exactly. Scale shape: ONE full-outer join on
+    // doc_id — with both snapshots bucketed by doc_id (the layout a
+    // 100 TB corpus store would use) the join is co-partitioned
+    // sort-merge with no shuffle; the fp compare is a narrow pass, text
+    // itself never moves.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = hashBucket("mem|", col("doc_id"))
+      val oldSnap = docs.filter(m < 95)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp_old"))
+      val newText = when(hashBucket("upd|", col("doc_id")) < 10,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val newSnap = docs.filter(m >= 5)
+        .select(col("doc_id"), Text.fingerprint(newText).as("fp_new"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_old").isNull, lit("added"))
+            .when(col("fp_new").isNull, lit("removed"))
+            .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+            .otherwise(lit("changed")).as("change"))
     }),
     // Deterministic hash-mod sampling — the reproducible alternative to
     // RNG sampling a training pipeline actually wants: membership depends
@@ -198,6 +258,30 @@ object TextAnalysis extends OpModule {
     (-21L, "глубокое обучение моделей", "ru"),
     (-22L, "распределённый spark движок", "ru"),
     (-23L, "data engineering через spark 2024", "en"))
+
+  /** Planted 13-gram contamination fixtures. Ids <= -100 are benchmark
+    * docs by construction; -31..-34 are training docs:
+    *  -31 embeds exactly ONE 13-token run from bench -101 inside unrelated
+    *      surrounding words (substring match, not whole-doc equality),
+    *  -32 shares only a 12-token run with -101 — one short of the
+    *      threshold, must NOT be flagged,
+    *  -33 overlaps nothing,
+    *  -34 is a verbatim clone of bench -102 (15 tokens → 3 shared grams).
+    * Mirrored verbatim in the oracle.
+    */
+  private val ngramFixture = Seq(
+    (-101L, "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong coffee at dawn"),
+    (-102L, "carefully measured rainfall data from mountain stations shows " +
+      "variance across decades of continuous observation records"),
+    (-31L, "students report that the quick brown fox jumps over the lazy " +
+      "dog while seven wizards brew tea instead"),
+    (-32L, "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards dance happily through the night and morning"),
+    (-33L, "entirely unrelated sentences about gardening tools and copper " +
+      "pipes fill this training document with harmless novel content"),
+    (-34L, "carefully measured rainfall data from mountain stations shows " +
+      "variance across decades of continuous observation records"))
 
   /** PII patterns — literal-char classes + the (?i) flag only, identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
@@ -364,6 +448,34 @@ object TextAnalysis extends OpModule {
         |  count(*) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "text_contamination_ngram" -> {
+      val values = ngramFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    (doc_id <= -100 OR (doc_id >= 0 AND ${oraHashBucket("bmk|")} < 20))
+         |      AS is_bench,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS toks
+         |  FROM docs),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, is_bench,
+         |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+         |  FROM (SELECT doc_id, is_bench,
+         |          unnest(list_transform(range(0, len(toks) - 12),
+         |            i -> array_to_string(toks[i+1:i+13], ' '))) AS gram
+         |        FROM tok WHERE len(toks) >= 13))
+         |SELECT g.doc_id, count(*) AS shared_13grams
+         |FROM grams g
+         |JOIN (SELECT DISTINCT gfp FROM grams WHERE is_bench) b USING (gfp)
+         |WHERE NOT g.is_bench
+         |GROUP BY 1""".stripMargin
+    },
     "text_repetition" ->
       """SELECT doc_id, count(*) AS n_toks,
         |  CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS distinct_ratio,
@@ -375,6 +487,25 @@ object TextAnalysis extends OpModule {
         |                '[^a-z0-9]+'), x -> x <> '')) AS tok
         |            FROM documents))
         |GROUP BY doc_id""".stripMargin,
+    "corpus_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         |      AS fp_old
+         |  FROM documents WHERE ${oraHashBucket("mem|")} < 95),
+         |n AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(
+         |      CASE WHEN ${oraHashBucket("upd|")} < 10
+         |           THEN text || ' rev2' ELSE text END),
+         |      '[^a-z0-9]+', ' ', 'g'))) AS fp_new
+         |  FROM documents WHERE ${oraHashBucket("mem|")} >= 5)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
+         |       ELSE 'changed' END AS change
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "sample_hash_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,

@@ -147,4 +147,22 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = lsh.count(brute.contains).toDouble / brute.size
     info(f"LSH recall@5 = $recall%.2f (bucketed candidates, 4x6-bit multi-table)")
   }
+
+  test("SQ ANN recall vs brute force at sf0.001") {
+    // int8 quantization keeps enough signal that re-scoring the top-4K
+    // integer-score candidates recovers most of the true top-k — the
+    // compressed-scan tier must not be a recall cliff
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = graft.operators.Similarity
+      .queries("sim_sq_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.nonEmpty, "SQ must return candidates")
+    assert(sq.forall { case (q, n) => q != n })
+    val recall = sq.count(brute.contains).toDouble / brute.size
+    info(f"SQ recall@5 = $recall%.2f (int8 codes, 4K prefilter, exact rescore)")
+    assert(recall >= 0.5,
+      "8-bit codes + 4x-overscan rescore must recover most true neighbors")
+  }
 }

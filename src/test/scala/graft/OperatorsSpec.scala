@@ -220,4 +220,46 @@ class OperatorsSpec extends SparkSpec {
     assert(tuples.forall { case (a, b) => a < b })
     assert(tuples.distinct.length === tuples.length)
   }
+
+  test("13-gram decontamination: planted overlaps flagged, 12-gram is not") {
+    val out = graft.operators.TextAnalysis
+      .queries("text_contamination_ngram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // -31 embeds exactly one 13-token run from bench doc -101
+    assert(out.get(-31L) === Some(1L))
+    // -34 is a verbatim clone of the 15-token bench doc -102 -> 3 grams
+    assert(out.get(-34L) === Some(3L))
+    // a 12-token overlap is one short of the threshold; no overlap at all
+    // must also stay silent; bench docs themselves are never flagged
+    assert(!out.contains(-32L), "12-gram overlap must not flag")
+    assert(!out.contains(-33L))
+    assert(!out.contains(-101L) && !out.contains(-102L))
+  }
+
+  test("approx quantiles sit within 1% of the exact rank-selected values") {
+    val out = graft.operators.Relational
+      .queries("q_quantiles_approx")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(3)), out.mkString("; "))
+    // exact percentiles are ordered: p50 <= p95 within every group
+    out.foreach { r =>
+      assert(BigDecimal(r.getString(1)) <= BigDecimal(r.getString(2)))
+    }
+  }
+
+  test("snapshot diff partitions the corpus into consistent change classes") {
+    val out = graft.operators.TextAnalysis
+      .queries("corpus_snapshot_diff")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // membership buckets are 5%/5%/10% slices of the corpus — every class
+    // must be represented, and each doc_id appears exactly once
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byClass.keySet), byClass.toString)
+    assert(out.map(_._1).distinct.length === out.length)
+    // diff covers the union of both snapshots: every corpus doc except
+    // the ones in neither slice (bucket in [95,100) ∩ [0,5) = none)
+    val total = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(out.length === total.toInt)
+  }
 }
