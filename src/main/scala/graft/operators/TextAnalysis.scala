@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import graft.core.Barrier.BarrierOps
 
 /** Text analysis over `documents` — the tokenizer UDTF family (U1/J6,
   * ref KwSplit.java:17-25 + DwsTrafficSourceKeywordPageViewWindow.java:74-79)
@@ -154,17 +155,13 @@ object TextAnalysis extends OpModule {
         .unionByName(ngramFixture.toDF("doc_id", "text"))
       val isBench = col("doc_id") <= -100 ||
         (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20)
-      val grams = docs
-        .select(col("doc_id"), isBench.as("is_bench"),
-          Text.tokenize(col("text")).as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col("doc_id"), col("is_bench"),
-          explode(expr(s"transform(sequence(0, size(toks) - $n), " +
-            s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
-        .select(col("doc_id"), col("is_bench"),
-          conv(substring(md5(col("gram")), 1, 15), 16, 10)
-            .cast("long").as("gfp"))
-        .distinct()
+      val grams = gramFps(docs, n)
+        .withColumn("is_bench", isBench)
+        // both the bench and the train side read this relation; without a
+        // reuse barrier Catalyst duplicates the whole scan+tokenize+gram
+        // subtree — at corpus scale that re-reads 100 TB twice to save a
+        // (long, bool, long) materialization
+        .barrier()
       val bench = grams.filter(col("is_bench")).select(col("gfp")).distinct()
       grams.filter(!col("is_bench"))
         .join(broadcast(bench), Seq("gfp"))
@@ -258,6 +255,26 @@ object TextAnalysis extends OpModule {
     (-21L, "глубокое обучение моделей", "ru"),
     (-22L, "распределённый spark движок", "ru"),
     (-23L, "data engineering через spark 2024", "en"))
+
+  /** Distinct word-n-gram fingerprints per document: (doc_id, gfp) with
+    * gfp the first 60 bits of md5(space-joined gram) — an 8-byte join key
+    * so gram strings never shuffle. One narrow tokenize+slice pass; docs
+    * shorter than n tokens emit nothing. Shared by the batch
+    * decontamination query above and the streaming n-gram gate
+    * (`streaming.StatefulStreaming.ngramGateBatch`).
+    */
+  private[graft] def gramFps(docs: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("gfp"))
+      .distinct()
 
   /** Planted 13-gram contamination fixtures. Ids <= -100 are benchmark
     * docs by construction; -31..-34 are training docs:

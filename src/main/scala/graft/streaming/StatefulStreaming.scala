@@ -237,6 +237,45 @@ object StatefulStreaming {
     b.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** 13-gram tier of the decontamination gate, for `foreachBatch`: drop
+    * batch documents that share ANY n consecutive word tokens with a
+    * benchmark document — the published n-gram-overlap decontamination
+    * method as an ingest gate, between the exact-fp tier
+    * ([[contaminationGateFps]], whole-doc clones only) and the MinHash
+    * tier ([[nearDupGateBatch]], whole-doc paraphrases): it catches a
+    * benchmark QUOTED INSIDE an otherwise-novel document, which neither
+    * sibling flags. Batch twin: `text_contamination_ngram`.
+    *
+    * `benchGramFps` = [[benchmarkGramFps]] computed once at job start and
+    * `cache()`d by the caller; benchmark suites are MBs at any corpus
+    * size, so the gram-fp set rides a broadcast and each micro-batch pays
+    * one narrow tokenize+gram pass over its own rows. The join key is the
+    * 60-bit gram fingerprint (8 bytes); the batch's text never shuffles —
+    * flagged ids come back through a broadcast LEFT ANTI on doc_id. The
+    * reuse barrier is legal (batch DataFrame) and load-bearing: the gram
+    * pass and the anti-join both read the batch, and tokenize dominates.
+    */
+  def ngramGateBatch(batch: DataFrame, benchGramFps: DataFrame,
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.core.Barrier.BarrierOps
+    val b = batch.barrier()
+    val flagged = graft.operators.TextAnalysis.gramFps(b, n)
+      .join(broadcast(benchGramFps), Seq("gfp"))
+      .select(col("doc_id")).distinct()
+    b.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
+
+  /** The benchmark's distinct n-gram fingerprint set — compute ONCE at
+    * job start and `cache()` it (same lifecycle as [[benchmarkFps]]).
+    * Any `doc_id` on the input is ignored; only text reaches the grams.
+    */
+  def benchmarkGramFps(benchmark: DataFrame, n: Int = 13): DataFrame =
+    graft.operators.TextAnalysis.gramFps(
+      benchmark.select(col("text"),
+        org.apache.spark.sql.functions.lit(0L).as("doc_id")), n)
+      .select("gfp").distinct()
+
   /** Streaming NEAR-DUP ingest dedup, for `foreachBatch` — the self-dedup
     * sibling of [[nearDupGateBatch]] (which gates against a fixed
     * benchmark): admit only documents that do not near-dup-match anything

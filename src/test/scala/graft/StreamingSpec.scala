@@ -361,6 +361,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ngram gate: a quoted benchmark passage is dropped, 12-token overlap passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    // a 17-token benchmark doc; the stream carries a doc QUOTING a
+    // 13-token run of it inside novel text (neither an exact clone nor a
+    // whole-doc paraphrase — only the n-gram tier catches this), one
+    // overlapping just 12 tokens (must pass), and the corpus
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong coffee at dawn"
+    val quoting = "students report that the quick brown fox jumps over " +
+      "the lazy dog while seven wizards brew tea instead"
+    val twelve = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards dance happily through the night and morning"
+    val benchmark = Seq(benchText).toDF("text")
+    val benchGrams = StatefulStreaming.benchmarkGramFps(benchmark).cache()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((200001L, quoting), (200002L, twelve))
+
+    val out = java.nio.file.Files.createTempDirectory("nggate").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StatefulStreaming.ngramGateBatch(b.toDF(), benchGrams)
+            .write.mode("append").parquet(out)
+          graft.core.Barrier.releaseAll(b.sparkSession)
+          ()
+      }.start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!got.contains(200001L), "13-token quote must be dropped")
+      assert(got.contains(200002L), "12-token overlap is below threshold")
+      // parity: streamed union of per-batch gates == one batch gate
+      val want = StatefulStreaming.ngramGateBatch(
+        rows.toSeq.toDF("doc_id", "text"), benchGrams)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+    } finally {
+      q.stop()
+      benchGrams.unpersist()
+      ()
+    }
+  }
+
   test("near-dup ingest: clones dropped across AND within micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
