@@ -219,17 +219,24 @@ object Jobs {
           hadoopFs.setTimes(f.getPath, 1700000000000L + i * 60000L, -1))
     }
     docsC.unpersist()
-    // benchmark fp set: computed once, cached — the static side must not
-    // pay its scan + distinct per trigger
-    val benchFps = StatefulStreaming.benchmarkFps(
-      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text")).cache()
+    // benchmark fp + gram-fp sets: computed once, cached — the static
+    // side must not pay its scan + distinct per trigger. All THREE gate
+    // tiers run in the front door: exact-fp (whole-doc clones), 13-gram
+    // (benchmark passages quoted inside novel docs), and the near-dup
+    // ingest dedup (whole-doc paraphrases, self-dedup vs the store).
+    val benchDocs =
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text")
+    val benchFps = StatefulStreaming.benchmarkFps(benchDocs).cache()
+    val benchGramFps = StatefulStreaming.benchmarkGramFps(benchDocs).cache()
     val sigStore = s"$workDir/sig_store"
     val admittedDir = s"$workDir/admitted"
     val q0 = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$docSrc/c*")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val gated = StatefulStreaming.contaminationGateFps(batch.toDF(), benchFps)
+        val gated = StatefulStreaming.ngramGateBatch(
+          StatefulStreaming.contaminationGateFps(batch.toDF(), benchFps),
+          benchGramFps)
         StatefulStreaming.nearDupIngestBatch(gated, sigStore, id,
             compactThreshold = 2)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -241,6 +248,7 @@ object Jobs {
       .trigger(Trigger.AvailableNow()).start()
     q0.awaitTermination()
     benchFps.unpersist()
+    benchGramFps.unpersist()
 
     val src = s"$workDir/src"
     val events = Tables.load(spark, sfDir, "events")

@@ -18,13 +18,17 @@ class SoakSpec extends SparkSpec {
     val work = Files.createTempDirectory("soak").toString
     Jobs.runSoak(spark, sfDir, work, srcFiles = 4)
 
-    // STAGE 0: streamed hygiene admissions ≡ batch gate + GLOBAL greedy
-    // keep-first (arrival order = id order by construction)
+    // STAGE 0: streamed hygiene admissions ≡ batch gates (exact fp +
+    // 13-gram) + GLOBAL greedy keep-first (arrival order = id order by
+    // construction)
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    val benchFps = StatefulStreaming.benchmarkFps(
-      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text"))
-    val gatedAll = StatefulStreaming.contaminationGateFps(docs, benchFps)
+    val benchDocs =
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text")
+    val benchFps = StatefulStreaming.benchmarkFps(benchDocs)
+    val benchGramFps = StatefulStreaming.benchmarkGramFps(benchDocs)
+    val gatedAll = StatefulStreaming.ngramGateBatch(
+      StatefulStreaming.contaminationGateFps(docs, benchFps), benchGramFps)
     val pairs = graft.operators.Dedup.verifiedPairs(
       graft.operators.Dedup.bandedSigs(gatedAll), 4)
     val admittedTwinDf = gatedAll.join(
