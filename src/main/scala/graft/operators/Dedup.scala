@@ -107,6 +107,52 @@ object Dedup extends OpModule {
       t(s, dir, "documents").select(col("doc_id"), col("source"))
         .join(dropped, Seq("doc_id"), "left_anti")
     }),
+    // Connected-component duplicate clustering — the step after pair
+    // generation in published near-dedup pipelines: a dup CLUSTER is the
+    // transitive closure of the verified pair relation (a~b, b~c puts a,
+    // c in one cluster even when (a,c) never met in a bucket), and each
+    // doc is labeled with its cluster's canonical (minimum) id.
+    // Iterative min-label propagation over the symmetric edge relation:
+    // label(x) ← min(label(x), min over neighbors' labels) until a
+    // fixpoint. Each round is one shuffle join + partial-aggregating min;
+    // the driver loop is bounded by the cluster DIAMETER (dup clusters
+    // are shallow — clones of a common ancestor), with a hard cap, and
+    // the convergence probe is a two-number aggregate, not a collect.
+    // Lineage is cut per round (barrier), or iteration i would replay
+    // rounds 0..i-1. At 100 TB the same loop runs with the edge relation
+    // hash-partitioned across executors; production graph systems cut
+    // rounds with large-star/small-star, which this converges to for the
+    // shallow clusters dedup produces.
+    "dedup_cc_clusters" -> ((s, dir) => {
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .barrier() // re-read every round; pair generation must run once
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 15) {
+        val minNbr = edges
+          .join(labels.select(col("doc_id").as("dst"),
+            col("cluster_id").as("nbr_lbl")), "dst")
+          .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
+        val next = labels
+          .join(minNbr.select(col("src").as("doc_id"), col("min_nbr")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("min_nbr"),
+              col("cluster_id"))).as("cluster_id"),
+            (col("min_nbr") < col("cluster_id")).as("__improved"))
+          .barrier()
+        converged = next.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
+          .first().getLong(0) == 0L
+        labels = next.drop("__improved")
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      labels
+    }),
     // character 5-gram Jaccard — the classic n-gram form (word-set form
     // below); same blocking, shingles from a materialized normalized col
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
@@ -340,6 +386,23 @@ object Dedup extends OpModule {
          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> oraclesMinhash,
+    // transitive closure of the pair relation via a recursive CTE — the
+    // declarative twin of the Spark-side label propagation fixpoint
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($oraclesMinhash),
+         |edges AS (
+         |  SELECT doc_a AS x, doc_b AS y FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |minr AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id
+         |       ELSE m.mn END AS cluster_id
+         |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,

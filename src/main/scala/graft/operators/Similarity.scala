@@ -149,6 +149,14 @@ object Similarity extends OpModule {
     * corpus expansion, no Exchange — the previous cross-join + window form
     * shuffled a C×-expanded corpus just to rank centroids (r2 verdict §2).
     */
+  /** Per-row centroid similarity structs over the broadcast `cents` array;
+    * struct ordering = (csim, -cid) lexicographic → `array_max(...)` is
+    * argmax cosine with cent_id ASC tie-break, identical to
+    * row_number(csim DESC, cid ASC) = 1. Shared by ivf and ivfsq.
+    */
+  private val simsExpr = "transform(cents, c -> struct(" +
+    "cosine_sim(embedding, c.cv) AS csim, -c.cid AS negid, c.cid AS cid))"
+
   private[graft] def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
       cCentroids: Int, nProbe: Int) = {
     graft.plans.GraftFunctions.register(s)
@@ -157,10 +165,6 @@ object Similarity extends OpModule {
       .agg(collect_list(struct(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cv"))).as("cents"))
     val withC = emb.join(broadcast(centArr), lit(true))
-    // struct ordering = (csim, -cid) lexicographic → argmax cosine with
-    // cent_id ASC tie-break, identical to row_number(csim DESC, cid ASC)=1
-    val simsExpr = "transform(cents, c -> struct(" +
-      "cosine_sim(embedding, c.cv) AS csim, -c.cid AS negid, c.cid AS cid))"
     val assigned = withC
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
@@ -205,22 +209,58 @@ object Similarity extends OpModule {
     * rescoring join moves (long, long) ids only — full vectors re-join
     * for C·|Q| rows, never shuffled corpus-wide.
     */
+  /** int8 code vector from a broadcast global scale `am`. */
+  private val codesExpr = "transform(embedding, x -> " +
+    "CAST(floor(CAST(x AS DOUBLE) / am * 127.0D) AS INT))"
+  /** integer squared norm of a code vector. */
+  private val n2Expr =
+    "aggregate(codes, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)"
+  /** quantized cosine — exact-integer dot and norms, ONE double division:
+    * deterministic in any engine, so candidate cuts are oracle-stable. */
+  private val qsimExpr =
+    "CAST(aggregate(zip_with(qc, nc, (a, b) -> CAST(a AS BIGINT) * b)," +
+      " 0L, (acc, v) -> acc + v) AS DOUBLE) " +
+      "/ sqrt(CAST(n2q * n2n AS DOUBLE))"
+
+  /** ONE global symmetric scale: 127 / corpus max|x|. A uniform scale (no
+    * per-dim shift) cancels in cosine, so quantized cosine tracks true
+    * cosine; a per-dim affine map would not. One partial-aggregating max,
+    * broadcast as a single row.
+    */
+  private def sqScale(emb: org.apache.spark.sql.DataFrame) = emb
+    .select(explode(col("embedding")).as("x"))
+    .agg(max(abs(col("x"))).cast("double").as("am"))
+
+  /** Exact-cosine rescore of a thin (query_id, neighbor_id) candidate
+    * relation: vectors re-join by id (the verify-before-shuffle pattern),
+    * never ride the ranking shuffle; emits the final top-K.
+    */
+  private def rescoreTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      cand: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val ne = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val qe = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(ne, "neighbor_id").join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(qv, nv)").as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   def queriesSq: Map[String, Q] = Map(
     "sim_sq_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      val scale = emb
-        .select(explode(col("embedding")).as("x"))
-        .agg(max(abs(col("x"))).cast("double").as("am"))
-      val withCodes = emb.join(broadcast(scale), lit(true))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> " +
-            "CAST(floor(CAST(x AS DOUBLE) / am * 127.0D) AS INT))")
-            .as("codes"))
-        .select(col("vec_id"), col("codes"),
-          expr("aggregate(codes, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)")
-            .as("n2"))
+      val withCodes = emb.join(broadcast(sqScale(emb)), lit(true))
+        .select(col("vec_id"), expr(codesExpr).as("codes"))
+        .select(col("vec_id"), col("codes"), expr(n2Expr).as("n2"))
         .barrier()
       val q = withCodes.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("codes").as("qc"),
@@ -232,32 +272,125 @@ object Similarity extends OpModule {
           col("n2").as("n2n"))
         .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          expr("CAST(aggregate(zip_with(qc, nc, (a, b) -> CAST(a AS BIGINT) * b)," +
-            " 0L, (acc, v) -> acc + v) AS DOUBLE) " +
-            "/ sqrt(CAST(n2q * n2n AS DOUBLE))").as("qsim"))
+          expr(qsimExpr).as("qsim"))
       val wq = Window.partitionBy(col("query_id"))
         .orderBy(col("qsim").desc, col("neighbor_id").asc)
       val cand = scored.withColumn("qrank", row_number().over(wq))
         .filter(col("qrank") <= K * 4)
         .select(col("query_id"), col("neighbor_id"))
-      // rescore ONLY the surviving candidates with exact cosine: vectors
-      // re-join by id (the verify-before-shuffle pattern), never ride the
-      // ranking shuffle
-      val ne = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"))
-      val qe = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      cand.join(ne, "neighbor_id").join(broadcast(qe), "query_id")
+      rescoreTopK(s, dir, cand)
+    }),
+    // IVF + SQ — the composed 100 TB ANN shape (the FAISS IVF-SQ layout):
+    // the coarse quantizer PRUNES (only nprobe of C inverted lists are
+    // read per query), the int8 codes COMPRESS the surviving scan (64 B
+    // of codes + 4 B cluster id per vector instead of 256 B of floats),
+    // and only the top-4K quantized-cosine candidates touch full vectors
+    // again, via the id-only rescore join. Cluster assignment and
+    // quantization happen in the SAME narrow pass over the corpus — two
+    // 1-row broadcasts (centroids, scale), no extra scan, no join.
+    "sim_ivfsq_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val aug = assigned.join(broadcast(sqScale(emb)), lit(true))
+        .select(col("vec_id"), col("cluster"), expr(codesExpr).as("codes"))
+        .select(col("vec_id"), col("cluster"), col("codes"),
+          expr(n2Expr).as("n2"))
+        .barrier()
+      // (query × probed-cluster × query-codes) is tiny — pre-join and
+      // broadcast ONCE so the corpus side needs a single hash join
+      val probeCodes = probes.select(col("query_id"), col("probe"))
+        .join(aug.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+            col("n2").as("n2q")), "query_id")
+      val scored = aug
+        .select(col("vec_id").as("neighbor_id"), col("cluster"),
+          col("codes").as("nc"), col("n2").as("n2n"))
+        .join(broadcast(probeCodes), col("cluster") === col("probe") &&
+          col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          expr("cosine_sim(qv, nv)").as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+          expr(qsimExpr).as("qsim"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("neighbor_id").asc)
+      val cand = scored.withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= K * 4)
+        .select(col("query_id"), col("neighbor_id"))
+      rescoreTopK(s, dir, cand)
     }))
 
   def oracles: Map[String, String] = Map(
+    // mirrors the IVF+SQ composition: ivf's row_number argmax assignment
+    // + probes, sq's integer codes/norms, quantized-cosine ranking inside
+    // probed clusters only, exact-cosine rescore of the top-4K
+    "sim_ivfsq_ann" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                             CAST(c.cv AS DOUBLE[])) DESC,
+         |      c.cent_id ASC) AS crank
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
+         |             WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
+         |           WHERE vec_id < 8 AND crank <= 4),
+         |amax AS (
+         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
+         |  FROM (SELECT embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |codes AS (
+         |  SELECT vec_id, j - 1 AS dim,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE)
+         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |n2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
+         |  FROM codes GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a
+         |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id),
+         |scores AS (
+         |  SELECT pr.query_id, pr.neighbor_id,
+         |    CAST(sum(CAST(cq.c AS BIGINT) * cn.c) AS BIGINT) AS dotq
+         |  FROM pairs pr
+         |  JOIN codes cq ON cq.vec_id = pr.query_id
+         |  JOIN codes cn ON cn.vec_id = pr.neighbor_id AND cn.dim = cq.dim
+         |  GROUP BY 1, 2),
+         |qsims AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CAST(s.dotq AS DOUBLE) / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE))
+         |      AS qsim
+         |  FROM scores s
+         |  JOIN n2 nq ON nq.vec_id = s.query_id
+         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+         |    FROM qsims)
+         |  WHERE qrank <= ${K * 4}),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     // mirrors queriesSq: same double quantization arithmetic, same exact
     // integer prefilter, same cosine rescoring of the top-4K candidates
     "sim_sq_ann" ->

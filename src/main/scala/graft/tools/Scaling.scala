@@ -19,8 +19,9 @@ object Scaling {
     "a1_tumble_count", "a4_uv_per_day", "k5_upsert_latest_per_key",
     "u1_tokenize_explode", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
-    "text_quality", "sim_sq_ann", "text_contamination_ngram",
-    "corpus_snapshot_diff", "q_quantiles_approx")
+    "text_quality", "sim_sq_ann", "sim_ivfsq_ann",
+    "text_contamination_ngram", "corpus_snapshot_diff",
+    "q_quantiles_approx")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

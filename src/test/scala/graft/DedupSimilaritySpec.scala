@@ -165,4 +165,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5,
       "8-bit codes + 4x-overscan rescore must recover most true neighbors")
   }
+
+  test("CC clusters equal union-find ground truth over the pair relation") {
+    val pairs = graft.operators.Dedup
+      .queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.operators.Dedup
+      .queries("dedup_cc_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find: union always roots at the smaller id, so
+    // every node's final root is exactly its component's minimum id —
+    // the semantics the distributed label propagation must reproduce
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = labels.keys.map(id => id -> find(id)).toMap
+    assert(labels === truth,
+      "distributed CC labels must equal exact transitive closure")
+    // sanity on the interesting structure: some cluster has >2 members
+    // (the fixture plants clone groups), and singletons label themselves
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.exists(_._2 >= 2), "planted dup clusters must cluster")
+  }
+
+  test("IVF+SQ ANN recall vs brute force at sf0.001") {
+    // the composed prune + compressed-scan path: recall is bounded by the
+    // IVF prune (SQ rescoring within probed lists is near-lossless), so
+    // it must land in the same band as plain IVF, not collapse
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfsq = graft.operators.Similarity
+      .queries("sim_ivfsq_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfsq.nonEmpty)
+    assert(ivfsq.forall { case (q, n) => q != n })
+    val recall = ivfsq.count(brute.contains).toDouble / brute.size
+    info(f"IVF+SQ recall@5 = $recall%.2f (16 lists, nprobe=4, int8 codes)")
+    assert(recall >= 0.5)
+  }
 }
