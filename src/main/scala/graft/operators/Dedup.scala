@@ -128,7 +128,11 @@ object Dedup extends OpModule {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .barrier() // re-read every round; pair generation must run once
-      var labels = t(s, dir, "documents")
+      // propagate over the MEMBER subgraph only: a doc with no edge can
+      // never change its label, and in a real corpus pair members are a
+      // small fraction — the loop's relations shrink from |corpus| to
+      // |members| at every scale, and singletons join back once at the end
+      var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
       var converged = false
       var rounds = 0
@@ -151,7 +155,24 @@ object Dedup extends OpModule {
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
-      labels
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(labels.withColumnRenamed("cluster_id", "m_lbl"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
+    }),
+    // CC-canonical dedup: keep exactly ONE doc (the minimum id) per
+    // transitive dup cluster. Differs from dedup_keep_canonical on
+    // chains: with pairs (1,5) and (3,5), keep_canonical drops only the
+    // pairwise targets (doc 5) and keeps BOTH 1 and 3, though they are
+    // transitive near-dups through 5; CC-canonical keeps just 1. This is
+    // the semantics published near-dedup pipelines apply after LSH.
+    "dedup_cc_canonical" -> ((s, dir) => {
+      queries("dedup_cc_clusters")(s, dir)
+        .filter(col("cluster_id") === col("doc_id"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("doc_id"), col("source"))
     }),
     // character 5-gram Jaccard — the classic n-gram form (word-set form
     // below); same blocking, shingles from a materialized normalized col
@@ -388,21 +409,11 @@ object Dedup extends OpModule {
     "dedup_minhash_lsh" -> oraclesMinhash,
     // transitive closure of the pair relation via a recursive CTE — the
     // declarative twin of the Spark-side label propagation fixpoint
-    "dedup_cc_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($oraclesMinhash),
-         |edges AS (
-         |  SELECT doc_a AS x, doc_b AS y FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         |minr AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id
-         |       ELSE m.mn END AS cluster_id
-         |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin,
+    "dedup_cc_clusters" -> oraclesCc,
+    "dedup_cc_canonical" ->
+      s"""SELECT c.doc_id, d.source FROM ($oraclesCc) c
+         |JOIN documents d ON d.doc_id = c.doc_id
+         |WHERE c.cluster_id = c.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,
@@ -413,6 +424,26 @@ object Dedup extends OpModule {
   /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
     * shared by dedup_minhash_lsh and dedup_keep_canonical.
     */
+  /** DuckDB transitive closure of the verified pair relation: per-doc
+    * (doc_id, cluster_id = component minimum), the declarative mirror of
+    * the distributed min-label propagation.
+    */
+  private lazy val oraclesCc: String =
+    s"""WITH RECURSIVE pairs AS ($oraclesMinhash),
+       |edges AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       |minr AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id
+       |       ELSE m.mn END AS cluster_id
+       |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin
+
   private[operators] lazy val oraclesMinhash: String =
     s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
        |           FROM documents),

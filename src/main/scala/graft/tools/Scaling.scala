@@ -21,7 +21,7 @@ object Scaling {
     "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
     "text_quality", "sim_sq_ann", "sim_ivfsq_ann",
     "text_contamination_ngram", "corpus_snapshot_diff",
-    "q_quantiles_approx")
+    "q_quantiles_approx", "dedup_cc_clusters")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

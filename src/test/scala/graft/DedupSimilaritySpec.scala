@@ -192,6 +192,20 @@ class DedupSimilaritySpec extends SparkSpec {
     // (the fixture plants clone groups), and singletons label themselves
     val sizes = labels.groupBy(_._2).view.mapValues(_.size)
     assert(sizes.exists(_._2 >= 2), "planted dup clusters must cluster")
+    // CC-canonical = exactly the component minima (one survivor per
+    // cluster); pairwise keep-first can only keep MORE (a doc is a
+    // pairwise target only if some smaller doc paired with it directly,
+    // and a component's minimum is never a target since doc_a < doc_b)
+    val ccKeep = graft.operators.Dedup
+      .queries("dedup_cc_canonical")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ccKeep === labels.values.toSet,
+      "cc_canonical keeps exactly one doc per cluster: the minima")
+    val kcKeep = graft.operators.Dedup
+      .queries("dedup_keep_canonical")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ccKeep.subsetOf(kcKeep),
+      "transitive dedup is at least as aggressive as pairwise keep-first")
   }
 
   test("IVF+SQ ANN recall vs brute force at sf0.001") {
