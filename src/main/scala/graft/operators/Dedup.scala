@@ -123,44 +123,7 @@ object Dedup extends OpModule {
     // hash-partitioned across executors; production graph systems cut
     // rounds with large-star/small-star, which this converges to for the
     // shallow clusters dedup produces.
-    "dedup_cc_clusters" -> ((s, dir) => {
-      val pairs = queries("dedup_minhash_lsh")(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .barrier() // re-read every round; pair generation must run once
-      // propagate over the MEMBER subgraph only: a doc with no edge can
-      // never change its label, and in a real corpus pair members are a
-      // small fraction — the loop's relations shrink from |corpus| to
-      // |members| at every scale, and singletons join back once at the end
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 15) {
-        val minNbr = edges
-          .join(labels.select(col("doc_id").as("dst"),
-            col("cluster_id").as("nbr_lbl")), "dst")
-          .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
-        val next = labels
-          .join(minNbr.select(col("src").as("doc_id"), col("min_nbr")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("min_nbr"),
-              col("cluster_id"))).as("cluster_id"),
-            (col("min_nbr") < col("cluster_id")).as("__improved"))
-          .barrier()
-        converged = next.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
-          .first().getLong(0) == 0L
-        labels = next.drop("__improved")
-        rounds += 1
-      }
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(labels.withColumnRenamed("cluster_id", "m_lbl"),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
-    }),
+    "dedup_cc_clusters" -> ((s, dir) => ccAllLabels(s, dir)),
     // CC-canonical dedup: keep exactly ONE doc (the minimum id) per
     // transitive dup cluster. Differs from dedup_keep_canonical on
     // chains: with pairs (1,5) and (3,5), keep_canonical drops only the
@@ -168,7 +131,7 @@ object Dedup extends OpModule {
     // transitive near-dups through 5; CC-canonical keeps just 1. This is
     // the semantics published near-dedup pipelines apply after LSH.
     "dedup_cc_canonical" -> ((s, dir) => {
-      queries("dedup_cc_clusters")(s, dir)
+      ccAllLabels(s, dir)
         .filter(col("cluster_id") === col("doc_id"))
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           "doc_id")
@@ -424,6 +387,73 @@ object Dedup extends OpModule {
   /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
     * shared by dedup_minhash_lsh and dedup_keep_canonical.
     */
+  /** Connected-component labels over the verified near-dup pair relation:
+    * (doc_id, cluster_id = component minimum id), one row per corpus doc.
+    *
+    * Propagation runs over the MEMBER subgraph only — a doc with no edge
+    * can never change its label, and in a real corpus pair members are a
+    * small fraction, so the loop's relations shrink from |corpus| to
+    * |members| at every scale; singletons join back once at the end.
+    * Each round does min-over-neighbors then a POINTER JUMP
+    * (label ← label(label)), which halves remaining chain depth — rounds
+    * are O(log diameter), so the 20-round cap covers diameters past 10^5
+    * (a plain one-hop loop would abort on a legal 16-doc revision chain).
+    * Convergence is detected by the label sum reaching a fixpoint (labels
+    * only decrease, so an unchanged sum means an unchanged relation) —
+    * a two-long aggregate per round, never a collect. Lineage is cut per
+    * materialized step or iteration i would replay rounds 0..i-1.
+    *
+    * NOTE for pipeline use: each driver-contract query is self-contained,
+    * so running `dedup_cc_clusters` and `dedup_cc_canonical` in one
+    * session executes this fixpoint twice; a production pipeline wanting
+    * both outputs materializes these labels once and derives both.
+    */
+  private def ccAllLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = queries("dedup_minhash_lsh")(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .barrier() // re-read every round; pair generation must run once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var prevSum = Option.empty[Long]
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val minNbr = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nbr_lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
+      val stepped = labels
+        .join(minNbr.select(col("src").as("doc_id"), col("min_nbr")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("min_nbr"),
+            col("cluster_id"))).as("cluster_id"))
+        .barrier() // read twice by the jump below
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("__p"),
+          col("cluster_id").as("__plbl")),
+          col("cluster_id") === col("__p"), "left")
+        .select(stepped("doc_id"),
+          coalesce(col("__plbl"), stepped("cluster_id")).as("cluster_id"))
+        .barrier()
+      // sum null on an empty member set -> 0L both rounds -> converges
+      val sumNow = Option(next.agg(sum(col("cluster_id"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = prevSum.contains(sumNow)
+      prevSum = Some(sumNow)
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "m_lbl"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
+  }
+
   /** DuckDB transitive closure of the verified pair relation: per-doc
     * (doc_id, cluster_id = component minimum), the declarative mirror of
     * the distributed min-label propagation.

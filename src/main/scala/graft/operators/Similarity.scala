@@ -228,8 +228,10 @@ object Similarity extends OpModule {
     * broadcast as a single row.
     */
   private def sqScale(emb: org.apache.spark.sql.DataFrame) = emb
-    .select(explode(col("embedding")).as("x"))
-    .agg(max(abs(col("x"))).cast("double").as("am"))
+    // per-row array_max keeps this narrow (no Generate row explosion —
+    // explode would emit dim× corpus rows to feed one max)
+    .agg(max(expr("array_max(transform(embedding, x -> abs(x)))"))
+      .cast("double").as("am"))
 
   /** Exact-cosine rescore of a thin (query_id, neighbor_id) candidate
     * relation: vectors re-join by id (the verify-before-shuffle pattern),

@@ -359,7 +359,12 @@ object StatefulStreaming {
       var found = false
       while (!found && it.hasNext) {
         val f = it.next()
-        found = f.getLen > 0 && !f.getPath.getName.startsWith("_")
+        // mirror Spark's hidden-file rule exactly ('_' AND '.'): a dir
+        // whose only entry is a dot-file (editor temp, surfaced .crc)
+        // must read as empty, or spark.read fails schema inference
+        val name = f.getPath.getName
+        found = f.getLen > 0 &&
+          !name.startsWith("_") && !name.startsWith(".")
       }
       found
     }
