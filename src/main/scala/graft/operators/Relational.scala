@@ -145,6 +145,44 @@ object Relational extends OpModule {
         .join(broadcast(config), col("event_type") === col("etype"))
         .groupBy(col("sink_table")).agg(count(lit(1)).as("routed_ct"))
     }),
+    // As-of join (beyond the reference, SURVEY §2.10) — the attribution
+    // primitive Spark lacks as a native operator: each click joins the
+    // user's most recent purchase AT OR BEFORE the click. Implemented as
+    // union-and-window, NOT a range join: both sides shuffle ONCE on the
+    // key, one sort, and a running last(ignoreNulls) carries the latest
+    // purchase forward — no candidate explosion, no per-row probes. At
+    // 100 TB this is one Exchange + Sort per side; an interval/range-join
+    // formulation multiplies every click by its candidate window. Clicks
+    // before the user's first purchase keep NULL attribution (the left
+    // semantics a real as-of needs). Tie rule: at equal ts a purchase
+    // sorts before the click ("at or before" includes simultaneity), and
+    // among equal-ts purchases the greatest pay_id wins, deterministically.
+    "j7_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"), lit(null).cast("long").as("pay_id"),
+          lit(null).cast("double").as("pay_value"))
+      val pays = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("pay_id"), col("value").as("pay_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("side").asc, col("pay_id").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(pays)
+        .withColumn("asof_pay_id",
+          last(col("pay_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last(col("pay_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_pay_id"),
+          col("asof_value").cast("decimal(18,2)").cast("string")
+            .as("asof_value"))
+    }),
     "k5_upsert_latest_per_key" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -234,6 +272,24 @@ object Relational extends OpModule {
         |             ('purchase','dwd_trade_pay_suc'), ('signup','dwd_user_register'))
         |  AS cfg(etype, sink_table) ON e.event_type = cfg.etype
         |GROUP BY 1""".stripMargin,
+    // declarative mirror of the as-of: per click, rank prior purchases by
+    // (ts DESC, pay_id DESC) and keep rn=1; LEFT join preserves
+    // unattributed clicks
+    "j7_asof_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS pay_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.click_id, p.pay_id, p.value,
+        |        row_number() OVER (PARTITION BY c.click_id
+        |          ORDER BY p.ts DESC, p.pay_id DESC) AS rn
+        |      FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts)
+        |SELECT c.click_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  m.pay_id AS asof_pay_id,
+        |  CAST(CAST(m.value AS DECIMAL(18,2)) AS VARCHAR) AS asof_value
+        |FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON c.click_id = m.click_id""".stripMargin,
     "k5_upsert_latest_per_key" ->
       """SELECT user_id, event_type AS last_type, value AS last_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -177,6 +177,33 @@ object Similarity extends OpModule {
   }
 
   def queriesIvf: Map[String, Q] = Map(
+    // SemDeDup-style semantic dedup (published method: cluster the corpus
+    // with a coarse quantizer, then dedup WITHIN clusters only): reuse the
+    // IVF centroid assignment as the blocking key and drop every vector
+    // whose cosine to an earlier (smaller-id) member of the SAME cluster
+    // reaches τ — keep-first canonicalization, centroid-blocked. Third
+    // blocking strategy in the family by design: label-blocked
+    // (dedup_embedding_canonical) needs labels, LSH-blocked
+    // (dedup_embedding_lsh) can split a semantic pair across buckets;
+    // centroid blocking needs neither labels nor luck. Scale shape: the
+    // assignment is the same shuffle-free narrow pass as sim_ivf_ann, the
+    // pair join shuffles (cluster, id, vec) once on the cluster id, and C
+    // grows with the corpus (C ≈ √N bounds expected cluster size) so the
+    // blocked join never degenerates to all-pairs.
+    "dedup_semantic" -> ((s, dir) => {
+      val (assigned, _) = ivf(s, dir, 16, 4)
+      val m = assigned.barrier() // one assignment pass feeds both join sides
+      val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b") &&
+          expr("cosine_sim(ea, eb)") >= 0.3)
+        .select(col("vec_b").as("vec_id")).distinct()
+      m.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+    }),
     "sim_ivf_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val (assigned, probes) = ivf(s, dir, 16, 4)
@@ -467,6 +494,31 @@ object Similarity extends OpModule {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])) >= 0.3)""".stripMargin,
+    // mirrors dedup_semantic: the same ivf(16) assignment CTE, then
+    // keep-first within each cluster over cosine-τ pairs
+    "dedup_semantic" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cv AS DOUBLE[])) DESC,
+        |      c.cent_id ASC) AS crank
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
+        |             WHERE crank = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3)
+        |SELECT vec_id, cluster FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // mirrors ivf(16, 4): the argmax assignment is re-expressed as
     // row_number(csim DESC, cent_id ASC) = 1 — semantically identical
     "sim_ivf_ann" ->

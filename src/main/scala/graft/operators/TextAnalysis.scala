@@ -168,6 +168,24 @@ object TextAnalysis extends OpModule {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("shared_13grams"))
     }),
+    // Bloom-gated exact decontamination — the broadcast-filter front door
+    // for when the benchmark fp set is itself too large to ship as a
+    // broadcast hash relation (at 100 TB an eval-suite union can reach
+    // 10^8 fps ≈ GBs of hash-join build side, but its Bloom bitmap is
+    // |fps|·~10 bits): the filter is built DECLARATIVELY — k=4 md5-derived
+    // bit positions per fp, bit_or-aggregated into one array<long> row —
+    // and broadcast; the corpus pass is then a NARROW filter (4 probes per
+    // doc, whole-stage codegen'd), and only surviving candidates reach the
+    // exact verify join, so the join's input is |candidates|, not |corpus|.
+    // Bloom false positives die in the verify join and false negatives
+    // cannot exist, so the result is bit-identical to the ungated exact
+    // gate — the oracle mirrors the exact semantics only; the pruning and
+    // gated≡ungated identity are pinned by OperatorsSpec.
+    "text_decontam_bloom" -> ((s, dir) => {
+      val (candidates, _) = bloomParts(s, dir)
+      candidates.join(broadcast(benchFps(s, dir)), Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("fp"))
+    }),
     // Repetition metrics — the repeated-content heuristics corpus filters
     // gate on: low distinct/total token ratio or one token dominating the
     // doc flags boilerplate and degenerate text. One narrow explode pass
@@ -299,6 +317,83 @@ object TextAnalysis extends OpModule {
       "pipes fill this training document with harmless novel content"),
     (-34L, "carefully measured rainfall data from mountain stations shows " +
       "variance across decades of continuous observation records"))
+
+  /** Bloom geometry: m = 2^15 bits (512 longs ≈ 4 KB broadcast), k = 4
+    * probes. At the fixture scale (~100 bench fps) the false-positive rate
+    * is ~0; in production m scales with |bench fps| at ~10 bits/fp.
+    */
+  private val BloomM = 1 << 15
+  private val BloomW = BloomM / 64
+  private val BloomK = 4
+
+  /** SQL fragment: probe i's bit position for the 60-bit `fpl` column —
+    * md5-derived so construction and membership agree bit-for-bit. */
+  private def bloomPos(i: Int): String =
+    s"pmod(CAST(conv(substring(md5(concat('bf$i|', CAST(fpl AS STRING)))," +
+      s" 1, 6), 16, 10) AS BIGINT), $BloomM)"
+
+  /** Planted clone fixtures for the bloom gate (ids <= -100 are benchmark
+    * docs under the shared membership rule): -41 is a verbatim clone of
+    * bench -103 (must flag), -42 differs by one word (must NOT flag).
+    * The ngram fixtures also ride along, adding -34 ≡ bench -102.
+    */
+  private val bloomFixture = Seq(
+    (-103L, "large scale evaluation suite question about prime numbers " +
+      "and their distribution across intervals"),
+    (-41L, "large scale evaluation suite question about prime numbers " +
+      "and their distribution across intervals"),
+    (-42L, "large scale evaluation suite question about prime numbers " +
+      "and their distribution across sets"))
+
+  /** Corpus + planted fixtures with per-doc (fp, fpl = first 60 md5 bits
+    * as BIGINT) and the shared bench-membership flag. */
+  private def fpDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName((ngramFixture ++ bloomFixture).toDF("doc_id", "text"))
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"),
+        (col("doc_id") <= -100 ||
+          (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20))
+          .as("is_bench"))
+      .select(col("doc_id"), col("fp"), col("is_bench"),
+        conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fpl"))
+  }
+
+  /** Distinct benchmark-side fingerprints (the exact-verify build side). */
+  private[graft] def benchFps(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    fpDocs(s, dir).filter(col("is_bench")).select(col("fp")).distinct()
+
+  /** (bloom-gated training candidates, ungated training side) — split out
+    * so the spec can pin pruning and gated≡ungated identity. The bitmap is
+    * built as (word, bit_or(bits)) then densified into one array<long> row
+    * via a 0..W-1 sequence against a map — all built-ins, one row, no
+    * driver loop.
+    */
+  private[graft] def bloomParts(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val docs = fpDocs(s, dir).barrier() // bench + train both read this pass
+    val bits = docs.filter(col("is_bench")).select(col("fpl")).distinct()
+      .select(explode(expr(
+        s"array(${(0 until BloomK).map(bloomPos).mkString(", ")})"))
+        .as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+    val bitmap = bits
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("m"))
+      .select(expr(s"transform(sequence(0, ${BloomW - 1}), " +
+        "w -> coalesce(m[w], CAST(0 AS BIGINT)))").as("bm"))
+    val train = docs.filter(!col("is_bench"))
+      .select(col("doc_id"), col("fp"), col("fpl"))
+    val mightContain = (0 until BloomK).map { i =>
+      s"(shiftright(bm[CAST(${bloomPos(i)} / 64 AS INT)], " +
+        s"CAST(${bloomPos(i)} % 64 AS INT)) & 1L) = 1L"
+    }.mkString(" AND ")
+    (train.join(broadcast(bitmap), lit(true)).filter(expr(mightContain))
+      .select(col("doc_id"), col("fp")), train)
+  }
 
   /** PII patterns — literal-char classes + the (?i) flag only, identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
@@ -492,6 +587,28 @@ object TextAnalysis extends OpModule {
          |JOIN (SELECT DISTINCT gfp FROM grams WHERE is_bench) b USING (gfp)
          |WHERE NOT g.is_bench
          |GROUP BY 1""".stripMargin
+    },
+    // the oracle mirrors ONLY the exact decontamination semantics — the
+    // bloom is a pruning device with zero false negatives, and its false
+    // positives are killed by the verify join, so gated ≡ exact
+    "text_decontam_bloom" -> {
+      val values = (ngramFixture ++ bloomFixture)
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |f AS (
+         |  SELECT doc_id,
+         |    (doc_id <= -100 OR (doc_id >= 0 AND ${oraHashBucket("bmk|")} < 20))
+         |      AS is_bench,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         |      AS fp
+         |  FROM docs)
+         |SELECT DISTINCT t.doc_id, t.fp
+         |FROM f t JOIN f b ON t.fp = b.fp AND b.is_bench
+         |WHERE NOT t.is_bench""".stripMargin
     },
     "text_repetition" ->
       """SELECT doc_id, count(*) AS n_toks,

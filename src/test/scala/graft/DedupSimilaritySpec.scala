@@ -94,6 +94,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (_, b) => !kept.contains(b) })
   }
 
+  test("semantic dedup: cluster minima survive, drops are cluster-blocked") {
+    val kept = graft.operators.Similarity
+      .queries("dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (assigned, _) = graft.operators.Similarity.ivf(spark, sfDir, 16, 4)
+    val clusters = assigned.select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(kept.nonEmpty && kept.length < clusters.size,
+      "τ=0.3 must drop some semantic dups in the fixture corpus")
+    // output carries the assignment it blocked on
+    kept.foreach { case (v, c) => assert(clusters(v) === c) }
+    // keep-first: the smallest id of every cluster has no earlier member,
+    // so it can never be dropped
+    val keptIds = kept.map(_._1).toSet
+    clusters.groupBy(_._2).values.map(_.keys.min)
+      .foreach(minId => assert(keptIds.contains(minId),
+        s"cluster minimum $minId must survive keep-first dedup"))
+  }
+
   test("contamination check counts shared fingerprints across sources") {
     import spark.implicits._
     // doc 10 in srcB is a content clone of doc 0 in srcA (fingerprint

@@ -184,6 +184,53 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("J7 as-of join: no Join node, both matched and unmatched clicks") {
+    val df = graft.operators.Relational
+      .queries("j7_asof_join")(spark, sfDir)
+    // the union-and-window form achieves join semantics with zero join
+    // operators — ONE Exchange on the key + one Sort, no candidate
+    // explosion; a Join node here would mean a range-join regression
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.exists(_.isNullAt(3)),
+      "clicks before the user's first purchase must keep NULL attribution")
+    assert(rows.exists(!_.isNullAt(3)), "attributed clicks must exist")
+    // spot-check one attributed click against a direct computation
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val some = rows.filter(!_.isNullAt(3)).head
+    val (clickId, userId, payId) =
+      (some.getLong(0), some.getLong(1), some.getLong(3))
+    val clickTs = ev.filter(col("event_id") === clickId)
+      .select(col("ts")).first().getTimestamp(0)
+    val best = ev.filter(col("user_id") === userId &&
+        col("event_type") === "purchase" && col("ts") <= clickTs)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select(col("event_id")).first().getLong(0)
+    assert(payId === best, "as-of pick must be the latest prior purchase")
+  }
+
+  test("bloom decontamination gate prunes the train side, result ungated-identical") {
+    val (candidates, train) = graft.operators.TextAnalysis
+      .bloomParts(spark, sfDir)
+    val (nCand, nTrain) = (candidates.count(), train.count())
+    assert(nCand < nTrain / 10,
+      s"bloom must prune the corpus before the verify join ($nCand of $nTrain survived)")
+    // gated result ≡ ungated exact decontamination (no false negatives;
+    // false positives die in the verify join)
+    val bench = graft.operators.TextAnalysis.benchFps(spark, sfDir)
+    val gated = SparkEntry.queries("text_decontam_bloom")(spark, sfDir)
+    val ungated = train.select(col("doc_id"), col("fp"))
+      .join(bench, Seq("fp"), "left_semi").select(col("doc_id"), col("fp"))
+    assert(gated.exceptAll(ungated).count() === 0 &&
+      ungated.exceptAll(gated).count() === 0)
+    // the bitmap probe is a narrow filter over a 1-row broadcast — the
+    // corpus side must not shuffle to reach it
+    val plan = candidates.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("dedup pair relations never cartesian-join the corpus") {
     // the 100 TB invariant: candidates meet only inside buckets/blocks —
     // an unconditioned join anywhere here would be corpus² at scale
