@@ -21,7 +21,8 @@ object Scaling {
     "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
     "text_quality", "sim_sq_ann", "sim_ivfsq_ann",
     "text_contamination_ngram", "corpus_snapshot_diff",
-    "q_quantiles_approx", "dedup_cc_clusters")
+    "q_quantiles_approx", "dedup_cc_clusters",
+    "j7_asof_join", "text_decontam_bloom", "dedup_semantic")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
@@ -110,6 +111,9 @@ object Scaling {
       return
     }
     val factors = args.lift(1).getOrElse("1,2,4").split(",").map(_.trim.toInt)
+    // optional 3rd arg: comma-separated query filter for targeted re-runs
+    val only = args.lift(2).map(_.split(",").toSet)
+    val toRun = queries.filter(q => only.forall(_.contains(q)))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -125,7 +129,7 @@ object Scaling {
         if (!new java.io.File(out).exists())
           scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
       }
-      queries.foreach { q =>
+      toRun.foreach { q =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
