@@ -242,6 +242,44 @@ object TextAnalysis extends OpModule {
         .filter(hashBucket("smp|", col("doc_id")) < 10)
         .select(col("doc_id"), col("source"))
     }),
+    // Salient-term extraction — the tf-idf primitive reshaped for exact
+    // verification: terms rank by (tf DESC, df ASC, tok ASC), which is
+    // order-equivalent to tf·idf whenever tf ties break by rarity and
+    // needs NO transcendental (ln) — every ranking input is an exact
+    // integer, so the oracle is bit-exact in any engine. Scale shape: one
+    // explode + (doc,tok) partial-agg; the SAME tf relation (barriered —
+    // both branches read it) feeds the df rollup and the term join, so
+    // token strings shuffle once; rank≤k compiles to WindowGroupLimit
+    // (per-partition top-k before the final exchange).
+    "text_salient_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .barrier()
+      // tf rows are distinct (doc, tok) pairs, so df = row count per tok
+      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(dfr, "tok")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
+    }),
+    // Data-mixture sampling — the corpus-composition op a training run
+    // applies last: per-language keep rates (the mixture weights) from a
+    // broadcast config, membership a deterministic hash of doc_id (same
+    // device as sample_train_split — reruns and backfills select the SAME
+    // subset). Narrow: broadcast join + codegen'd filter, no shuffle.
+    "sample_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("en", 100), ("zh", 80), ("de", 50), ("fr", 25),
+        ("es", 10)).toDF("w_lang", "keep_pct")
+      t(s, dir, "documents")
+        .join(broadcast(weights), col("lang") === col("w_lang"))
+        .filter(hashBucket("mix|", col("doc_id")) < col("keep_pct"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // train/val/test split by the same device: an 80/10/10 assignment
     // that is stable under reprocessing and joins (split is a FUNCTION of
     // doc_id, never a stored random draw).
@@ -640,6 +678,27 @@ object TextAnalysis extends OpModule {
          |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
          |       ELSE 'changed' END AS change
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "text_salient_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, rank, tok, tf, df FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rank
+        |  FROM tf JOIN df USING (tok))
+        |WHERE rank <= 3""".stripMargin,
+    "sample_mixture_weights" ->
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |JOIN (VALUES ('en', 100), ('zh', 80), ('de', 50), ('fr', 25),
+         |             ('es', 10)) w(w_lang, keep_pct)
+         |  ON lang = w_lang
+         |WHERE ${oraHashBucket("mix|")} < keep_pct""".stripMargin,
     "sample_hash_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,

@@ -231,6 +231,40 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("salient terms: top-k plan uses WindowGroupLimit, ranks contiguous") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_salient_terms")(spark, sfDir)
+    // rank<=k must prune per-partition BEFORE the ranking exchange — a
+    // full Window sort of every (doc, token) row would not scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val byDoc = df.collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length), "ranks must be 1..k")
+      assert(ranks.length <= 3)
+    }
+  }
+
+  test("mixture sampling: rate-100 langs keep everything, rates order the kept shares") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val total = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.TextAnalysis
+      .queries("sample_mixture_weights")(spark, sfDir)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") === total("en"), "keep_pct=100 must keep every doc")
+    // hash-mod membership is exact in expectation, not per-draw; only the
+    // deterministic full-keep tier admits an equality assertion
+    Seq("zh", "de", "fr", "es").foreach { l =>
+      assert(kept.getOrElse(l, 0L) <= total(l))
+    }
+    assert(kept.getOrElse("es", 0L).toDouble / total("es") <
+      kept("zh").toDouble / total("zh"),
+      "a 10% rate must keep a smaller share than an 80% rate")
+  }
+
   test("dedup pair relations never cartesian-join the corpus") {
     // the 100 TB invariant: candidates meet only inside buckets/blocks —
     // an unconditioned join anywhere here would be corpus² at scale
