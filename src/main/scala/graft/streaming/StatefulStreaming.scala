@@ -440,6 +440,69 @@ object StatefulStreaming {
     admitted
   }
 
+  case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
+    value: Double)
+  case class PayState(tsMicros: Long, pay_id: Long, value: Double)
+  case class Attributed(click_id: Long, user_id: Long,
+    asof_pay_id: Option[Long], asof_value: Option[Double])
+
+  /** Streaming as-of join — the j7_asof_join twin: attribute each click to
+    * the user's most recent purchase at or before it, across micro-batches.
+    * State per key is ONE PayState (the running "latest purchase") — the
+    * streaming as-of needs exactly the value the batch window's
+    * last(ignoreNulls) carries, nothing more, so the store is O(keys)
+    * regardless of stream length (no buffered join state, no watermark
+    * needed for eviction).
+    *
+    * Within a batch, rows process in (ts, side, id) order — identical to
+    * the batch sort, so simultaneous purchase-then-click resolves the same
+    * way. Across batches the attribution horizon is arrival: a purchase
+    * arriving AFTER a click was already emitted does not retro-attribute
+    * it (append mode cannot retract); it updates state only if it is
+    * LATER than the held purchase, so a late-arriving OLD purchase can
+    * never regress attributions either. In-order feeds reproduce the
+    * batch operator exactly — pinned in StreamingSpec, with the
+    * late-arrival contract pinned separately.
+    */
+  def asOfStream(events: Dataset[AsOfEvent]): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PayState, Attributed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AsOfEvent], state: GroupState[PayState]) =>
+          var cur = state.getOption.orNull
+          val out = it.toSeq.sortBy(e => (e.tsMicros, e.side, e.id))
+            .flatMap { e =>
+              if (e.side == 0) {
+                // purchases only ever advance the held (ts, id) — replay
+                // and cross-batch disorder cannot move attribution backward
+                if (cur == null || e.tsMicros > cur.tsMicros ||
+                    (e.tsMicros == cur.tsMicros && e.id > cur.pay_id))
+                  cur = PayState(e.tsMicros, e.id, e.value)
+                None
+              } else Some(Attributed(e.id, uid,
+                Option(cur).map(_.pay_id), Option(cur).map(_.value)))
+            }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Normalize a raw events DataFrame to the as-of stream's shape. */
+  def asOfEvents(events: DataFrame): Dataset[AsOfEvent] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        // FULL microsecond precision: the batch twin sorts on the raw
+        // timestamp, and a seconds-truncating unix_timestamp would flip
+        // purchase/click order inside a shared second
+        unix_micros(col("ts")).as("tsMicros"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id").as("id"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[AsOfEvent]
+  }
+
   case class Scored(group: String, item_id: Long, score: Double)
   case class TopNState(ver: Long, top: List[(Long, Double)])
   case class TopNEntry(group: String, ver: Long, rn: Int, item_id: Long,

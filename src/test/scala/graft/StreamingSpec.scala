@@ -278,6 +278,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: in-order feed reproduces the batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StatefulStreaming.AsOfEvent]
+    val q = StatefulStreaming.asOfStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // feed the whole fixture in event-time order, split mid-stream so
+      // the carried PayState does cross-batch work
+      val ev = StatefulStreaming.asOfEvents(
+        graft.core.Tables.load(spark, sfDir, "events"))
+        .collect().sortBy(e => (e.tsMicros, e.side, e.id))
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString.toLong)))
+        .toMap
+      val want = graft.operators.Relational
+        .queries("j7_asof_join")(spark, sfDir).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got === want,
+        "in-order streaming attribution must equal the batch as-of join")
+      assert(want.values.exists(_.isEmpty) && want.values.exists(_.nonEmpty),
+        "fixture must exercise both attribution branches")
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: late old purchase never regresses attribution") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StatefulStreaming.AsOfEvent]
+    val q = StatefulStreaming.asOfStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      import StatefulStreaming.AsOfEvent
+      // batch 1: pay#10 at t=1000, click#20 at t=2000 → attributed to 10
+      input.addData(AsOfEvent(1, 1000, 0, 10, 5.0),
+        AsOfEvent(1, 2000, 1, 20, 0.0))
+      q.processAllAvailable()
+      // batch 2: a LATE purchase OLDER than the held one (t=500) must not
+      // replace state; the next click still attributes to pay#10
+      input.addData(AsOfEvent(1, 500, 0, 11, 9.0),
+        AsOfEvent(1, 3000, 1, 21, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_late").collect()
+        .map(r => (r.getLong(0), r.get(2).toString.toLong)).toMap
+      assert(got === Map(20L -> 10L, 21L -> 10L))
+    } finally q.stop()
+  }
+
   test("streaming contamination gate: benchmark clones dropped, parity with batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
