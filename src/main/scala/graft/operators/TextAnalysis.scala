@@ -242,6 +242,32 @@ object TextAnalysis extends OpModule {
         .filter(hashBucket("smp|", col("doc_id")) < 10)
         .select(col("doc_id"), col("source"))
     }),
+    // Winnowing fingerprints — the published robust-fingerprinting
+    // algorithm (select the MINIMUM gram hash in each sliding window of w
+    // consecutive gram hashes): any two docs sharing a run of at least
+    // k+w-1 = 8 tokens are GUARANTEED to share a selected fingerprint,
+    // while the selected density stays ~1/w of all grams — the partial-
+    // overlap detector whose output is small enough to join at corpus
+    // scale. Whole derivation is ONE narrow codegen'd pass of array HOFs
+    // (tokens → gram hashes → window minima → distinct); only the
+    // winnowed (doc_id, 8-byte fp) rows ever reach the exchange.
+    "text_winnow_fps" -> ((s, dir) =>
+      winnowFps(t(s, dir, "documents"), WinnowK, WinnowW)),
+    // Exact top-k-per-group sampling — "take exactly k docs per source,
+    // stable across reruns": rank by a salted md5 of doc_id inside each
+    // source and keep rank <= k. Unlike rate-based hash-mod sampling the
+    // output size is exact; the plan is WindowGroupLimit (per-partition
+    // k before the ranking exchange), so no source's full roster sorts.
+    "sample_topk_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("tk|"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"))
+    }),
     // Salient-term extraction — the tf-idf primitive reshaped for exact
     // verification: terms rank by (tf DESC, df ASC, tok ASC), which is
     // order-equivalent to tf·idf whenever tf ties break by rarity and
@@ -355,6 +381,34 @@ object TextAnalysis extends OpModule {
       "pipes fill this training document with harmless novel content"),
     (-34L, "carefully measured rainfall data from mountain stations shows " +
       "variance across decades of continuous observation records"))
+
+  /** Winnowing parameters: 5-word grams, window of 4 gram hashes → the
+    * guarantee threshold is a shared run of k+w-1 = 8 tokens. */
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  /** Distinct winnowing-selected gram fingerprints per document:
+    * (doc_id, wfp). Gram hashing matches `gramFps` (first 60 bits of
+    * md5(space-joined gram) as BIGINT) so the two sub-document
+    * fingerprint families stay join-compatible. Docs shorter than
+    * k+w-1 tokens emit nothing (the guard also keeps `sequence` from
+    * producing a descending range on short docs).
+    */
+  private[graft] def winnowFps(docs: org.apache.spark.sql.DataFrame,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> CAST(conv(substring(md5(
+           |         array_join(slice(toks, i + 1, $k), ' ')), 1, 15),
+           |       16, 10) AS BIGINT))""".stripMargin).as("ghs"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(ghs) - $w),
+           |  i -> array_min(slice(ghs, i + 1, $w))))""".stripMargin))
+        .as("wfp"))
+      .distinct()
 
   /** Bloom geometry: m = 2^15 bits (512 longs ≈ 4 KB broadcast), k = 4
     * probes. At the fixture scale (~100 bench fps) the false-positive rate
@@ -678,6 +732,31 @@ object TextAnalysis extends OpModule {
          |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
          |       ELSE 'changed' END AS change
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "text_winnow_fps" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |gh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(toks) - ${WinnowK - 1}),
+         |      i -> ('0x' || substring(md5(
+         |             array_to_string(toks[i+1:i+$WinnowK], ' ')), 1, 15))
+         |           ::BIGINT) AS ghs
+         |  FROM tok WHERE len(toks) >= ${WinnowK + WinnowW - 1})
+         |SELECT DISTINCT doc_id, wfp FROM (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, len(ghs) - ${WinnowW - 1}),
+         |      i -> list_aggregate(ghs[i+1:i+$WinnowW], 'min'))) AS wfp
+         |  FROM gh)""".stripMargin,
+    "sample_topk_per_source" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('tk|' || doc_id::VARCHAR) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
     "text_salient_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -246,6 +246,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: docs sharing a k+w-1 token run share a fingerprint") {
+    import spark.implicits._
+    // an 8-token run (k=5, w=4 → threshold 8) embedded in DIFFERENT
+    // surrounding context on each side — the published winnowing
+    // guarantee says at least one selected fingerprint must coincide
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five six seven $shared red green blue"),
+      (2L, s"north south east west up down $shared left right over under"),
+      (3L, "entirely different words nothing matching anything else " +
+        "in this sentence at all whatsoever today"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.winnowFps(docs, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared 8-token run must yield a shared winnowed fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "no shared grams → no shared fingerprints")
+    // density: winnowing selects a fraction of all grams, never zero
+    byDoc.values.foreach(s => assert(s.nonEmpty))
+    val nGrams1 = 18 - 5 + 1 // doc 1 token count minus gram span
+    assert(byDoc(1L).size < nGrams1, "selection must be sparser than all grams")
+  }
+
   test("mixture sampling: rate-100 langs keep everything, rates order the kept shares") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val total = docs.groupBy(col("lang")).count()
