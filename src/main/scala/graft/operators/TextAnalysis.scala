@@ -242,6 +242,75 @@ object TextAnalysis extends OpModule {
         .filter(hashBucket("smp|", col("doc_id")) < 10)
         .select(col("doc_id"), col("source"))
     }),
+    // The whole front door as ONE batch query — the composition every
+    // training-data pipeline actually runs, and the batch twin of the
+    // soak's streaming hygiene chain: benchmark holdout → quality gate →
+    // exact keep-first dedup → decontamination vs the holdout's
+    // fingerprints → deterministic split assignment. Each stage is the
+    // already-oracle-checked fragment; composing them in one plan lets
+    // Catalyst pipeline the narrow stages into the dedup shuffle. Scale
+    // shape: two narrow filters, ONE shuffle (keep-first window on fp),
+    // one broadcast anti-join (bench fps are small), one narrow project.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val isBench = hashBucket("bmk|", col("doc_id")) < 20
+      val benchFp = docs.filter(isBench)
+        .select(Text.fingerprint(col("text")).as("fp")).distinct()
+      val quality = docs.filter(!isBench)
+        .filter(length(col("text")) >= 100 &&
+          Text.wsTokenCount(col("text")) >= 20 &&
+          Text.stopwordRatio(col("text")) >= 0.05 &&
+          Text.punctRatio(col("text")) <= 0.2)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+      val deduped = quality.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val split = hashBucket("spl|", col("doc_id"))
+      deduped.join(broadcast(benchFp), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          when(split < 80, lit("train")).when(split < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+    }),
+    // Token-budget selection — "take the highest-quality documents until
+    // the token budget fills", the curation step that turns a scored
+    // corpus into a training set. The interesting part is HOW the global
+    // cumulative sum is computed: a naive running total needs a TOTAL
+    // order (Window.orderBy with no partition = every row through one
+    // partition — the anti-pattern this repo bans). Instead the
+    // distributed prefix-sum: coarse score buckets give (a) per-bucket
+    // token totals — a ≤21-row relation whose running offset is computed
+    // in a bounded single-partition window (constant-size, not
+    // data-size), and (b) within-bucket cumulative sums — a Window
+    // PARTITIONED by bucket, parallel across buckets. Global cum =
+    // bucket offset + within-bucket cum, exactly; the budget filter is
+    // then a narrow predicate. Same result as the oracle's global
+    // running total, no global sort anywhere.
+    "corpus_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 12000L
+      val scored = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("toks"),
+          Text.stopwordRatio(col("text")).as("score"))
+        .withColumn("bucket",
+          least(floor(col("score") * 20), lit(20L)).cast("int"))
+        .barrier() // read by the bucket rollup AND the final selection
+      val wb = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = scored.groupBy(col("bucket"))
+        .agg(sum(col("toks")).as("btoks"))
+        .withColumn("prior", coalesce(sum(col("btoks")).over(wb), lit(0L)))
+        .select(col("bucket"), col("prior"))
+      val wd = Window.partitionBy(col("bucket"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(broadcast(offsets), "bucket")
+        .withColumn("cum", col("prior") + sum(col("toks")).over(wd))
+        .filter(col("cum") <= budget)
+        .select(col("doc_id"), col("source"), col("toks"))
+    }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
     // consecutive gram hashes): any two docs sharing a run of at least
@@ -732,6 +801,57 @@ object TextAnalysis extends OpModule {
          |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
          |       ELSE 'changed' END AS change
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // the oracle computes the SAME selection with a plain global running
+    // total — the semantics; the Spark side's bucketed prefix-sum is the
+    // scale mechanism
+    "corpus_token_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS toks,
+         |    CASE WHEN len(toks0) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(toks0, x -> list_contains($stop, x))) AS DOUBLE)
+         |              / CAST(len(toks0) AS DOUBLE) END AS score
+         |  FROM (SELECT *, list_filter(string_split_regex(lower(text),
+         |          '[^a-z0-9]+'), x -> x <> '') AS toks0
+         |        FROM documents)),
+         |c AS (
+         |  SELECT doc_id, source, toks,
+         |    sum(toks) OVER (ORDER BY score DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT doc_id, source, toks FROM c WHERE cum <= 12000""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         |      AS fp
+         |  FROM documents WHERE ${oraHashBucket("bmk|")} < 20),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         |      AS fp
+         |  FROM (SELECT *, list_filter(string_split_regex(lower(text),
+         |                '[^a-z0-9]+'), x -> x <> '') AS toks
+         |        FROM documents WHERE ${oraHashBucket("bmk|")} >= 20)
+         |  WHERE CAST(length(text) AS INT) >= 100
+         |    AND len(string_split_regex(trim(text), '\\s+')) >= 20
+         |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END) >= 0.05
+         |    AND (CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END) <= 0.2),
+         |d AS (
+         |  SELECT doc_id, source, fp FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY fp
+         |      ORDER BY doc_id ASC) AS rn FROM q)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
+         |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin,
     "text_winnow_fps" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

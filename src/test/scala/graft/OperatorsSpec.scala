@@ -246,6 +246,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("token budget: selection is the maximal quality-ordered prefix") {
+    val sel = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sel.nonEmpty && sel.values.sum <= 12000L,
+      "selected token mass must fit the budget")
+    // reference order: (score DESC, doc_id ASC) computed directly
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.bpeishTokenCount(col("text")).cast("long")
+          .as("toks"),
+        graft.functions.Text.stopwordRatio(col("text")).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    // the selected set must be exactly the greedy prefix of that order
+    var cum = 0L
+    docs.foreach { case (id, toks, _) =>
+      cum += toks
+      assert(sel.contains(id) === (cum <= 12000L),
+        s"doc $id: prefix membership must follow the running total")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a k+w-1 token run share a fingerprint") {
     import spark.implicits._
     // an 8-token run (k=5, w=4 → threshold 8) embedded in DIFFERENT
