@@ -22,7 +22,9 @@ object Scaling {
     "text_quality", "sim_sq_ann", "sim_ivfsq_ann",
     "text_contamination_ngram", "corpus_snapshot_diff",
     "q_quantiles_approx", "dedup_cc_clusters",
-    "j7_asof_join", "text_decontam_bloom", "dedup_semantic")
+    "j7_asof_join", "text_decontam_bloom", "dedup_semantic",
+    "text_winnow_fps", "text_salient_terms", "pipeline_clean_corpus",
+    "corpus_token_budget")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
