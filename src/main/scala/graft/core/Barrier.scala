@@ -42,9 +42,12 @@ import org.apache.spark.storage.StorageLevel
   * The one contract left with the caller: create and release on the same
   * thread (true of every in-repo user — operators build their barriers on
   * the thread that runs the query, foreachBatch bodies run on their query's
-  * stream-execution thread). A scope abandoned by a dying thread leaks its
-  * blocks until the session stops — the same exposure the old global
-  * registry had, without its cross-query unpersist hazard.
+  * stream-execution thread). A scope ABANDONED BY A DYING THREAD — e.g. a
+  * foreachBatch body that threw after creating barriers but before its
+  * trailing releaseAll, killing the stream-execution thread — is reclaimed
+  * by ANY later [[releaseAll]] on any thread: the sweep only touches scopes
+  * whose owner thread is no longer alive, so it can never race the owner
+  * or release a live query's in-flight blocks.
   */
 object Barrier {
 
@@ -55,9 +58,15 @@ object Barrier {
     val ckptRddIds = scala.collection.mutable.Set.empty[Int]
   }
 
-  private val scopes = new ThreadLocal[Scope] {
-    override def initialValue(): Scope = new Scope
-  }
+  // global registry keyed by owner thread (NOT a ThreadLocal: dead owners'
+  // scopes must stay discoverable so another thread can reclaim them).
+  // Scope contents are guarded by the scope's own monitor — the owner
+  // mutates while alive; a sweeper touches it only after observing
+  // !isAlive, and the lock makes that handoff safe.
+  private val scopes =
+    new java.util.concurrent.ConcurrentHashMap[Thread, Scope]()
+  private def myScope(): Scope =
+    scopes.computeIfAbsent(Thread.currentThread(), _ => new Scope)
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
@@ -66,18 +75,20 @@ object Barrier {
         // materialize now: downstream readers hit the store instead of
         // racing to populate it, mirroring localCheckpoint's eagerness
         p.queryExecution.toRdd.count()
-        scopes.get().persisted += p
+        val scope = myScope()
+        scope.synchronized { scope.persisted += p }
         p
       case _ =>
         val out = df.localCheckpoint()
-        // exact attribution, no registry diff and no lock: the returned
-        // plan IS a LogicalRDD over the checkpointed RDD, so concurrent
-        // queries' barrier jobs run fully in parallel and a concurrent
-        // caller's cache() can never be captured by mistake
+        // exact attribution, no registry diff: the returned plan IS a
+        // LogicalRDD over the checkpointed RDD, so concurrent queries'
+        // barrier jobs run fully in parallel and a concurrent caller's
+        // cache() can never be captured by mistake
         val ids = out.queryExecution.logical.collect {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
         }
-        scopes.get().ckptRddIds ++= ids
+        val scope = myScope()
+        scope.synchronized { scope.ckptRddIds ++= ids }
         out
     }
 
@@ -86,18 +97,30 @@ object Barrier {
     def barrier(): DataFrame = Barrier(df)
   }
 
-  /** Drop every block an [[apply]] call on THIS THREAD created — and
-    * nothing else (see class doc). Safe to call repeatedly.
+  /** Drop every block an [[apply]] call on THIS THREAD created — and, as
+    * garbage collection of last resort, every block whose creating thread
+    * has since DIED without releasing (a failed foreachBatch's
+    * stream-execution thread; see class doc). Never touches a live
+    * thread's scope. Safe to call repeatedly.
     */
   def releaseAll(s: SparkSession): Unit = {
-    val scope = scopes.get()
-    scope.persisted.foreach { p =>
-      try { p.unpersist(blocking = false); () } catch { case _: Throwable => }
+    releaseScope(s, scopes.remove(Thread.currentThread()))
+    val it = scopes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.isAlive) { releaseScope(s, e.getValue); it.remove() }
     }
-    scope.persisted.clear()
-    val registry = s.sparkContext.getPersistentRDDs
-    scope.ckptRddIds.foreach(id =>
-      registry.get(id).foreach(_.unpersist(blocking = false)))
-    scope.ckptRddIds.clear()
   }
+
+  private def releaseScope(s: SparkSession, scope: Scope): Unit =
+    if (scope != null) scope.synchronized {
+      scope.persisted.foreach { p =>
+        try { p.unpersist(blocking = false); () } catch { case _: Throwable => }
+      }
+      scope.persisted.clear()
+      val registry = s.sparkContext.getPersistentRDDs
+      scope.ckptRddIds.foreach(id =>
+        registry.get(id).foreach(_.unpersist(blocking = false)))
+      scope.ckptRddIds.clear()
+    }
 }

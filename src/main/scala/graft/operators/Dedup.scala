@@ -297,7 +297,15 @@ object Dedup extends OpModule {
         .join(dropped.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
       case None => pairs
     }).barrier()
-    while (!remaining.isEmpty) {
+    // Round cap: each round resolves at least one link of every remaining
+    // dup CHAIN, so rounds needed ≈ half the longest alternating chain in
+    // ONE batch — 64 covers chains past 120 links, far beyond any real
+    // ingest batch. Greedy keep-first (lexicographically-first MIS) is
+    // inherently sequential on a chain — no pointer-jumping shortcut
+    // exists — so past the cap the only honest outcome is a LOUD failure,
+    // not an unbounded driver loop stalling the stream.
+    var rounds = 0
+    while (!remaining.isEmpty && rounds < 64) {
       // doc_a values that are nobody's doc_b among remaining pairs are
       // decided-admitted; their partners drop this round. Non-empty while
       // pairs remain (the minimum undecided endpoint only appears as
@@ -311,7 +319,11 @@ object Dedup extends OpModule {
         .join(newly.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(newly.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
         .barrier()
+      rounds += 1
     }
+    require(remaining.isEmpty,
+      s"greedy keep-first did not settle in $rounds rounds — a pathological " +
+        "dup chain in one ingest batch; split the batch or raise the cap")
     dropped
   }
 

@@ -182,8 +182,8 @@ object TextAnalysis extends OpModule {
     // gate — the oracle mirrors the exact semantics only; the pruning and
     // gated≡ungated identity are pinned by OperatorsSpec.
     "text_decontam_bloom" -> ((s, dir) => {
-      val (candidates, _) = bloomParts(s, dir)
-      candidates.join(broadcast(benchFps(s, dir)), Seq("fp"), "left_semi")
+      val (candidates, _, bench) = bloomParts(s, dir)
+      candidates.join(broadcast(bench), Seq("fp"), "left_semi")
         .select(col("doc_id"), col("fp"))
     }),
     // Repetition metrics — the repeated-content heuristics corpus filters
@@ -520,20 +520,19 @@ object TextAnalysis extends OpModule {
         conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fpl"))
   }
 
-  /** Distinct benchmark-side fingerprints (the exact-verify build side). */
-  private[graft] def benchFps(s: org.apache.spark.sql.SparkSession,
-      dir: String) =
-    fpDocs(s, dir).filter(col("is_bench")).select(col("fp")).distinct()
-
-  /** (bloom-gated training candidates, ungated training side) — split out
-    * so the spec can pin pruning and gated≡ungated identity. The bitmap is
-    * built as (word, bit_or(bits)) then densified into one array<long> row
-    * via a 0..W-1 sequence against a map — all built-ins, one row, no
-    * driver loop.
+  /** (bloom-gated training candidates, ungated training side, distinct
+    * benchmark fps) — split out so the spec can pin pruning and
+    * gated≡ungated identity. ALL THREE derive from the one barriered
+    * fingerprint pass (bitmap build, train probe, and the exact-verify
+    * build side — a separate bench derivation would re-scan the corpus).
+    * The bitmap is built as (word, bit_or(bits)) then densified into one
+    * array<long> row via a 0..W-1 sequence against a map — all built-ins,
+    * one row, no driver loop.
     */
   private[graft] def bloomParts(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
     val docs = fpDocs(s, dir).barrier() // bench + train both read this pass
+    val bench = docs.filter(col("is_bench")).select(col("fp")).distinct()
     val bits = docs.filter(col("is_bench")).select(col("fpl")).distinct()
       .select(explode(expr(
         s"array(${(0 until BloomK).map(bloomPos).mkString(", ")})"))
@@ -553,7 +552,7 @@ object TextAnalysis extends OpModule {
         s"CAST(${bloomPos(i)} % 64 AS INT)) & 1L) = 1L"
     }.mkString(" AND ")
     (train.join(broadcast(bitmap), lit(true)).filter(expr(mightContain))
-      .select(col("doc_id"), col("fp")), train)
+      .select(col("doc_id"), col("fp")), train, bench)
   }
 
   /** PII patterns — literal-char classes + the (?i) flag only, identical

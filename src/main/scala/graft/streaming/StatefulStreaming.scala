@@ -356,17 +356,37 @@ object StatefulStreaming {
     // whole batch undeduped and let the compaction below destroy the store
     def hasData(d: org.apache.hadoop.fs.Path): Boolean = {
       val it = fs.listFiles(d, true)
+      val dPath = d.toUri.getPath
       var found = false
       while (!found && it.hasNext) {
         val f = it.next()
-        // mirror Spark's hidden-file rule exactly ('_' AND '.'): a dir
-        // whose only entry is a dot-file (editor temp, surfaced .crc)
-        // must read as empty, or spark.read fails schema inference
-        val name = f.getPath.getName
-        found = f.getLen > 0 &&
-          !name.startsWith("_") && !name.startsWith(".")
+        // mirror Spark's hidden-path rule exactly on EVERY path segment
+        // below d, not just the leaf: a crashed write leaves part files
+        // under `_temporary/...` — Spark's file index hides that whole
+        // subtree, so counting those files here would read a data-less
+        // dir and fail schema inference. Spark's rule ('_'-prefixed is
+        // hidden UNLESS it contains '=', '.'-prefixed always hidden)
+        // keeps partition dirs like `__bucket=5` visible
+        var p = f.getPath
+        var hidden = f.getLen <= 0
+        while (!hidden && p != null && p.toUri.getPath != dPath) {
+          val nm = p.getName
+          hidden = (nm.startsWith("_") && !nm.contains("=")) ||
+            nm.startsWith(".")
+          p = p.getParent
+        }
+        found = !hidden
       }
       found
+    }
+    // self-heal a crash DURING a compaction's generation write: a gen dir
+    // with no visible data (only a `_temporary` tree) is definitively dead
+    // — the stream runs one batch at a time, so no writer can be mid-write
+    // here — and nothing else would ever clean it. Tombstone it now; the
+    // reaper above deletes it next batch. (Partial BATCH dirs need no
+    // healing: a replay Overwrites the same directory.)
+    genDirs.filterNot(hasData).foreach { p =>
+      fs.create(new org.apache.hadoop.fs.Path(p, "_OBSOLETE"), true).close()
     }
     // gen and batch dirs carry different partition-path shapes, so each
     // family reads under its own discovery (same basePath) and the select
@@ -441,8 +461,8 @@ object StatefulStreaming {
   }
 
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
-    value: Double)
-  case class PayState(tsMicros: Long, pay_id: Long, value: Double)
+    value: Option[Double])
+  case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])
   case class Attributed(click_id: Long, user_id: Long,
     asof_pay_id: Option[Long], asof_value: Option[Double])
 
@@ -481,7 +501,7 @@ object StatefulStreaming {
                   cur = PayState(e.tsMicros, e.id, e.value)
                 None
               } else Some(Attributed(e.id, uid,
-                Option(cur).map(_.pay_id), Option(cur).map(_.value)))
+                Option(cur).map(_.pay_id), Option(cur).flatMap(_.value)))
             }
           if (cur != null) state.update(cur)
           out.iterator
@@ -499,7 +519,10 @@ object StatefulStreaming {
         unix_micros(col("ts")).as("tsMicros"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
         col("event_id").as("id"),
-        coalesce(col("value"), lit(0.0)).as("value"))
+        // value stays nullable (Option): the batch twin carries a NULL
+        // purchase value through to asof_value, and coalescing to 0.0
+        // here would silently diverge from that contract
+        col("value"))
       .as[AsOfEvent]
   }
 

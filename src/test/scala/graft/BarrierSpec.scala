@@ -73,6 +73,27 @@ class BarrierSpec extends SparkSpec {
       "the owning thread's release must drop its own blocks")
   }
 
+  test("a dead thread's abandoned barriers are reclaimed by any releaseAll") {
+    graft.core.Barrier.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // simulate a foreachBatch body that threw AFTER creating barriers but
+    // BEFORE its trailing releaseAll: the stream-execution thread dies
+    // with its scope un-released
+    val t = new Thread(() => {
+      graft.core.Barrier(
+        graft.core.Tables.load(spark, sfDir, "documents").select("doc_id"))
+    })
+    t.start(); t.join()
+    val orphaned =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    assert(orphaned.nonEmpty, "the dead thread left barrier blocks behind")
+    // any later release on any live thread garbage-collects them
+    graft.core.Barrier.releaseAll(spark)
+    assert(orphaned.intersect(
+      spark.sparkContext.getPersistentRDDs.keySet).isEmpty,
+      "orphaned blocks of a dead thread must be reclaimed")
+  }
+
   test("persist mode keeps lineage (logical plan is not an RDD scan)") {
     spark.conf.set(graft.core.Barrier.ConfKey, "persist")
     try {

@@ -212,14 +212,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("bloom decontamination gate prunes the train side, result ungated-identical") {
-    val (candidates, train) = graft.operators.TextAnalysis
+    val (candidates, train, bench) = graft.operators.TextAnalysis
       .bloomParts(spark, sfDir)
     val (nCand, nTrain) = (candidates.count(), train.count())
     assert(nCand < nTrain / 10,
       s"bloom must prune the corpus before the verify join ($nCand of $nTrain survived)")
     // gated result ≡ ungated exact decontamination (no false negatives;
     // false positives die in the verify join)
-    val bench = graft.operators.TextAnalysis.benchFps(spark, sfDir)
     val gated = SparkEntry.queries("text_decontam_bloom")(spark, sfDir)
     val ungated = train.select(col("doc_id"), col("fp"))
       .join(bench, Seq("fp"), "left_semi").select(col("doc_id"), col("fp"))

@@ -319,17 +319,27 @@ class StreamingSpec extends SparkSpec {
     try {
       import StatefulStreaming.AsOfEvent
       // batch 1: pay#10 at t=1000, click#20 at t=2000 → attributed to 10
-      input.addData(AsOfEvent(1, 1000, 0, 10, 5.0),
-        AsOfEvent(1, 2000, 1, 20, 0.0))
+      input.addData(AsOfEvent(1, 1000, 0, 10, Some(5.0)),
+        AsOfEvent(1, 2000, 1, 20, None))
       q.processAllAvailable()
       // batch 2: a LATE purchase OLDER than the held one (t=500) must not
       // replace state; the next click still attributes to pay#10
-      input.addData(AsOfEvent(1, 500, 0, 11, 9.0),
-        AsOfEvent(1, 3000, 1, 21, 0.0))
+      input.addData(AsOfEvent(1, 500, 0, 11, Some(9.0)),
+        AsOfEvent(1, 3000, 1, 21, None))
+      q.processAllAvailable()
+      // batch 3: a NULL-valued purchase advances state and its null must
+      // survive to the emitted asof_value (no silent 0.0 coalesce — the
+      // batch twin carries NULL through)
+      input.addData(AsOfEvent(1, 4000, 0, 12, None),
+        AsOfEvent(1, 5000, 1, 22, None))
       q.processAllAvailable()
       val got = spark.table("asof_late").collect()
         .map(r => (r.getLong(0), r.get(2).toString.toLong)).toMap
-      assert(got === Map(20L -> 10L, 21L -> 10L))
+      assert(got === Map(20L -> 10L, 21L -> 10L, 22L -> 12L))
+      val values = spark.table("asof_late").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+      assert(values(20L) === Some(5.0) && values(22L) === None,
+        "null purchase value must stay null in the attribution")
     } finally q.stop()
   }
 
@@ -559,6 +569,41 @@ class StreamingSpec extends SparkSpec {
       assert(admBc === Set(c),
         s"store-dropped b must not block its in-batch chain sibling c: $admBc")
     } finally graft.core.Barrier.releaseAll(spark)
+  }
+
+  test("near-dup ingest: a crashed generation write self-heals, store keeps deduping") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(4)
+    val store = java.nio.file.Files.createTempDirectory("ndcrash").toString
+    def run(rows: Seq[(Long, String)], id: Long): Set[Long] = {
+      val adm = StatefulStreaming.nearDupIngestBatch(
+        rows.toDF("doc_id", "text"), store, id)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.core.Barrier.releaseAll(spark)
+      adm
+    }
+    run(docs.toSeq, 0L)
+    // simulate a compaction that crashed mid-write: a gen dir holding
+    // ONLY a _temporary tree (what a dead Spark write leaves behind) —
+    // visible part files exist under it, but Spark's reader hides the
+    // whole subtree, so treating it as data would fail schema inference
+    val dead = new java.io.File(s"$store/__gen=9/_temporary/0/task/")
+    dead.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dead.getPath, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // next batch must not crash, must still drop a clone of an admitted
+    // doc, and must tombstone the dead gen for the reaper
+    val adm = run(Seq((900001L, docs.head._2)), 1L)
+    assert(adm.isEmpty, "clone must still drop after a crashed compaction")
+    assert(new java.io.File(s"$store/__gen=9/_OBSOLETE").exists(),
+      "data-less gen dir must be tombstoned for the next batch's reaper")
+    // and the batch after that reaps it
+    run(Seq((900002L, "totally novel content never seen before here")), 2L)
+    assert(!new java.io.File(s"$store/__gen=9").exists(),
+      "tombstoned dead gen dir must be reaped")
   }
 
   test("near-dup ingest: generation compaction bounds the store, admissions unchanged") {
