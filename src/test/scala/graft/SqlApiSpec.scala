@@ -24,6 +24,39 @@ class SqlApiSpec extends SparkSpec {
       dfApi.exceptAll(sqlDf).count() === 0)
   }
 
+  test("SQL-text form of the as-of join equals the DataFrame form") {
+    // the union-and-window as-of is plain SQL — the reference's SQL-first
+    // jobs could express it verbatim; same plan as the DataFrame form
+    val sqlDf = SqlCatalog.sql(spark, sfDir,
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id,
+        |         CAST(NULL AS BIGINT) AS pay_id,
+        |         CAST(NULL AS DOUBLE) AS pay_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |         event_id AS pay_id, value AS pay_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last(pay_id, true) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side, pay_id
+        |       ROWS UNBOUNDED PRECEDING) AS asof_pay_id,
+        |    last(pay_value, true) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side, pay_id
+        |       ROWS UNBOUNDED PRECEDING) AS asof_value
+        |  FROM u)
+        |SELECT event_id AS click_id, user_id,
+        |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+        |  asof_pay_id,
+        |  CAST(CAST(asof_value AS DECIMAL(18,2)) AS STRING) AS asof_value
+        |FROM w WHERE side = 1""".stripMargin)
+    val dfApi = graft.operators.Relational
+      .queries("j7_asof_join")(spark, sfDir)
+    assert(sqlDf.exceptAll(dfApi).count() === 0 &&
+      dfApi.exceptAll(sqlDf).count() === 0)
+  }
+
   test("SQL tumbling window (A1/W3 SQL form) equals the DataFrame form") {
     val sqlDf = SqlCatalog.sql(spark, sfDir,
       """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
