@@ -145,6 +145,23 @@ object Relational extends OpModule {
         .join(broadcast(config), col("event_type") === col("etype"))
         .groupBy(col("sink_table")).agg(count(lit(1)).as("routed_ct"))
     }),
+    // The salted fact-fact join under the DRIVER'S oracle gate: identical
+    // output contract to a plain join (the whole point of salting — the
+    // DuckDB oracle is the unsalted SQL), with the hot-key shuffle spread
+    // over 8 salt buckets. SkewSpec pins row identity + the 2.16× win
+    // under a planted power law; this query makes the equivalence part of
+    // the per-round correctness record too.
+    "j8_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_orderkey").as("jk"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("string")
+          .as("price"))
+      val small = t(s, dir, "orders").select(
+        col("o_orderkey").as("jk"), col("o_orderstatus"))
+      Skew.saltedJoin(big, small, "jk", 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_orderstatus"), col("price"))
+    }),
     // As-of join (beyond the reference, SURVEY §2.10) — the attribution
     // primitive Spark lacks as a native operator: each click joins the
     // user's most recent purchase AT OR BEFORE the click. Implemented as
@@ -272,6 +289,11 @@ object Relational extends OpModule {
         |             ('purchase','dwd_trade_pay_suc'), ('signup','dwd_user_register'))
         |  AS cfg(etype, sink_table) ON e.event_type = cfg.etype
         |GROUP BY 1""".stripMargin,
+    // the unsalted join IS the oracle — salting must be output-invisible
+    "j8_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     // declarative mirror of the as-of: per click, rank prior purchases by
     // (ts DESC, pay_id DESC) and keep rn=1; LEFT join preserves
     // unattributed clicks
