@@ -204,6 +204,29 @@ object Similarity extends OpModule {
       m.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .join(dropped, Seq("vec_id"), "left_anti")
     }),
+    // One k-means (Lloyd) refinement step over the IVF assignment — the
+    // iterative-clustering primitive a corpus pipeline runs to tighten
+    // centroids before IVF/SemDeDup. Emits the update's MERGEABLE partial
+    // state — per-(cluster, dim) fixed-point micro-unit sums + member
+    // counts — not the divided means: integer sums are order-independent
+    // and bit-equal in any engine (the division is a trivial narrow
+    // epilogue the caller applies), so the oracle gate pins the whole
+    // distributed reduction. The widen→scale→round chain is the same
+    // IEEE ops in both engines (ties round away from zero in both).
+    // Scale shape: assignment is the shuffle-free narrow pass; the only
+    // wide op is ONE partial→final HashAggregate on (cluster, dim) —
+    // C·d cells regardless of corpus size.
+    "sim_kmeans_step" -> ((s, dir) => {
+      val (assigned, _) = ivf(s, dir, 16, 4)
+      assigned
+        .select(col("cluster").cast("long").as("cluster"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+        .agg(sum(expr(
+          "CAST(round(CAST(x AS DOUBLE) * 1000000D) AS BIGINT)"))
+          .as("sum_micro"),
+          count(lit(1)).as("n"))
+    }),
     "sim_ivf_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val (assigned, probes) = ivf(s, dir, 16, 4)
@@ -494,6 +517,28 @@ object Similarity extends OpModule {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])) >= 0.3)""".stripMargin,
+    // mirrors sim_kmeans_step: same assignment CTE, fixed-point reduction
+    "sim_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cv AS DOUBLE[])) DESC,
+        |      c.cent_id ASC) AS crank
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
+        |             WHERE crank = 1)
+        |SELECT cluster, j - 1 AS dim,
+        |  CAST(sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  count(*) AS n
+        |FROM (SELECT a.cluster, e.embedding,
+        |        unnest(generate_series(1, len(e.embedding))) AS j
+        |      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id)
+        |GROUP BY 1, 2""".stripMargin,
     // mirrors dedup_semantic: the same ivf(16) assignment CTE, then
     // keep-first within each cluster over cosine-τ pairs
     "dedup_semantic" ->
