@@ -305,7 +305,11 @@ object Dedup extends OpModule {
     // exists — so past the cap the only honest outcome is a LOUD failure,
     // not an unbounded driver loop stalling the stream.
     var rounds = 0
-    while (!remaining.isEmpty && rounds < 64) {
+    // one isEmpty action per round, reused by the loop guard AND the
+    // post-loop check (re-running the action would add a Spark job per
+    // batch on the always-taken settled path)
+    var settled = remaining.isEmpty
+    while (!settled && rounds < 64) {
       // doc_a values that are nobody's doc_b among remaining pairs are
       // decided-admitted; their partners drop this round. Non-empty while
       // pairs remain (the minimum undecided endpoint only appears as
@@ -319,9 +323,10 @@ object Dedup extends OpModule {
         .join(newly.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(newly.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
         .barrier()
+      settled = remaining.isEmpty
       rounds += 1
     }
-    require(remaining.isEmpty,
+    require(settled,
       s"greedy keep-first did not settle in $rounds rounds — a pathological " +
         "dup chain in one ingest batch; split the batch or raise the cap")
     dropped

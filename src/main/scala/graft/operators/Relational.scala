@@ -188,16 +188,21 @@ object Relational extends OpModule {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("side").asc, col("pay_id").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ONE struct through last(ignoreNulls), not one call per column: a
+      // separate last(pay_value) would skip a NULL-valued purchase and
+      // backfill the value from an OLDER purchase — pairing the attributed
+      // id with the wrong value. The struct is null exactly on click rows,
+      // so the pick stays atomic: id and value always come from the SAME
+      // (latest) purchase, NULL value included.
+      val payStruct = when(col("side") === 0,
+        struct(col("pay_id"), col("pay_value")))
       clicks.unionByName(pays)
-        .withColumn("asof_pay_id",
-          last(col("pay_id"), ignoreNulls = true).over(w))
-        .withColumn("asof_value",
-          last(col("pay_value"), ignoreNulls = true).over(w))
+        .withColumn("asof", last(payStruct, ignoreNulls = true).over(w))
         .filter(col("side") === 1)
         .select(col("event_id").as("click_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-          col("asof_pay_id"),
-          col("asof_value").cast("decimal(18,2)").cast("string")
+          col("asof.pay_id").as("asof_pay_id"),
+          col("asof.pay_value").cast("decimal(18,2)").cast("string")
             .as("asof_value"))
     }),
     "k5_upsert_latest_per_key" -> ((s, dir) => {

@@ -379,28 +379,35 @@ object StatefulStreaming {
       }
       found
     }
+    // ONE recursive listing per dir, shared by the self-heal below and
+    // the reads: on an object store the gen trees are the bulk of the
+    // store, and re-listing them per use would double the per-batch
+    // listing cost the compaction exists to bound
+    val (liveGenDirs, deadGenDirs) = genDirs.partition(hasData)
+    val liveBatchDirs = batchDirs.filter(hasData)
     // self-heal a crash DURING a compaction's generation write: a gen dir
     // with no visible data (only a `_temporary` tree) is definitively dead
     // — the stream runs one batch at a time, so no writer can be mid-write
     // here — and nothing else would ever clean it. Tombstone it now; the
     // reaper above deletes it next batch. (Partial BATCH dirs need no
     // healing: a replay Overwrites the same directory.)
-    genDirs.filterNot(hasData).foreach { p =>
+    deadGenDirs.foreach { p =>
       fs.create(new org.apache.hadoop.fs.Path(p, "_OBSOLETE"), true).close()
     }
     // gen and batch dirs carry different partition-path shapes, so each
     // family reads under its own discovery (same basePath) and the select
     // normalizes both to the one schema the joins need
-    def readDirs(dirs: Array[org.apache.hadoop.fs.Path])
+    // dirs arrive pre-filtered to data-bearing ones (the single hasData
+    // pass above)
+    def readDirs(nonEmpty: Array[org.apache.hadoop.fs.Path])
         : Option[DataFrame] = {
-      val nonEmpty = dirs.filter(hasData)
       if (nonEmpty.isEmpty) None
       else Some(spark.read.option("basePath", storeDir)
         .parquet(nonEmpty.map(_.toString).toIndexedSeq: _*)
         .select(col("doc_id"), col("band"), col("sig"), col("toks"),
           col("__bucket")))
     }
-    val seen = (readDirs(genDirs), readDirs(batchDirs)) match {
+    val seen = (readDirs(liveGenDirs), readDirs(liveBatchDirs)) match {
       case (Some(g), Some(bd)) => Some(g.unionByName(bd))
       case (g, bd) => g.orElse(bd)
     }

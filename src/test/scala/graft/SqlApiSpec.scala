@@ -39,17 +39,16 @@ class SqlApiSpec extends SparkSpec {
         |  FROM events WHERE event_type = 'purchase'),
         |w AS (
         |  SELECT *,
-        |    last(pay_id, true) OVER
-        |      (PARTITION BY user_id ORDER BY ts, side, pay_id
-        |       ROWS UNBOUNDED PRECEDING) AS asof_pay_id,
-        |    last(pay_value, true) OVER
-        |      (PARTITION BY user_id ORDER BY ts, side, pay_id
-        |       ROWS UNBOUNDED PRECEDING) AS asof_value
+        |    last(CASE WHEN side = 0
+        |              THEN named_struct('pay_id', pay_id,
+        |                                'pay_value', pay_value) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, pay_id
+        |            ROWS UNBOUNDED PRECEDING) AS asof
         |  FROM u)
         |SELECT event_id AS click_id, user_id,
         |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
-        |  asof_pay_id,
-        |  CAST(CAST(asof_value AS DECIMAL(18,2)) AS STRING) AS asof_value
+        |  asof.pay_id AS asof_pay_id,
+        |  CAST(CAST(asof.pay_value AS DECIMAL(18,2)) AS STRING) AS asof_value
         |FROM w WHERE side = 1""".stripMargin)
     val dfApi = graft.operators.Relational
       .queries("j7_asof_join")(spark, sfDir)

@@ -294,17 +294,23 @@ class StreamingSpec extends SparkSpec {
       val (b1, b2) = ev.splitAt(ev.length / 2)
       input.addData(b1.toSeq); q.processAllAvailable()
       input.addData(b2.toSeq); q.processAllAvailable()
+      // compare id AND value: the value must come from the SAME purchase
+      // as the id (streaming doubles rounded to the batch's 2dp contract)
       val got = spark.table("asof_stream").collect()
-        .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString.toLong)))
+        .map(r => (r.getLong(0), (Option(r.get(2)).map(_.toString.toLong),
+          Option(r.get(3)).map(v => BigDecimal(v.toString)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)))))
         .toMap
       val want = graft.operators.Relational
         .queries("j7_asof_join")(spark, sfDir).collect()
         .map(r => (r.getLong(0),
-          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            Option(r.getString(4)).map(BigDecimal(_)))))
         .toMap
       assert(got === want,
         "in-order streaming attribution must equal the batch as-of join")
-      assert(want.values.exists(_.isEmpty) && want.values.exists(_.nonEmpty),
+      assert(want.values.exists(_._1.isEmpty) &&
+        want.values.exists(_._1.nonEmpty),
         "fixture must exercise both attribution branches")
     } finally q.stop()
   }
