@@ -33,6 +33,10 @@ object Sessions {
     if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
       b.config("spark.sql.streaming.stateStore.providerClass",
         RocksDbProvider)
+    // cluster-profile reuse barrier (persist(DISK_ONLY) instead of
+    // localCheckpoint — see core.Barrier): SPARK_GRAFT_BARRIER=persist
+    // lets the whole Verify/Bench surface run under the cluster tier
+    sys.env.get("SPARK_GRAFT_BARRIER").foreach(m => b.config(Barrier.ConfKey, m))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
