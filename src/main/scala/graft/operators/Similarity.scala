@@ -371,23 +371,31 @@ object Similarity extends OpModule {
       rescoreTopK(s, dir, cand)
     }))
 
+  /** DuckDB mirror of `ivf(16, _)`'s centroid assignment — the argmax is
+    * re-expressed as row_number(csim DESC, cent_id ASC) = 1, semantically
+    * identical. Shared WITH-prefix of every IVF-family oracle (ivf ann,
+    * ivf+sq ann, semantic dedup, k-means step).
+    */
+  private val oraIvfAssign: String =
+    """cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |ranked AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                             CAST(c.cv AS DOUBLE[])) DESC,
+      |      c.cent_id ASC) AS crank
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
+      |             WHERE crank = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // mirrors the IVF+SQ composition: ivf's row_number argmax assignment
-    // + probes, sq's integer codes/norms, quantized-cosine ranking inside
-    // probed clusters only, exact-cosine rescore of the top-4K
+    // mirrors the IVF+SQ composition: the shared assignment + probes,
+    // sq's integer codes/norms, quantized-cosine ranking inside probed
+    // clusters only, exact-cosine rescore of the top-4K
     "sim_ivfsq_ann" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id < 16),
-         |ranked AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |                             CAST(c.cv AS DOUBLE[])) DESC,
-         |      c.cent_id ASC) AS crank
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
-         |             WHERE crank = 1),
+      s"""WITH $oraIvfAssign,
          |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
          |           WHERE vec_id < 8 AND crank <= 4),
          |amax AS (
@@ -517,20 +525,10 @@ object Similarity extends OpModule {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])) >= 0.3)""".stripMargin,
-    // mirrors sim_kmeans_step: same assignment CTE, fixed-point reduction
+    // mirrors sim_kmeans_step: the shared assignment, then the
+    // fixed-point reduction
     "sim_kmeans_step" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |ranked AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                             CAST(c.cv AS DOUBLE[])) DESC,
-        |      c.cent_id ASC) AS crank
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
-        |             WHERE crank = 1)
+      s"""WITH $oraIvfAssign
         |SELECT cluster, j - 1 AS dim,
         |  CAST(sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
         |    AS BIGINT)) AS BIGINT) AS sum_micro,
@@ -539,21 +537,10 @@ object Similarity extends OpModule {
         |        unnest(generate_series(1, len(e.embedding))) AS j
         |      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id)
         |GROUP BY 1, 2""".stripMargin,
-    // mirrors dedup_semantic: the same ivf(16) assignment CTE, then
-    // keep-first within each cluster over cosine-τ pairs
+    // mirrors dedup_semantic: the shared assignment, then keep-first
+    // within each cluster over cosine-τ pairs
     "dedup_semantic" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |ranked AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                             CAST(c.cv AS DOUBLE[])) DESC,
-        |      c.cent_id ASC) AS crank
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
-        |             WHERE crank = 1),
+      s"""WITH $oraIvfAssign,
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM assigned a JOIN assigned b
@@ -564,21 +551,9 @@ object Similarity extends OpModule {
         |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3)
         |SELECT vec_id, cluster FROM assigned
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
-    // mirrors ivf(16, 4): the argmax assignment is re-expressed as
-    // row_number(csim DESC, cent_id ASC) = 1 — semantically identical
+    // mirrors ivf(16, 4): the shared assignment + the nprobe=4 probe set
     "sim_ivf_ann" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id < 16),
-         |ranked AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |                             CAST(c.cv AS DOUBLE[])) DESC,
-         |      c.cent_id ASC) AS crank
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
-         |             WHERE crank = 1),
+      s"""WITH $oraIvfAssign,
          |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
          |           WHERE vec_id < 8 AND crank <= 4),
          |cand AS (

@@ -53,11 +53,7 @@ object TextAnalysis extends OpModule {
     // the pipeline form of quality scoring: gate documents on combined
     // thresholds (the filter a pretraining corpus actually applies)
     "text_quality_filter" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(length(col("text")) >= 100 &&
-          Text.wsTokenCount(col("text")) >= 20 &&
-          Text.stopwordRatio(col("text")) >= 0.05 &&
-          Text.punctRatio(col("text")) <= 0.2)
+      t(s, dir, "documents").filter(qualityPred)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     "text_langid" -> ((s, dir) => {
@@ -153,10 +149,8 @@ object TextAnalysis extends OpModule {
       val n = 13
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(ngramFixture.toDF("doc_id", "text"))
-      val isBench = col("doc_id") <= -100 ||
-        (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20)
       val grams = gramFps(docs, n)
-        .withColumn("is_bench", isBench)
+        .withColumn("is_bench", benchRuleCol)
         // both the bench and the train side read this relation; without a
         // reuse barrier Catalyst duplicates the whole scan+tokenize+gram
         // subtree — at corpus scale that re-reads 100 TB twice to save a
@@ -257,11 +251,7 @@ object TextAnalysis extends OpModule {
       val isBench = hashBucket("bmk|", col("doc_id")) < 20
       val benchFp = docs.filter(isBench)
         .select(Text.fingerprint(col("text")).as("fp")).distinct()
-      val quality = docs.filter(!isBench)
-        .filter(length(col("text")) >= 100 &&
-          Text.wsTokenCount(col("text")) >= 20 &&
-          Text.stopwordRatio(col("text")) >= 0.05 &&
-          Text.punctRatio(col("text")) <= 0.2)
+      val quality = docs.filter(!isBench).filter(qualityPred)
         .select(col("doc_id"), col("source"),
           Text.fingerprint(col("text")).as("fp"))
       val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
@@ -451,6 +441,26 @@ object TextAnalysis extends OpModule {
     (-34L, "carefully measured rainfall data from mountain stations shows " +
       "variance across decades of continuous observation records"))
 
+  /** The combined quality-gate predicate (the thresholds a pretraining
+    * corpus filter applies) — shared by the standalone gate query and the
+    * front-door composition. */
+  private def qualityPred: org.apache.spark.sql.Column =
+    length(col("text")) >= 100 &&
+      Text.wsTokenCount(col("text")) >= 20 &&
+      Text.stopwordRatio(col("text")) >= 0.05 &&
+      Text.punctRatio(col("text")) <= 0.2
+
+  /** Shared bench-membership rule: planted ids <= -100 are benchmark docs
+    * by construction, plus a 20% hash-mod holdout of the generated corpus
+    * (non-negative ids). Used by the 13-gram decontamination and the
+    * bloom pre-gate; [[oraBenchRule]] is its DuckDB mirror. */
+  private def benchRuleCol: org.apache.spark.sql.Column =
+    col("doc_id") <= -100 ||
+      (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20)
+
+  private def oraBenchRule: String =
+    s"(doc_id <= -100 OR (doc_id >= 0 AND ${oraHashBucket("bmk|")} < 20))"
+
   /** Winnowing parameters: 5-word grams, window of 4 gram hashes → the
     * guarantee threshold is a shared run of k+w-1 = 8 tokens. */
   private val WinnowK = 5
@@ -513,9 +523,7 @@ object TextAnalysis extends OpModule {
     t(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionByName((ngramFixture ++ bloomFixture).toDF("doc_id", "text"))
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"),
-        (col("doc_id") <= -100 ||
-          (col("doc_id") >= 0 && hashBucket("bmk|", col("doc_id")) < 20))
-          .as("is_bench"))
+        benchRuleCol.as("is_bench"))
       .select(col("doc_id"), col("fp"), col("is_bench"),
         conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fpl"))
   }
@@ -729,9 +737,7 @@ object TextAnalysis extends OpModule {
          |  SELECT * FROM (VALUES
          |          $values) v(doc_id, text)),
          |tok AS (
-         |  SELECT doc_id,
-         |    (doc_id <= -100 OR (doc_id >= 0 AND ${oraHashBucket("bmk|")} < 20))
-         |      AS is_bench,
+         |  SELECT doc_id, $oraBenchRule AS is_bench,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                x -> x <> '') AS toks
          |  FROM docs),
@@ -760,9 +766,7 @@ object TextAnalysis extends OpModule {
          |  SELECT * FROM (VALUES
          |          $values) v(doc_id, text)),
          |f AS (
-         |  SELECT doc_id,
-         |    (doc_id <= -100 OR (doc_id >= 0 AND ${oraHashBucket("bmk|")} < 20))
-         |      AS is_bench,
+         |  SELECT doc_id, $oraBenchRule AS is_bench,
          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
          |      AS fp
          |  FROM docs)
