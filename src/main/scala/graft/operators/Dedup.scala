@@ -447,20 +447,28 @@ object Dedup extends OpModule {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("min_nbr"),
             col("cluster_id"))).as("cluster_id"))
-        .barrier() // read twice by the jump below
-      val next = stepped
-        .join(stepped.select(col("doc_id").as("__p"),
-          col("cluster_id").as("__plbl")),
-          col("cluster_id") === col("__p"), "left")
-        .select(stepped("doc_id"),
-          coalesce(col("__plbl"), stepped("cluster_id")).as("cluster_id"))
-        .barrier()
-      // sum null on an empty member set -> 0L both rounds -> converges
-      val sumNow = Option(next.agg(sum(col("cluster_id"))).first().get(0))
+        .barrier() // read by the sum and (only if needed) twice by the jump
+      // Convergence is tested on the PRE-jump relation: sums are compared
+      // across consecutive stepped relations, and labels only decrease,
+      // so equality forces stepped_{r} == jumped_{r-1} == stepped_{r-1} —
+      // a fixpoint. Testing here (not after the jump) drops the jump's
+      // self-join + barrier from every terminal confirming round — for
+      // the shallow clusters dedup usually produces, that is the bulk of
+      // the fixpoint's cost. Sum null on an empty member set -> 0L both
+      // rounds -> converges.
+      val sumNow = Option(stepped.agg(sum(col("cluster_id"))).first().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = prevSum.contains(sumNow)
       prevSum = Some(sumNow)
-      labels = next
+      labels =
+        if (converged) stepped // nothing moved; the jump would be a no-op
+        else stepped // POINTER JUMP: label <- label(label)
+          .join(stepped.select(col("doc_id").as("__p"),
+            col("cluster_id").as("__plbl")),
+            col("cluster_id") === col("__p"), "left")
+          .select(stepped("doc_id"),
+            coalesce(col("__plbl"), stepped("cluster_id")).as("cluster_id"))
+          .barrier()
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
