@@ -317,7 +317,13 @@ class OperatorsSpec extends SparkSpec {
     Seq("dedup_minhash_lsh", "dedup_keep_canonical",
         "dedup_embedding_canonical", "dedup_embedding_lsh",
         "sim_pairs_threshold", "text_contamination",
-        "text_contamination_neardup").foreach { q =>
+        "text_contamination_neardup",
+        // round-6 multi-relation queries: all joins are keyed (equi /
+        // anti / salted-equi) — only the 1-row-broadcast ops (IVF, SQ,
+        // bloom) legitimately show BroadcastNestedLoopJoin and are
+        // covered by their own plan pins instead
+        "j8_salted_join", "pipeline_clean_corpus", "corpus_token_budget",
+        "text_salient_terms").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
