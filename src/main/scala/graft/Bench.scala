@@ -67,6 +67,30 @@ object Bench {
   /** Lower median (sorted middle element) — robust to one contended run. */
   private def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
 
+  /** In-session spread EXCLUDING the first run (which pays that query's
+    * one-time codegen/JIT): max/min over the steady-state runs. Identical
+    * plans don't have 10–30x variance — a spread past [[SpreadBar]] is a
+    * machine-load signature, never a plan property (BENCH_r06 recorded
+    * [1.1, 1.1, 31.1] for one unchanged query).
+    */
+  private def spread(ts: Seq[Double]): Double = {
+    val steady = ts.drop(1)
+    if (steady.size < 2) 1.0 else steady.max / math.max(steady.min, 1e-9)
+  }
+  private val SpreadBar = 3.0
+
+  /** 1-minute load average from /proc/loadavg (NaN if unreadable) —
+    * recorded per query as contention evidence. Annotation only: the
+    * bench itself keeps all cores busy, so the absolute value can't
+    * gate anything, but a record showing loadavg 3x the core count
+    * explains a poisoned median without re-adjudication.
+    */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local()
@@ -75,13 +99,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .queryExecution.toRdd.count()
     val committed = committedRecord()
-    // median of 3 runs per query: run 1 pays one-time codegen/JIT for that
-    // query's generated classes (fixed overhead, irrelevant at scale), the
-    // median discards it plus any one contended run. If the median still
-    // exceeds 2.5x the committed record, one extra run decides whether it
-    // was machine contention or a genuine regression.
+    // Contention defense (VERDICT r6 #1 — two of the last three official
+    // records were load-poisoned). Per query:
+    //  - 3 base runs; run 1 pays one-time codegen/JIT (fixed overhead,
+    //    irrelevant at scale), the median discards it plus one bad run.
+    //  - ESCALATING retries (up to 4 extra) while either (a) the MIN of
+    //    all runs still exceeds 2.5x the committed record — the min, not
+    //    the median, because a contended window inflates medians while a
+    //    single quiet run proves the plan is fine — or (b) the in-session
+    //    steady-state spread exceeds 3x, a pure load signature.
+    //  - mins + per-query loadavg are published alongside medians, and a
+    //    query whose spread never settled is listed in load_flagged, so a
+    //    reader of the record can see exactly which numbers to distrust.
     var failed = List.empty[String]
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var loadFlagged = List.empty[String]
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -99,26 +132,45 @@ object Bench {
         graft.core.Barrier.releaseAll(spark)
         t
       }
+      loads(name) = loadAvg1()
       var times = Seq.fill(3)(once())
       val guard = committed.get(name).filter(_ > 0)
-      if (guard.exists(c => median(times) > 2.5 * c) && !failed.contains(name)) {
-        System.err.println(f"[bench] $name ${median(times)}%.3f exceeds " +
-          f"2.5x committed ${guard.get}%.3f; retrying once")
+      def minExceeds = guard.exists(c => times.min > 2.5 * c)
+      var extra = 0
+      while ((minExceeds || spread(times) > SpreadBar) && extra < 4 &&
+          !failed.contains(name)) {
+        System.err.println(f"[bench] $name min=${times.min}%.3f " +
+          f"spread=${spread(times)}%.1fx (committed ${guard.getOrElse(-1.0)}%.3f, " +
+          f"loadavg=${loadAvg1()}%.1f); retry ${extra + 1}/4")
         times :+= once()
+        extra += 1
+      }
+      if (spread(times) > SpreadBar && !failed.contains(name)) {
+        loadFlagged ::= name
+        System.err.println(f"[bench] $name spread ${spread(times)}%.1fx never " +
+          "settled — median is load-suspect, trust the min")
       }
       raw(name) = times
       // a failed query must not shrink the total into a fake improvement
-      name -> (if (failed.contains(name)) -1.0 else median(times))
+      name -> (if (failed.contains(name)) (-1.0, -1.0)
+               else (median(times), times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + f"""\":$m%.3f""" }
+      .mkString("{", ",", "}")
+    val minsJs = results.map { case (k, (_, mn)) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
     val rawJs = raw.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val loadJs = loads.map { case (k, l) =>
+      "\"" + k + "\":" + (if (l.isNaN) "null" else f"$l%.1f")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val minTotal = results.map(_._2._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flaggedJson = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw_runs":$rawJs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"mins":$minsJs,"raw_runs":$rawJs,"loadavg":$loadJs,"load_flagged":$flaggedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info]/[error], which has defeated the
     // driver's JSON parse both rounds — also write the record to a file

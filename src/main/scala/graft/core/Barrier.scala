@@ -68,7 +68,13 @@ object Barrier {
   private def myScope(): Scope =
     scopes.computeIfAbsent(Thread.currentThread(), _ => new Scope)
 
-  def apply(df: DataFrame): DataFrame =
+  def apply(df: DataFrame): DataFrame = {
+    // opportunistic GC: without it, a session whose many short-lived
+    // threads create barriers but never call releaseAll would accumulate
+    // dead Thread keys (and their block references) until some later
+    // releaseAll — sweeping here bounds that growth at the next barrier
+    // creation from ANY thread
+    sweepDead(df.sparkSession)
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "persist" =>
         val p = df.persist(StorageLevel.DISK_ONLY)
@@ -91,6 +97,7 @@ object Barrier {
         scope.synchronized { scope.ckptRddIds ++= ids }
         out
     }
+  }
 
   /** `df.barrier()` chain syntax at call sites. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
@@ -105,6 +112,15 @@ object Barrier {
     */
   def releaseAll(s: SparkSession): Unit = {
     releaseScope(s, scopes.remove(Thread.currentThread()))
+    sweepDead(s)
+  }
+
+  /** Release and drop every scope whose owner thread has died — shared by
+    * [[releaseAll]] and (opportunistically) [[apply]]. Never touches a
+    * live thread's scope, so it can't race an owner or release a live
+    * query's in-flight blocks.
+    */
+  private def sweepDead(s: SparkSession): Unit = {
     val it = scopes.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

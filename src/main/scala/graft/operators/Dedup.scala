@@ -112,17 +112,16 @@ object Dedup extends OpModule {
     // transitive closure of the verified pair relation (a~b, b~c puts a,
     // c in one cluster even when (a,c) never met in a bucket), and each
     // doc is labeled with its cluster's canonical (minimum) id.
-    // Iterative min-label propagation over the symmetric edge relation:
-    // label(x) ← min(label(x), min over neighbors' labels) until a
-    // fixpoint. Each round is one shuffle join + partial-aggregating min;
-    // the driver loop is bounded by the cluster DIAMETER (dup clusters
-    // are shallow — clones of a common ancestor), with a hard cap, and
-    // the convergence probe is a two-number aggregate, not a collect.
-    // Lineage is cut per round (barrier), or iteration i would replay
-    // rounds 0..i-1. At 100 TB the same loop runs with the edge relation
-    // hash-partitioned across executors; production graph systems cut
-    // rounds with large-star/small-star, which this converges to for the
-    // shallow clusters dedup produces.
+    // The fixpoint is the published two-phase LARGE-STAR / SMALL-STAR
+    // transformation (the production-grade MapReduce CC): each round
+    // rewrites the edge relation itself — large-star re-links every
+    // strictly-larger neighbor of a node to the minimum of its closed
+    // neighborhood, small-star re-links the smaller neighbors — until the
+    // graph is a disjoint union of stars centered on component minima.
+    // Rounds are O(log diameter); every per-round relation is the (tiny)
+    // pair-edge set, never the corpus, and the convergence probe is
+    // count + except on that edge relation — no collect. Lineage is cut
+    // per round (barrier), or iteration i would replay rounds 0..i-1.
     "dedup_cc_clusters" -> ((s, dir) => ccAllLabels(s, dir)),
     // CC-canonical dedup: keep exactly ONE doc (the minimum id) per
     // transitive dup cluster. Differs from dedup_keep_canonical on
@@ -299,17 +298,22 @@ object Dedup extends OpModule {
     }).barrier()
     // Round cap: each round resolves at least one link of every remaining
     // dup CHAIN, so rounds needed ≈ half the longest alternating chain in
-    // ONE batch — 64 covers chains past 120 links, far beyond any real
-    // ingest batch. Greedy keep-first (lexicographically-first MIS) is
-    // inherently sequential on a chain — no pointer-jumping shortcut
-    // exists — so past the cap the only honest outcome is a LOUD failure,
-    // not an unbounded driver loop stalling the stream.
+    // ONE batch — the default 64 covers chains past 120 links, far beyond
+    // any real ingest batch. Greedy keep-first (lexicographically-first
+    // MIS) is inherently sequential on a chain — no pointer-jumping
+    // shortcut exists — so past the cap the only honest outcome is a LOUD
+    // failure, not an unbounded driver loop stalling the stream. The cap
+    // is conf-tunable for an operator facing a legitimately deeper batch,
+    // and the failure message carries the remaining pair count so the
+    // caller can size a batch split.
+    val maxRounds = spark.conf.getOption("spark.graft.greedyMaxRounds")
+      .map(_.toInt).getOrElse(64)
     var rounds = 0
     // one isEmpty action per round, reused by the loop guard AND the
     // post-loop check (re-running the action would add a Spark job per
     // batch on the always-taken settled path)
     var settled = remaining.isEmpty
-    while (!settled && rounds < 64) {
+    while (!settled && rounds < maxRounds) {
       // doc_a values that are nobody's doc_b among remaining pairs are
       // decided-admitted; their partners drop this round. Non-empty while
       // pairs remain (the minimum undecided endpoint only appears as
@@ -327,8 +331,10 @@ object Dedup extends OpModule {
       rounds += 1
     }
     require(settled,
-      s"greedy keep-first did not settle in $rounds rounds — a pathological " +
-        "dup chain in one ingest batch; split the batch or raise the cap")
+      s"greedy keep-first did not settle in $rounds rounds " +
+        s"(${remaining.count()} pairs still undecided) — a pathological dup " +
+        "chain in one ingest batch; split the batch or raise " +
+        "spark.graft.greedyMaxRounds")
     dropped
   }
 
@@ -404,79 +410,135 @@ object Dedup extends OpModule {
   /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
     * shared by dedup_minhash_lsh and dedup_keep_canonical.
     */
+  /** Member labels (doc_id, cluster_id = component minimum) from a
+    * verified pair relation (doc_a, doc_b), plus the round count — the
+    * published LARGE-STAR / SMALL-STAR connected-components fixpoint
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    *
+    *  - large-star: every node u re-links its strictly LARGER neighbors
+    *    to m = min(N(u) ∪ {u}) — long chains collapse geometrically;
+    *  - small-star: orient every edge (big → small); each node re-links
+    *    its smaller neighbors (and itself) to its minimum neighbor —
+    *    partial stars consolidate onto one center.
+    *
+    * The graph converges to a disjoint union of stars whose centers are
+    * the component minima in O(log diameter) rounds; the 30-round cap
+    * covers any diameter this universe can hold. Only the EDGE relation
+    * is ever touched (members, not corpus), each round's output is
+    * barriered (lineage cut), and the convergence probe — the edge set
+    * reaching a fixpoint — is a count + except on the tiny edge relation,
+    * never a collect, and never an overflow-prone checksum.
+    */
+  private[graft] def ccLabelsFromEdges(pairs: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 30)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    // initial orientation big → small, matching small-star's canonical
+    // output — a pure re-orientation round 1 must not read as "changed"
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .barrier() // pair generation must run once, not once per round
+    var eCount = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: symmetric adjacency; m = min over the closed
+      // neighborhood; every neighbor v > u re-links to m. Each undirected
+      // edge is emitted from exactly one side (its smaller endpoint), so
+      // the relation never blows up; m < u < v, so no self-loops.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: orient (big → small); each big node's smaller
+      // neighbors (and the node itself) re-link to its minimum neighbor.
+      // Output is canonically oriented u > v — which makes consecutive
+      // rounds' outputs directly comparable for the convergence probe.
+      val ori = ls.select(greatest(col("u"), col("v")).as("b"),
+          least(col("u"), col("v")).as("s"))
+        .filter(col("b") =!= col("s"))
+      val ssMin = ori.groupBy(col("b")).agg(min(col("s")).as("m"))
+      val ss = ori.join(ssMin, "b")
+        .filter(col("s") =!= col("m"))
+        .select(col("s").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("b").as("u"), col("m").as("v")))
+        .distinct()
+        .barrier() // read by the probe now and by the next round (or the
+                   // label projection) after it
+      // Fixpoint probe: both relations are distinct and identically
+      // oriented, so equal counts + empty one-sided except ⇔ set equality
+      // ⇔ neither phase moved anything — the paper's termination
+      // condition, exactly. The previous count is carried over, so each
+      // round pays one count + one except on the tiny edge relation.
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.except(e).isEmpty
+      e = ss
+      eCount = ssCount
+      rounds += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $rounds rounds")
+    // Converged edges are star edges (member → component minimum);
+    // centers label themselves.
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
+  }
+
   /** Connected-component labels over the verified near-dup pair relation:
     * (doc_id, cluster_id = component minimum id), one row per corpus doc.
     *
-    * Propagation runs over the MEMBER subgraph only — a doc with no edge
+    * The fixpoint runs over the MEMBER subgraph only — a doc with no edge
     * can never change its label, and in a real corpus pair members are a
     * small fraction, so the loop's relations shrink from |corpus| to
     * |members| at every scale; singletons join back once at the end.
-    * Each round does min-over-neighbors then a POINTER JUMP
-    * (label ← label(label)), which halves remaining chain depth — rounds
-    * are O(log diameter), so the 20-round cap covers diameters past 10^5
-    * (a plain one-hop loop would abort on a legal 16-doc revision chain).
-    * Convergence is detected by the label sum reaching a fixpoint (labels
-    * only decrease, so an unchanged sum means an unchanged relation) —
-    * a two-long aggregate per round, never a collect. Lineage is cut per
-    * materialized step or iteration i would replay rounds 0..i-1.
     *
     * NOTE for pipeline use: each driver-contract query is self-contained,
     * so running `dedup_cc_clusters` and `dedup_cc_canonical` in one
-    * session executes this fixpoint twice; a production pipeline wanting
-    * both outputs materializes these labels once and derives both.
+    * session executes this fixpoint twice; [[ccOutputs]] is the pipeline
+    * entry point that materializes the labels once and derives both.
     */
   private def ccAllLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = queries("dedup_minhash_lsh")(s, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .barrier() // re-read every round; pair generation must run once
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var prevSum = Option.empty[Long]
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val minNbr = edges
-        .join(labels.select(col("doc_id").as("dst"),
-          col("cluster_id").as("nbr_lbl")), "dst")
-        .groupBy(col("src")).agg(min(col("nbr_lbl")).as("min_nbr"))
-      val stepped = labels
-        .join(minNbr.select(col("src").as("doc_id"), col("min_nbr")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("min_nbr"),
-            col("cluster_id"))).as("cluster_id"))
-        .barrier() // read by the sum and (only if needed) twice by the jump
-      // Convergence is tested on the PRE-jump relation: sums are compared
-      // across consecutive stepped relations, and labels only decrease,
-      // so equality forces stepped_{r} == jumped_{r-1} == stepped_{r-1} —
-      // a fixpoint. Testing here (not after the jump) drops the jump's
-      // self-join + barrier from every terminal confirming round — for
-      // the shallow clusters dedup usually produces, that is the bulk of
-      // the fixpoint's cost. Sum null on an empty member set -> 0L both
-      // rounds -> converges.
-      val sumNow = Option(stepped.agg(sum(col("cluster_id"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      converged = prevSum.contains(sumNow)
-      prevSum = Some(sumNow)
-      labels =
-        if (converged) stepped // nothing moved; the jump would be a no-op
-        else stepped // POINTER JUMP: label <- label(label)
-          .join(stepped.select(col("doc_id").as("__p"),
-            col("cluster_id").as("__plbl")),
-            col("cluster_id") === col("__p"), "left")
-          .select(stepped("doc_id"),
-            coalesce(col("__plbl"), stepped("cluster_id")).as("cluster_id"))
-          .barrier()
-      rounds += 1
-    }
-    require(converged, s"label propagation did not converge in $rounds rounds")
+    val (labels, _) = ccLabelsFromEdges(queries("dedup_minhash_lsh")(s, dir))
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "m_lbl"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Pipeline entry point for the CC pair: ONE fixpoint execution feeding
+    * BOTH outputs. Returns (clusters, canonical) where `clusters` is
+    * `dedup_cc_clusters`' full per-doc labeling and `canonical` is
+    * `dedup_cc_canonical`'s one-survivor-per-cluster projection — derived
+    * from a single barriered label relation, so a pipeline wanting both
+    * pays the pair generation + star fixpoint once (the two
+    * driver-contract queries stay self-contained by design and each run
+    * their own).
+    */
+  def ccOutputs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (members, _) =
+      ccLabelsFromEdges(queries("dedup_minhash_lsh")(s, dir))
+    val labels = t(s, dir, "documents").select(col("doc_id"))
+      .join(members.withColumnRenamed("cluster_id", "m_lbl"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
+      .barrier() // both outputs read this; the fixpoint must not re-run
+    val canonical = labels
+      .filter(col("cluster_id") === col("doc_id"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("source"))
+    (labels, canonical)
   }
 
   /** DuckDB transitive closure of the verified pair relation: per-doc

@@ -259,18 +259,27 @@ object Similarity extends OpModule {
     * rescoring join moves (long, long) ids only — full vectors re-join
     * for C·|Q| rows, never shuffled corpus-wide.
     */
-  /** int8 code vector from a broadcast global scale `am`. */
+  /** int8 code vector from a broadcast global scale `am`. round(), not
+    * floor(): floor maps tiny negatives to -1 but tiny positives to 0 (an
+    * asymmetry around zero that biases quantized dot products); round is
+    * symmetric, and half-up ties round away from zero identically in
+    * Spark and DuckDB, so the mirror stays bit-exact. */
   private val codesExpr = "transform(embedding, x -> " +
-    "CAST(floor(CAST(x AS DOUBLE) / am * 127.0D) AS INT))"
+    "CAST(round(CAST(x AS DOUBLE) / am * 127.0D) AS INT))"
   /** integer squared norm of a code vector. */
   private val n2Expr =
     "aggregate(codes, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)"
   /** quantized cosine — exact-integer dot and norms, ONE double division:
-    * deterministic in any engine, so candidate cuts are oracle-stable. */
+    * deterministic in any engine, so candidate cuts are oracle-stable.
+    * A vector whose components ALL quantize to 0 has n2 = 0; 0/0 = NaN
+    * would sort AHEAD of every real candidate in a DESC rank (silently
+    * wasting top-4K slots), so zero-norm pairs pin to -2.0 — below the
+    * cosine floor of -1, deterministically LAST in both engines. */
   private val qsimExpr =
-    "CAST(aggregate(zip_with(qc, nc, (a, b) -> CAST(a AS BIGINT) * b)," +
+    "CASE WHEN n2q = 0L OR n2n = 0L THEN -2.0D ELSE " +
+      "CAST(aggregate(zip_with(qc, nc, (a, b) -> CAST(a AS BIGINT) * b)," +
       " 0L, (acc, v) -> acc + v) AS DOUBLE) " +
-      "/ sqrt(CAST(n2q * n2n AS DOUBLE))"
+      "/ sqrt(CAST(n2q * n2n AS DOUBLE)) END"
 
   /** ONE global symmetric scale: 127 / corpus max|x|. A uniform scale (no
     * per-dim shift) cancels in cosine, so quantized cosine tracks true
@@ -405,7 +414,7 @@ object Similarity extends OpModule {
          |        FROM embeddings)),
          |codes AS (
          |  SELECT vec_id, j - 1 AS dim,
-         |    CAST(floor(CAST(embedding[j] AS DOUBLE)
+         |    CAST(round(CAST(embedding[j] AS DOUBLE)
          |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
          |  FROM (SELECT vec_id, embedding,
          |          unnest(generate_series(1, len(embedding))) AS j
@@ -461,7 +470,7 @@ object Similarity extends OpModule {
          |        FROM embeddings)),
          |codes AS (
          |  SELECT vec_id, j - 1 AS dim,
-         |    CAST(floor(CAST(embedding[j] AS DOUBLE)
+         |    CAST(round(CAST(embedding[j] AS DOUBLE)
          |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
          |  FROM (SELECT vec_id, embedding,
          |          unnest(generate_series(1, len(embedding))) AS j

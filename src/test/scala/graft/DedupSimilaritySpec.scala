@@ -227,6 +227,66 @@ class DedupSimilaritySpec extends SparkSpec {
       "transitive dedup is at least as aggressive as pairwise keep-first")
   }
 
+  test("star CC: deep chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 33-doc revision chain (diameter 32) — the adversarial shape for
+    // any one-hop propagation (32 rounds) and the reason the fixpoint is
+    // large-star/small-star: chains collapse geometrically
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.operators.Dedup.ccLabelsFromEdges(pairs)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet === (0L to 32L).toSet)
+    assert((0L to 32L).forall(m(_) == 0L),
+      s"every chain member must label to the component minimum: $m")
+    // the replaced min-propagation + pointer-jump needed ~6 rounds here
+    // (ceil(log2(32)) + a confirming round); the star transformation must
+    // not regress past it
+    assert(rounds <= 6, s"star fixpoint took $rounds rounds on diameter 32")
+  }
+
+  test("ccOutputs: both CC outputs from ONE fixpoint execution") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // listener events are delivered async — poll until the count is quiet
+    def settle(): Int = {
+      var last = -1
+      var now = jobs.get()
+      while (last != now) { Thread.sleep(300); last = now; now = jobs.get() }
+      now
+    }
+    sc.addSparkListener(listener)
+    try {
+      val (clusters, canonical) = graft.operators.Dedup.ccOutputs(spark, sfDir)
+      jobs.set(0)
+      val cOut = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val kOut = canonical.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val jobsDerive = settle()
+      // deriving BOTH outputs from the barriered labels must not re-run
+      // the pair pipeline + star fixpoint (dozens of jobs): reading the
+      // materialized labels twice plus the canonical join is a handful
+      jobs.set(0)
+      val qC = graft.operators.Dedup.queries("dedup_cc_clusters")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qK = graft.operators.Dedup.queries("dedup_cc_canonical")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val jobsSelfContained = settle()
+      assert(cOut === qC, "pipeline clusters must equal the oracle-gated query")
+      assert(kOut === qK, "pipeline canonical must equal the oracle-gated query")
+      assert(jobsDerive < jobsSelfContained,
+        s"one-fixpoint derivation ($jobsDerive jobs) must cost less than " +
+          s"the two self-contained queries ($jobsSelfContained jobs)")
+    } finally {
+      sc.removeSparkListener(listener)
+      graft.core.Barrier.releaseAll(spark)
+    }
+  }
+
   test("IVF+SQ ANN recall vs brute force at sf0.001") {
     // the composed prune + compressed-scan path: recall is bounded by the
     // IVF prune (SQ rescoring within probed lists is near-lossless), so
