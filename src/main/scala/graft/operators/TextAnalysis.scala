@@ -503,6 +503,39 @@ object TextAnalysis extends OpModule {
     s"pmod(CAST(conv(substring(md5(concat('bf$i|', CAST(fpl AS STRING)))," +
       s" 1, 6), 16, 10) AS BIGINT), $BloomM)"
 
+  /** SQL fragment: all-k-bits-set membership probe against a broadcast
+    * `bm` array<long> column, for a row's `fpl`. Shared by the batch
+    * bloom query and the streaming gate tier — construction and probe
+    * must agree bit-for-bit or false negatives appear. */
+  private[graft] def bloomMightContain: String = (0 until BloomK).map { i =>
+    s"(shiftright(bm[CAST(${bloomPos(i)} / 64 AS INT)], " +
+      s"CAST(${bloomPos(i)} % 64 AS INT)) & 1L) = 1L"
+  }.mkString(" AND ")
+
+  /** The ~4 KB bloom bitmap of a fingerprint relation (`fp` = md5 hex),
+    * as ONE array<long> row: k md5-derived bit positions per fp,
+    * bit_or-aggregated per word, densified via a 0..W-1 sequence against
+    * a map — all built-ins, no driver loop. Build once per benchmark
+    * refresh; broadcast at probe time.
+    */
+  private[graft] def bloomBitmapFromFps(fps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bits = fps
+      .select(conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fpl"))
+      .distinct()
+      .select(explode(expr(
+        s"array(${(0 until BloomK).map(bloomPos).mkString(", ")})"))
+        .as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+    bits
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("m"))
+      .select(expr(s"transform(sequence(0, ${BloomW - 1}), " +
+        "w -> coalesce(m[w], CAST(0 AS BIGINT)))").as("bm"))
+  }
+
   /** Planted clone fixtures for the bloom gate (ids <= -100 are benchmark
     * docs under the shared membership rule): -41 is a verbatim clone of
     * bench -103 (must flag), -42 differs by one word (must NOT flag).
@@ -541,25 +574,11 @@ object TextAnalysis extends OpModule {
       dir: String) = {
     val docs = fpDocs(s, dir).barrier() // bench + train both read this pass
     val bench = docs.filter(col("is_bench")).select(col("fp")).distinct()
-    val bits = docs.filter(col("is_bench")).select(col("fpl")).distinct()
-      .select(explode(expr(
-        s"array(${(0 until BloomK).map(bloomPos).mkString(", ")})"))
-        .as("pos"))
-      .select((col("pos") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
-      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
-    val bitmap = bits
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
-        .as("m"))
-      .select(expr(s"transform(sequence(0, ${BloomW - 1}), " +
-        "w -> coalesce(m[w], CAST(0 AS BIGINT)))").as("bm"))
+    val bitmap = bloomBitmapFromFps(docs.filter(col("is_bench")))
     val train = docs.filter(!col("is_bench"))
       .select(col("doc_id"), col("fp"), col("fpl"))
-    val mightContain = (0 until BloomK).map { i =>
-      s"(shiftright(bm[CAST(${bloomPos(i)} / 64 AS INT)], " +
-        s"CAST(${bloomPos(i)} % 64 AS INT)) & 1L) = 1L"
-    }.mkString(" AND ")
-    (train.join(broadcast(bitmap), lit(true)).filter(expr(mightContain))
+    (train.join(broadcast(bitmap), lit(true))
+      .filter(expr(bloomMightContain))
       .select(col("doc_id"), col("fp")), train, bench)
   }
 

@@ -219,14 +219,17 @@ object Jobs {
           hadoopFs.setTimes(f.getPath, 1700000000000L + i * 60000L, -1))
     }
     docsC.unpersist()
-    // benchmark fp + gram-fp sets: computed once, cached — the static
-    // side must not pay its scan + distinct per trigger. All THREE gate
-    // tiers run in the front door: exact-fp (whole-doc clones), 13-gram
-    // (benchmark passages quoted inside novel docs), and the near-dup
-    // ingest dedup (whole-doc paraphrases, self-dedup vs the store).
+    // benchmark fp + bloom + gram-fp sets: computed once, cached — the
+    // static side must not pay its scan + distinct per trigger. All THREE
+    // gate tiers run in the front door: bloom-pruned exact-fp (whole-doc
+    // clones; the bitmap prunes each batch to candidates before the
+    // verify anti-join), 13-gram (benchmark passages quoted inside novel
+    // docs), and the near-dup ingest dedup (whole-doc paraphrases,
+    // self-dedup vs the store).
     val benchDocs =
       docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("text")
     val benchFps = StatefulStreaming.benchmarkFps(benchDocs).cache()
+    val benchBloom = StatefulStreaming.benchmarkBloom(benchFps).cache()
     val benchGramFps = StatefulStreaming.benchmarkGramFps(benchDocs).cache()
     val sigStore = s"$workDir/sig_store"
     val admittedDir = s"$workDir/admitted"
@@ -235,7 +238,8 @@ object Jobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val gated = StatefulStreaming.ngramGateBatch(
-          StatefulStreaming.contaminationGateFps(batch.toDF(), benchFps),
+          StatefulStreaming.contaminationGateBloom(batch.toDF(), benchFps,
+            benchBloom),
           benchGramFps)
         StatefulStreaming.nearDupIngestBatch(gated, sigStore, id,
             compactThreshold = 2)
@@ -248,6 +252,7 @@ object Jobs {
       .trigger(Trigger.AvailableNow()).start()
     q0.awaitTermination()
     benchFps.unpersist()
+    benchBloom.unpersist()
     benchGramFps.unpersist()
 
     val src = s"$workDir/src"

@@ -203,6 +203,53 @@ object StatefulStreaming {
         Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** The benchmark fp set's ~4 KB Bloom bitmap — compute ONCE per
+    * benchmark refresh and `cache()` it (same lifecycle as
+    * [[benchmarkFps]]). One array<long> row; broadcast at probe time.
+    */
+  def benchmarkBloom(benchFps: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bloomBitmapFromFps(benchFps)
+
+  /** (definitively-clean, bloom-candidates) split of a document relation
+    * against a broadcast bloom bitmap. False negatives cannot exist, so
+    * the clean side never needs verification; candidates carry `fp` for
+    * the exact verify join. Split out so the spec can pin the pruning.
+    */
+  private[graft] def bloomSplit(docs: DataFrame, bloom: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.broadcast
+    val probed = docs
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .withColumn("fpl",
+        conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .join(broadcast(bloom), lit(true))
+      .withColumn("__hit",
+        expr(graft.operators.TextAnalysis.bloomMightContain))
+    (probed.filter(!col("__hit")).drop("fpl", "bm", "__hit"),
+      probed.filter(col("__hit")).drop("fpl", "bm", "__hit"))
+  }
+
+  /** Bloom-gated tier of the exact decontamination gate — the batch
+    * `text_decontam_bloom` pruning brought to the ingest stream: when the
+    * benchmark union is large enough that its fp set is an expensive
+    * broadcast hash build (10^8 fps ≈ GBs at 100 TB), the ~4 KB bitmap
+    * prunes first. Each micro-batch pays a NARROW 4-probe filter; only
+    * bloom candidates reach the exact anti-join against `benchFps`. Bloom
+    * false positives die in that verify join and false negatives cannot
+    * exist, so the admitted output is IDENTICAL to
+    * [[contaminationGateFps]] — the same identity contract as the batch
+    * query, pinned in StreamingSpec. Both `benchFps` and `bloom` are
+    * computed once per benchmark refresh and cached by the caller.
+    */
+  def contaminationGateBloom(docs: DataFrame, benchFps: DataFrame,
+      bloom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (clean, candidates) = bloomSplit(docs, bloom)
+    clean.unionByName(
+        candidates.join(broadcast(benchFps), Seq("fp"), "left_anti"))
+      .drop("fp")
+  }
+
   /** Near-dup tier of the decontamination gate, for `foreachBatch`: drop
     * batch documents that share a MinHash band signature with a benchmark
     * document AND verify at word-set Jaccard >= 0.6 — the same candidate

@@ -383,6 +383,50 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); fps.unpersist(); () }
   }
 
+  test("bloom contamination tier: identical to exact gate, verify input pruned") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val benchmark = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .select("text")
+    val fps = StatefulStreaming.benchmarkFps(benchmark).cache()
+    val bloom = StatefulStreaming.benchmarkBloom(fps).cache()
+    // PRUNING: the bitmap must cut the verify join's input to a strict
+    // subset of the corpus — and, since bloom false negatives cannot
+    // exist, every true benchmark member must still be in that subset
+    val (_, cand) = StatefulStreaming.bloomSplit(
+      docs.select("doc_id", "text"), bloom)
+    val candIds = cand.select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = docs.count()
+    assert(candIds.size < total,
+      s"bitmap pruned nothing: ${candIds.size} of $total")
+    assert(candIds.filter(_ % 7 == 0).size ===
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+        .count(),
+      "a benchmark member escaped the bitmap — false negatives must not exist")
+    // IDENTITY: the bloom-gated stream admits exactly the exact gate's set
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StatefulStreaming.contaminationGateBloom(stream, fps, bloom)
+      .writeStream.format("memory").queryName("contam_bloom")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("contam_bloom").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val want = StatefulStreaming.contaminationGateFps(
+        docs.select("doc_id", "text"), fps)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, "bloom-gated output must equal the ungated gate")
+      assert(!got.exists(_ % 7 == 0), "no benchmark member survives")
+    } finally { q.stop(); fps.unpersist(); bloom.unpersist(); () }
+  }
+
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
