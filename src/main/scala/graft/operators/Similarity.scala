@@ -25,7 +25,8 @@ object Similarity extends OpModule {
 
   private val K = 5
 
-  def queries: Map[String, Q] = baseQueries ++ queriesIvf ++ queriesSq
+  def queries: Map[String, Q] =
+    baseQueries ++ queriesIvf ++ queriesSq ++ queriesKmeans
 
   private val baseQueries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -228,21 +229,127 @@ object Similarity extends OpModule {
           count(lit(1)).as("n"))
     }),
     "sim_ivf_ann" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val (assigned, probes) = ivf(s, dir, 16, 4)
-      val cand = assigned
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-          col("cluster"))
-        .join(broadcast(probes), col("cluster") === col("probe") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          expr("cosine_sim(qv, nv)").as("sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      ivfTopK(assigned, probes)
     }))
+
+  /** Probed-list candidate scoring + top-K for an (assigned, probes) pair
+    * — shared by first-C-init and trained-centroid IVF. */
+  private[graft] def ivfTopK(assigned: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("cluster"))
+      .join(broadcast(probes), col("cluster") === col("probe") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(qv, nv)").as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Cluster assignment of `emb` against an arbitrary centroid relation
+    * `cents(cid int, cv array<float>)` — the same shuffle-free 1-row
+    * broadcast argmax as [[ivf]], factored out so trained centroids plug
+    * into the identical plan shape. */
+  private def assignTo(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) = {
+    val centArr = cents
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    emb.join(broadcast(centArr), lit(true))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"array_max($simsExpr).cid").as("cluster"))
+  }
+
+  /** The Lloyd step's MERGEABLE fixed-point state over an assignment:
+    * per-(cluster, dim) micro-unit sums + member counts (see
+    * sim_kmeans_step's comments for why integer sums, not divided means).
+    */
+  private def microStep(assigned: org.apache.spark.sql.DataFrame) =
+    assigned
+      .select(col("cluster").cast("long").as("cluster"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(sum(expr(
+        "CAST(round(CAST(x AS DOUBLE) * 1000000D) AS BIGINT)"))
+        .as("sum_micro"),
+        count(lit(1)).as("n"))
+
+  /** Trained coarse-quantizer centroids: `iters` Lloyd refinements of the
+    * first-C init under cosine assignment (spherical k-means). Each
+    * refinement is the SAME mergeable reduction as sim_kmeans_step; the
+    * divided mean is re-encoded as a FLOAT so the next round's assignment
+    * runs the unchanged `cosine_sim(array<float>, array<float>)` plan —
+    * and because sum/n are exact integers, one IEEE double division and
+    * one float rounding are bit-identical in any engine, every
+    * intermediate centroid (hence every round) stays oracle-exact. An
+    * empty cluster keeps its previous centroid. Scale shape per round:
+    * one narrow broadcast-argmax pass + ONE C·d-cell HashAggregate +
+    * a C-row epilogue — the corpus is scanned `iters` times and never
+    * shuffled; per-round barriers stop iteration i replaying rounds
+    * 0..i-1.
+    */
+  private[graft] def kmeansTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String, cCentroids: Int, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    var cents = emb.filter(col("vec_id") < cCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    (1 to iters).foreach { _ =>
+      val stepped = microStep(assignTo(emb, cents))
+        .select(col("cluster").cast("int").as("cid"), col("dim"),
+          (col("sum_micro").cast("double") /
+            (col("n").cast("double") * lit(1000000d))).cast("float").as("v"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, v)))," +
+          " p -> CAST(p.v AS FLOAT))").as("cv_new"))
+      cents = cents.withColumnRenamed("cv", "cv_old")
+        .join(stepped, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("cv_new"), col("cv_old")).as("cv"))
+        .barrier()
+    }
+    cents
+  }
+
+  /** IVF over TRAINED centroids — [[ivf]]'s plan with the first-C init
+    * replaced by [[kmeansTrain]] output; recall vs brute force is pinned
+    * in DedupSimilaritySpec. */
+  private[graft] def ivfTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String, cCentroids: Int, nProbe: Int, iters: Int) = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val centArr = kmeansTrain(s, dir, cCentroids, iters)
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val withC = emb.join(broadcast(centArr), lit(true))
+    val assigned = withC
+      .select(col("vec_id"), col("embedding"),
+        expr(s"array_max($simsExpr).cid").as("cluster"))
+    val probes = withC.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(expr(
+          s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
+            " p -> p.cid)")).as("probe"))
+    (assigned, probes)
+  }
+
+  def queriesKmeans: Map[String, Q] = Map(
+    // The TRAINED k-means state — sim_kmeans_step's mergeable reduction
+    // evaluated after two full Lloyd refinements of the centroids, so the
+    // oracle gate pins the entire iterated training loop (assignment →
+    // integer reduction → exact re-encoding, three times), not just one
+    // step. Every emitted number is an exact integer; every intermediate
+    // centroid is a float whose derivation both engines perform with the
+    // same IEEE ops in the same order.
+    "sim_kmeans_train" -> ((s, dir) =>
+      microStep(assignTo(t(s, dir, "embeddings"),
+        kmeansTrain(s, dir, 16, 2)))))
 
   /** Scalar-quantized (int8) ANN — the compressed-scan tier of the ANN
     * family. ONE global symmetric scale (127 / corpus max|x|, no per-dim
@@ -399,7 +506,65 @@ object Similarity extends OpModule {
       |assigned AS (SELECT vec_id, cent_id AS cluster FROM ranked
       |             WHERE crank = 1)""".stripMargin
 
+  /** DuckDB mirror of `kmeansTrain(16, 2)` + the final micro reduction —
+    * the iteration template (assign → integer reduce → exact re-encode)
+    * is generated per round, chaining cents0 → cents1 → cents2. The
+    * FLOAT[] cast is the load-bearing part: both engines re-encode each
+    * trained centroid through the identical double-divide + float-round,
+    * so round k+1's cosine inputs are bit-equal.
+    */
+  private lazy val oraKmeansTrain: String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "cents0" else s"cents${k - 1}"
+      s"""a$k AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                             CAST(c.cv AS DOUBLE[])) DESC,
+         |      c.cid ASC) AS rk
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |s$k AS (
+         |  SELECT cid AS cluster, j - 1 AS dim,
+         |    CAST(sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS BIGINT) AS sm,
+         |    count(*) AS n
+         |  FROM (SELECT cid, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM a$k WHERE rk = 1)
+         |  GROUP BY 1, 2),
+         |cn$k AS (
+         |  SELECT cluster AS cid,
+         |    CAST(array_agg(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000)
+         |      ORDER BY dim) AS FLOAT[]) AS cv
+         |  FROM s$k GROUP BY 1),
+         |cents$k AS (
+         |  SELECT p.cid, COALESCE(nw.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN cn$k nw ON nw.cid = p.cid)""".stripMargin
+    }
+    s"""WITH cents0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |${round(1)},
+       |${round(2)},
+       |af AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                             CAST(c.cv AS DOUBLE[])) DESC,
+       |      c.cid ASC) AS rk
+       |  FROM embeddings e CROSS JOIN cents2 c)
+       |SELECT CAST(cid AS BIGINT) AS cluster, j - 1 AS dim,
+       |  CAST(sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS sum_micro,
+       |  count(*) AS n
+       |FROM (SELECT cid, embedding,
+       |        unnest(generate_series(1, len(embedding))) AS j
+       |      FROM af WHERE rk = 1)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sim_kmeans_train" -> oraKmeansTrain,
     // mirrors the IVF+SQ composition: the shared assignment + probes,
     // sq's integer codes/norms, quantized-cosine ranking inside probed
     // clusters only, exact-cosine rescore of the top-4K
