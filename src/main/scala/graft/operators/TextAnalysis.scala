@@ -263,6 +263,49 @@ object TextAnalysis extends OpModule {
           when(split < 80, lit("train")).when(split < 90, lit("val"))
             .otherwise(lit("test")).as("split"))
     }),
+    // Incremental front door over the snapshot diff — the composition
+    // that makes `corpus_snapshot_diff` actionable: yesterday's run left a
+    // thin quality ROSTER (doc_id, source, fp of every quality-passing
+    // non-bench doc) and a bench-fp index; today only the docs the diff
+    // classifies added/changed are scanned through fingerprint + quality,
+    // the roster is patched (retire removed ∪ changed, insert the new
+    // rows), and the keep-first window + decontamination anti-join + split
+    // re-run over the THIN roster — never over unchanged text. The oracle
+    // is a FULL front-door re-run on the new snapshot, so the gate proves
+    // incremental ≡ full (including the subtle cases: a changed doc
+    // vacating its fp group promotes the next-smallest id; a removed
+    // bench doc stops quarantining its clones). Scale shape: text scan
+    // cost is |added ∪ changed|, not |corpus|; the window shuffles
+    // (long, long, 32B) roster rows only. In production the roster/bench
+    // index are read back from the store; a driver query is
+    // self-contained, so this one rebuilds them from the old-snapshot
+    // branch — the plan still only fingerprints changed text on the NEW
+    // branch, which is the property that matters at 100 TB.
+    "pipeline_incremental_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = hashBucket("mem|", col("doc_id"))
+      val isBench = hashBucket("bmk|", col("doc_id")) < 20
+      // yesterday's materialized artifacts (store reads in production)
+      val oldDocs = docs.filter(m < 95)
+        .select(col("doc_id"), col("source"), col("text"))
+      val oldRoster = oldDocs.filter(!isBench).filter(qualityPred)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"))
+      val oldBench = oldDocs.filter(isBench)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      // today's snapshot — only diff-flagged docs get scanned
+      val newText = when(hashBucket("upd|", col("doc_id")) < 10,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val newSnap = docs.filter(m >= 5)
+        .select(col("doc_id"), col("source"), newText.as("text"))
+      val diff = queries("corpus_snapshot_diff")(s, dir)
+      val newWork = newSnap.join(
+        diff.filter(col("change").isin("added", "changed"))
+          .select(col("doc_id")), "doc_id")
+      val retired = diff.filter(col("change").isin("removed", "changed"))
+        .select(col("doc_id"))
+      incrementalCleanCorpus(oldRoster, oldBench, newWork, retired)
+    }),
     // Token-budget selection — "take the highest-quality documents until
     // the token budget fills", the curation step that turns a scored
     // corpus into a training set. The interesting part is HOW the global
@@ -440,6 +483,47 @@ object TextAnalysis extends OpModule {
       "pipes fill this training document with harmless novel content"),
     (-34L, "carefully measured rainfall data from mountain stations shows " +
       "variance across decades of continuous observation records"))
+
+  /** The incremental front door's merge step — the library entry a
+    * pipeline calls with yesterday's persisted artifacts:
+    *
+    *  - `oldRoster` (doc_id, source, fp): quality-passing non-bench rows
+    *    of the previous snapshot,
+    *  - `oldBench` (doc_id, fp): the previous bench members' fps,
+    *  - `newWork` (doc_id, source, text): ONLY the docs the snapshot diff
+    *    classified added/changed — the one place text is scanned,
+    *  - `retired` (doc_id): removed ∪ changed ids.
+    *
+    * Patches both indexes, then runs the front door's keep-first window,
+    * bench anti-join, and split over the merged THIN roster. Equal to a
+    * full `pipeline_clean_corpus` re-run on the new snapshot by
+    * construction (the patched roster IS the new snapshot's quality
+    * roster row-for-row) — pinned by the incremental query's oracle.
+    */
+  private[graft] def incrementalCleanCorpus(
+      oldRoster: org.apache.spark.sql.DataFrame,
+      oldBench: org.apache.spark.sql.DataFrame,
+      newWork: org.apache.spark.sql.DataFrame,
+      retired: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBench = hashBucket("bmk|", col("doc_id")) < 20
+    val roster = oldRoster.join(retired, Seq("doc_id"), "left_anti")
+      .unionByName(newWork.filter(!isBench).filter(qualityPred)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp")))
+    val benchFp = oldBench.join(retired, Seq("doc_id"), "left_anti")
+      .unionByName(newWork.filter(isBench)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+      .select(col("fp")).distinct()
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val split = hashBucket("spl|", col("doc_id"))
+    roster.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(benchFp), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        when(split < 80, lit("train")).when(split < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
 
   /** The combined quality-gate predicate (the thresholds a pretraining
     * corpus filter applies) — shared by the standalone gate query and the
@@ -619,6 +703,43 @@ object TextAnalysis extends OpModule {
 
   private val stop =
     "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that']"
+
+  /** The front-door pipeline's oracle CTE chain over a named source
+    * relation — shared by the full run (`documents`) and the incremental
+    * query's full-re-run-on-new-snapshot oracle. */
+  private def oraCleanCorpusCtes(src: String): String =
+    s"""bench AS (
+       |  SELECT DISTINCT
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |      AS fp
+       |  FROM $src WHERE ${oraHashBucket("bmk|")} < 20),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |      AS fp
+       |  FROM (SELECT *, list_filter(string_split_regex(lower(text),
+       |                '[^a-z0-9]+'), x -> x <> '') AS toks
+       |        FROM $src WHERE ${oraHashBucket("bmk|")} >= 20)
+       |  WHERE CAST(length(text) AS INT) >= 100
+       |    AND len(string_split_regex(trim(text), '\\s+')) >= 20
+       |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END) >= 0.05
+       |    AND (CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END) <= 0.2),
+       |d AS (
+       |  SELECT doc_id, source, fp FROM (
+       |    SELECT q.*, row_number() OVER (PARTITION BY fp
+       |      ORDER BY doc_id ASC) AS rn FROM q)
+       |  WHERE rn = 1)""".stripMargin
+
+  private val oraCleanCorpusSelect: String =
+    s"""SELECT d.doc_id, d.source,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
+       |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "u1_tokenize_explode" ->
@@ -844,36 +965,17 @@ object TextAnalysis extends OpModule {
          |  FROM s)
          |SELECT doc_id, source, toks FROM c WHERE cum <= 12000""".stripMargin,
     "pipeline_clean_corpus" ->
-      s"""WITH bench AS (
-         |  SELECT DISTINCT
-         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-         |      AS fp
-         |  FROM documents WHERE ${oraHashBucket("bmk|")} < 20),
-         |q AS (
+      s"WITH ${oraCleanCorpusCtes("documents")}\n$oraCleanCorpusSelect",
+    // the oracle IS the full front-door re-run on the new snapshot — hash
+    // equality proves the incremental patch-and-rededup path reproduces it
+    "pipeline_incremental_corpus" ->
+      s"""WITH newsnap AS (
          |  SELECT doc_id, source,
-         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-         |      AS fp
-         |  FROM (SELECT *, list_filter(string_split_regex(lower(text),
-         |                '[^a-z0-9]+'), x -> x <> '') AS toks
-         |        FROM documents WHERE ${oraHashBucket("bmk|")} >= 20)
-         |  WHERE CAST(length(text) AS INT) >= 100
-         |    AND len(string_split_regex(trim(text), '\\s+')) >= 20
-         |    AND (CASE WHEN len(toks) = 0 THEN 0.0
-         |         ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
-         |              / CAST(len(toks) AS DOUBLE) END) >= 0.05
-         |    AND (CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |              / CAST(length(text) AS DOUBLE) END) <= 0.2),
-         |d AS (
-         |  SELECT doc_id, source, fp FROM (
-         |    SELECT q.*, row_number() OVER (PARTITION BY fp
-         |      ORDER BY doc_id ASC) AS rn FROM q)
-         |  WHERE rn = 1)
-         |SELECT d.doc_id, d.source,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
-         |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin,
+         |    CASE WHEN ${oraHashBucket("upd|")} < 10
+         |         THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE ${oraHashBucket("mem|")} >= 5),
+         |${oraCleanCorpusCtes("newsnap")}
+         |$oraCleanCorpusSelect""".stripMargin,
     "text_winnow_fps" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -395,4 +395,41 @@ class OperatorsSpec extends SparkSpec {
     val total = graft.core.Tables.load(spark, sfDir, "documents").count()
     assert(out.length === total.toInt)
   }
+
+  test("incremental corpus pipeline equals a full re-run on the new snapshot") {
+    import org.apache.spark.sql.functions._
+    // materialize the NEW snapshot (the same deterministic slice +
+    // revision rule the diff fixture uses) as its own documents table,
+    // run the FULL front door over it, and demand the incremental query
+    // reproduce it row-for-row — the Spark-side twin of the DuckDB
+    // oracle's full-re-run identity
+    def bucket(salt: String) =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+        1, 6), 16, 10).cast("long") % 100
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val newSnap = docs.filter(bucket("mem|") >= 5)
+      .withColumn("text", when(bucket("upd|") < 10,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("newsnap").toString
+    newSnap.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = graft.operators.TextAnalysis
+      .queries("pipeline_clean_corpus")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val incr = graft.operators.TextAnalysis
+      .queries("pipeline_incremental_corpus")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(incr === full,
+      "patch-and-rededup must equal the full front door on the new snapshot")
+    // the interesting incremental transitions actually occur: some docs
+    // were retired from, and some inserted into, yesterday's cleaned
+    // corpus (= the full front door over the OLD snapshot)
+    val oldDir = java.nio.file.Files.createTempDirectory("oldsnap").toString
+    docs.filter(bucket("mem|") < 95)
+      .write.mode("overwrite").parquet(s"$oldDir/documents.parquet")
+    val old = graft.operators.TextAnalysis
+      .queries("pipeline_clean_corpus")(spark, oldDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert((old -- incr).nonEmpty, "no doc was ever retired — fixture inert")
+    assert((incr -- old).nonEmpty, "no doc was ever added — fixture inert")
+  }
 }
