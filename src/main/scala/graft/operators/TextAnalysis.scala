@@ -394,6 +394,31 @@ object TextAnalysis extends OpModule {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
     }),
+    // Exactly-k stratified sampling with PER-STRATUM budgets — "sample k
+    // docs per (lang, source) cell, k from a config": the missing
+    // primitive between rate-based mixture sampling (inexact counts) and
+    // global top-k-per-source (one fixed k). Budgets ride a broadcast
+    // join; rows rank inside their cell by a salted md5 of doc_id
+    // (deterministic — reruns and backfills select the same docs); the
+    // plan-shape trick is the LITERAL max-budget prefilter: row_number <=
+    // max(k) compiles to WindowGroupLimit (per-partition top-max(k)
+    // BEFORE the ranking exchange — no cell's full roster ever sorts),
+    // and the per-cell k <= cell_k refinement is then a narrow filter.
+    "sample_stratified_exact" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budgets = stratifiedBudgets.toDF("b_lang", "cell_k")
+      val maxK = stratifiedBudgets.map(_._2).max
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(concat(lit("stx|"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      t(s, dir, "documents")
+        .join(broadcast(budgets), col("lang") === col("b_lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= maxK)          // literal -> WindowGroupLimit
+        .filter(col("rk") <= col("cell_k")) // per-cell budget, narrow
+        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+    }),
     // Data-mixture sampling — the corpus-composition op a training run
     // applies last: per-language keep rates (the mixture weights) from a
     // broadcast config, membership a deterministic hash of doc_id (same
@@ -689,6 +714,10 @@ object TextAnalysis extends OpModule {
     (-13L, "no pii in this row at all"),
     (-14L, "Reach John.Doe@Example.COM today"),
     (-15L, "revenue 2020 2021 2022 totals 123456789 and 12 34 56 78 90"))
+
+  /** Per-lang cell budgets for exactly-k stratified sampling (k docs per
+    * (lang, source) cell) — mirrored verbatim in the oracle. */
+  private val stratifiedBudgets = Seq(("en", 7), ("zh", 5), ("de", 3))
 
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
@@ -1001,6 +1030,18 @@ object TextAnalysis extends OpModule {
         |      ORDER BY md5('tk|' || doc_id::VARCHAR) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 5""".stripMargin,
+    "sample_stratified_exact" -> {
+      val values = stratifiedBudgets
+        .map { case (l, k) => s"('$l', $k)" }.mkString(", ")
+      s"""SELECT lang, source, rk, doc_id FROM (
+         |  SELECT d.lang, d.source, d.doc_id, w.cell_k,
+         |    row_number() OVER (PARTITION BY d.lang, d.source
+         |      ORDER BY md5('stx|' || d.doc_id::VARCHAR) ASC, d.doc_id ASC)
+         |      AS rk
+         |  FROM documents d
+         |  JOIN (VALUES $values) w(b_lang, cell_k) ON d.lang = w.b_lang)
+         |WHERE rk <= cell_k""".stripMargin
+    },
     "text_salient_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

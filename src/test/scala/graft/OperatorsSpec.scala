@@ -245,6 +245,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("stratified exact sampling: per-cell budgets met, WindowGroupLimit plan") {
+    val df = graft.operators.TextAnalysis
+      .queries("sample_stratified_exact")(spark, sfDir)
+    // the literal max-budget prefilter must compile to WindowGroupLimit —
+    // per-partition top-max(k) before the ranking exchange; without it
+    // every cell's full roster rides the sort (the banned shape)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val budgets = Map("en" -> 7, "zh" -> 5, "de" -> 3)
+    // exactly min(k, |cell|) docs per configured cell, ranks contiguous,
+    // unconfigured langs absent
+    assert(rows.map(_._1).toSet.subsetOf(budgets.keySet))
+    val cells = graft.core.Tables.load(spark, sfDir, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((lang, src), cell) =>
+      val want = math.min(budgets(lang).toLong, cells((lang, src)))
+      assert(cell.length.toLong === want,
+        s"cell ($lang, $src) must hold exactly $want docs, got ${cell.length}")
+      assert(cell.map(_._3).sorted.sameElements(1 to cell.length))
+    }
+  }
+
   test("token budget: selection is the maximal quality-ordered prefix") {
     val sel = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
