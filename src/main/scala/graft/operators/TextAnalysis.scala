@@ -298,7 +298,11 @@ object TextAnalysis extends OpModule {
         concat(col("text"), lit(" rev2"))).otherwise(col("text"))
       val newSnap = docs.filter(m >= 5)
         .select(col("doc_id"), col("source"), newText.as("text"))
-      val diff = queries("corpus_snapshot_diff")(s, dir)
+      // the diff is consumed FOUR times (newWork + retired, each feeding
+      // the roster and bench branches) — without a barrier Catalyst
+      // re-derives the full-outer fp diff per consumer, four corpus
+      // double-scans instead of one (seen in the audited plan)
+      val diff = queries("corpus_snapshot_diff")(s, dir).barrier()
       val newWork = newSnap.join(
         diff.filter(col("change").isin("added", "changed"))
           .select(col("doc_id")), "doc_id")

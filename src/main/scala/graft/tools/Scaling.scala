@@ -24,7 +24,8 @@ object Scaling {
     "q_quantiles_approx", "dedup_cc_clusters",
     "j7_asof_join", "text_decontam_bloom", "dedup_semantic",
     "text_winnow_fps", "text_salient_terms", "pipeline_clean_corpus",
-    "corpus_token_budget")
+    "corpus_token_budget", "sim_kmeans_train",
+    "pipeline_incremental_corpus", "sample_stratified_exact")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
