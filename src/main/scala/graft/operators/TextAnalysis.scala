@@ -200,6 +200,48 @@ object TextAnalysis extends OpModule {
           (col("max_c").cast("double") / col("n_toks").cast("double"))
             .as("top_token_share"))
     }),
+    // Line-level dedup — the C4/RefinedWeb boilerplate-removal primitive,
+    // the SUB-document sibling of whole-doc dedup: a line occurring in
+    // more than maxDocs DISTINCT documents is chrome (cookie banners,
+    // nav menus, license headers), and is removed from every document
+    // while the surviving lines keep their order. The corpus fixture is
+    // single-line, so planted multi-line docs (negative ids, mirrored in
+    // the oracle) exercise the threshold: a banner in 4 docs is dropped
+    // everywhere — including from a doc that was ONLY banner — while a
+    // line shared by exactly 2 docs (= maxDocs) survives. Output is the
+    // cleaned text's fingerprint + kept/dropped counts (proof-of-scrub,
+    // not a second corpus copy — the PII-scrub discipline). Scale shape:
+    // one narrow split+explode pass (barriered — the hot-line rollup and
+    // the reassembly both read it), one count-distinct shuffle on the
+    // 8-byte-keyed line fp, hot lines broadcast back as a LEFT ANTI
+    // (boilerplate is tiny by definition), one per-doc reassembly agg.
+    "text_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val maxDocs = 2
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(lineFixture.toDF("doc_id", "text"))
+      val lines = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+        .withColumn("lfp", md5(trim(col("line"))))
+        .barrier() // hot-line rollup + reassembly both read this pass
+      val hot = lines.groupBy(col("lfp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > maxDocs).select(col("lfp"))
+      val cleaned = lines.join(broadcast(hot), Seq("lfp"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(md5(concat_ws("\n",
+            expr("transform(array_sort(collect_list(struct(idx, line)))," +
+              " p -> p.line)"))).as("clean_fp"),
+          count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    }),
     // Snapshot diff — the incremental-ingest primitive: given yesterday's
     // corpus and today's, classify every doc_id as added / removed /
     // changed / unchanged by comparing content fingerprints. The two
@@ -723,6 +765,25 @@ object TextAnalysis extends OpModule {
     * (lang, source) cell) — mirrored verbatim in the oracle. */
   private val stratifiedBudgets = Seq(("en", 7), ("zh", 5), ("de", 3))
 
+  /** Planted multi-line docs for line-level dedup (negative ids, -51..-57,
+    * disjoint from every other fixture block; mirrored in the oracle).
+    * "Accept cookies to continue" appears in 4 docs (> maxDocs=2 →
+    * boilerplate, dropped everywhere; -57 is ONLY that banner → cleans to
+    * empty); "shared once only line" appears in exactly 2 (= maxDocs →
+    * kept); -56 is single-line and untouched.
+    */
+  private val lineFixture = Seq(
+    (-51L, "unique research content about distributed joins\n" +
+      "Accept cookies to continue\nmore unique prose on shuffle plans"),
+    (-52L, "different document body entirely\nAccept cookies to continue\n" +
+      "closing thoughts about barriers"),
+    (-53L, "third doc with its own content\nAccept cookies to continue"),
+    (-54L, "fourth doc shares a line with fifth\nshared once only line\n" +
+      "unique tail here"),
+    (-55L, "fifth doc body text\nshared once only line"),
+    (-56L, "entirely boilerplate free document"),
+    (-57L, "Accept cookies to continue"))
+
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
     */
@@ -958,6 +1019,40 @@ object TextAnalysis extends OpModule {
         |                '[^a-z0-9]+'), x -> x <> '')) AS tok
         |            FROM documents))
         |GROUP BY doc_id""".stripMargin,
+    "text_line_dedup" -> {
+      val values = lineFixture.map { case (id, txt) =>
+        val t = txt.split("\n", -1).map(s => s"'$s'")
+          .mkString(" || chr(10) || ")
+        s"($id, $t)"
+      }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+         |lines AS (
+         |  SELECT doc_id, i AS idx, ls[i] AS line, md5(trim(ls[i])) AS lfp
+         |  FROM (SELECT doc_id, ls,
+         |          unnest(generate_series(1, len(ls))) AS i
+         |        FROM l0)),
+         |hot AS (
+         |  SELECT lfp FROM (
+         |    SELECT lfp, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+         |  WHERE nd > 2),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |    md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_fp,
+         |    count(*) AS n_kept
+         |  FROM lines WHERE lfp NOT IN (SELECT lfp FROM hot)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(c.clean_fp, md5('')) AS clean_fp,
+         |  CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+         |    - CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM docs d LEFT JOIN cleaned c ON c.doc_id = d.doc_id""".stripMargin
+    },
     "corpus_snapshot_diff" ->
       s"""WITH o AS (
          |  SELECT doc_id,

@@ -423,6 +423,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === total.toInt)
   }
 
+  test("line dedup: boilerplate dropped everywhere, at-threshold lines kept") {
+    val out = graft.operators.TextAnalysis
+      .queries("text_line_dedup")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the banner rides 4 docs (> maxDocs=2): dropped from every one —
+    // including -57, which was ONLY banner and must clean to empty
+    assert(out(-57L) === (("d41d8cd98f00b204e9800998ecf8427e", 0L, 1L)),
+      s"all-boilerplate doc must clean to the empty fingerprint: ${out(-57L)}")
+    assert(out(-51L)._2 === 2L && out(-51L)._3 === 1L)
+    assert(out(-52L)._3 === 1L && out(-53L)._3 === 1L)
+    // a line shared by exactly maxDocs docs is NOT boilerplate
+    assert(out(-54L)._3 === 0L && out(-55L)._3 === 0L)
+    assert(out(-56L)._2 === 1L && out(-56L)._3 === 0L)
+    // corpus docs are single-line and unique at this SF: all untouched
+    assert(out.collect { case (id, v) if id >= 0 => v._3 }.forall(_ == 0L))
+  }
+
   test("incremental corpus pipeline equals a full re-run on the new snapshot") {
     import org.apache.spark.sql.functions._
     // materialize the NEW snapshot (the same deterministic slice +
