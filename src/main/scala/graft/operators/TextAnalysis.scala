@@ -401,6 +401,43 @@ object TextAnalysis extends OpModule {
     // winnowed (doc_id, 8-byte fp) rows ever reach the exchange.
     "text_winnow_fps" -> ((s, dir) =>
       winnowFps(t(s, dir, "documents"), WinnowK, WinnowW)),
+    // Partial-overlap pair detection — the CONSUMER of the winnowing
+    // fingerprints (the published use: plagiarism/partial-dup detection):
+    // two documents sharing at least minShared selected fingerprints
+    // contain substantial common runs, even when neither whole-doc tier
+    // (exact fp, MinHash) fires because the overlap is a passage, not the
+    // document. Candidates meet ONLY on an 8-byte fingerprint key — the
+    // winnowing guarantee bounds selected density to ~1/w of grams, which
+    // is precisely what keeps this join affordable at corpus scale — and
+    // the pair aggregate counts shared fps with doc_a < doc_b
+    // orientation. One narrow winnow pass (shared derivation with
+    // text_winnow_fps), one fp-keyed shuffle, one pair-keyed count.
+    // Planted passage-sharing fixtures (-61..-63) make the tier's gap
+    // visible under the gate: -61/-62 share an 11-token passage inside
+    // otherwise-different docs.
+    "dedup_partial_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val minShared = 2
+      val maxDf = 50
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(overlapFixture.toDF("doc_id", "text"))
+      // fps read by the hot rollup AND both pair-join sides
+      val fps = winnowFps(docs, WinnowK, WinnowW).barrier()
+      // common-shingle suppression: a fingerprint in > maxDf docs is
+      // corpus-wide boilerplate whose pair set grows quadratically —
+      // published practice drops it BEFORE pairing (it carries no
+      // pair-specific signal), and it is tiny by definition → broadcast
+      val hot = fps.groupBy(col("wfp"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") > maxDf)
+        .select(col("wfp"))
+      val kept = fps.join(broadcast(hot), Seq("wfp"), "left_anti")
+      val a = kept.select(col("wfp"), col("doc_id").as("doc_a"))
+      val b = kept.select(col("wfp"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("wfp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+    }),
     // Exact top-k-per-group sampling — "take exactly k docs per source,
     // stable across reruns": rank by a salted md5 of doc_id inside each
     // source and keep rank <= k. Unlike rate-based hash-mod sampling the
@@ -784,6 +821,22 @@ object TextAnalysis extends OpModule {
     (-56L, "entirely boilerplate free document"),
     (-57L, "Accept cookies to continue"))
 
+  /** Planted passage-sharing docs for partial-overlap detection (negative
+    * ids -61..-63, disjoint from every other fixture block; mirrored in
+    * the oracle): -61 and -62 embed the same 14-token passage inside
+    * otherwise-different documents — a shared run far past the k+w-1 = 8
+    * winnowing guarantee, so they MUST pair; -63 shares nothing.
+    */
+  private val overlapFixture = Seq(
+    (-61L, "alpha intro words differ entirely here the shared passage " +
+      "about catalyst optimizer rules rewriting logical plans into " +
+      "physical strategies with codegen ends with tail one"),
+    (-62L, "totally different preamble and framing the shared passage " +
+      "about catalyst optimizer rules rewriting logical plans into " +
+      "physical strategies with codegen then another ending"),
+    (-63L, "unrelated gardening document about soil drainage and copper " +
+      "pipes sharing no passage with anything else at all"))
+
   /** Deterministic percent bucket of an id: first 6 hex chars of a salted
     * md5 → BIGINT → mod 100. Must stay bit-identical to `oraHashBucket`.
     */
@@ -1122,6 +1175,43 @@ object TextAnalysis extends OpModule {
          |    unnest(list_transform(range(0, len(ghs) - ${WinnowW - 1}),
          |      i -> list_aggregate(ghs[i+1:i+$WinnowW], 'min'))) AS wfp
          |  FROM gh)""".stripMargin,
+    "dedup_partial_overlap" -> {
+      val values = overlapFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS toks
+         |  FROM docs),
+         |gh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(toks) - ${WinnowK - 1}),
+         |      i -> ('0x' || substring(md5(
+         |             array_to_string(toks[i+1:i+$WinnowK], ' ')), 1, 15))
+         |           ::BIGINT) AS ghs
+         |  FROM tok WHERE len(toks) >= ${WinnowK + WinnowW - 1}),
+         |w AS (
+         |  SELECT DISTINCT doc_id, wfp FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, len(ghs) - ${WinnowW - 1}),
+         |        i -> list_aggregate(ghs[i+1:i+$WinnowW], 'min'))) AS wfp
+         |    FROM gh)),
+         |hot AS (
+         |  SELECT wfp FROM (
+         |    SELECT wfp, count(*) AS nd FROM w GROUP BY 1)
+         |  WHERE nd > 50),
+         |k AS (SELECT * FROM w WHERE wfp NOT IN (SELECT wfp FROM hot))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS shared_fps
+         |FROM k a JOIN k b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin
+    },
     "sample_topk_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,
