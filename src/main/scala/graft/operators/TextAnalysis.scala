@@ -516,6 +516,29 @@ object TextAnalysis extends OpModule {
         .filter(hashBucket("mix|", col("doc_id")) < col("keep_pct"))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Temperature (α) sampling — the published multilingual-balance op
+    // (XLM-R-style α≈0.5): per-language keep rates DERIVED FROM THE DATA,
+    // r_l = min(1, 10/√N_l), so the kept distribution flattens from N_l
+    // toward √N_l — head languages downsample, tail languages keep
+    // everything. Unlike the normalized form (rates ∝ p_l^α / Σ p^α, whose
+    // cross-language double SUM has engine-dependent accumulation order),
+    // each rate here is a single-op IEEE chain (sqrt → divide → min →
+    // scale → floor) on one exact integer count — bit-identical in any
+    // engine, so the ppm thresholds are oracle-exact. Membership is the
+    // same deterministic hash device as every sampler, at ppm
+    // granularity. Scale shape: one tiny per-lang count agg → broadcast →
+    // narrow codegen'd filter; no shuffle of the corpus.
+    "sample_temperature_alpha" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .select(col("lang").as("r_lang"),
+          floor(lit(1000000d) * least(lit(1.0d),
+            lit(10.0d) / sqrt(col("nl").cast("double"))))
+            .cast("long").as("keep_ppm"))
+      docs.join(broadcast(rates), col("lang") === col("r_lang"))
+        .filter(ppmBucket("tmp|", col("doc_id")) < col("keep_ppm"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // train/val/test split by the same device: an 80/10/10 assignment
     // that is stable under reprocessing and joins (split is a FUNCTION of
     // doc_id, never a stored random draw).
@@ -847,6 +870,15 @@ object TextAnalysis extends OpModule {
   /** DuckDB mirror of `hashBucket`. */
   private def oraHashBucket(salt: String) =
     s"('0x' || substring(md5('$salt' || doc_id::VARCHAR), 1, 6))::BIGINT % 100"
+
+  /** Parts-per-million variant of [[hashBucket]], for data-derived keep
+    * rates finer than percent granularity. Mirror: [[oraPpmBucket]]. */
+  private def ppmBucket(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 1000000L
+
+  private def oraPpmBucket(salt: String) =
+    s"('0x' || substring(md5('$salt' || doc_id::VARCHAR), 1, 6))::BIGINT % 1000000"
 
   private val stop =
     "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that']"
@@ -1255,6 +1287,15 @@ object TextAnalysis extends OpModule {
     "sample_hash_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,
+    "sample_temperature_alpha" ->
+      s"""WITH r AS (
+         |  SELECT lang,
+         |    CAST(floor(1000000 * least(1.0,
+         |      10 / sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT) AS keep_ppm
+         |  FROM documents GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${oraPpmBucket("tmp|")} < keep_ppm""".stripMargin,
     "sample_train_split" ->
       s"""SELECT doc_id, source,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'

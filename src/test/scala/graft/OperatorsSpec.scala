@@ -423,6 +423,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === total.toInt)
   }
 
+  test("temperature sampling flattens the head language, keeps the tail") {
+    // sf0.01: the only fixture where the head language's count pushes its
+    // keep rate below 1 (10/sqrt(218) ≈ 0.68) while every tail language
+    // stays at 100% — the flattening the α-sampling exists to produce
+    val dir = "/root/testdata/sf0.01"
+    val all = graft.core.Tables.load(spark, dir, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.TextAnalysis
+      .queries("sample_temperature_alpha")(spark, dir)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val head = all.maxBy(_._2)._1
+    assert(kept(head) < all(head), s"head language $head must downsample")
+    all.filter { case (l, n) => l != head && 10.0 / math.sqrt(n.toDouble) >= 1.0 }
+      .foreach { case (l, n) =>
+        assert(kept(l) === n, s"tail language $l must keep everything")
+      }
+  }
+
   test("line dedup: boilerplate dropped everywhere, at-threshold lines kept") {
     val out = graft.operators.TextAnalysis
       .queries("text_line_dedup")(spark, sfDir)
