@@ -514,6 +514,76 @@ object StatefulStreaming {
     admitted
   }
 
+  /** Streaming LINE-LEVEL dedup ingest, for `foreachBatch` — the
+    * cross-batch tier of `text_line_dedup` (C4/RefinedWeb boilerplate
+    * removal): a line seen in more than `maxDocs` DISTINCT documents so
+    * far — across all prior batches plus this one — is chrome and is
+    * stripped from this batch's documents before admission.
+    *
+    * State is a per-batch directory of (lfp, nd) line-count
+    * contributions: doc_ids are globally unique across batches, so
+    * distinct-doc counts ADD across directories and the cumulative count
+    * is one sum-aggregate over the store — no per-key driver state, no
+    * text in the store. The current batch's own directory is excluded
+    * from the read and Overwrite-rewritten, so replay is idempotent
+    * (same contract as [[nearDupIngestBatch]]'s signature store).
+    *
+    * Arrival-horizon contract (same class as [[asOfStream]]): a doc
+    * admitted BEFORE its line crossed the threshold keeps that line —
+    * append-mode ingest cannot retract — while every doc from the
+    * crossing batch onward is stripped. A single batch containing all
+    * occurrences reproduces the batch operator exactly (pinned in
+    * StreamingSpec). Returns (doc_id, clean_fp, n_kept, n_dropped) rows,
+    * the batch query's shape. Callers release barriers after writing.
+    */
+  def lineDedupIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long, maxDocs: Int = 2): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    val b = batch.barrier() // read by the line pass and the final join
+    val lines = b
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("lfp", md5(trim(col("line"))))
+      .barrier() // read by the contribution agg and the reassembly
+    val contrib = lines.groupBy(col("lfp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .barrier() // read by the cumulative sum and the store write
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorDirs =
+      (if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path])
+        .filter(p => p.getName.startsWith("__batch=") &&
+          p.getName != s"__batch=$batchId")
+        .filter(p => fs.listFiles(p, true).hasNext)
+    val total = (if (priorDirs.isEmpty) contrib
+      else contrib.unionByName(
+        spark.read.parquet(priorDirs.map(_.toString).toIndexedSeq: _*)
+          .select(col("lfp"), col("nd"))))
+      .groupBy(col("lfp")).agg(sum(col("nd")).as("nd"))
+    // hot lines are boilerplate — tiny by definition → broadcast anti
+    val hot = total.filter(col("nd") > maxDocs).select(col("lfp"))
+    contrib.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__batch=$batchId")
+    val cleaned = lines
+      .join(org.apache.spark.sql.functions.broadcast(hot),
+        Seq("lfp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws("\n",
+          expr("transform(array_sort(collect_list(struct(idx, line)))," +
+            " p -> p.line)"))).as("clean_fp"),
+        count(lit(1)).as("n_kept"))
+    b.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

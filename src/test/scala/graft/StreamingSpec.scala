@@ -427,6 +427,54 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); fps.unpersist(); bloom.unpersist(); () }
   }
 
+  test("line-dedup ingest: lines strip from the threshold-crossing batch on") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("linestore").toString
+    val banner = "Accept cookies to continue"
+    def doc(id: Long, body: String) = (id, s"$body\n$banner")
+    def dropped(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    try {
+      val b1 = Seq(doc(1, "first body"), doc(2, "second body"))
+        .toDF("doc_id", "text")
+      val out1 = dropped(
+        StatefulStreaming.lineDedupIngestBatch(b1, store, 0L))
+      // 2 distinct docs = maxDocs: the banner is not yet boilerplate
+      assert(out1 === Map(1L -> 0L, 2L -> 0L), s"nothing drops yet: $out1")
+      graft.core.Barrier.releaseAll(spark)
+      // REPLAY of batch 0 (the real recovery scenario: before any later
+      // batch commits): own dir excluded + rewritten -> identical output
+      val replay = dropped(
+        StatefulStreaming.lineDedupIngestBatch(b1, store, 0L))
+      assert(replay === out1, "replay must be idempotent")
+      graft.core.Barrier.releaseAll(spark)
+      // batch 1 pushes the banner to 3 distinct docs (> maxDocs): the
+      // crossing batch strips it; the banner-free doc is untouched; docs
+      // 1 and 2 were already admitted — the documented arrival horizon
+      val b2 = Seq(doc(3, "third body"), (4L, "no banner here"))
+        .toDF("doc_id", "text")
+      val out2 = dropped(
+        StatefulStreaming.lineDedupIngestBatch(b2, store, 1L))
+      assert(out2 === Map(3L -> 1L, 4L -> 0L),
+        s"crossing batch must strip the now-hot line: $out2")
+      graft.core.Barrier.releaseAll(spark)
+      // single-batch parity with the batch operator: all occurrences in
+      // ONE batch -> every doc stripped, including an all-banner doc
+      // cleaning to the empty fingerprint
+      val store2 =
+        java.nio.file.Files.createTempDirectory("linestore2").toString
+      val all = Seq(doc(1, "first body"), doc(2, "second body"),
+        (3L, banner)).toDF("doc_id", "text")
+      val out3 = StatefulStreaming.lineDedupIngestBatch(all, store2, 0L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(out3(1L)._3 === 1L && out3(2L)._3 === 1L)
+      assert(out3(3L) === (("d41d8cd98f00b204e9800998ecf8427e", 0L, 1L)),
+        s"all-boilerplate doc must clean to empty: ${out3(3L)}")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
