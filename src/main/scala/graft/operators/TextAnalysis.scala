@@ -56,6 +56,34 @@ object TextAnalysis extends OpModule {
       t(s, dir, "documents").filter(qualityPred)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Gopher-style quality rules — the published repetition/shape
+    // heuristics (Rae et al.): word count bounds, mean word length in
+    // [3, 10], symbol-to-word ratio (#/ellipsis) below 0.1, and ≥ 80% of
+    // words containing an alphabetic character. Whitespace WORDS (not the
+    // alnum tokenizer) — the rules are defined over raw words including
+    // punctuation. Every metric is a ratio of exact integers (one IEEE
+    // division each), so the oracle is bit-exact; the pass column is the
+    // conjunction a pipeline filters on. One narrow pass, no shuffle.
+    "text_gopher_rules" -> ((s, dir) => {
+      val words = split(trim(col("text")), "\\s+")
+      val nw = size(words).cast("long")
+      val sumLen = expr(
+        "aggregate(split(trim(text), '\\\\s+'), 0L, (a, w) -> a + length(w))")
+      val nAlpha = expr("CAST(size(filter(split(trim(text), '\\\\s+'), " +
+        "w -> w rlike '[a-zA-Z]')) AS BIGINT)")
+      val nSym = expr("CAST(size(filter(split(trim(text), '\\\\s+'), " +
+        "w -> w rlike '#|\\\\.\\\\.\\\\.')) AS BIGINT)")
+      val meanLen = sumLen.cast("double") / nw.cast("double")
+      val alphaFrac = nAlpha.cast("double") / nw.cast("double")
+      val symRatio = nSym.cast("double") / nw.cast("double")
+      t(s, dir, "documents").select(col("doc_id"), nw.as("n_words"),
+          meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+          symRatio.as("symbol_ratio"))
+        .withColumn("pass",
+          col("n_words") >= 30L && col("n_words") <= 100000L &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8)
+    }),
     "text_langid" -> ((s, dir) => {
       import s.implicits._
       // CJK fixture rows (labeled zh) exercise the zh tier under the
@@ -389,6 +417,47 @@ object TextAnalysis extends OpModule {
         .withColumn("cum", col("prior") + sum(col("toks")).over(wd))
         .filter(col("cum") <= budget)
         .select(col("doc_id"), col("source"), col("toks"))
+    }),
+    // Sequence-packing index — the GPT-style concatenate-and-slice
+    // layout: documents concatenate in doc_id order into one token
+    // stream, sliced into fixed L-token training sequences; each doc owns
+    // the token interval [start, start+toks), possibly straddling pack
+    // boundaries. The emitted index (first/last pack + offset) is what a
+    // training loader needs to materialize any pack without re-scanning
+    // text. Mechanism: the same distributed prefix-sum as
+    // corpus_token_budget, but ordered by doc_id — buckets are id RANGES
+    // (doc_id*32 div (max_id+1), monotone in doc_id, 32 rows at any
+    // corpus size via a 1-row broadcast max), per-bucket offsets run in a
+    // bounded window, within-bucket sums partition by bucket. Every
+    // output is exact integer arithmetic → bit-exact oracle (which
+    // computes the same intervals with a plain global running sum).
+    "corpus_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0L)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val bucketed = docs.join(broadcast(mx), lit(true))
+        .withColumn("bucket", expr("doc_id * 32L div (mx + 1L)"))
+        .drop("mx")
+        .barrier() // read by the bucket rollup AND the final projection
+      val wb = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("bucket"))
+        .agg(sum(col("toks")).as("btoks"))
+        .withColumn("prior", coalesce(sum(col("btoks")).over(wb), lit(0L)))
+        .select(col("bucket"), col("prior"))
+      bucketed.join(broadcast(offsets), "bucket")
+        .withColumn("cum", col("prior") + sum(col("toks")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("toks"),
+          (col("cum") - col("toks")).as("start_tok"),
+          expr(s"(cum - toks) div $L").as("pack_first"),
+          expr(s"(cum - 1) div $L").as("pack_last"),
+          expr(s"(cum - toks) % $L").as("offset_in_pack"))
     }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
@@ -997,6 +1066,26 @@ object TextAnalysis extends OpModule {
          |       ELSE 'other' END AS pred_lang
          |FROM docs""".stripMargin
     },
+    "text_gopher_rules" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+        |    AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |    AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '#|\.\.\.')))
+        |    AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+        |  (len(ws) >= 30 AND len(ws) <= 100000
+        |    AND (CAST(list_aggregate(list_transform(ws, w -> length(w)),
+        |          'sum') AS DOUBLE) / CAST(len(ws) AS DOUBLE)) >= 3.0
+        |    AND (CAST(list_aggregate(list_transform(ws, w -> length(w)),
+        |          'sum') AS DOUBLE) / CAST(len(ws) AS DOUBLE)) <= 10.0
+        |    AND (CAST(len(list_filter(ws, w -> regexp_matches(w, '#|\.\.\.')))
+        |          AS DOUBLE) / CAST(len(ws) AS DOUBLE)) < 0.1
+        |    AND (CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |          AS DOUBLE) / CAST(len(ws) AS DOUBLE)) > 0.8) AS pass
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents)""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1189,6 +1278,26 @@ object TextAnalysis extends OpModule {
          |  FROM documents WHERE ${oraHashBucket("mem|")} >= 5),
          |${oraCleanCorpusCtes("newsnap")}
          |$oraCleanCorpusSelect""".stripMargin,
+    // the oracle computes the SAME intervals with a plain global running
+    // total — the semantics; the bucketed prefix-sum is the scale
+    // mechanism (exactly the corpus_token_budget discipline)
+    "corpus_pack_sequences" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM s WHERE toks > 0)
+        |SELECT doc_id, toks,
+        |  cum - toks AS start_tok,
+        |  (cum - toks) // 512 AS pack_first,
+        |  (cum - 1) // 512 AS pack_last,
+        |  (cum - toks) % 512 AS offset_in_pack
+        |FROM c""".stripMargin,
     "text_winnow_fps" ->
       s"""WITH tok AS (
          |  SELECT doc_id,
