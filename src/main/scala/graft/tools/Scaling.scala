@@ -25,7 +25,8 @@ object Scaling {
     "j7_asof_join", "text_decontam_bloom", "dedup_semantic",
     "text_winnow_fps", "text_salient_terms", "pipeline_clean_corpus",
     "corpus_token_budget", "sim_kmeans_train",
-    "pipeline_incremental_corpus", "sample_stratified_exact")
+    "pipeline_incremental_corpus", "sample_stratified_exact",
+    "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
