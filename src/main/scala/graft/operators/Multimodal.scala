@@ -189,6 +189,36 @@ object Multimodal extends OpModule {
         }
         .toDF("doc_id", "width", "height", "out_w", "out_h")
     }),
+    // Perceptual-hash image dedup — the multimodal member of the dedup
+    // family: an 8x8 grid-sample average-hash over the DECODED pixels
+    // (nearest-grid sampling + integer grays + integer mean, instead of
+    // the classic bilinear shrink, so every bit is exact integer
+    // arithmetic the oracle re-derives analytically — while the Spark
+    // side reads pixels from a genuine PNG decode, keeping the
+    // gate-proves-the-codec contract). Image content is keyed by
+    // floorMod(doc_id, 100), so the corpus carries ~5 copies of each
+    // image at sf0.01 and the hash-groupBy forms REAL dup groups with a
+    // keep-first survivor. Scale shape: narrow mapPartitions decode +
+    // ONE hash-groupBy (map-side combine) — the exact-dedup plan with a
+    // decoded-content key.
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val key = java.lang.Math.floorMod(id, 100L)
+            // payload length 7 + key%24 → width 8 + key%24: wide enough
+            // that the 8x8 grid samples distinct columns (w >= 8), so
+            // different keys produce different hashes instead of
+            // collapsing into a handful of degenerate patterns
+            val png = synthPng(key, new Array[Byte](7 + (key % 24L).toInt))
+            (id, aHash(ImageIO.read(new ByteArrayInputStream(png))))
+          }
+        }
+        .toDF("doc_id", "phash")
+        .groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+    }),
     // audio modality, same contract as decode: a real WAV round-trips
     // through the JDK codec and the reported frame count / rate / channel
     // / duration columns come from the DECODED header, while the oracle
@@ -235,6 +265,22 @@ object Multimodal extends OpModule {
       new ByteArrayInputStream(bytes))
     val f = ais.getFormat
     (f.getSampleRate.toInt, ais.getFrameLength, f.getChannels)
+  }
+
+  /** 8x8 grid-sample average-hash of a decoded image: sample pixel
+    * (i*w/8, j*h/8) for i,j in 0..7 (j-major), integer gray =
+    * (r+g+b)/3, bit = gray >= integer mean of the 64 samples. All
+    * integer arithmetic — the oracle reproduces every bit analytically.
+    */
+  def aHash(img: BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gs = for (j <- 0 until 8; i <- 0 until 8) yield {
+      val v = img.getRGB(i * w / 8, j * h / 8) & 0xffffff
+      (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+    }
+    val mean = gs.sum / 64
+    gs.map(g => if (g >= mean) '1' else '0').mkString
   }
 
   /** Real resample: decode → bilinear Graphics2D draw into (outW, outH) →
@@ -286,6 +332,37 @@ object Multimodal extends OpModule {
         |  CAST(1 + ((doc_id % 17) + 17) % 17 AS INT) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin,
+    // every sampled pixel re-derived analytically (synth fill =
+    // (key + x*31 + y) & 0xffffff; PNG is lossless and the BGR int
+    // round-trip is exact), grays and the mean in pure integer math —
+    // only a faithful decode makes the Spark-side hash agree bit-for-bit
+    "mm_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 100) + 100) % 100 AS key
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, key,
+        |    1 + (7 + key % 24) % 31 AS w,
+        |    1 + key % 17 AS h
+        |  FROM d),
+        |gr AS (
+        |  SELECT doc_id, j, i,
+        |    (((v // 65536) % 256) + ((v // 256) % 256) + (v % 256)) // 3
+        |      AS gray
+        |  FROM (
+        |    SELECT doc_id, j, i,
+        |      (key + (i * w // 8) * 31 + (j * h // 8)) % 16777216 AS v
+        |    FROM dims,
+        |      unnest(generate_series(0, 7)) AS a(i),
+        |      unnest(generate_series(0, 7)) AS b(j))),
+        |m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY 1),
+        |hs AS (
+        |  SELECT gr.doc_id,
+        |    string_agg(CASE WHEN gray >= mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY j, i) AS phash
+        |  FROM gr JOIN m ON m.doc_id = gr.doc_id GROUP BY 1)
+        |SELECT phash, min(doc_id) AS keep_id, count(*) AS dup_ct
+        |FROM hs GROUP BY 1""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id, 8000 AS sample_rate,
         |  CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n_frames,
