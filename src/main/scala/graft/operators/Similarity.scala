@@ -421,7 +421,94 @@ object Similarity extends OpModule {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** PQ geometry: 8 subspaces × 8 dims over the 64-d int8 codes, 16
+    * codewords per subspace (deterministic first-16 init, the IVF
+    * discipline). Codebook bytes: 8·16·8 = 1 KB — a 1-row broadcast. */
+  private val PqM = 8
+  private val PqD = 8
+  private val PqK = 16
+
+  /** Per-subspace argmin integer-L2 encoding against the broadcast
+    * codebook `cbs` (array of 16 code vectors): every distance is an
+    * exact BIGINT sum, ties break on codeword id — bit-exact in any
+    * engine. */
+  private val pqEncExpr =
+    s"""transform(sequence(0, ${PqM - 1}), j ->
+       |  array_min(transform(sequence(0, ${PqK - 1}), k ->
+       |    struct(aggregate(
+       |      zip_with(slice(codes, j * $PqD + 1, $PqD),
+       |               slice(element_at(cbs, k + 1), j * $PqD + 1, $PqD),
+       |        (a, b) -> CAST(a - b AS BIGINT) * (a - b)),
+       |      0L, (x, y) -> x + y) AS dist, k AS k))).k)""".stripMargin
+
+  /** Squared norm of a row's RECONSTRUCTION (the codewords its PQ code
+    * selects) — the denominator the ADC cosine needs; exact integers. */
+  private val pqReconN2Expr =
+    s"""aggregate(sequence(0, ${PqM - 1}), 0L, (acc, j) ->
+       |  acc + aggregate(
+       |    slice(element_at(cbs, element_at(enc, j + 1) + 1),
+       |      j * $PqD + 1, $PqD),
+       |    0L, (x, c) -> x + CAST(c AS BIGINT) * c))""".stripMargin
+
+  /** ADC (asymmetric distance computation) quantized cosine: the query's
+    * full int8 codes dot the neighbor's RECONSTRUCTION — exact-integer
+    * dot and norms, one double division, zero-norm pairs pinned to -2.0
+    * (same contract as [[qsimExpr]]). */
+  private val pqAdcExpr =
+    s"""CASE WHEN n2q = 0L OR rn2 = 0L THEN -2.0D ELSE
+       |CAST(aggregate(sequence(0, ${PqM - 1}), 0L, (acc, j) ->
+       |  acc + aggregate(zip_with(
+       |    slice(qc, j * $PqD + 1, $PqD),
+       |    slice(element_at(cbs, element_at(enc, j + 1) + 1),
+       |      j * $PqD + 1, $PqD),
+       |    (a, b) -> CAST(a AS BIGINT) * b), 0L, (x, y) -> x + y))
+       |  AS DOUBLE)
+       |/ sqrt(CAST(n2q * rn2 AS DOUBLE)) END""".stripMargin
+
   def queriesSq: Map[String, Q] = Map(
+    // Product quantization — the remaining member of the FAISS family
+    // (SQ compresses per-dim, IVF prunes lists, IVF+SQ composes; PQ
+    // compresses per-SUBSPACE): each vector is encoded as 8 codeword ids
+    // (8 B/vector — 32x less than float32, 8x less than SQ), candidates
+    // rank by ADC quantized cosine against the codeword reconstructions,
+    // and the top-4K survivors rescore with exact cosine via the id-only
+    // join. Everything up to the one division is exact integer
+    // arithmetic (int8 codes → BIGINT L2/dot sums), so encoding, ADC
+    // ranking, and the candidate cut are bit-exact under the oracle —
+    // including the argmin tie-breaks. Scale shape: the codebook is a
+    // 1 KB 1-row broadcast; encoding is one narrow pass; only
+    // (neighbor_id, 8-byte code) rows conceptually survive the scan and
+    // only (long, long) candidate ids reach the ranking exchange.
+    "sim_pq_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val withCodes = emb.join(broadcast(sqScale(emb)), lit(true))
+        .select(col("vec_id"), expr(codesExpr).as("codes"))
+        .barrier() // codebook, corpus-encode, and query sides all read it
+      val cb = withCodes.filter(col("vec_id") < PqK)
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(vec_id, codes))), p -> p.codes)").as("cbs"))
+      val encDf = withCodes.join(broadcast(cb), lit(true))
+        .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
+        .select(col("vec_id"), col("cbs"), col("enc"),
+          expr(pqReconN2Expr).as("rn2"))
+      val q = withCodes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+          expr(n2Expr).as("n2q"))
+      val scored = encDf
+        .select(col("vec_id").as("neighbor_id"), col("cbs"), col("enc"),
+          col("rn2"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(pqAdcExpr).as("qsim"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("neighbor_id").asc)
+      val cand = scored.withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= K * 4)
+        .select(col("query_id"), col("neighbor_id"))
+      rescoreTopK(s, dir, cand)
+    }),
     "sim_sq_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -565,6 +652,84 @@ object Similarity extends OpModule {
 
   def oracles: Map[String, String] = Map(
     "sim_kmeans_train" -> oraKmeansTrain,
+    // mirrors sim_pq_ann relationally: the same int8 codes, per-subspace
+    // argmin integer-L2 encoding (row_number over exact BIGINT distances,
+    // codeword-id tie-break), exact-integer ADC dot/norms, one double
+    // division, top-4K cut, exact-cosine rescore. Integer sums are
+    // order-independent, so the exploded-row GROUP BYs here equal the
+    // Spark side's index-ordered HOF accumulations bit-for-bit.
+    "sim_pq_ann" ->
+      s"""WITH amax AS (
+         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
+         |  FROM (SELECT embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |codes AS (
+         |  SELECT vec_id, j - 1 AS dim,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE)
+         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |cb AS (SELECT vec_id AS k, dim, c FROM codes
+         |       WHERE vec_id < $PqK),
+         |dists AS (
+         |  SELECT v.vec_id, b.k, v.dim // $PqD AS j,
+         |    CAST(sum(CAST(v.c - b.c AS BIGINT) * (v.c - b.c)) AS BIGINT)
+         |      AS dist
+         |  FROM codes v JOIN cb b ON b.dim = v.dim
+         |  GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, j, k FROM (
+         |    SELECT vec_id, j, k,
+         |      row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY dist ASC, k ASC) AS r
+         |    FROM dists)
+         |  WHERE r = 1),
+         |rn2 AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CAST(b.c AS BIGINT) * b.c) AS BIGINT) AS rn2
+         |  FROM enc e JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
+         |  GROUP BY 1),
+         |n2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
+         |  FROM codes GROUP BY 1),
+         |adc AS (
+         |  SELECT qc.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(sum(CAST(qc.c AS BIGINT) * b.c) AS BIGINT) AS dotq
+         |  FROM enc e
+         |  JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
+         |  JOIN codes qc ON qc.dim = b.dim
+         |  WHERE qc.vec_id < 8 AND qc.vec_id <> e.vec_id
+         |  GROUP BY 1, 2),
+         |qsims AS (
+         |  SELECT a.query_id, a.neighbor_id,
+         |    CASE WHEN nq.n2 = 0 OR r.rn2 = 0 THEN -2.0
+         |         ELSE CAST(a.dotq AS DOUBLE)
+         |              / sqrt(CAST(nq.n2 * r.rn2 AS DOUBLE)) END AS qsim
+         |  FROM adc a
+         |  JOIN n2 nq ON nq.vec_id = a.query_id
+         |  JOIN rn2 r ON r.vec_id = a.neighbor_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+         |    FROM qsims)
+         |  WHERE qrank <= ${K * 4}),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     // mirrors the IVF+SQ composition: the shared assignment + probes,
     // sq's integer codes/norms, quantized-cosine ranking inside probed
     // clusters only, exact-cosine rescore of the top-4K

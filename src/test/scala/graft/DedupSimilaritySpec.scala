@@ -219,6 +219,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "8-bit codes + 4x-overscan rescore must recover most true neighbors")
   }
 
+  test("PQ ANN recall vs brute force at sf0.001") {
+    // 8-byte PQ codes (32x compression) + ADC ranking + 4x-overscan
+    // exact rescore: lossier than SQ by design, but the reconstruction
+    // must keep enough signal that the rescore recovers most of the
+    // true top-k — PQ must not be a recall cliff
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.Similarity
+      .queries("sim_pq_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty, "PQ must return candidates")
+    assert(pq.forall { case (q, n) => q != n })
+    val recall = pq.count(brute.contains).toDouble / brute.size
+    info(f"PQ recall@5 = $recall%.2f (8x16 codebook, ADC, 4x overscan)")
+    assert(recall >= 0.5)
+  }
+
   test("CC clusters equal union-find ground truth over the pair relation") {
     val pairs = graft.operators.Dedup
       .queries("dedup_minhash_lsh")(spark, sfDir)
