@@ -562,8 +562,14 @@ object Dedup extends OpModule {
        |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin
 
   private[operators] lazy val oraclesMinhash: String =
+    oraclesMinhashFrom("documents")
+
+  /** The minhash-LSH pair oracle over an arbitrary source relation —
+    * shared with compositions that union fixture docs in (the
+    * contamination report). */
+  private[operators] def oraclesMinhashFrom(src: String): String =
     s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
-       |           FROM documents),
+       |           FROM $src),
        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
        |sigs AS (SELECT doc_id, toks,
        |  md5(${oraMinhash(0)}::VARCHAR || '_' || ${oraMinhash(1)}::VARCHAR) AS s0,

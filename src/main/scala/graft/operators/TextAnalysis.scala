@@ -190,6 +190,63 @@ object TextAnalysis extends OpModule {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("shared_13grams"))
     }),
+    // Per-document contamination REPORT — the three decontamination tiers
+    // composed into the audit table an operator reviews before dropping
+    // data: for every training doc under the shared bench rule, did it
+    // (a) exactly clone a benchmark doc (fp match), (b) quote one (≥1
+    // shared 13-gram), (c) paraphrase one (verified MinHash near-dup
+    // pair with a bench member)? One row per flagged doc with its tier
+    // verdicts — the tiers' signals are complementary (the planted
+    // fixtures include docs caught by exactly one tier each), and seeing
+    // them side by side is what makes a drop decision auditable. Scale
+    // shape: each tier is its already-verified fragment (fp anti-join
+    // semantics, gram-fp broadcast join, banded+verified pairs); the
+    // report is three thin per-doc relations full-outer-merged on doc_id.
+    "text_contamination_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(ngramFixture.toDF("doc_id", "text"))
+        .unionByName(bloomFixture.toDF("doc_id", "text"))
+        .barrier() // all three tiers + the bench sides read this
+      val withBench = docs.withColumn("is_bench", benchRuleCol)
+      // tier (a): exact content clone
+      val fps = withBench.select(col("doc_id"), col("is_bench"),
+        Text.fingerprint(col("text")).as("fp"))
+      val exact = fps.filter(!col("is_bench"))
+        .join(broadcast(fps.filter(col("is_bench")).select(col("fp"))
+          .distinct()), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("exact_clone"))
+      // tier (b): quoted benchmark passage (13-gram overlap count)
+      val grams = gramFps(docs, 13).join(
+        withBench.select(col("doc_id"), col("is_bench")), "doc_id")
+      val quoted = grams.filter(!col("is_bench"))
+        .join(broadcast(grams.filter(col("is_bench")).select(col("gfp"))
+          .distinct()), Seq("gfp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("shared_13grams"))
+      // tier (c): whole-doc paraphrase (verified near-dup pair with a
+      // bench member; either orientation)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = Dedup.verifiedPairs(Dedup.bandedSigs(docs).barrier(), nPart)
+      val bench = withBench.filter(col("is_bench")).select(col("doc_id"))
+      val para = pairs
+        .join(bench.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+          "left_semi")
+        .select(col("doc_a").as("doc_id"))
+        .unionByName(pairs
+          .join(bench.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_semi")
+          .select(col("doc_b").as("doc_id")))
+        .join(bench, Seq("doc_id"), "left_anti") // report TRAINING docs only
+        .distinct()
+        .select(col("doc_id"), lit(true).as("near_dup"))
+      exact.join(quoted, Seq("doc_id"), "full_outer")
+        .join(para, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("exact_clone"), lit(false)).as("exact_clone"),
+          coalesce(col("shared_13grams"), lit(0L)).as("shared_13grams"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+    }),
     // Bloom-gated exact decontamination — the broadcast-filter front door
     // for when the benchmark fp set is itself too large to ship as a
     // broadcast hash relation (at 100 TB an eval-suite union can reach
@@ -1161,6 +1218,61 @@ object TextAnalysis extends OpModule {
          |JOIN (SELECT DISTINCT gfp FROM grams WHERE is_bench) b USING (gfp)
          |WHERE NOT g.is_bench
          |GROUP BY 1""".stripMargin
+    },
+    "text_contamination_report" -> {
+      val values = (ngramFixture ++ bloomFixture)
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |f AS (
+         |  SELECT doc_id, $oraBenchRule AS is_bench,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         |      AS fp
+         |  FROM docs),
+         |ex AS (
+         |  SELECT DISTINCT t.doc_id, TRUE AS exact_clone
+         |  FROM f t JOIN f b ON t.fp = b.fp AND b.is_bench
+         |  WHERE NOT t.is_bench),
+         |tok AS (
+         |  SELECT doc_id, $oraBenchRule AS is_bench,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS toks
+         |  FROM docs),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, is_bench,
+         |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+         |  FROM (SELECT doc_id, is_bench,
+         |          unnest(list_transform(range(0, len(toks) - 12),
+         |            i -> array_to_string(toks[i+1:i+13], ' '))) AS gram
+         |        FROM tok WHERE len(toks) >= 13)),
+         |quoted AS (
+         |  SELECT g.doc_id, count(*) AS shared_13grams
+         |  FROM grams g
+         |  JOIN (SELECT DISTINCT gfp FROM grams WHERE is_bench) b
+         |    USING (gfp)
+         |  WHERE NOT g.is_bench
+         |  GROUP BY 1),
+         |pairs AS (${Dedup.oraclesMinhashFrom("docs")}),
+         |bdocs AS (SELECT doc_id FROM f WHERE is_bench),
+         |para AS (
+         |  SELECT DISTINCT d AS doc_id, TRUE AS near_dup FROM (
+         |    SELECT p.doc_a AS d FROM pairs p
+         |    JOIN bdocs b ON b.doc_id = p.doc_b
+         |    UNION ALL
+         |    SELECT p.doc_b FROM pairs p
+         |    JOIN bdocs b ON b.doc_id = p.doc_a) x
+         |  WHERE d NOT IN (SELECT doc_id FROM bdocs))
+         |SELECT COALESCE(e.doc_id, q.doc_id, p.doc_id) AS doc_id,
+         |  COALESCE(e.exact_clone, FALSE) AS exact_clone,
+         |  CAST(COALESCE(q.shared_13grams, 0) AS BIGINT) AS shared_13grams,
+         |  COALESCE(p.near_dup, FALSE) AS near_dup
+         |FROM ex e
+         |FULL OUTER JOIN quoted q ON q.doc_id = e.doc_id
+         |FULL OUTER JOIN para p
+         |  ON p.doc_id = COALESCE(e.doc_id, q.doc_id)""".stripMargin
     },
     // the oracle mirrors ONLY the exact decontamination semantics — the
     // bloom is a pruning device with zero false negatives, and its false
