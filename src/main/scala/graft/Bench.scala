@@ -31,8 +31,12 @@ object Bench {
     * reading it instead would let the baseline silently drift to whatever
     * the last (possibly contended) run produced. Falls back to the file
     * only when git is unavailable.
+    *
+    * The record is only a valid reference for the SF it was recorded at —
+    * comparing an sf0.001 smoke run against sf0.1 numbers would misfire
+    * both the retry guard and vs_committed — so an SF mismatch disables it.
     */
-  private def committedRecord(): Map[String, Double] = {
+  private def committedRecord(sfDir: String): Map[String, Double] = {
     val s =
       try scala.sys.process.Process(
         Seq("git", "show", "HEAD:bench_out.json")).!!
@@ -52,8 +56,14 @@ object Bench {
     // key reordering and to objects (raw_runs) preceding `queries`
     try {
       import scala.jdk.CollectionConverters._
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(s).get("queries")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      if (recSf.nonEmpty && recSf != sfDir) {
+        System.err.println(s"[bench] committed record is for $recSf, this " +
+          s"run is $sfDir; contention guard + vs_committed disabled")
+        return Map.empty
+      }
+      val node = root.get("queries")
       if (node == null) Map.empty
       else node.fields().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
@@ -98,7 +108,7 @@ object Bench {
     // timed query measures the plan, not JVM startup
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .queryExecution.toRdd.count()
-    val committed = committedRecord()
+    val committed = committedRecord(sfDir)
     // Contention defense (VERDICT r6 #1 — two of the last three official
     // records were load-poisoned). Per query:
     //  - 3 base runs; run 1 pays one-time codegen/JIT (fixed overhead,
@@ -169,8 +179,19 @@ object Bench {
     val minTotal = results.map(_._2._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ambient-window context: this run's total over the committed quiet
+    // record's total (same query set only). Hour-scale host-load drift
+    // inflates every query uniformly without tripping the per-query
+    // spread/min triggers — the ratio makes that visible in the record
+    // itself instead of requiring cross-file adjudication.
+    val vsCommitted = {
+      val names = results.filter(_._2._1 >= 0).map(_._1)
+      val c = names.flatMap(committed.get).filter(_ > 0)
+      if (c.size == names.size && c.sum > 0) f""","vs_committed":${total / c.sum}%.2f"""
+      else ""
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"mins":$minsJs,"raw_runs":$rawJs,"loadavg":$loadJs,"load_flagged":$flaggedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f$vsCommitted,"queries":$qs,"mins":$minsJs,"raw_runs":$rawJs,"loadavg":$loadJs,"load_flagged":$flaggedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info]/[error], which has defeated the
     // driver's JSON parse both rounds — also write the record to a file
