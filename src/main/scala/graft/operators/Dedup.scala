@@ -136,6 +136,27 @@ object Dedup extends OpModule {
           "doc_id")
         .select(col("doc_id"), col("source"))
     }),
+    // CC keep-best dedup: keep the LONGEST member of each transitive dup
+    // cluster (n_chars DESC, doc_id tiebreak) — the published "keep the
+    // best version" selection (near-dup groups usually contain truncated
+    // or boilerplate-wrapped copies; pipelines keep the fullest one, not
+    // the smallest id). Rank inputs are exact integers already on the
+    // roster, so the oracle is bit-exact. The literal rn=1 filter
+    // compiles to WindowGroupLimit: top-1 per cluster is taken per
+    // partition BEFORE the exchange, so only one thin row per
+    // (partition, cluster) shuffles — the roster never sorts globally.
+    "dedup_cc_keep_best" -> ((s, dir) => {
+      val labels = ccAllLabels(s, dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"))
+    }),
     // character 5-gram Jaccard — the classic n-gram form (word-set form
     // below); same blocking, shingles from a materialized normalized col
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
@@ -400,6 +421,14 @@ object Dedup extends OpModule {
       s"""SELECT c.doc_id, d.source FROM ($oraclesCc) c
          |JOIN documents d ON d.doc_id = c.doc_id
          |WHERE c.cluster_id = c.doc_id""".stripMargin,
+    "dedup_cc_keep_best" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT c.doc_id, d.source,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |  FROM ($oraclesCc) c
+         |  JOIN documents d ON d.doc_id = c.doc_id)
+         |WHERE rn = 1""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,

@@ -21,7 +21,7 @@ object Scaling {
     "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
     "text_quality", "sim_sq_ann", "sim_ivfsq_ann",
     "text_contamination_ngram", "corpus_snapshot_diff",
-    "q_quantiles_approx", "dedup_cc_clusters",
+    "q_quantiles_approx", "dedup_cc_clusters", "dedup_cc_keep_best",
     "j7_asof_join", "text_decontam_bloom", "dedup_semantic",
     "text_winnow_fps", "text_salient_terms", "pipeline_clean_corpus",
     "corpus_token_budget", "sim_kmeans_train",

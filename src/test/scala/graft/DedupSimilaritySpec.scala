@@ -279,6 +279,31 @@ class DedupSimilaritySpec extends SparkSpec {
       "transitive dedup is at least as aggressive as pairwise keep-first")
   }
 
+  test("CC keep-best keeps the longest member of every cluster") {
+    val labels = graft.operators.Dedup
+      .queries("dedup_cc_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = graft.operators.Dedup
+      .queries("dedup_cc_keep_best")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // exactly one survivor per cluster, and it is the (n_chars DESC,
+    // doc_id ASC)-maximal member — the ground truth recomputed directly
+    val truth = labels.groupBy(_._2).values.map(
+      _.keys.minBy(id => (-lens(id), id))).toSet
+    assert(best === truth,
+      "keep-best must keep exactly the longest member per cluster")
+    // it differs from min-id canonicalization somewhere: the fixture's
+    // clone groups contain a longer non-minimal member, or this test
+    // would pass vacuously with keep-best ≡ cc_canonical
+    val minIds = labels.values.toSet
+    assert(best != minIds,
+      "fixture must exercise a cluster whose longest member is not its minimum")
+    assert(best.size === minIds.size, "same cluster count either way")
+  }
+
   test("star CC: deep chain converges in O(log diameter) rounds") {
     import spark.implicits._
     // a 33-doc revision chain (diameter 32) — the adversarial shape for
