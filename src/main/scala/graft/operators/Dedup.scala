@@ -145,18 +145,8 @@ object Dedup extends OpModule {
     // compiles to WindowGroupLimit: top-1 per cluster is taken per
     // partition BEFORE the exchange, so only one thin row per
     // (partition, cluster) shuffles — the roster never sorts globally.
-    "dedup_cc_keep_best" -> ((s, dir) => {
-      val labels = ccAllLabels(s, dir)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      labels.join(docs, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("source"))
-    }),
+    "dedup_cc_keep_best" -> ((s, dir) =>
+      keepBestOf(ccAllLabels(s, dir), s, dir)),
     // character 5-gram Jaccard — the classic n-gram form (word-set form
     // below); same blocking, shingles from a materialized normalized col
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
@@ -543,17 +533,39 @@ object Dedup extends OpModule {
         coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
   }
 
-  /** Pipeline entry point for the CC pair: ONE fixpoint execution feeding
-    * BOTH outputs. Returns (clusters, canonical) where `clusters` is
-    * `dedup_cc_clusters`' full per-doc labeling and `canonical` is
-    * `dedup_cc_canonical`'s one-survivor-per-cluster projection — derived
-    * from a single barriered label relation, so a pipeline wanting both
-    * pays the pair generation + star fixpoint once (the two
-    * driver-contract queries stay self-contained by design and each run
-    * their own).
+  /** Keep-best projection over a (doc_id, cluster_id) label relation:
+    * the (n_chars DESC, doc_id)-maximal member of every cluster. The
+    * literal rn=1 filter compiles to WindowGroupLimit, so top-1 per
+    * cluster is taken per partition BEFORE the exchange — the roster
+    * never sorts globally.
+    */
+  private def keepBestOf(labels: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Pipeline entry point for the CC family: ONE fixpoint execution
+    * feeding ALL THREE outputs. Returns (clusters, canonical, keepBest)
+    * where `clusters` is `dedup_cc_clusters`' full per-doc labeling,
+    * `canonical` is `dedup_cc_canonical`'s min-id survivor projection,
+    * and `keepBest` is `dedup_cc_keep_best`'s longest-member projection —
+    * all derived from a single barriered label relation, so a pipeline
+    * wanting any combination pays the pair generation + star fixpoint
+    * once (the driver-contract queries stay self-contained by design and
+    * each run their own).
     */
   def ccOutputs(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val (members, _) =
       ccLabelsFromEdges(queries("dedup_minhash_lsh")(s, dir))
     val labels = t(s, dir, "documents").select(col("doc_id"))
@@ -567,7 +579,7 @@ object Dedup extends OpModule {
       .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
         "doc_id")
       .select(col("doc_id"), col("source"))
-    (labels, canonical)
+    (labels, canonical, keepBestOf(labels, s, dir))
   }
 
   /** DuckDB transitive closure of the verified pair relation: per-doc

@@ -339,25 +339,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     sc.addSparkListener(listener)
     try {
-      val (clusters, canonical) = graft.operators.Dedup.ccOutputs(spark, sfDir)
+      val (clusters, canonical, keepBest) =
+        graft.operators.Dedup.ccOutputs(spark, sfDir)
       jobs.set(0)
       val cOut = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val kOut = canonical.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val bOut = keepBest.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       val jobsDerive = settle()
-      // deriving BOTH outputs from the barriered labels must not re-run
-      // the pair pipeline + star fixpoint (dozens of jobs): reading the
-      // materialized labels twice plus the canonical join is a handful
+      // deriving all THREE outputs from the barriered labels must not
+      // re-run the pair pipeline + star fixpoint (dozens of jobs):
+      // reading the materialized labels three times plus the projection
+      // joins is a handful
       jobs.set(0)
       val qC = graft.operators.Dedup.queries("dedup_cc_clusters")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val qK = graft.operators.Dedup.queries("dedup_cc_canonical")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val qB = graft.operators.Dedup.queries("dedup_cc_keep_best")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       val jobsSelfContained = settle()
       assert(cOut === qC, "pipeline clusters must equal the oracle-gated query")
       assert(kOut === qK, "pipeline canonical must equal the oracle-gated query")
+      assert(bOut === qB, "pipeline keep-best must equal the oracle-gated query")
       assert(jobsDerive < jobsSelfContained,
         s"one-fixpoint derivation ($jobsDerive jobs) must cost less than " +
-          s"the two self-contained queries ($jobsSelfContained jobs)")
+          s"the three self-contained queries ($jobsSelfContained jobs)")
     } finally {
       sc.removeSparkListener(listener)
       graft.core.Barrier.releaseAll(spark)
