@@ -84,6 +84,43 @@ object TextAnalysis extends OpModule {
             col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
             col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8)
     }),
+    // fastText/CCNet-style hashed linear quality classifier — the published
+    // "hashing trick" shape (Joulin et al. fastText; Wenzek et al. CCNet
+    // keep/drop filtering): word unigram + bigram features hashed into B
+    // buckets, document score = mean of the bucket weights, keep iff score
+    // clears a threshold. The weight here is a deterministic function of
+    // the bucket id ((b·K) % 2003 − 1001, a stand-in for the LEARNED
+    // weight array — in production the term is element_at(weights, b + 1)
+    // with a ~16 KB broadcast array; the plan shape is identical). Every
+    // feature stays inside ONE aggregate() HOF — no explode, no
+    // per-feature rows, no shuffle: the classifier is a narrow codegen'd
+    // scan even though it scores |toks|·2 features per doc. Score is an
+    // exact BIGINT sum over exact integer weights divided once (single-op
+    // IEEE chain → bit-exact oracle).
+    "text_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      // planted edges (block -71..-72, mirrored in the oracle): -71 has no
+      // alnum token at all (NULL score, keep=false via the coalesce), -72
+      // is a single token (unigram only — the bigram CASE guard fires)
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(qcFixture.toDF("doc_id", "text"))
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .withColumn("feats", expr(
+          "concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))" +
+            " ELSE array() END)"))
+        .select(col("doc_id"),
+          size(col("feats")).cast("long").as("n_feats"),
+          expr("aggregate(feats, CAST(0 AS BIGINT), (a, f) -> a + " +
+            "((CAST(conv(substring(md5(concat('qc|', f)), 1, 15), 16, 10) " +
+            "AS BIGINT) % 4096 * 2654435761) % 2003 - 1001))").as("wsum"))
+        .select(col("doc_id"), col("n_feats"),
+          when(col("n_feats") === 0L, lit(null).cast("double"))
+            .otherwise(col("wsum").cast("double") /
+              col("n_feats").cast("double")).as("score"))
+        .withColumn("keep", coalesce(col("score") >= 0.0, lit(false)))
+    }),
     "text_langid" -> ((s, dir) => {
       import s.implicits._
       // CJK fixture rows (labeled zh) exercise the zh tier under the
@@ -692,6 +729,12 @@ object TextAnalysis extends OpModule {
     * a minority-cyrillic row that must classify by the later tiers —
     * mirrored verbatim in the DuckDB oracle. Third column = true label.
     */
+  /** Classifier edge fixtures (block -71..-72): no-token and single-token
+    * docs the generated corpus lacks. Mirrored verbatim in the oracle. */
+  private val qcFixture = Seq(
+    (-71L, "??? !!!"),
+    (-72L, "spark"))
+
   private val cyrFixture = Seq(
     (-21L, "глубокое обучение моделей", "ru"),
     (-22L, "распределённый spark движок", "ru"),
@@ -1143,6 +1186,38 @@ object TextAnalysis extends OpModule {
         |          AS DOUBLE) / CAST(len(ws) AS DOUBLE)) > 0.8) AS pass
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |      FROM documents)""".stripMargin,
+    // mirrors the hashed-feature device bit-for-bit: same 'qc|' salt, same
+    // 60-bit md5 prefix, same % 4096 bucket and (b*K) % 2003 - 1001 weight
+    // (all-positive operands, so % == pmod in both engines); DuckDB range()
+    // is empty for len < 2, matching the Spark CASE guard
+    "text_quality_classifier" -> {
+      val values = qcFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+      s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM docs),
+        |ft AS (
+        |  SELECT doc_id,
+        |    list_concat(toks, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || '_' || toks[i + 1])) AS feats
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CASE WHEN len(feats) = 0 THEN NULL ELSE
+        |      CAST(list_aggregate(list_transform(feats, f ->
+        |          (('0x' || substring(md5('qc|' || f), 1, 15))::BIGINT
+        |            % 4096 * 2654435761) % 2003 - 1001), 'sum') AS DOUBLE)
+        |        / CAST(len(feats) AS DOUBLE) END AS score
+        |  FROM ft)
+        |SELECT doc_id, n_feats, score,
+        |  coalesce(score >= 0.0, false) AS keep
+        |FROM sc""".stripMargin
+    },
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

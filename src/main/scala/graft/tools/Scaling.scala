@@ -26,7 +26,8 @@ object Scaling {
     "text_winnow_fps", "text_salient_terms", "pipeline_clean_corpus",
     "corpus_token_budget", "sim_kmeans_train",
     "pipeline_incremental_corpus", "sample_stratified_exact",
-    "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences")
+    "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences",
+    "text_quality_classifier")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -497,4 +497,33 @@ class OperatorsSpec extends SparkSpec {
     assert((old -- incr).nonEmpty, "no doc was ever retired — fixture inert")
     assert((incr -- old).nonEmpty, "no doc was ever added — fixture inert")
   }
+
+  test("hashed quality classifier: narrow plan, discriminative, edge fixtures") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_quality_classifier")(spark, sfDir)
+    // the whole classifier must stay a narrow scan: features live inside
+    // one aggregate() HOF — no explode rows, no Exchange anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Generate"), plan.take(2000))
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      r.getBoolean(3)))
+    val kept = rows.count(_._4)
+    assert(kept > 0 && kept < rows.length,
+      s"classifier must split the corpus, kept $kept of ${rows.length}")
+    // planted edges: -71 has zero alnum tokens (NULL score, keep=false),
+    // -72 is a single token (1 feature — the bigram guard fired, score
+    // defined)
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(-71L)._2 === 0L && m(-71L)._3.isEmpty && !m(-71L)._4)
+    assert(m(-72L)._2 === 1L && m(-72L)._3.nonEmpty)
+    // n_feats = 2·|toks| − 1 for any multi-token doc (unigrams + bigrams)
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokenize(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toks.filter(_._2 >= 2).take(50).foreach { case (id, n) =>
+      assert(m(id)._2 === 2 * n - 1, s"doc $id") }
+  }
 }
