@@ -46,6 +46,23 @@ object Similarity extends OpModule {
         .filter(col("rank") <= K)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // FAISS-style RANGE search — the API member next to top-k: every
+    // neighbor within a similarity radius, result size data-dependent.
+    // Same 100 TB shape as the brute-force baseline (tiny query side
+    // broadcasts, corpus streams ONCE) but cheaper: no window, no rank,
+    // no exchange anywhere — the threshold filter is applied inside the
+    // scan's codegen stage. The cosine boundary is the same predicate
+    // device sim_pairs_threshold already pins under the gate.
+    "sim_range_search" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .filter(expr("cosine_sim(qv, nv)") >= 0.3)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
     "sim_pairs_threshold" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
@@ -851,6 +868,12 @@ object Similarity extends OpModule {
          |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
          |  WHERE q.vec_id < 8)
          |WHERE rank <= $K""".stripMargin,
+    "sim_range_search" ->
+      """SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        |WHERE q.vec_id < 8
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(n.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
     "sim_pairs_threshold" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b

@@ -386,4 +386,37 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"IVF+SQ recall@5 = $recall%.2f (16 lists, nprobe=4, int8 codes)")
     assert(recall >= 0.5)
   }
+
+  test("range search: exactly the ≥τ set, no exchange or window in plan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Similarity
+      .queries("sim_range_search")(spark, sfDir)
+    // cheaper than top-k by construction: threshold filter inside the
+    // broadcast-join stage — no rank, no Window, no shuffle at all (the
+    // only Exchange is the query side's BroadcastExchange)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent recomputation: collect embeddings and do exact cosine
+    // on the driver (fixture-sized only)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (q, qv) <- emb.toSeq if q < 8
+      (n, nv) <- emb.toSeq if n != q && cos(qv, nv) >= 0.3
+    } yield (q, n)).toSet
+    assert(got === want)
+    // result sizes are data-dependent — a fixed-k op can't produce this
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).values.toSet
+    assert(sizes.size > 1, s"degenerate fixture: all queries returned $sizes")
+  }
 }
