@@ -172,6 +172,47 @@ object TextAnalysis extends OpModule {
           (abs(col("approx_distinct") - col("distinct_grams")).cast("double") /
             col("distinct_grams") <= 0.05).as("within_tol"))
     }),
+    // boilerplate n-gram mining — the op that BUILDS a stop-gram filter
+    // list: the k most frequent 8-grams per language. Discipline: gram
+    // STRINGS never ride the counting shuffle — counts aggregate on the
+    // thin (lang, 8-byte gfp) key, the literal rank<=k cut compiles to
+    // WindowGroupLimit (per-partition top-k before the exchange), and
+    // only the ≤ k·|langs| winners join back (broadcast) to recover their
+    // text from one gram instance. verify-before-wide-payload, applied to
+    // mining instead of dedup.
+    "text_top_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, dir, "documents")
+        .select(col("lang"), Text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+        .select(col("lang"), col("gram"),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10)
+            .cast("long").as("gfp"))
+        .barrier() // counted AND joined-back-to — one gram pass, not two
+      // barrier the thin COUNTS, not the ranked winners: the costly gram
+      // aggregation runs once, while the cheap WindowGroupLimit-cut rank
+      // re-derives per consumer and stays visible in the final plan
+      val counts = grams.groupBy(col("lang"), col("gfp"))
+        .agg(count(lit(1)).as("cnt"))
+        .barrier()
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("gfp").asc)
+      val winners = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      // recover each winner's text from its instances: min(gram)
+      // partial-aggregates map-side, so even a million-instance
+      // boilerplate gram ships ONE string per partition
+      val texts = grams
+        .join(broadcast(winners.select(col("lang"), col("gfp"))),
+          Seq("lang", "gfp"))
+        .groupBy(col("lang"), col("gfp"))
+        .agg(min(col("gram")).as("gram"))
+      winners.join(texts, Seq("lang", "gfp"))
+        .select(col("lang"), col("gram"), col("cnt"), col("rank"))
+    }),
     // corpus accounting: the per-(lang, source) rollup every training-data
     // pipeline reports — doc counts, token budget, quality aggregates
     "text_corpus_stats" -> ((s, dir) => {
@@ -1276,6 +1317,27 @@ object TextAnalysis extends OpModule {
         |    AS diversity,
         |  true AS within_tol
         |FROM g GROUP BY 1""".stripMargin,
+    "text_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT lang, gram,
+        |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+        |  FROM (SELECT lang,
+        |          unnest(list_transform(range(0, len(toks) - 7),
+        |            i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        |        FROM (SELECT lang,
+        |                list_filter(string_split_regex(lower(text),
+        |                  '[^a-z0-9]+'), x -> x <> '') AS toks
+        |              FROM documents)
+        |        WHERE len(toks) >= 8)),
+        |c AS (SELECT lang, gfp, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT lang, gfp, cnt,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY cnt DESC, gfp ASC) AS rank
+        |      FROM c)
+        |SELECT r.lang, t.gram, r.cnt, r.rank
+        |FROM r JOIN (SELECT lang, gfp, min(gram) AS gram
+        |             FROM g GROUP BY 1, 2) t USING (lang, gfp)
+        |WHERE rank <= 10""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -27,7 +27,8 @@ object Scaling {
     "corpus_token_budget", "sim_kmeans_train",
     "pipeline_incremental_corpus", "sample_stratified_exact",
     "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences",
-    "text_quality_classifier", "sim_range_search", "text_ngram_diversity")
+    "text_quality_classifier", "sim_range_search", "text_ngram_diversity",
+    "text_top_ngrams")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

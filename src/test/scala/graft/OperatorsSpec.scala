@@ -526,4 +526,27 @@ class OperatorsSpec extends SparkSpec {
     toks.filter(_._2 >= 2).take(50).foreach { case (id, n) =>
       assert(m(id)._2 === 2 * n - 1, s"doc $id") }
   }
+
+  test("top n-grams: WindowGroupLimit plan, k per lang, counts ordered") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_top_ngrams")(spark, sfDir)
+    // the literal rank<=10 cut must take per-partition top-k BEFORE the
+    // ranking exchange; gram strings must not appear in the counting
+    // aggregate (thin gfp key only)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length === 10, s"$lang returned ${rs.length} grams")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to 10), s"$lang ranks not contiguous")
+      // counts non-increasing in rank order
+      byRank.map(_._3).sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"$lang counts not ordered") }
+      // every reported gram really is an 8-token sequence
+      rs.foreach { case (_, gram, _, _) =>
+        assert(gram.split(" ").length === 8, s"bad gram: $gram") }
+    }
+  }
 }
