@@ -604,33 +604,26 @@ object TextAnalysis extends OpModule {
     // bounded window, within-bucket sums partition by bucket. Every
     // output is exact integer arithmetic → bit-exact oracle (which
     // computes the same intervals with a plain global running sum).
-    "corpus_pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    "corpus_pack_sequences" -> ((s, dir) => packIndex(s, dir, 512L)),
+    // The pack MATERIALIZATION plan — the loader-side consumer of the
+    // pack index: one row per (pack, doc) with the doc-local token slice
+    // [tok_from, tok_from + n_toks) that pack draws and where in the pack
+    // it lands. A training loader assembles ANY pack from these spans
+    // with point reads; nothing re-scans the corpus. The explode is
+    // bounded (a doc touches ⌈toks/L⌉+1 packs), all arithmetic exact
+    // integer intersection of [start, start+toks) with [p·L, (p+1)·L).
+    "corpus_pack_spans" -> ((s, dir) => {
       val L = 512L
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
-        .filter(col("toks") > 0L)
-      val mx = docs.agg(max(col("doc_id")).as("mx"))
-      val bucketed = docs.join(broadcast(mx), lit(true))
-        .withColumn("bucket", expr("doc_id * 32L div (mx + 1L)"))
-        .drop("mx")
-        .barrier() // read by the bucket rollup AND the final projection
-      val wb = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = bucketed.groupBy(col("bucket"))
-        .agg(sum(col("toks")).as("btoks"))
-        .withColumn("prior", coalesce(sum(col("btoks")).over(wb), lit(0L)))
-        .select(col("bucket"), col("prior"))
-      bucketed.join(broadcast(offsets), "bucket")
-        .withColumn("cum", col("prior") + sum(col("toks")).over(
-          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("doc_id"), col("toks"),
-          (col("cum") - col("toks")).as("start_tok"),
-          expr(s"(cum - toks) div $L").as("pack_first"),
-          expr(s"(cum - 1) div $L").as("pack_last"),
-          expr(s"(cum - toks) % $L").as("offset_in_pack"))
+      packIndex(s, dir, L)
+        .select(col("doc_id"), col("toks"), col("start_tok"),
+          explode(expr("sequence(pack_first, pack_last)")).as("pack_id"))
+        .select(col("pack_id"), col("doc_id"),
+          (greatest(col("start_tok"), col("pack_id") * L) -
+            col("start_tok")).as("tok_from"),
+          (least(col("start_tok") + col("toks"), (col("pack_id") + 1) * L) -
+            greatest(col("start_tok"), col("pack_id") * L)).as("n_toks"),
+          (greatest(col("start_tok"), col("pack_id") * L) -
+            col("pack_id") * L).as("pack_offset"))
     }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
@@ -818,6 +811,42 @@ object TextAnalysis extends OpModule {
     (-21L, "глубокое обучение моделей", "ru"),
     (-22L, "распределённый spark движок", "ru"),
     (-23L, "data engineering через spark 2024", "en"))
+
+  /** The sequence-packing index (GPT concatenate-and-slice): each doc's
+    * token interval in the doc_id-ordered concatenated stream, as the
+    * distributed prefix-sum — id-range buckets via a 1-row broadcast max,
+    * bounded offset window, per-bucket parallel cumsum; no unpartitioned
+    * window over data. Shared by `corpus_pack_sequences` (the index) and
+    * `corpus_pack_spans` (the per-pack materialization plan).
+    */
+  private def packIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      L: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
+      .filter(col("toks") > 0L)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bucketed = docs.join(broadcast(mx), lit(true))
+      .withColumn("bucket", expr("doc_id * 32L div (mx + 1L)"))
+      .drop("mx")
+      .barrier() // read by the bucket rollup AND the final projection
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("toks")).as("btoks"))
+      .withColumn("prior", coalesce(sum(col("btoks")).over(wb), lit(0L)))
+      .select(col("bucket"), col("prior"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("prior") + sum(col("toks")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("toks"),
+        (col("cum") - col("toks")).as("start_tok"),
+        expr(s"(cum - toks) div $L").as("pack_first"),
+        expr(s"(cum - 1) div $L").as("pack_last"),
+        expr(s"(cum - toks) % $L").as("offset_in_pack"))
+  }
 
   /** Distinct word-n-gram fingerprints per document: (doc_id, gfp) with
     * gfp the first 60 bits of md5(space-joined gram) — an 8-byte join key
@@ -1605,6 +1634,31 @@ object TextAnalysis extends OpModule {
         |  (cum - 1) // 512 AS pack_last,
         |  (cum - toks) % 512 AS offset_in_pack
         |FROM c""".stripMargin,
+    // same cumsum CTE, then exact integer intersection of each doc's
+    // [start, start+toks) with each touched pack's [p·512, (p+1)·512)
+    "corpus_pack_spans" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM s WHERE toks > 0),
+        |x AS (
+        |  SELECT doc_id, toks, CAST(cum - toks AS BIGINT) AS start_tok,
+        |    unnest(generate_series(CAST((cum - toks) // 512 AS BIGINT),
+        |                           CAST((cum - 1) // 512 AS BIGINT)))
+        |      AS pack_id
+        |  FROM c)
+        |SELECT pack_id, doc_id,
+        |  greatest(start_tok, pack_id * 512) - start_tok AS tok_from,
+        |  least(start_tok + toks, (pack_id + 1) * 512)
+        |    - greatest(start_tok, pack_id * 512) AS n_toks,
+        |  greatest(start_tok, pack_id * 512) - pack_id * 512 AS pack_offset
+        |FROM x""".stripMargin,
     "text_winnow_fps" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -549,4 +549,35 @@ class OperatorsSpec extends SparkSpec {
         assert(gram.split(" ").length === 8, s"bad gram: $gram") }
     }
   }
+
+  test("pack spans tile every pack exactly and cover every doc exactly") {
+    val spans = graft.operators.TextAnalysis
+      .queries("corpus_pack_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val idx = graft.operators.TextAnalysis
+      .queries("corpus_pack_sequences")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: spans partition [0, toks) — total coverage, no overlap
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      assert(ss.map(_._4).sum === idx(doc), s"doc $doc not fully covered")
+      val ordered = ss.sortBy(_._3)
+      ordered.foldLeft(0L) { case (expect, (_, _, from, n, _)) =>
+        assert(from === expect, s"doc $doc spans not contiguous"); from + n }
+    }
+    // per pack: spans tile [0, 512) contiguously; every pack but the last
+    // is exactly full
+    val lastPack = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (pack, ss) =>
+      val ordered = ss.sortBy(_._5)
+      ordered.foldLeft(0L) { case (expect, (_, _, _, n, off)) =>
+        assert(off === expect, s"pack $pack has a gap at $expect"); off + n }
+      val filled = ordered.map(_._4).sum
+      if (pack != lastPack) assert(filled === 512L, s"pack $pack underfull")
+      else assert(filled <= 512L)
+    }
+    // the explode really is multi-pack: some doc crosses a boundary
+    assert(spans.groupBy(_._2).exists(_._2.length > 1),
+      "no doc spans two packs — fixture inert")
+  }
 }
