@@ -102,24 +102,10 @@ object TextAnalysis extends OpModule {
       // planted edges (block -71..-72, mirrored in the oracle): -71 has no
       // alnum token at all (NULL score, keep=false via the coalesce), -72
       // is a single token (unigram only — the bigram CASE guard fires)
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .unionByName(qcFixture.toDF("doc_id", "text"))
-        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
-        .withColumn("feats", expr(
-          "concat(toks, CASE WHEN size(toks) >= 2 THEN " +
-            "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))" +
-            " ELSE array() END)"))
-        .select(col("doc_id"),
-          size(col("feats")).cast("long").as("n_feats"),
-          expr("aggregate(feats, CAST(0 AS BIGINT), (a, f) -> a + " +
-            "((CAST(conv(substring(md5(concat('qc|', f)), 1, 15), 16, 10) " +
-            "AS BIGINT) % 4096 * 2654435761) % 2003 - 1001))").as("wsum"))
-        .select(col("doc_id"), col("n_feats"),
-          when(col("n_feats") === 0L, lit(null).cast("double"))
-            .otherwise(col("wsum").cast("double") /
-              col("n_feats").cast("double")).as("score"))
-        .withColumn("keep", coalesce(col("score") >= 0.0, lit(false)))
+      withClassifierScore(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .unionByName(qcFixture.toDF("doc_id", "text")))
+        .select(col("doc_id"), col("n_feats"), col("score"), col("keep"))
     }),
     "text_langid" -> ((s, dir) => {
       import s.implicits._
@@ -806,6 +792,34 @@ object TextAnalysis extends OpModule {
   private val qcFixture = Seq(
     (-71L, "??? !!!"),
     (-72L, "spark"))
+
+  /** Adds the hashed-linear-classifier columns (n_feats, score, keep) to
+    * any relation with a `text` column — the scoring core shared by the
+    * `text_quality_classifier` query and the streaming classifier gate
+    * tier. Purely narrow: features are built and scored inside one
+    * aggregate() HOF per row, so the transform composes into any plan
+    * without adding an exchange.
+    */
+  private[graft] def withClassifierScore(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__toks", Text.tokenize(col("text")))
+      .withColumn("__feats", expr(
+        "concat(__toks, CASE WHEN size(__toks) >= 2 THEN " +
+          "transform(sequence(1, size(__toks) - 1), " +
+          "i -> concat(element_at(__toks, i), '_', element_at(__toks, i + 1)))" +
+          " ELSE array() END)"))
+      .withColumn("n_feats", size(col("__feats")).cast("long"))
+      .withColumn("__wsum",
+        expr("aggregate(__feats, CAST(0 AS BIGINT), (a, f) -> a + " +
+          "((CAST(conv(substring(md5(concat('qc|', f)), 1, 15), 16, 10) " +
+          "AS BIGINT) % 4096 * 2654435761) % 2003 - 1001))"))
+      .withColumn("score",
+        when(col("n_feats") === 0L, lit(null).cast("double"))
+          .otherwise(col("__wsum").cast("double") /
+            col("n_feats").cast("double")))
+      .withColumn("keep", coalesce(col("score") >= 0.0, lit(false)))
+      .drop("__toks", "__feats", "__wsum")
 
   private val cyrFixture = Seq(
     (-21L, "глубокое обучение моделей", "ru"),

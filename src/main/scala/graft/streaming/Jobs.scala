@@ -237,9 +237,13 @@ object Jobs {
       .option("maxFilesPerTrigger", 1).parquet(s"$docSrc/c*")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // classifier tier first: a stateless narrow filter costs nothing
+        // and shrinks what the decontamination joins and the signature
+        // store ever see
         val gated = StatefulStreaming.ngramGateBatch(
-          StatefulStreaming.contaminationGateBloom(batch.toDF(), benchFps,
-            benchBloom),
+          StatefulStreaming.contaminationGateBloom(
+            StatefulStreaming.classifierGateBatch(batch.toDF()),
+            benchFps, benchBloom),
           benchGramFps)
         StatefulStreaming.nearDupIngestBatch(gated, sigStore, id,
             compactThreshold = 2)

@@ -241,6 +241,20 @@ object StatefulStreaming {
     * query, pinned in StreamingSpec. Both `benchFps` and `bloom` are
     * computed once per benchmark refresh and cached by the caller.
     */
+  /** Quality-classifier tier of the ingest hygiene chain — the stream
+    * form of `text_quality_classifier`'s keep filter (fastText/CCNet
+    * keep/drop). Purely narrow and stateless: one aggregate() HOF per
+    * document, no join, no state, no shuffle — each micro-batch pays a
+    * codegen'd scan and nothing else, so the tier composes into the
+    * hygiene chain at zero structural cost. Batch parity pinned in
+    * StreamingSpec; identical keep set to the batch query by
+    * construction (shared scoring core).
+    */
+  def classifierGateBatch(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.withClassifierScore(docs)
+      .filter(col("keep"))
+      .drop("n_feats", "score", "keep")
+
   def contaminationGateBloom(docs: DataFrame, benchFps: DataFrame,
       bloom: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast

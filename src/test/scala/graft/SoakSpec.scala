@@ -18,9 +18,9 @@ class SoakSpec extends SparkSpec {
     val work = Files.createTempDirectory("soak").toString
     Jobs.runSoak(spark, sfDir, work, srcFiles = 4)
 
-    // STAGE 0: streamed hygiene admissions ≡ batch gates (exact fp +
-    // 13-gram) + GLOBAL greedy keep-first (arrival order = id order by
-    // construction)
+    // STAGE 0: streamed hygiene admissions ≡ batch gates (classifier +
+    // exact fp + 13-gram) + GLOBAL greedy keep-first (arrival order = id
+    // order by construction)
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
     val benchDocs =
@@ -28,7 +28,9 @@ class SoakSpec extends SparkSpec {
     val benchFps = StatefulStreaming.benchmarkFps(benchDocs)
     val benchGramFps = StatefulStreaming.benchmarkGramFps(benchDocs)
     val gatedAll = StatefulStreaming.ngramGateBatch(
-      StatefulStreaming.contaminationGateFps(docs, benchFps), benchGramFps)
+      StatefulStreaming.contaminationGateFps(
+        StatefulStreaming.classifierGateBatch(docs), benchFps),
+      benchGramFps)
     val pairs = graft.operators.Dedup.verifiedPairs(
       graft.operators.Dedup.bandedSigs(gatedAll), 4)
     val admittedTwinDf = gatedAll.join(

@@ -427,6 +427,39 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); fps.unpersist(); bloom.unpersist(); () }
   }
 
+  test("classifier gate tier: streamed keep set equals the batch query's") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StatefulStreaming.classifierGateBatch(stream)
+      .writeStream.format("memory").queryName("qc_gate")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("qc_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch twin: the oracle-gated query's keep column (the tier is
+      // stateless, so batch split must be invisible)
+      val want = graft.operators.TextAnalysis
+        .queries("text_quality_classifier")(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("keep"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        .filter(_ >= 0L) // the query unions its own planted fixtures
+      assert(got === want, "streamed keep set must equal the batch query")
+      assert(got.nonEmpty && got.size < rows.length,
+        "classifier gate must be discriminative on the fixture")
+      // the tier stays stateless and narrow per micro-batch
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally { q.stop(); () }
+  }
+
   test("line-dedup ingest: lines strip from the threshold-crossing batch on") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("linestore").toString
