@@ -664,6 +664,17 @@ object TextAnalysis extends OpModule {
     // source and keep rank <= k. Unlike rate-based hash-mod sampling the
     // output size is exact; the plan is WindowGroupLimit (per-partition
     // k before the ranking exchange), so no source's full roster sorts.
+    // exactly k docs GLOBALLY, stable across reruns — the "draw a fixed
+    // 10k-doc eval subset" primitive. Deterministic salted-md5 order +
+    // a LITERAL limit compiles to TakeOrderedAndProject: each partition
+    // keeps its local top-k and only k rows per partition reach the
+    // driver-side merge — no global sort, no single-partition shuffle.
+    "sample_exact_k_global" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(md5(concat(lit("gk|"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+        .limit(100)),
     "sample_topk_per_source" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source"))
@@ -1728,6 +1739,10 @@ object TextAnalysis extends OpModule {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin
     },
+    "sample_exact_k_global" ->
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY md5('gk|' || doc_id::VARCHAR) ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     "sample_topk_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

@@ -550,6 +550,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("global exact-k sample: TakeOrderedAndProject plan, k stable rows") {
+    val df = graft.operators.TextAnalysis
+      .queries("sample_exact_k_global")(spark, sfDir)
+    // a literal limit over a deterministic order must compile to
+    // per-partition top-k + merge, never a global sort or a
+    // single-partition exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    val a = df.collect().map(_.getLong(0)).toSeq
+    val b = graft.operators.TextAnalysis
+      .queries("sample_exact_k_global")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sample must be stable across reruns")
+    assert(a.length === 100 && a.distinct.length === 100)
+  }
+
   test("pack spans tile every pack exactly and cover every doc exactly") {
     val spans = graft.operators.TextAnalysis
       .queries("corpus_pack_spans")(spark, sfDir)
