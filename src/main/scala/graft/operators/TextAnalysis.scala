@@ -158,6 +158,50 @@ object TextAnalysis extends OpModule {
           (abs(col("approx_distinct") - col("distinct_grams")).cast("double") /
             col("distinct_grams") <= 0.05).as("within_tol"))
     }),
+    // Exact-substring dedup (the published remove-repeated-passages op,
+    // at token-8-gram granularity): any token whose position is covered
+    // by an 8-gram occurring MORE THAN ONCE corpus-wide (across docs or
+    // within one) is removed from every doc; survivors keep order. The
+    // published motivation: repeated passages (licenses, headers, quoted
+    // chains) survive whole-doc and line-level dedup but still memorize.
+    // Shape: grams carry only (doc_id, start, 8-byte gfp) — 20 thin
+    // bytes/gram — through ONE count aggregate (map-side combine); the
+    // duplicated-fp set is boilerplate-small by definition and comes
+    // BACK as a broadcast; per-doc covered-start lists are tiny; the
+    // reconstruction is one narrow array-HOF pass over the barriered
+    // token relation. Emits kept/dropped counts + cleaned-text
+    // fingerprint (proof-of-scrub, not a corpus copy) — same contract as
+    // text_line_dedup one granularity down.
+    "text_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(ssdFixture.toDF("doc_id", "text"))
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .barrier() // read by the gram pipeline AND the reconstruction
+      val grams = docs.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> struct(i AS i, " +
+            "CAST(conv(substring(md5(array_join(slice(toks, i + 1, 8), " +
+            "' ')), 1, 15), 16, 10) AS BIGINT) AS gfp))")).as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.gfp").as("gfp"))
+        .barrier() // counted AND joined back to — one gram pass, not two
+      val dupFps = grams.groupBy(col("gfp"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1L)
+        .select(col("gfp"))
+      val dupStarts = grams.join(broadcast(dupFps), "gfp")
+        .groupBy(col("doc_id")).agg(collect_list(col("i")).as("ds"))
+      docs.join(dupStarts, Seq("doc_id"), "left")
+        .withColumn("ds", coalesce(col("ds"), expr("CAST(array() AS ARRAY<INT>)")))
+        .withColumn("kept", expr(
+          "CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(filter(sequence(0, size(toks) - 1), " +
+            "p -> NOT exists(ds, i -> i <= p AND p <= i + 7)), " +
+            "p -> element_at(toks, p + 1)) END"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"),
+          md5(array_join(col("kept"), " ")).as("clean_fp"))
+    }),
     // boilerplate n-gram mining — the op that BUILDS a stop-gram filter
     // list: the k most frequent 8-grams per language. Discipline: gram
     // STRINGS never ride the counting shuffle — counts aggregate on the
@@ -804,6 +848,16 @@ object TextAnalysis extends OpModule {
     (-71L, "??? !!!"),
     (-72L, "spark"))
 
+  /** Substring-dedup fixtures (block -81..-83, mirrored in the oracle):
+    * -81/-82 share exactly one 10-token passage (3 shared 8-grams cover
+    * the passage in both docs, surrounding tokens survive); -83 repeats
+    * a 12-token run WITHIN one doc — within-doc repetition must count,
+    * and its every position is covered (fully stripped). */
+  private val ssdFixture = Seq(
+    (-81L, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one tail"),
+    (-82L, "prefix words here alpha beta gamma delta epsilon zeta eta theta iota kappa other end"),
+    (-83L, "solo repeat cycle one two three four five six seven eight nine solo repeat cycle one two three four five six seven eight nine"))
+
   /** Adds the hashed-linear-classifier columns (n_feats, score, keep) to
     * any relation with a `text` column — the scoring core shared by the
     * `text_quality_classifier` query and the streaming classifier gate
@@ -1371,6 +1425,47 @@ object TextAnalysis extends OpModule {
         |    AS diversity,
         |  true AS within_tol
         |FROM g GROUP BY 1""".stripMargin,
+    // fully relational mirror (no nested lambdas): duplicated grams →
+    // covered positions via unnest(range(i, i+8)) → kept = positions
+    // EXCEPT covered, reassembled in order
+    "text_substring_dedup" -> {
+      val values = ssdFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |    '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |g AS (
+         |  SELECT doc_id, i, ('0x' || substring(md5(
+         |      array_to_string(toks[i+1:i+8], ' ')), 1, 15))::BIGINT AS gfp
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+         |        FROM tk WHERE len(toks) >= 8)),
+         |dup AS (SELECT gfp FROM g GROUP BY gfp HAVING count(*) > 1),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+         |        FROM g JOIN dup USING (gfp)),
+         |pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS p,
+         |          unnest(toks) AS tok
+         |        FROM tk),
+         |keptpos AS (
+         |  SELECT pos.doc_id, pos.p, pos.tok
+         |  FROM pos LEFT JOIN cov
+         |    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    array_to_string(list(tok ORDER BY p), ' ') AS clean
+         |  FROM keptpos GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  md5(coalesce(k.clean, '')) AS clean_fp
+         |FROM tk t LEFT JOIN kept k USING (doc_id)""".stripMargin
+    },
     "text_top_ngrams" ->
       """WITH g AS (
         |  SELECT lang, gram,

@@ -567,6 +567,40 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length === 100 && a.distinct.length === 100)
   }
 
+  test("substring dedup: shared passages strip, within-doc repeats count") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_substring_dedup")(spark, sfDir)
+    // the duplicated-fp set must come back as a broadcast (boilerplate is
+    // small by definition — the hot-set discipline)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // -81/-82: exactly the 10-token shared passage strips from BOTH docs,
+    // the distinct surroundings survive
+    assert(rows(-81L) === ((3L, 10L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("unique one tail".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    assert(rows(-82L)._1 === 5L && rows(-82L)._2 === 10L)
+    // -83: a 12-token run repeated WITHIN one doc — every position covered
+    assert(rows(-83L)._1 === 0L && rows(-83L)._2 === 24L)
+    // exact clone groups in the corpus strip in ALL copies (the literal
+    // more-than-once semantics; keep-one-copy is what doc-level keep-first
+    // dedup upstream provides)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val cloneGroup = docs.groupBy(_._2).values.find(_.length > 1)
+    cloneGroup.foreach(_.foreach { case (id, _) =>
+      assert(rows(id)._2 > 0L, s"clone $id untouched") })
+    // an untouched doc reports zero drops and a non-empty fingerprint
+    val untouched = rows.filter { case (id, (_, nd, _)) => id >= 0 && nd == 0L }
+    assert(untouched.nonEmpty)
+  }
+
   test("pack spans tile every pack exactly and cover every doc exactly") {
     val spans = graft.operators.TextAnalysis
       .queries("corpus_pack_spans")(spark, sfDir)
