@@ -28,6 +28,26 @@ object Dedup extends OpModule {
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
     }),
+    // duplication profile — the report a dedup decision starts from: the
+    // histogram of exact-duplicate group sizes (group_size → how many
+    // groups, how many docs, how many would drop under keep-one). Two
+    // chained thin aggregations (fp → size, size → histogram), both
+    // map-side combined; nothing wide survives the first groupBy.
+    "corpus_dedup_stats" -> ((s, dir) => {
+      import s.implicits._
+      // planted clone groups (block -91..-95, mirrored in the oracle):
+      // one triple (normalization-equivalent variants) + one pair — the
+      // generated sf corpus has passage dups but no whole-doc clones, so
+      // without these the histogram is a single degenerate row
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(statsFixture.toDF("doc_id", "text"))
+        .groupBy(graft.functions.Text.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          (count(lit(1)) * col("group_size")).as("n_docs"),
+          (count(lit(1)) * (col("group_size") - 1L)).as("would_drop"))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       // 3 bands × r=2 minhashes; candidates = same (band, sig);
       // verify with true word-set Jaccard >= 0.6.
@@ -350,6 +370,17 @@ object Dedup extends OpModule {
   }
 
   // DuckDB mirror of tokenizeDistinct
+  /** Clone-group fixtures for corpus_dedup_stats (block -91..-95): a
+    * triple of normalization-equivalent variants (case/punct differ, the
+    * canonical fingerprint agrees) + an exact pair. Mirrored verbatim in
+    * the oracle. */
+  private val statsFixture = Seq(
+    (-91L, "shared clone corpus text one"),
+    (-92L, "Shared   clone CORPUS text one!"),
+    (-93L, "shared clone corpus, text ONE"),
+    (-94L, "another duplicated body entirely"),
+    (-95L, "another duplicated body entirely"))
+
   private val oraToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
 
@@ -395,6 +426,19 @@ object Dedup extends OpModule {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_ct
         |FROM documents GROUP BY 1""".stripMargin,
+    "corpus_dedup_stats" -> {
+      val values = statsFixture
+        .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+      s"""SELECT group_size, count(*) AS n_groups,
+        |  count(*) * group_size AS n_docs,
+        |  count(*) * (group_size - 1) AS would_drop
+        |FROM (SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+        |        ' ', 'g'))) AS fp, count(*) AS group_size
+        |      FROM (SELECT doc_id, text FROM documents
+        |            UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars, $oraToks AS toks FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
