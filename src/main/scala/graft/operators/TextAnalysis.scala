@@ -518,23 +518,25 @@ object TextAnalysis extends OpModule {
     // Catalyst pipeline the narrow stages into the dedup shuffle. Scale
     // shape: two narrow filters, ONE shuffle (keep-first window on fp),
     // one broadcast anti-join (bench fps are small), one narrow project.
-    "pipeline_clean_corpus" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val isBench = hashBucket("bmk|", col("doc_id")) < 20
-      val benchFp = docs.filter(isBench)
-        .select(Text.fingerprint(col("text")).as("fp")).distinct()
-      val quality = docs.filter(!isBench).filter(qualityPred)
-        .select(col("doc_id"), col("source"),
-          Text.fingerprint(col("text")).as("fp"))
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-      val deduped = quality.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      val split = hashBucket("spl|", col("doc_id"))
-      deduped.join(broadcast(benchFp), Seq("fp"), "left_anti")
-        .select(col("doc_id"), col("source"),
-          when(split < 80, lit("train")).when(split < 90, lit("val"))
-            .otherwise(lit("test")).as("split"))
+    "pipeline_clean_corpus" -> ((s, dir) => cleanCorpus(s, dir)),
+    // The full "raw corpus → training batches" path in ONE plan: front
+    // door (quality gate → keep-first dedup → decontamination → split) →
+    // train-split survivors → sequence-packing index. What a training
+    // run actually consumes — the pack index exists only over documents
+    // that passed every hygiene stage, and composition beats running the
+    // stages as separate re-scanning jobs: the survivors relation is a
+    // thin (doc_id) set joined once back to the corpus for token counts;
+    // text is scanned exactly twice overall (fingerprint+quality, token
+    // count) regardless of how many stages the front door grows.
+    "pipeline_packed_corpus" -> ((s, dir) => {
+      val survivors = cleanCorpus(s, dir)
+        .filter(col("split") === "train").select(col("doc_id"))
+      val counts = t(s, dir, "documents")
+        .join(survivors, "doc_id")
+        .select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0L)
+      packIndexFromCounts(counts, 512L)
     }),
     // Incremental front door over the snapshot diff — the composition
     // that makes `corpus_snapshot_diff` actionable: yesterday's run left a
@@ -898,13 +900,45 @@ object TextAnalysis extends OpModule {
     * window over data. Shared by `corpus_pack_sequences` (the index) and
     * `corpus_pack_spans` (the per-pack materialization plan).
     */
-  private def packIndex(s: org.apache.spark.sql.SparkSession, dir: String,
-      L: Long): org.apache.spark.sql.DataFrame = {
+  /** The batch corpus front door (quality gate → keep-first dedup →
+    * decontamination vs the benchmark holdout → split assignment) as a
+    * reusable relation — the body of `pipeline_clean_corpus`, also the
+    * head of `pipeline_packed_corpus`. */
+  private def cleanCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
-      .filter(col("toks") > 0L)
+    val isBench = hashBucket("bmk|", col("doc_id")) < 20
+    val benchFp = docs.filter(isBench)
+      .select(Text.fingerprint(col("text")).as("fp")).distinct()
+    val quality = docs.filter(!isBench).filter(qualityPred)
+      .select(col("doc_id"), col("source"),
+        Text.fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val deduped = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val split = hashBucket("spl|", col("doc_id"))
+    deduped.join(broadcast(benchFp), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        when(split < 80, lit("train")).when(split < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  private def packIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      L: Long): org.apache.spark.sql.DataFrame =
+    packIndexFromCounts(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0L),
+      L)
+
+  /** The prefix-sum core of [[packIndex]] over an arbitrary thin
+    * (doc_id, toks) relation — also the tail of `pipeline_packed_corpus`,
+    * where the relation is the front door's train-split survivors. */
+  private def packIndexFromCounts(docs: org.apache.spark.sql.DataFrame,
+      L: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val bucketed = docs.join(broadcast(mx), lit(true))
       .withColumn("bucket", expr("doc_id * 32L div (mx + 1L)"))
@@ -1724,6 +1758,28 @@ object TextAnalysis extends OpModule {
          |SELECT doc_id, source, toks FROM c WHERE cum <= 12000""".stripMargin,
     "pipeline_clean_corpus" ->
       s"WITH ${oraCleanCorpusCtes("documents")}\n$oraCleanCorpusSelect",
+    // front-door CTEs → train survivors → the pack-sequences cumsum over
+    // exactly those docs
+    "pipeline_packed_corpus" ->
+      s"""WITH ${oraCleanCorpusCtes("documents")},
+         |sel AS ($oraCleanCorpusSelect),
+         |surv AS (SELECT doc_id FROM sel WHERE split = 'train'),
+         |s2 AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(regexp_extract_all(lower(d.text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS toks
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM s2 WHERE toks > 0)
+         |SELECT doc_id, toks,
+         |  cum - toks AS start_tok,
+         |  (cum - toks) // 512 AS pack_first,
+         |  (cum - 1) // 512 AS pack_last,
+         |  (cum - toks) % 512 AS offset_in_pack
+         |FROM c""".stripMargin,
     // the oracle IS the full front-door re-run on the new snapshot — hash
     // equality proves the incremental patch-and-rededup path reproduces it
     "pipeline_incremental_corpus" ->

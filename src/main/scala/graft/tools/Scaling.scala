@@ -28,7 +28,8 @@ object Scaling {
     "pipeline_incremental_corpus", "sample_stratified_exact",
     "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences",
     "text_quality_classifier", "sim_range_search", "text_ngram_diversity",
-    "text_top_ngrams", "corpus_pack_spans", "text_substring_dedup")
+    "text_top_ngrams", "corpus_pack_spans", "text_substring_dedup",
+    "pipeline_packed_corpus")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

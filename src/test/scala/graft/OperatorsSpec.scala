@@ -601,6 +601,25 @@ class OperatorsSpec extends SparkSpec {
     assert(untouched.nonEmpty)
   }
 
+  test("packed corpus: exactly the train survivors, contiguous intervals") {
+    val packed = graft.operators.TextAnalysis
+      .queries("pipeline_packed_corpus")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val train = graft.operators.TextAnalysis
+      .queries("pipeline_clean_corpus")(spark, sfDir)
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every packed doc is a train survivor; every train survivor with
+    // tokens is packed
+    assert(packed.map(_._1).toSet.subsetOf(train))
+    assert(packed.length > 0 && train.size - packed.length <= train.size / 10,
+      s"${train.size} survivors but only ${packed.length} packed")
+    // the concatenated stream is gapless: sorted by doc_id, each interval
+    // starts where the previous ended
+    packed.sortBy(_._1).foldLeft(0L) { case (expect, (id, toks, start)) =>
+      assert(start === expect, s"gap before doc $id"); start + toks }
+  }
+
   test("pack spans tile every pack exactly and cover every doc exactly") {
     val spans = graft.operators.TextAnalysis
       .queries("corpus_pack_spans")(spark, sfDir)
