@@ -30,6 +30,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // bucketed-table metadata (Tables.writeBucketed) needs a catalog
+      // location; keep it out of the working tree in local runs (a real
+      // deployment points this at its warehouse)
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
     if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
       b.config("spark.sql.streaming.stateStore.providerClass",
         RocksDbProvider)

@@ -132,4 +132,21 @@ object Tables {
       spark.readStream.schema(schemas(name)).option("basePath", dir)
         .parquet(s"$dir/{$name}.parquet")
   }
+
+  /** Persist a relation as a BUCKETED table (hash-bucketed + sorted by
+    * `key` into `buckets` files per partition dir): the co-located-join
+    * layout. Two tables bucketed the same way join WITHOUT any Exchange —
+    * each task zips matching buckets — which is the difference between
+    * "every daily merge reshuffles 100 TB" and "every daily merge streams
+    * matching files" for repeat-join workloads (snapshot diff, roster
+    * patch, upsert merge). Bucket pruning also serves point lookups.
+    * Requires a table name (bucket metadata lives in the catalog);
+    * `spark.sql.warehouse.dir` decides the physical location.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table)
 }

@@ -115,4 +115,36 @@ class SinksSpec extends SparkSpec {
       Sinks.applyDimDdl(spark, base, "dim_user", "zz")
     }
   }
+
+  test("bucketed tables: co-located join has zero shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    graft.core.Tables.writeBucketed(
+      docs.select(col("doc_id"), col("lang"), col("source")),
+      "b_docs", "doc_id", 8)
+    graft.core.Tables.writeBucketed(
+      docs.select(col("doc_id"), col("n_chars")),
+      "b_meta", "doc_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_docs").join(spark.table("b_meta"), "doc_id")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      // matching bucket layouts zip file-to-file: a SortMergeJoin with NO
+      // Exchange on either side — the co-located-merge shape every repeat
+      // join (snapshot diff, roster patch, upsert merge) relies on at
+      // 100 TB
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      val want = docs.select(col("doc_id"), col("n_chars"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+      ()
+    }
+  }
 }
