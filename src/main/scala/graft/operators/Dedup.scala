@@ -48,6 +48,48 @@ object Dedup extends OpModule {
           (count(lit(1)) * col("group_size")).as("n_docs"),
           (count(lit(1)) * (col("group_size") - 1L)).as("would_drop"))
     }),
+    // MinHash estimator quality — the diagnostic behind every threshold
+    // choice in this family: for each LSH CANDIDATE pair (blocked, never
+    // all-pairs; no verify threshold, so the full quality spectrum the
+    // buckets surface is visible), the signature-agreement estimate
+    // (matching slices / 6 — what MinHash mathematically estimates) next
+    // to the true word-set Jaccard. Both are single IEEE divisions of
+    // exact integers, so the whole report sits under the bit-exact
+    // oracle. The slice relation is THIN (doc_id + six longs); candidate
+    // generation shuffles only (doc_id, band, sig).
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mh = minhashSlices(docs).barrier() // banded AND joined per side
+      val banded = mh
+        .select(col("doc_id"),
+          posexplode(array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5))))
+        .select(col("doc_id"), col("col").as("sig"), col("pos").as("band"))
+        .repartition(32, col("band"), col("sig"))
+      val cand = banded.select(col("band").as("band_a"),
+          col("sig").as("sig_a"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band").as("band_b"),
+            col("sig").as("sig_b"), col("doc_id").as("doc_b")),
+          col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val toks = docs.select(col("doc_id"),
+        Text.tokenizeDistinct(col("text")).as("toks"))
+      def side(n: String) = mh.select(col("doc_id").as(n) +:
+        (0 to 5).map(i => col(s"mh$i").as(s"mh${i}_$n")): _*)
+      val nMatch = (0 to 5).map(i =>
+        when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(side("a"), col("doc_a") === col("a")).drop("a")
+        .join(side("b"), col("doc_b") === col("b")).drop("b")
+        .withColumn("n_match", nMatch)
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          (col("n_match").cast("double") / lit(6.0)).as("est_jaccard"),
+          jaccard(col("ta"), col("tb")).as("true_jaccard"))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       // 3 bands × r=2 minhashes; candidates = same (band, sig);
       // verify with true word-set Jaccard >= 0.6.
@@ -226,12 +268,27 @@ object Dedup extends OpModule {
     */
   def bandedSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    val mh = minhashSlices(docs)
+    val toks = docs.select(col("doc_id"),
+      Text.tokenizeDistinct(col("text")).as("toks"))
+    mh.join(toks, "doc_id")
+      .select(col("doc_id"), col("toks"),
+        array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
+      .select(col("doc_id"), col("toks"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+  }
+
+  /** The six 20-bit BIGINT min-slices per doc — the raw MinHash vector
+    * [[bandedSigs]] bands up, also read directly by the estimator-quality
+    * query (slice agreement IS the MinHash Jaccard estimate). */
+  private[graft] def minhashSlices(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val shDf = docs
       .select(col("doc_id"),
         explode(array(Text.tokenize(col("text")))).as("rtoks"))
       .select(col("doc_id"),
         explode(Text.wordShingles(col("rtoks"), 3)).as("shingle"))
-    val mh = shDf.select(col("doc_id"), md5(col("shingle")).as("h"))
+    shDf.select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
         min(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("mh0"),
@@ -240,16 +297,10 @@ object Dedup extends OpModule {
         min(conv(substring(col("h"), 16, 5), 16, 10).cast("long")).as("mh3"),
         min(conv(substring(col("h"), 21, 5), 16, 10).cast("long")).as("mh4"),
         min(conv(substring(col("h"), 26, 5), 16, 10).cast("long")).as("mh5"))
-    val toks = docs.select(col("doc_id"),
-      Text.tokenizeDistinct(col("text")).as("toks"))
-    def bandSig(i: Int, j: Int) = md5(concat(
-      col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
-    mh.join(toks, "doc_id")
-      .select(col("doc_id"), col("toks"),
-        array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5)).as("sigs"))
-      .select(col("doc_id"), col("toks"), posexplode(col("sigs")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
+
+  private def bandSig(i: Int, j: Int) = md5(concat(
+    col(s"mh$i").cast("string"), lit("_"), col(s"mh$j").cast("string")))
 
   /** Word-set Jaccard similarity of two token-array columns — THE verify
     * expression, defined once (batch dedup, n-gram variants, and both
@@ -448,6 +499,41 @@ object Dedup extends OpModule {
          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> oraclesMinhash,
+    "dedup_minhash_estimate" -> {
+      val mSel = (0 to 5).map(i => s"${oraMinhash(i)} AS m$i").mkString(",\n        |  ")
+      val agree = (0 to 5).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+        |sl AS (SELECT doc_id, toks,
+        |  $mSel
+        |  FROM d2),
+        |sigs AS (SELECT doc_id,
+        |  md5(m0::VARCHAR || '_' || m1::VARCHAR) AS s0,
+        |  md5(m2::VARCHAR || '_' || m3::VARCHAR) AS s1,
+        |  md5(m4::VARCHAR || '_' || m5::VARCHAR) AS s2 FROM sl),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+        |  UNION ALL SELECT doc_id, 1, s1 FROM sigs
+        |  UNION ALL SELECT doc_id, 2, s2 FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST($agree AS BIGINT) AS n_match,
+        |    sa.toks AS ta, sb.toks AS tb
+        |  FROM cand c
+        |  JOIN sl sa ON sa.doc_id = c.doc_a
+        |  JOIN sl sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_match,
+        |  CAST(n_match AS DOUBLE) / 6.0 AS est_jaccard,
+        |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+        |    AS true_jaccard
+        |FROM m""".stripMargin
+    },
     // transitive closure of the pair relation via a recursive CTE — the
     // declarative twin of the Spark-side label propagation fixpoint
     "dedup_cc_clusters" -> oraclesCc,

@@ -387,6 +387,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("minhash estimate: band membership implies ≥2 matching slices") {
+    val rows = graft.operators.Dedup
+      .queries("dedup_minhash_estimate")(spark, sfDir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nm, est, tj) =>
+      // a candidate only exists because one full band (2 slices) agreed
+      assert(nm >= 2L && nm <= 6L, s"n_match $nm outside band bound")
+      assert(est === nm / 6.0)
+      assert(tj >= 0.0 && tj <= 1.0)
+    }
+    // the estimator tracks the truth on the fixture: perfect-agreement
+    // pairs are on average more similar than partial-agreement ones
+    val (full, part) = rows.partition(_._1 == 6L)
+    if (full.nonEmpty && part.nonEmpty)
+      assert(full.map(_._3).sum / full.size >= part.map(_._3).sum / part.size)
+  }
+
   test("range search: exactly the ≥τ set, no exchange or window in plan") {
     import org.apache.spark.sql.functions._
     val df = graft.operators.Similarity
