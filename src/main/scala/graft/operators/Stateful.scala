@@ -99,6 +99,43 @@ object Stateful extends OpModule {
         .select(col("cur_date"), col("exact_uv"),
           (abs(col("approx_uv") - col("exact_uv")).cast("double") /
             col("exact_uv") <= 0.05).as("within_tol"))
+    }),
+    // conversion funnel (the CEP-flavored user-journey op): how many
+    // users reach view, then click within 24 h STRICTLY AFTER their first
+    // view, then purchase within 24 h after that click — each stage
+    // anchored at the user's EARLIEST qualifying event, so a click that
+    // precedes every view does not convert and a late one misses the
+    // deadline. Time arithmetic is exact integer MICROSECONDS
+    // (unix_micros ≡ DuckDB epoch_us), so the deadline boundary is
+    // bit-exact cross-engine. Three thin per-user min-aggregates chained
+    // by (user_id) joins over ONE barriered (user_id, type, us) pass of
+    // events — no sorting, no per-user state, no window over all events.
+    "a7_funnel_steps" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val day = 86400000000L // 24 h in microseconds
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .barrier() // three stage filters read it
+      // each stage is read twice (the next stage's join + its own count)
+      // — barrier the thin (user_id, t) relations so neither re-derives
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1")).barrier()
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2")).barrier()
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s1.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage"), lit("view").as("event_type"), col("users"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("stage"), lit("click").as("event_type"),
+            col("users")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("stage"), lit("purchase").as("event_type"),
+            col("users")))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -135,5 +172,22 @@ object Stateful extends OpModule {
       """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
         |  count(DISTINCT user_id) AS exact_uv, true AS within_tol
         |FROM events WHERE user_id IS NOT NULL
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "a7_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1
+        |         AND e.us <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |         AND e.us <= s2.t2 + 86400000000 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin)
 }

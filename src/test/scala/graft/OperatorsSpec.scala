@@ -620,6 +620,34 @@ class OperatorsSpec extends SparkSpec {
       assert(start === expect, s"gap before doc $id"); start + toks }
   }
 
+  test("funnel: stages shrink monotonically and match a direct recompute") {
+    val got = graft.operators.Stateful
+      .queries("a7_funnel_steps")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(1) >= got(2) && got(2) >= got(3), s"non-monotone: $got")
+    assert(got(3) > 0, "fixture inert: nobody completes the funnel")
+    // independent recompute on the driver (fixture-sized only)
+    val day = 86400000000L
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def stageMin(u: Long, tpe: String, after: Long): Option[Long] = {
+      val ts = byUser(u).filter(e => e._2 == tpe && e._3 > after &&
+        e._3 <= after + day).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val t1 = byUser.flatMap { case (u, es) =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else Some(u -> vs.min)
+    }
+    val t2 = t1.flatMap { case (u, t) => stageMin(u, "click", t).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => stageMin(u, "purchase", t).map(u -> _) }
+    assert(got === Map(1 -> t1.size.toLong, 2 -> t2.size.toLong,
+      3 -> t3.size.toLong))
+  }
+
   test("pack spans tile every pack exactly and cover every doc exactly") {
     val spans = graft.operators.TextAnalysis
       .queries("corpus_pack_spans")(spark, sfDir)
