@@ -100,6 +100,31 @@ object Stateful extends OpModule {
           (abs(col("approx_uv") - col("exact_uv")).cast("double") /
             col("exact_uv") <= 0.05).as("within_tol"))
     }),
+    // cohort retention (the signup-cohort × day-offset matrix): users
+    // grouped by their FIRST signup date; for each later active day, how
+    // many of that cohort were active day_offset days in. All date
+    // arithmetic is exact integer days on DATE values (datediff ≡
+    // date_diff('day')), so the matrix is bit-exact cross-engine. Shape:
+    // one barriered thin (user_id, date) pass; cohort anchors are a tiny
+    // per-user min; (user, day) is distinct before the join so each user
+    // contributes at most one row per cell — count(*), no count_distinct
+    // shuffle expansion.
+    "a8_cohort_retention" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type"))
+        .barrier() // cohort anchors AND the activity relation read it
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      val act = ev.select(col("user_id"), col("d")).distinct()
+      act.join(cohort, "user_id")
+        .filter(col("d") >= col("c0"))
+        .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort_date"),
+          datediff(col("d"), col("c0")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("users"))
+    }),
     // conversion funnel (the CEP-flavored user-journey op): how many
     // users reach view, then click within 24 h STRICTLY AFTER their first
     // view, then purchase within 24 h after that click — each stage
@@ -173,6 +198,17 @@ object Stateful extends OpModule {
         |  count(DISTINCT user_id) AS exact_uv, true AS within_tol
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "a8_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, min(d) AS c0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT strftime(c0, '%Y-%m-%d') AS cohort_date,
+        |  date_diff('day', c0, d) AS day_offset, count(*) AS users
+        |FROM a JOIN c USING (user_id)
+        |WHERE d >= c0 GROUP BY 1, 2""".stripMargin,
     "a7_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
         |           FROM events

@@ -620,6 +620,22 @@ class OperatorsSpec extends SparkSpec {
       assert(start === expect, s"gap before doc $id"); start + toks }
   }
 
+  test("cohort retention: day-0 equals cohort size, no cell exceeds it") {
+    val cells = graft.operators.Stateful
+      .queries("a8_cohort_retention")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    val day0 = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    // every cohort has a day-0 row (a signup day is itself an active day)
+    val cohorts = cells.map(_._1).distinct
+    assert(cohorts.forall(day0.contains))
+    // retention never exceeds the cohort's size, and some cohort actually
+    // decays (otherwise the deadline/offset logic is vacuous)
+    cells.foreach { case (c, off, n) =>
+      assert(n <= day0(c), s"cohort $c day $off has $n > ${day0(c)}") }
+    assert(cells.exists { case (c, off, n) => off > 0 && n < day0(c) })
+  }
+
   test("funnel: stages shrink monotonically and match a direct recompute") {
     val got = graft.operators.Stateful
       .queries("a7_funnel_steps")(spark, sfDir)
