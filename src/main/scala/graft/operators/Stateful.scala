@@ -100,6 +100,24 @@ object Stateful extends OpModule {
           (abs(col("approx_uv") - col("exact_uv")).cast("double") /
             col("exact_uv") <= 0.05).as("within_tol"))
     }),
+    // event transition matrix (the Markov/path-analysis primitive): for
+    // each user's event sequence ordered by (ts, event_id) — the same
+    // deterministic total order the A4/A5 state machines use — count
+    // every consecutive (from_type → to_type) step across the corpus.
+    // The window is PARTITIONED by user (bounded per-key work, the
+    // legitimate windowed shape — never a global order), and only
+    // (from, to) pairs reach the counting aggregate.
+    "a9_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("steps"))
+    }),
     // cohort retention (the signup-cohort × day-offset matrix): users
     // grouped by their FIRST signup date; for each later active day, how
     // many of that cohort were active day_offset days in. All date
@@ -198,6 +216,14 @@ object Stateful extends OpModule {
         |  count(DISTINCT user_id) AS exact_uv, true AS within_tol
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "a9_event_transitions" ->
+      """SELECT from_type, event_type AS to_type, count(*) AS steps
+        |FROM (SELECT event_type, lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "a8_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
         |           FROM events

@@ -620,6 +620,18 @@ class OperatorsSpec extends SparkSpec {
       assert(start === expect, s"gap before doc $id"); start + toks }
   }
 
+  test("event transitions: steps conserve (events minus users)") {
+    val steps = graft.operators.Stateful
+      .queries("a9_event_transitions")(spark, sfDir)
+      .collect().map(r => r.getLong(2)).sum
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user's n-event chain yields exactly n-1 transitions
+    assert(steps === nEvents - nUsers)
+  }
+
   test("cohort retention: day-0 equals cohort size, no cell exceeds it") {
     val cells = graft.operators.Stateful
       .queries("a8_cohort_retention")(spark, sfDir)
