@@ -53,4 +53,28 @@ object StateMachines {
     } else {
       if (firstDay == NoState) (day - 1, 0) else (firstDay, 0)
     }
+
+  val UsPerDay: Long = 86400000000L
+
+  /** A7 funnel progression (view → click → purchase, 24 h per stage).
+    *
+    * State = (t1, t2, t3) anchor micros (NoState = stage not reached).
+    * Events must arrive per key in (ts, event_id) order — then each
+    * anchor is the EARLIEST qualifying event, exactly the batch query's
+    * min-aggregate semantics. Returns (newState, advancedToStage): a
+    * stage advances only once, strictly after the previous anchor and
+    * within its 24 h deadline.
+    */
+  def funnelStep(st: (Long, Long, Long), eventType: String, us: Long)
+      : ((Long, Long, Long), Option[Int]) = {
+    val (t1, t2, t3) = st
+    eventType match {
+      case "view" if t1 == NoState => ((us, t2, t3), Some(1))
+      case "click" if t1 != NoState && t2 == NoState &&
+        us > t1 && us <= t1 + UsPerDay => ((t1, us, t3), Some(2))
+      case "purchase" if t2 != NoState && t3 == NoState &&
+        us > t2 && us <= t2 + UsPerDay => ((t1, t2, us), Some(3))
+      case _ => (st, None)
+    }
+  }
 }

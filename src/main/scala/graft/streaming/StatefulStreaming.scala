@@ -28,6 +28,9 @@ object StatefulStreaming {
     claimed: Int)
   case class FirstOfDay(user_id: Long, cur_date: String, back: Int)
   case class Repaired(event_id: Long, is_new_claimed: Int, is_new: Int)
+  case class FunnelEvent(event_id: Long, user_id: Long, usMicros: Long,
+    event_type: String)
+  case class FunnelAdvance(user_id: Long, stage: Int)
 
   /** Normalize the events stream to the keyed shape both operators consume. */
   def keyedEvents(events: DataFrame): Dataset[KeyedEvent] = {
@@ -78,6 +81,37 @@ object StatefulStreaming {
             ttl.foreach(state.setTimeoutDuration) // W6: 1-day state TTL
             out.iterator
           }
+      }
+  }
+
+  /** A7 streaming funnel: per-user stage-progression state (three anchor
+    * micros, O(1) per key). In-order per-key arrival makes each anchor
+    * the earliest qualifying event — exactly the batch query's
+    * min-aggregate semantics; a stage emits its advance record once.
+    * Shares [[StateMachines.funnelStep]] with nothing else in the batch
+    * path precisely because the batch form needs NO per-key state at all
+    * (three thin min-aggregates) — the state machine exists only where
+    * state is genuinely required.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent],
+            state: GroupState[(Long, Long, Long)]) =>
+          var st = state.getOption.getOrElse(
+            (StateMachines.NoState, StateMachines.NoState,
+              StateMachines.NoState))
+          val out = it.toSeq.sortBy(e => (e.usMicros, e.event_id))
+            .flatMap { e =>
+              val (ns, adv) =
+                StateMachines.funnelStep(st, e.event_type, e.usMicros)
+              st = ns
+              adv.map(FunnelAdvance(uid, _))
+            }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -81,4 +81,29 @@ class StateMachinesSpec extends AnyFunSuite {
       onesDays.headOption.foreach(d => assert(d === evs.head._2))
     }
   }
+
+  test("A7 funnel step: stage gating, strict-after, deadline, once-only") {
+    import graft.streaming.StateMachines._
+    val none = (NoState, NoState, NoState)
+    // a click before any view does not advance
+    assert(funnelStep(none, "click", 100L)._2 === None)
+    // first view anchors stage 1; a second view is ignored
+    val (s1, a1) = funnelStep(none, "view", 100L)
+    assert(a1 === Some(1) && s1._1 === 100L)
+    assert(funnelStep(s1, "view", 200L) === ((s1, None)))
+    // click must be STRICTLY after the view anchor...
+    assert(funnelStep(s1, "click", 100L)._2 === None)
+    // ...and within the 24 h deadline (boundary inclusive, then expired)
+    assert(funnelStep(s1, "click", 100L + UsPerDay)._2 === Some(2))
+    assert(funnelStep(s1, "click", 101L + UsPerDay)._2 === None)
+    // purchase gates on the CLICK anchor, not the view
+    val (s2, _) = funnelStep(s1, "click", 500L)
+    assert(funnelStep(s2, "purchase", 400L)._2 === None,
+      "purchase before the click anchor must not convert")
+    val (s3, a3) = funnelStep(s2, "purchase", 600L)
+    assert(a3 === Some(3) && s3 === ((100L, 500L, 600L)))
+    // terminal: nothing advances twice
+    assert(funnelStep(s3, "purchase", 700L)._2 === None)
+    assert(funnelStep(s3, "click", 700L)._2 === None)
+  }
 }

@@ -427,6 +427,46 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); fps.unpersist(); bloom.unpersist(); () }
   }
 
+  test("streaming funnel: in-order batches reproduce the batch stage counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StatefulStreaming.FunnelEvent]
+    val q = StatefulStreaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      val rows = graft.core.Tables.load(spark, sfDir, "events")
+        .filter(org.apache.spark.sql.functions.col("user_id").isNotNull &&
+          org.apache.spark.sql.functions.col("ts").isNotNull)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")).as("us"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .collect().map(r => StatefulStreaming.FunnelEvent(
+          r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(e => (e.usMicros, e.event_id))
+      // split TIME-ORDERED so per-key arrival stays in order across
+      // micro-batches — the contract under which streaming ≡ batch
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .groupBy("stage").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Stateful
+        .queries("a7_funnel_steps")(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got === want,
+        "streamed stage advances must equal the batch funnel counts")
+      // a stage advance is emitted at most once per (user, stage)
+      val dupes = spark.table("funnel_stream")
+        .groupBy("user_id", "stage").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(dupes === 0L)
+    } finally { q.stop(); () }
+  }
+
   test("classifier gate tier: streamed keep set equals the batch query's") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
