@@ -29,7 +29,8 @@ object Scaling {
     "text_line_dedup", "dedup_partial_overlap", "corpus_pack_sequences",
     "text_quality_classifier", "sim_range_search", "text_ngram_diversity",
     "text_top_ngrams", "corpus_pack_spans", "text_substring_dedup",
-    "pipeline_packed_corpus")
+    "pipeline_packed_corpus", "dedup_minhash_estimate", "a7_funnel_steps",
+    "a8_cohort_retention", "a9_event_transitions")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
