@@ -140,6 +140,19 @@ class SinksSpec extends SparkSpec {
       val want = docs.select(col("doc_id"), col("n_chars"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want)
+      // bucket pruning: an equality lookup touches ONE bucket file, not 8
+      // (autoBucketedScan would drop the bucketed layout for a bare
+      // filter because no join needs it — disable it to expose pruning)
+      spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val point = spark.table("b_docs").filter(col("doc_id") === 42L)
+        point.collect()
+        val pplan = point.queryExecution.executedPlan.toString
+        assert(pplan.contains("SelectedBucketsCount: 1 out of 8"),
+          pplan.take(3000))
+      } finally spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS b_docs")

@@ -13,6 +13,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests write through the catalog — keep the
+      // warehouse out of the working tree (mirrors core.Sessions)
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
