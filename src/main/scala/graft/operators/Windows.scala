@@ -56,6 +56,27 @@ object Windows extends OpModule {
           date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
           col("user_id"), col("events_in_session"))
     }),
+    // session stats — the CONSUMER of sessionization: per user, how many
+    // 30-min-gap sessions, how many events, and how long the sessions
+    // ran. Spans are exact integer micros summed per user (exact), with
+    // ONE IEEE division for the mean — bit-exact oracle. The oracle
+    // re-derives session assignment relationally (gap >= 30 min starts a
+    // session, matching session_window's half-open [t, t+gap) semantics).
+    "a6_session_stats" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          sum(col("t1") - col("t0")).as("total_span_us"))
+        .withColumn("mean_span_us",
+          col("total_span_us").cast("double") /
+            col("n_sessions").cast("double"))
+    }),
     "a3_global_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 seconds"))
@@ -69,6 +90,27 @@ object Windows extends OpModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "a6_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |x AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |y AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |s AS (SELECT user_id, sid, count(*) AS n_ev,
+        |        min(us) AS t0, max(us) AS t1
+        |      FROM y GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(t1 - t0) AS BIGINT) AS total_span_us,
+        |  CAST(CAST(sum(t1 - t0) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_span_us
+        |FROM s GROUP BY 1""".stripMargin,
     "a1_tumble_count" ->
       s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, count(*) AS view_count
          |FROM events WHERE user_id IS NOT NULL AND event_type = 'view'

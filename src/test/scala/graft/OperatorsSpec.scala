@@ -620,6 +620,22 @@ class OperatorsSpec extends SparkSpec {
       assert(start === expect, s"gap before doc $id"); start + toks }
   }
 
+  test("session stats: events conserve and spans are non-negative") {
+    val rows = graft.operators.Windows
+      .queries("a6_session_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nEvents = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull).count()
+    assert(rows.map(_._3).sum === nEvents, "every event is in one session")
+    rows.foreach { case (u, ns, ne, span) =>
+      assert(ns >= 1 && ne >= ns, s"user $u: $ns sessions, $ne events")
+      assert(span >= 0L)
+    }
+    // sessionization is non-trivial on the fixture: someone has >1 session
+    assert(rows.exists(_._2 > 1))
+  }
+
   test("event transitions: steps conserve (events minus users)") {
     val steps = graft.operators.Stateful
       .queries("a9_event_transitions")(spark, sfDir)
