@@ -202,6 +202,46 @@ object TextAnalysis extends OpModule {
           (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"),
           md5(array_join(col("kept"), " ")).as("clean_fp"))
     }),
+    // corpus health report — the per-source executive rollup a curation
+    // run reviews before deciding what to ingest: volume, classifier
+    // keep rate, whole-doc clone rate, language spread. Rates are single
+    // IEEE divisions of exact counts; the clone flag joins each doc to
+    // its canonical-fingerprint group size on the thin fp key. One text
+    // scan (score + fingerprint in the same narrow pass), one fp
+    // shuffle, one per-source rollup.
+    "corpus_health_report" -> ((s, dir) => {
+      import s.implicits._
+      // planted 'probe' source (block -96..-98, mirrored in the oracle):
+      // a normalization-equivalent clone pair + one unique doc — the sf
+      // corpus has no whole-doc clones, so without it the clone tier
+      // would be structurally untested
+      val fixture = healthFixture
+        .toDF("doc_id", "source", "lang", "n_chars", "text")
+      val scored = withClassifierScore(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang"),
+              col("n_chars"), col("text"))
+            .unionByName(fixture))
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("keep"), col("fp"))
+        .barrier() // the fp group sizes AND the rollup read it
+      val groups = scored.groupBy(col("fp"))
+        .agg(count(lit(1)).as("fp_ct"))
+      scored.join(groups, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("fp_ct") > 1L, 1L).otherwise(0L)).as("clone_docs"),
+          count_distinct(col("lang")).as("langs"))
+        .select(col("source"), col("docs"), col("total_chars"),
+          (col("kept").cast("double") / col("docs").cast("double"))
+            .as("keep_rate"),
+          (col("clone_docs").cast("double") / col("docs").cast("double"))
+            .as("clone_rate"),
+          col("langs"))
+    }),
     // boilerplate n-gram mining — the op that BUILDS a stop-gram filter
     // list: the k most frequent 8-grams per language. Discipline: gram
     // STRINGS never ride the counting shuffle — counts aggregate on the
@@ -850,6 +890,38 @@ object TextAnalysis extends OpModule {
     (-71L, "??? !!!"),
     (-72L, "spark"))
 
+  /** Health-report fixtures (block -96..-98): a 'probe' source carrying a
+    * normalization-equivalent clone pair + a unique doc. Mirrored
+    * verbatim in the oracle. */
+  private val healthFixture = Seq(
+    (-96L, "probe", "en", 26L, "cloned probe body text one"),
+    (-97L, "probe", "en", 27L, "Cloned PROBE body, text one"),
+    (-98L, "probe", "en", 17L, "unique probe body"))
+
+  /** Classifier-score CTE chain over a `docs(doc_id, text, ...)` CTE —
+    * ends in `sc(doc_id, n_feats, score)`. Shared by the classifier
+    * oracle and the corpus health report (one scoring definition, two
+    * oracles). */
+  private val oraQcScoreCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM docs),
+      |ft AS (
+      |  SELECT doc_id,
+      |    list_concat(toks, list_transform(range(1, len(toks)),
+      |      i -> toks[i] || '_' || toks[i + 1])) AS feats
+      |  FROM tk),
+      |sc AS (
+      |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+      |    CASE WHEN len(feats) = 0 THEN NULL ELSE
+      |      CAST(list_aggregate(list_transform(feats, f ->
+      |          (('0x' || substring(md5('qc|' || f), 1, 15))::BIGINT
+      |            % 4096 * 2654435761) % 2003 - 1001), 'sum') AS DOUBLE)
+      |        / CAST(len(feats) AS DOUBLE) END AS score
+      |  FROM ft)""".stripMargin
+
   /** Substring-dedup fixtures (block -81..-83, mirrored in the oracle):
     * -81/-82 share exactly one 10-token passage (3 shared 8-grams cover
     * the passage in both docs, surrounding tokens survive); -83 repeats
@@ -1417,24 +1489,7 @@ object TextAnalysis extends OpModule {
       s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
-        |tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> length(t) > 0) AS toks
-        |  FROM docs),
-        |ft AS (
-        |  SELECT doc_id,
-        |    list_concat(toks, list_transform(range(1, len(toks)),
-        |      i -> toks[i] || '_' || toks[i + 1])) AS feats
-        |  FROM tk),
-        |sc AS (
-        |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
-        |    CASE WHEN len(feats) = 0 THEN NULL ELSE
-        |      CAST(list_aggregate(list_transform(feats, f ->
-        |          (('0x' || substring(md5('qc|' || f), 1, 15))::BIGINT
-        |            % 4096 * 2654435761) % 2003 - 1001), 'sum') AS DOUBLE)
-        |        / CAST(len(feats) AS DOUBLE) END AS score
-        |  FROM ft)
+        |$oraQcScoreCtes
         |SELECT doc_id, n_feats, score,
         |  coalesce(score >= 0.0, false) AS keep
         |FROM sc""".stripMargin
@@ -1459,6 +1514,32 @@ object TextAnalysis extends OpModule {
         |    AS diversity,
         |  true AS within_tol
         |FROM g GROUP BY 1""".stripMargin,
+    "corpus_health_report" -> {
+      val values = healthFixture.map { case (id, src, lg, nc, txt) =>
+        s"($id, '$src', '$lg', $nc, '$txt')" }.mkString(", ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, source, lang, n_chars, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES $values)
+        |    v(doc_id, source, lang, n_chars, text)),
+        |docs AS (SELECT doc_id, text FROM all_docs),
+        |$oraQcScoreCtes,
+        |f AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |    coalesce(sc.score >= 0.0, false) AS keep,
+        |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ',
+        |      'g'))) AS fp
+        |  FROM all_docs d JOIN sc ON sc.doc_id = d.doc_id),
+        |g AS (SELECT fp, count(*) AS fp_ct FROM f GROUP BY 1)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS keep_rate,
+        |  CAST(sum(CASE WHEN fp_ct > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS clone_rate,
+        |  count(DISTINCT lang) AS langs
+        |FROM f JOIN g USING (fp)
+        |GROUP BY 1""".stripMargin
+    },
     // fully relational mirror (no nested lambdas): duplicated grams →
     // covered positions via unnest(range(i, i+8)) → kept = positions
     // EXCEPT covered, reassembled in order

@@ -620,6 +620,24 @@ class OperatorsSpec extends SparkSpec {
       assert(start === expect, s"gap before doc $id"); start + toks }
   }
 
+  test("health report: docs conserve, rates bounded, clone tier fires") {
+    val rows = graft.operators.TextAnalysis
+      .queries("corpus_health_report")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val total = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum === total + 3, "corpus + the planted probe")
+    rows.foreach { case (src, docs, chars, keep, clone, langs) =>
+      assert(keep >= 0.0 && keep <= 1.0 && clone >= 0.0 && clone <= 1.0)
+      assert(langs >= 1 && chars > 0, src)
+    }
+    // the planted probe source: 2 of its 3 docs are a clone pair
+    val probe = rows.find(_._1 == "probe").get
+    assert(probe._2 === 3L && math.abs(probe._5 - 2.0 / 3.0) < 1e-9)
+    // the classifier is discriminative per-source, not all-or-nothing
+    assert(rows.exists(r => r._4 > 0.0 && r._4 < 1.0))
+  }
+
   test("session stats: events conserve and spans are non-negative") {
     val rows = graft.operators.Windows
       .queries("a6_session_stats")(spark, sfDir)
