@@ -586,17 +586,11 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(-82L)._1 === 5L && rows(-82L)._2 === 10L)
     // -83: a 12-token run repeated WITHIN one doc — every position covered
     assert(rows(-83L)._1 === 0L && rows(-83L)._2 === 24L)
-    // exact clone groups in the corpus strip in ALL copies (the literal
-    // more-than-once semantics; keep-one-copy is what doc-level keep-first
-    // dedup upstream provides)
-    val docs = graft.core.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        graft.functions.Text.fingerprint(col("text")).as("fp"))
-      .collect().map(r => r.getLong(0) -> r.getString(1))
-    val cloneGroup = docs.groupBy(_._2).values.find(_.length > 1)
-    cloneGroup.foreach(_.foreach { case (id, _) =>
-      assert(rows(id)._2 > 0L, s"clone $id untouched") })
-    // an untouched doc reports zero drops and a non-empty fingerprint
+    // the generated corpus carries PASSAGE-level dups (no whole-doc
+    // clones at any sf — verified against the parquet directly), and the
+    // operator must both fire on some corpus docs and leave others alone
+    val touched = rows.filter { case (id, (_, nd, _)) => id >= 0 && nd > 0L }
+    assert(touched.nonEmpty, "no corpus doc shares any 8-gram — inert")
     val untouched = rows.filter { case (id, (_, nd, _)) => id >= 0 && nd == 0L }
     assert(untouched.nonEmpty)
   }
