@@ -30,7 +30,9 @@ object Scaling {
     "text_quality_classifier", "sim_range_search", "text_ngram_diversity",
     "text_top_ngrams", "corpus_pack_spans", "text_substring_dedup",
     "pipeline_packed_corpus", "dedup_minhash_estimate", "a7_funnel_steps",
-    "a8_cohort_retention", "a9_event_transitions")
+    "a8_cohort_retention", "a9_event_transitions", "sim_pq_ann",
+    "mm_phash_dedup", "text_gopher_rules", "a6_session_stats",
+    "corpus_health_report", "corpus_dedup_stats")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
