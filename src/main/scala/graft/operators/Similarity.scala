@@ -366,7 +366,37 @@ object Similarity extends OpModule {
     // same IEEE ops in the same order.
     "sim_kmeans_train" -> ((s, dir) =>
       microStep(assignTo(t(s, dir, "embeddings"),
-        kmeansTrain(s, dir, 16, 2)))))
+        kmeansTrain(s, dir, 16, 2)))),
+    // Prototypicality-based pruning (the SSL-prototypes data-pruning
+    // method: score each example by cosine to its cluster centroid, prune
+    // from the extremes): the 8 LEAST prototypical vectors per coarse
+    // cluster — outlier/noise candidates at the low end, and the same
+    // ranking read from the other end is the easy-example prune. ONE
+    // array_max over the broadcast centroid array yields assignment AND
+    // score in a single narrow pass; the embedding is dropped before the
+    // exchange, so only thin (vec_id, cluster, csim) rows shuffle, and the
+    // literal rank cut compiles to WindowGroupLimit (per-partition top-8
+    // before the ranking exchange). Ranks-only output: csim itself never
+    // leaves the ORDER BY, the one place cross-engine float identity is
+    // already proven by the assignment oracles.
+    "sim_centroid_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val centArr = emb.filter(col("vec_id") < 16)
+        .agg(collect_list(struct(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))).as("cents"))
+      val thin = emb.join(broadcast(centArr), lit(true))
+        .select(col("vec_id"), expr(s"array_max($simsExpr)").as("b"))
+        .select(col("vec_id"), col("b.cid").as("cluster"),
+          col("b.csim").as("csim"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("csim").asc, col("vec_id").asc)
+      thin.withColumn("outlier_rank", row_number().over(w))
+        .filter(col("outlier_rank") <= 8)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("outlier_rank"), col("vec_id"))
+    }))
 
   /** Scalar-quantized (int8) ANN — the compressed-scan tier of the ANN
     * family. ONE global symmetric scale (127 / corpus max|x|, no per-dim
@@ -669,6 +699,28 @@ object Similarity extends OpModule {
 
   def oracles: Map[String, String] = Map(
     "sim_kmeans_train" -> oraKmeansTrain,
+    // same assignment CTE as the IVF mirrors; the outlier ranking then
+    // orders within each cluster by the kept crank=1 csim ASC
+    "sim_centroid_outliers" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(c.cv AS DOUBLE[])) AS csim,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cv AS DOUBLE[])) DESC,
+        |      c.cid ASC) AS crank
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cid, csim FROM sims WHERE crank = 1)
+        |SELECT cluster, outlier_rank, vec_id FROM (
+        |  SELECT CAST(cid AS BIGINT) AS cluster, vec_id,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY csim ASC, vec_id ASC) AS outlier_rank
+        |  FROM assigned)
+        |WHERE outlier_rank <= 8""".stripMargin,
     // mirrors sim_pq_ann relationally: the same int8 codes, per-subspace
     // argmin integer-L2 encoding (row_number over exact BIGINT distances,
     // codeword-id tie-break), exact-integer ADC dot/norms, one double

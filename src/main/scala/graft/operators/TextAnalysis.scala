@@ -795,6 +795,35 @@ object TextAnalysis extends OpModule {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
     }),
+    // Unigram-LM quality gate (the CCNet shape: score every doc with a
+    // language model trained on the corpus itself, flag the perplexity
+    // tail) with a TRANSCENDENTAL-FREE score, so it stays bit-exact in
+    // any engine: instead of mean -log p(tok) (whose log differs in ulps
+    // across libm builds), score = mean over token occurrences of
+    // 1e6 DIV cf(tok) — a per-token integer inverse corpus frequency.
+    // Monotone in the same direction (rare-token-heavy docs score high,
+    // exactly the docs a perplexity gate flags as tail), every partial an
+    // exact integer, one final IEEE division. Scale shape: the SAME
+    // barriered (doc, tok) tf relation as text_salient_terms feeds the
+    // corpus-frequency rollup and the per-doc score join — token strings
+    // shuffle once; the cf side is |vocab|-sized, the score agg is
+    // map-side-combinable integer sums.
+    "text_unigram_rarity" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .barrier()
+      val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+      tf.join(cf, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * expr("1000000L DIV cf")).as("rarity_micro_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("rarity_micro_sum"),
+          (col("rarity_micro_sum").cast("double") /
+            col("n_tokens").cast("double")).as("rarity"),
+          ((col("rarity_micro_sum").cast("double") /
+            col("n_tokens").cast("double")) > lit(250000.0)).as("is_tail"))
+    }),
     // Exactly-k stratified sampling with PER-STRATUM budgets — "sample k
     // docs per (lang, source) cell, k from a config": the missing
     // primitive between rate-based mixture sampling (inexact counts) and
@@ -2008,6 +2037,28 @@ object TextAnalysis extends OpModule {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rank
         |  FROM tf JOIN df USING (tok))
         |WHERE rank <= 3""".stripMargin,
+    // same tokenization CTEs as text_salient_terms; DuckDB's integer sums
+    // go HUGEINT, so every sum is cast back to BIGINT before the score's
+    // single division
+    "text_unigram_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+        |       GROUP BY 1)
+        |SELECT doc_id, n_tokens, rarity_micro_sum,
+        |  CAST(rarity_micro_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS rarity,
+        |  (CAST(rarity_micro_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    > 250000.0 AS is_tail
+        |FROM (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf.tf * (1000000 // cf.cf)) AS BIGINT)
+        |      AS rarity_micro_sum
+        |  FROM tf JOIN cf USING (tok) GROUP BY 1)""".stripMargin,
     "sample_mixture_weights" ->
       s"""SELECT doc_id, lang, source
          |FROM documents

@@ -437,4 +437,42 @@ class DedupSimilaritySpec extends SparkSpec {
     val sizes = got.groupBy(_._1).view.mapValues(_.size).values.toSet
     assert(sizes.size > 1, s"degenerate fixture: all queries returned $sizes")
   }
+
+  test("centroid outliers: bottom-8 per cluster vs driver recompute, " +
+    "WindowGroupLimit plan") {
+    val df = graft.operators.Similarity
+      .queries("sim_centroid_outliers")(spark, sfDir)
+    // the literal rank cut must prune per-partition BEFORE the ranking
+    // exchange — a full Window sort of the corpus would not scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // independent recompute: assignment (argmax cosine, cid-ASC tie-break)
+    // and least-prototypical-8 per cluster, driver-side
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val cents = emb.filter(_._1 < 16).toSeq.map { case (id, v) => (id, v) }
+    val want = emb.toSeq.map { case (id, v) =>
+      val (bc, bs) = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }
+      (bc, bs, id)
+    }.groupBy(_._1).flatMap { case (cl, members) =>
+      members.sortBy { case (_, s, id) => (s, id) }.take(8).zipWithIndex
+        .map { case ((_, _, id), i) => (cl, i + 1, id) }
+    }.toSet
+    assert(got.toSet === want)
+    // ranks contiguous 1..k per cluster
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+    }
+  }
 }

@@ -245,6 +245,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unigram rarity: scores match a driver recompute exactly") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_unigram_rarity")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // independent recompute of the whole pipeline (tokenize → corpus
+    // frequency → integer inverse-frequency sum → one division)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val cf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val want = docs.collect { case (id, toks) if toks.nonEmpty =>
+      val n = toks.length.toLong
+      val sum = toks.map(t => 1000000L / cf(t)).sum
+      val rarity = sum.toDouble / n.toDouble
+      id -> (n, sum, rarity, rarity > 250000.0)
+    }.toMap
+    assert(got === want)
+    // the gate is not degenerate on real data: both classes occur
+    assert(got.values.exists(_._4) || sfDir.contains("0.001"),
+      "no tail docs at all")
+  }
+
   test("stratified exact sampling: per-cell budgets met, WindowGroupLimit plan") {
     val df = graft.operators.TextAnalysis
       .queries("sample_stratified_exact")(spark, sfDir)
