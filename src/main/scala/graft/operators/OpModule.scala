@@ -22,4 +22,15 @@ trait OpModule {
   def oracles: Map[String, String]
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Exact epoch microseconds (≡ DuckDB epoch_us) for a timestamp column
+    * of EITHER flavor. Parquet fixtures surface `ts` as TIMESTAMP_LTZ via
+    * the nanos-long conversion but as TIMESTAMP_NTZ when a file carries a
+    * native isAdjustedToUTC=false timestamp, and `unix_micros` rejects
+    * NTZ outright. The session timezone is pinned to UTC
+    * (core/Sessions.scala), so the NTZ→LTZ cast is epoch-identity.
+    */
+  protected def epochMicros(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.unix_micros(c.cast("timestamp_ltz"))
 }

@@ -94,6 +94,79 @@ object Relational extends OpModule {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("string")
           .as("sum_qty"), count(lit(1)).as("n"))
     }),
+    // TPC-H Q3-shape shipping priority: dim-filtered 3-way join, revenue
+    // agg per order, deterministic top-10. The limit compiles to
+    // TakeOrderedAndProject (per-partition top-k, ONE small final merge —
+    // no global sort of the qualifying orders). Ties are impossible in the
+    // ordering: revenue first, unique l_orderkey second.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,2)").as("rev"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_d"))
+        .orderBy(col("revenue_d").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"),
+          col("revenue_d").cast("string").as("revenue"))
+    }),
+    // TPC-H Q5-shape local supplier volume: the 6-way star join. The
+    // bounded dims (nation⋈region, ≤ 25×5 rows at ANY scale factor) are
+    // explicitly broadcast; the three fact-side joins shuffle on their
+    // keys and AQE picks the physical strategy. The region filter prunes
+    // the dim BEFORE it reaches any fact row.
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val asiaNations = broadcast(
+        t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,2)").as("rev"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("string").as("revenue"))
+    }),
+    // TPC-H Q18-shape large-volume customers: aggregate-then-join. The
+    // heavy lineitem agg runs FIRST (map-side combine collapses ~4 lines
+    // per order before the exchange) and its >300 filter drops ~99% of
+    // orders before any join — the join inputs are the thin qualifying
+    // set, never the raw fact table.
+    "q18_large_volume_customer" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("total_price"),
+          col("sum_qty_d").cast("string").as("sum_qty"))
+    }),
     "j1_order_lineitem_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
@@ -225,6 +298,50 @@ object Relational extends OpModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // ordering happens on the DECIMAL sum inside the subquery (ordering the
+    // VARCHAR form would sort lexically and disagree with Spark's decimal
+    // sort); both engines round the per-row product identically via the
+    // VARCHAR-cast pattern, so the top-10 sets match
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority, CAST(revenue_d AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+        |      AS DECIMAL(18,2))) AS revenue_d
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY revenue_d DESC, l_orderkey ASC
+        |  LIMIT 10)""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+        |    AS DECIMAL(18,2))) AS VARCHAR) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price,
+        |  CAST(big.sum_qty_d AS VARCHAR) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,

@@ -159,7 +159,7 @@ object Stateful extends OpModule {
       val ev = t(s, dir, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
+          epochMicros(col("ts")).as("us"))
         .barrier() // three stage filters read it
       // each stage is read twice (the next stage's join + its own count)
       // — barrier the thin (user_id, t) relations so neither re-derives

@@ -67,8 +67,8 @@ object Windows extends OpModule {
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_ev"),
-          min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t1"))
+          min(epochMicros(col("ts"))).as("t0"),
+          max(epochMicros(col("ts"))).as("t1"))
       sess.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_ev")).as("n_events"),

@@ -688,7 +688,9 @@ object StatefulStreaming {
         // FULL microsecond precision: the batch twin sorts on the raw
         // timestamp, and a seconds-truncating unix_timestamp would flip
         // purchase/click order inside a shared second
-        unix_micros(col("ts")).as("tsMicros"),
+        // cast("timestamp_ltz") tolerates TIMESTAMP_NTZ inputs (UTC-pinned
+        // session → epoch-identity; unix_micros alone rejects NTZ)
+        unix_micros(col("ts").cast("timestamp_ltz")).as("tsMicros"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
         col("event_id").as("id"),
         // value stays nullable (Option): the batch twin carries a NULL

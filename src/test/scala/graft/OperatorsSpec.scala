@@ -375,12 +375,41 @@ class OperatorsSpec extends SparkSpec {
         // bloom) legitimately show BroadcastNestedLoopJoin and are
         // covered by their own plan pins instead
         "j8_salted_join", "pipeline_clean_corpus", "corpus_token_budget",
-        "text_salient_terms").foreach { q =>
+        "text_salient_terms",
+        // round-7 TPC-H-shape additions: all equi-joined
+        "q3_shipping_priority", "q18_large_volume_customer").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(2000)}")
     }
+  }
+
+  test("TPC-H-shape plans: q3 top-k, q5 broadcast dims, q18 agg-then-join") {
+    // q3's LIMIT after ORDER BY must compile to TakeOrderedAndProject —
+    // per-partition top-k with one tiny merge, never a global sort
+    val p3 = SparkEntry.queries("q3_shipping_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("TakeOrderedAndProject"), p3.take(2000))
+    // q5's bounded nation⋈region dim (≤125 rows at ANY SF) must ride a
+    // broadcast join, never shuffle the fact side for it
+    val p5 = SparkEntry.queries("q5_local_supplier_volume")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), p5.take(2000))
+    assert(!p5.contains("CartesianProduct"), p5.take(2000))
+    // q18: the lineitem HashAggregate must sit BELOW the orders join —
+    // the >300 filter shrinks the join input ~100×; joining raw lineitem
+    // first would shuffle the full fact table twice
+    val q18 = SparkEntry.queries("q18_large_volume_customer")(spark, sfDir)
+    val agg = q18.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(agg.nonEmpty)
+    val joinsUnderAgg = agg.head.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinsUnderAgg.isEmpty,
+      "the quantity aggregate must not contain a join beneath it")
   }
 
   test("A4 exact dedup matches approx HLL within 5% (per-day verdict)") {
@@ -711,7 +740,7 @@ class OperatorsSpec extends SparkSpec {
     val day = 86400000000L
     val ev = graft.core.Tables.load(spark, sfDir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp_ltz")))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = ev.groupBy(_._1)
     def stageMin(u: Long, tpe: String, after: Long): Option[Long] = {

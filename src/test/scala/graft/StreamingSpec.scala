@@ -441,7 +441,8 @@ class StreamingSpec extends SparkSpec {
         .select(org.apache.spark.sql.functions.col("event_id"),
           org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.unix_micros(
-            org.apache.spark.sql.functions.col("ts")).as("us"),
+            org.apache.spark.sql.functions.col("ts")
+              .cast("timestamp_ltz")).as("us"),
           org.apache.spark.sql.functions.col("event_type"))
         .collect().map(r => StatefulStreaming.FunnelEvent(
           r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

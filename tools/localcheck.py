@@ -31,6 +31,11 @@ def main(outdir, sfdir):
     qdirs = [d for d in sorted(os.listdir(outdir))
              if os.path.isdir(os.path.join(outdir, d))]
     n_pass = n_fail = 0
+    # a query that crashed in Verify writes no output dir at all — that is
+    # a FAIL, not a skip (the driver's gate would record err for it)
+    for name in sorted(set(oracle) - set(qdirs)):
+        print(f"FAIL {name}: no output dir (query crashed in Verify?)")
+        n_fail += 1
     for name in qdirs:
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
