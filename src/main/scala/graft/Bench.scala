@@ -125,25 +125,25 @@ object Bench {
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var loadFlagged = List.empty[String]
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          if (!failed.contains(name)) failed ::= name
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        // release AFTER the timer, after EVERY run: barrier blocks must
-        // not accumulate across runs or queries (SCALING.md measured a 2x
-        // inflation at 16x from exactly that), and release cost is not
-        // part of the query
-        graft.core.Barrier.releaseAll(spark)
-        t
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (!failed.contains(name)) failed ::= name
       }
+      val t = (System.nanoTime() - t0) / 1e9
+      // release AFTER the timer, after EVERY run: barrier blocks must
+      // not accumulate across runs or queries (SCALING.md measured a 2x
+      // inflation at 16x from exactly that), and release cost is not
+      // part of the query
+      graft.core.Barrier.releaseAll(spark)
+      t
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    headline.filter(SparkEntry.queries.contains).foreach { name =>
       loads(name) = loadAvg1()
-      var times = Seq.fill(3)(once())
+      var times = Seq.fill(3)(once(name))
       val guard = committed.get(name).filter(_ > 0)
       def minExceeds = guard.exists(c => times.min > 2.5 * c)
       var extra = 0
@@ -152,7 +152,7 @@ object Bench {
         System.err.println(f"[bench] $name min=${times.min}%.3f " +
           f"spread=${spread(times)}%.1fx (committed ${guard.getOrElse(-1.0)}%.3f, " +
           f"loadavg=${loadAvg1()}%.1f); retry ${extra + 1}/4")
-        times :+= once()
+        times :+= once(name)
         extra += 1
       }
       if (spread(times) > SpreadBar && !failed.contains(name)) {
@@ -162,8 +162,36 @@ object Bench {
       }
       raw(name) = times
       // a failed query must not shrink the total into a fake improvement
-      name -> (if (failed.contains(name)) (-1.0, -1.0)
-               else (median(times), times.min))
+      results(name) = (if (failed.contains(name)) (-1.0, -1.0)
+                       else (median(times), times.min))
+    }
+    // End-of-session requalification pass (VERDICT r7 #3): contention is
+    // BURSTY — a query flagged mid-session often has a quiet window by the
+    // time the whole set has run (the r7 session's own tail proved it:
+    // flagged queries' last raw runs were their fastest). Each flagged
+    // query gets up to 3 more runs now; the published min covers ALL runs,
+    // and a query whose tail runs settle (spread <= bar, min inside the
+    // committed guard) is moved from load_flagged to requalified.
+    var requalified = List.empty[String]
+    loadFlagged.reverse.filterNot(failed.contains).foreach { name =>
+      val guard = committed.get(name).filter(_ > 0)
+      var tail = Seq(once(name), once(name))
+      def tailSpread = tail.max / math.max(tail.min, 1e-9)
+      def guardBad = guard.exists(c => tail.min > 2.5 * c)
+      if (tailSpread > SpreadBar || guardBad) tail :+= once(name)
+      raw(name) = raw(name) ++ tail
+      val all = raw(name)
+      results(name) = (median(all), all.min)
+      if (tailSpread <= SpreadBar && !guardBad && !failed.contains(name)) {
+        requalified ::= name
+        loadFlagged = loadFlagged.filterNot(_ == name)
+        System.err.println(f"[bench] $name requalified at session end: " +
+          f"tail runs ${tail.map(t => f"$t%.3f").mkString("[", ",", "]")}, " +
+          f"min=${all.min}%.3f")
+      } else {
+        System.err.println(f"[bench] $name still load-suspect after tail " +
+          f"pass: ${tail.map(t => f"$t%.3f").mkString("[", ",", "]")}")
+      }
     }
     val qs = results.map { case (k, (m, _)) => "\"" + k + f"""\":$m%.3f""" }
       .mkString("{", ",", "}")
@@ -179,6 +207,7 @@ object Bench {
     val minTotal = results.map(_._2._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val requalJson = requalified.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ambient-window context: this run's total over the committed quiet
     // record's total (same query set only). Hour-scale host-load drift
     // inflates every query uniformly without tripping the per-query
@@ -191,7 +220,7 @@ object Bench {
       else ""
     }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f$vsCommitted,"queries":$qs,"mins":$minsJs,"raw_runs":$rawJs,"loadavg":$loadJs,"load_flagged":$flaggedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f$vsCommitted,"queries":$qs,"mins":$minsJs,"raw_runs":$rawJs,"loadavg":$loadJs,"load_flagged":$flaggedJson,"requalified":$requalJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info]/[error], which has defeated the
     // driver's JSON parse both rounds — also write the record to a file

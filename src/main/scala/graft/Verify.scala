@@ -12,9 +12,21 @@ object Verify {
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // clear prior artifacts: a stale query dir from an earlier (possibly
+    // unfiltered) run would otherwise be re-validated by localcheck
+    // against THIS run's (possibly truncated) oracle map — a removed or
+    // filtered-out query must disappear from the report, not downgrade
+    // to a weak rows-only PASS
+    new java.io.File(outDir).listFiles().foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,6 +52,11 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every query this run ATTEMPTED (crashed ones included) — localcheck
+    // diffs this against the output dirs, so a rows-only query that died
+    // in the try above is flagged instead of silently vanishing
+    Files.writeString(Paths.get(s"$outDir/executed_queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -65,8 +65,13 @@ object Text {
     * punctuation singletons) as a proxy for tokenizer cost at scale.
     * RE2-compatible pattern so the DuckDB oracle can mirror it.
     */
-  def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** The BPE-ish token ARRAY behind [[bpeishTokenCount]] — the pack
+    * materializer slices it, so count and content can never disagree.
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to single spaces, trim.

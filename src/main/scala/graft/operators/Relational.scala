@@ -300,8 +300,9 @@ object Relational extends OpModule {
   def oracles: Map[String, String] = Map(
     // ordering happens on the DECIMAL sum inside the subquery (ordering the
     // VARCHAR form would sort lexically and disagree with Spark's decimal
-    // sort); both engines round the per-row product identically via the
-    // VARCHAR-cast pattern, so the top-10 sets match
+    // sort); the oracle's VARCHAR intermediate reproduces Spark's direct
+    // double→decimal cast (shortest-decimal repr, then HALF_UP) on the
+    // per-row product, so the top-10 sets match
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_orderpriority, CAST(revenue_d AS VARCHAR) AS revenue

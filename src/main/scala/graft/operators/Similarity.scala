@@ -834,8 +834,9 @@ object Similarity extends OpModule {
          |  GROUP BY 1, 2),
          |qsims AS (
          |  SELECT s.query_id, s.neighbor_id,
-         |    CAST(s.dotq AS DOUBLE) / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE))
-         |      AS qsim
+         |    CASE WHEN nq.n2 = 0 OR nn.n2 = 0 THEN -2.0
+         |         ELSE CAST(s.dotq AS DOUBLE)
+         |              / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE)) END AS qsim
          |  FROM scores s
          |  JOIN n2 nq ON nq.vec_id = s.query_id
          |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),
@@ -885,8 +886,9 @@ object Similarity extends OpModule {
          |  GROUP BY 1, 2),
          |qsims AS (
          |  SELECT s.query_id, s.neighbor_id,
-         |    CAST(s.dotq AS DOUBLE) / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE))
-         |      AS qsim
+         |    CASE WHEN nq.n2 = 0 OR nn.n2 = 0 THEN -2.0
+         |         ELSE CAST(s.dotq AS DOUBLE)
+         |              / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE)) END AS qsim
          |  FROM scores s
          |  JOIN n2 nq ON nq.vec_id = s.query_id
          |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),

@@ -632,9 +632,9 @@ object TextAnalysis extends OpModule {
     // order (Window.orderBy with no partition = every row through one
     // partition — the anti-pattern this repo bans). Instead the
     // distributed prefix-sum: coarse score buckets give (a) per-bucket
-    // token totals — a ≤21-row relation whose running offset is computed
-    // in a bounded single-partition window (constant-size, not
-    // data-size), and (b) within-bucket cumulative sums — a Window
+    // token totals — a B+1-row relation (B = prefixBuckets, scales with
+    // the cluster) whose running offset is computed in a bounded
+    // single-partition window (cluster-size, not data-size), and (b) within-bucket cumulative sums — a Window
     // PARTITIONED by bucket, parallel across buckets. Global cum =
     // bucket offset + within-bucket cum, exactly; the budget filter is
     // then a narrow predicate. Same result as the oracle's global
@@ -642,12 +642,16 @@ object TextAnalysis extends OpModule {
     "corpus_token_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 12000L
+      // score-bucket granularity scales with the cluster like the pack
+      // index's id buckets (see prefixBuckets): equal scores share a
+      // bucket at any granularity, so the selected set is identical
+      val nB = prefixBuckets(s)
       val scored = t(s, dir, "documents").select(
           col("doc_id"), col("source"),
           Text.bpeishTokenCount(col("text")).cast("long").as("toks"),
           Text.stopwordRatio(col("text")).as("score"))
         .withColumn("bucket",
-          least(floor(col("score") * 20), lit(20L)).cast("int"))
+          least(floor(col("score") * nB), lit(nB.toLong)).cast("int"))
         .barrier() // read by the bucket rollup AND the final selection
       val wb = Window.orderBy(col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -671,9 +675,10 @@ object TextAnalysis extends OpModule {
     // training loader needs to materialize any pack without re-scanning
     // text. Mechanism: the same distributed prefix-sum as
     // corpus_token_budget, but ordered by doc_id — buckets are id RANGES
-    // (doc_id*32 div (max_id+1), monotone in doc_id, 32 rows at any
-    // corpus size via a 1-row broadcast max), per-bucket offsets run in a
-    // bounded window, within-bucket sums partition by bucket. Every
+    // (doc_id*B div (max_id+1), monotone in doc_id, B rows at any corpus
+    // size via a 1-row broadcast max; B scales with cluster parallelism,
+    // see prefixBuckets), per-bucket offsets run in a bounded window,
+    // within-bucket sums partition by bucket. Every
     // output is exact integer arithmetic → bit-exact oracle (which
     // computes the same intervals with a plain global running sum).
     "corpus_pack_sequences" -> ((s, dir) => packIndex(s, dir, 512L)),
@@ -684,19 +689,16 @@ object TextAnalysis extends OpModule {
     // with point reads; nothing re-scans the corpus. The explode is
     // bounded (a doc touches ⌈toks/L⌉+1 packs), all arithmetic exact
     // integer intersection of [start, start+toks) with [p·L, (p+1)·L).
-    "corpus_pack_spans" -> ((s, dir) => {
-      val L = 512L
-      packIndex(s, dir, L)
-        .select(col("doc_id"), col("toks"), col("start_tok"),
-          explode(expr("sequence(pack_first, pack_last)")).as("pack_id"))
-        .select(col("pack_id"), col("doc_id"),
-          (greatest(col("start_tok"), col("pack_id") * L) -
-            col("start_tok")).as("tok_from"),
-          (least(col("start_tok") + col("toks"), (col("pack_id") + 1) * L) -
-            greatest(col("start_tok"), col("pack_id") * L)).as("n_toks"),
-          (greatest(col("start_tok"), col("pack_id") * L) -
-            col("pack_id") * L).as("pack_offset"))
-    }),
+    "corpus_pack_spans" -> ((s, dir) =>
+      packSpansFrom(packIndex(s, dir, 512L), 512L)),
+    // The materialized training batches — each pack's L tokens assembled
+    // from its spans (the terminal product a training loader reads).
+    // Token pieces move exactly once, keyed by pack_id — the minimal
+    // movement, since reassembly IS the output; slice arithmetic is the
+    // span index's, so text content and index can never disagree.
+    "corpus_pack_tokens" -> ((s, dir) =>
+      materializePacks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), 512L)),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
     // consecutive gram hashes): any two docs sharing a run of at least
@@ -1034,15 +1036,30 @@ object TextAnalysis extends OpModule {
         .filter(col("toks") > 0L),
       L)
 
+  /** Bucket count for the distributed prefix-sums (pack index, token
+    * budget). Defaults to the cluster's default parallelism (floored at
+    * 32) so the per-bucket window partitions scale WITH the cluster —
+    * a fixed 32 would serialize a 1000-executor 100 TB run through 32
+    * window partitions; conf-overridable to reproduce a specific layout.
+    * The OUTPUT is bucket-count independent: buckets only decompose the
+    * global running total (global cum = bucket offset + within-bucket
+    * cum, exactly), and rows with equal sort keys always land in the
+    * same bucket — so the oracles are unaffected by the choice.
+    */
+  private def prefixBuckets(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.prefixSumBuckets").map(_.toInt)
+      .getOrElse(math.max(32, s.sparkContext.defaultParallelism))
+
   /** The prefix-sum core of [[packIndex]] over an arbitrary thin
     * (doc_id, toks) relation — also the tail of `pipeline_packed_corpus`,
     * where the relation is the front door's train-split survivors. */
   private def packIndexFromCounts(docs: org.apache.spark.sql.DataFrame,
       L: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nB = prefixBuckets(docs.sparkSession)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val bucketed = docs.join(broadcast(mx), lit(true))
-      .withColumn("bucket", expr("doc_id * 32L div (mx + 1L)"))
+      .withColumn("bucket", expr(s"doc_id * ${nB}L div (mx + 1L)"))
       .drop("mx")
       .barrier() // read by the bucket rollup AND the final projection
     val wb = Window.orderBy(col("bucket"))
@@ -1060,6 +1077,58 @@ object TextAnalysis extends OpModule {
         expr(s"(cum - toks) div $L").as("pack_first"),
         expr(s"(cum - 1) div $L").as("pack_last"),
         expr(s"(cum - toks) % $L").as("offset_in_pack"))
+  }
+
+  /** Span derivation from a pack index — one row per (pack, doc) with the
+    * doc-local token slice [tok_from, tok_from + n_toks) that pack draws
+    * and where in the pack it lands. The explode is bounded (a doc
+    * touches ⌈toks/L⌉+1 packs); all arithmetic is exact integer
+    * intersection of [start, start+toks) with [p·L, (p+1)·L). Shared by
+    * `corpus_pack_spans` (the plan a loader point-reads) and
+    * [[materializePacks]] (the actual assembly).
+    */
+  private[graft] def packSpansFrom(index: org.apache.spark.sql.DataFrame,
+      L: Long): org.apache.spark.sql.DataFrame =
+    index
+      .select(col("doc_id"), col("toks"), col("start_tok"),
+        explode(expr("sequence(pack_first, pack_last)")).as("pack_id"))
+      .select(col("pack_id"), col("doc_id"),
+        (greatest(col("start_tok"), col("pack_id") * L) -
+          col("start_tok")).as("tok_from"),
+        (least(col("start_tok") + col("toks"), (col("pack_id") + 1) * L) -
+          greatest(col("start_tok"), col("pack_id") * L)).as("n_toks"),
+        (greatest(col("start_tok"), col("pack_id") * L) -
+          col("pack_id") * L).as("pack_offset"))
+
+  /** Materialized training packs over an arbitrary (doc_id, text)
+    * relation: index → spans → per-span token slices → packs reassembled
+    * in offset order. One tokenize pass (the token arrays feed BOTH the
+    * count index and the slicing, barriered so neither re-scans text);
+    * token pieces then cross exactly ONE exchange, keyed by pack_id —
+    * minimal movement, since reassembly is the output. Every pack but the
+    * last has exactly L tokens; `n_toks` is carried so a consumer (and
+    * SoakSpec) can check pack ≡ span-index without re-tokenizing.
+    */
+  private[graft] def materializePacks(docs: org.apache.spark.sql.DataFrame,
+      L: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.bpeishTokens(col("text")).as("toklist"))
+      .withColumn("toks", size(col("toklist")).cast("long"))
+      .filter(col("toks") > 0L)
+      .barrier() // read by the count index AND the slice join
+    val spans = packSpansFrom(
+      packIndexFromCounts(toks.select(col("doc_id"), col("toks")), L), L)
+    spans.join(toks.select(col("doc_id"), col("toklist")), "doc_id")
+      .select(col("pack_id"), col("pack_offset"),
+        expr("slice(toklist, CAST(tok_from AS INT) + 1, " +
+          "CAST(n_toks AS INT))").as("piece"))
+      .groupBy(col("pack_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pack_offset"), col("piece")))),
+        x => x.getField("piece"))).as("tokarr"))
+      .select(col("pack_id"),
+        size(col("tokarr")).cast("long").as("n_toks"),
+        concat_ws(" ", col("tokarr")).as("tokens"))
   }
 
   /** Distinct word-n-gram fingerprints per document: (doc_id, gfp) with
@@ -1885,10 +1954,10 @@ object TextAnalysis extends OpModule {
          |      AS cum
          |  FROM s2 WHERE toks > 0)
          |SELECT doc_id, toks,
-         |  cum - toks AS start_tok,
-         |  (cum - toks) // 512 AS pack_first,
-         |  (cum - 1) // 512 AS pack_last,
-         |  (cum - toks) % 512 AS offset_in_pack
+         |  CAST(cum - toks AS BIGINT) AS start_tok,
+         |  CAST((cum - toks) // 512 AS BIGINT) AS pack_first,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS pack_last,
+         |  CAST((cum - toks) % 512 AS BIGINT) AS offset_in_pack
          |FROM c""".stripMargin,
     // the oracle IS the full front-door re-run on the new snapshot — hash
     // equality proves the incremental patch-and-rededup path reproduces it
@@ -1915,10 +1984,10 @@ object TextAnalysis extends OpModule {
         |      AS cum
         |  FROM s WHERE toks > 0)
         |SELECT doc_id, toks,
-        |  cum - toks AS start_tok,
-        |  (cum - toks) // 512 AS pack_first,
-        |  (cum - 1) // 512 AS pack_last,
-        |  (cum - toks) % 512 AS offset_in_pack
+        |  CAST(cum - toks AS BIGINT) AS start_tok,
+        |  CAST((cum - toks) // 512 AS BIGINT) AS pack_first,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS pack_last,
+        |  CAST((cum - toks) % 512 AS BIGINT) AS offset_in_pack
         |FROM c""".stripMargin,
     // same cumsum CTE, then exact integer intersection of each doc's
     // [start, start+toks) with each touched pack's [p·512, (p+1)·512)
@@ -1945,6 +2014,42 @@ object TextAnalysis extends OpModule {
         |    - greatest(start_tok, pack_id * 512) AS n_toks,
         |  greatest(start_tok, pack_id * 512) - pack_id * 512 AS pack_offset
         |FROM x""".stripMargin,
+    // the same span CTEs, then each span's actual token slice, packs
+    // reassembled in offset order — mirrors materializePacks exactly
+    "corpus_pack_tokens" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toklist,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toklist, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM s WHERE toks > 0),
+        |x AS (
+        |  SELECT doc_id, toklist, toks,
+        |    CAST(cum - toks AS BIGINT) AS start_tok,
+        |    unnest(generate_series(CAST((cum - toks) // 512 AS BIGINT),
+        |                           CAST((cum - 1) // 512 AS BIGINT)))
+        |      AS pack_id
+        |  FROM c),
+        |sl AS (
+        |  SELECT pack_id,
+        |    greatest(start_tok, pack_id * 512) - pack_id * 512
+        |      AS pack_offset,
+        |    list_slice(toklist,
+        |      CAST(greatest(start_tok, pack_id * 512) - start_tok
+        |        AS BIGINT) + 1,
+        |      CAST(least(start_tok + toks, (pack_id + 1) * 512) - start_tok
+        |        AS BIGINT)) AS piece
+        |  FROM x)
+        |SELECT pack_id, CAST(sum(len(piece)) AS BIGINT) AS n_toks,
+        |  string_agg(array_to_string(piece, ' '), ' '
+        |             ORDER BY pack_offset) AS tokens
+        |FROM sl GROUP BY pack_id""".stripMargin,
     "text_winnow_fps" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -322,6 +322,29 @@ object Jobs {
         .agg(count(lit(1)).as("err_ct"))
         .withColumn("__k", col("cur_date"))
     }
+
+    // TERMINAL STAGE — corpus → training batches on disk
+    runPackStage(spark, workDir)
+  }
+
+  /** The soak's terminal stage: the ADMITTED (hygiene-cleaned) corpus
+    * packed into fixed-L token sequences on disk — the "corpus → training
+    * batches" job a loader consumes. Composition: pack index → spans →
+    * materialized packs (`TextAnalysis.materializePacks`), committed via
+    * the bucketed keyed store (`Sinks.upsert` on pack_id) so a replayed
+    * stage rewrites the same winners instead of double-appending —
+    * replay-idempotent like every other soak commit. The seq is constant:
+    * packs are a pure function of the admitted corpus, so any replay's
+    * rows ARE the current rows and latest-per-key keeps them unchanged.
+    */
+  def runPackStage(spark: SparkSession, workDir: String,
+      L: Long = 512L): Unit = {
+    val admitted = spark.read.parquet(s"$workDir/admitted/batch_*")
+      .select(col("doc_id"), col("text"))
+    val packs = TextAnalysis.materializePacks(admitted, L)
+      .withColumn("__seq", lit(0L))
+    Sinks.upsert(spark, packs, "pack_id", "__seq", s"$workDir/packs")
+    graft.core.Barrier.releaseAll(spark)
   }
 
   /** The DwdBaseLog job in STREAMING mode: readStream over the events

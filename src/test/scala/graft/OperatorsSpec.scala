@@ -202,10 +202,13 @@ class OperatorsSpec extends SparkSpec {
     val some = rows.filter(!_.isNullAt(3)).head
     val (clickId, userId, payId) =
       (some.getLong(0), some.getLong(1), some.getLong(3))
+    // events.ts is TIMESTAMP_NTZ in the fixture parquet, so Row.getTimestamp
+    // would ClassCastException on the LocalDateTime; keep the value untyped
+    // and push the comparison back into the engine via lit()
     val clickTs = ev.filter(col("event_id") === clickId)
-      .select(col("ts")).first().getTimestamp(0)
+      .select(col("ts")).first().getAs[Any](0)
     val best = ev.filter(col("user_id") === userId &&
-        col("event_type") === "purchase" && col("ts") <= clickTs)
+        col("event_type") === "purchase" && col("ts") <= lit(clickTs))
       .orderBy(col("ts").desc, col("event_id").desc)
       .select(col("event_id")).first().getLong(0)
     assert(payId === best, "as-of pick must be the latest prior purchase")

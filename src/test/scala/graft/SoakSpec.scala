@@ -101,6 +101,52 @@ class SoakSpec extends SparkSpec {
       errTwin.exceptAll(errGot).count() === 0,
       "err DWS store differs from batch twin")
 
+    // TERMINAL stage: the training packs on disk ≡ an INDEPENDENT
+    // re-derivation of the span index over the admitted corpus (plain
+    // global-window cumsum — test-scale only; the engine side uses the
+    // distributed prefix-sum), and each pack's token payload length
+    // equals its indexed n_toks
+    val admittedDocs = spark.read.parquet(s"$work/admitted/batch_*")
+      .select("doc_id", "text")
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val expectedPacks = admittedDocs
+      .select(col("doc_id"), graft.functions.Text
+        .bpeishTokenCount(col("text")).cast("long").as("toks"))
+      .filter(col("toks") > 0L)
+      .withColumn("cum", sum(col("toks")).over(wCum))
+      .select((col("cum") - col("toks")).as("start"), col("cum"))
+      .select(col("start"), col("cum"),
+        explode(expr("sequence(start div 512, (cum - 1) div 512)"))
+          .as("pack_id"))
+      .select(col("pack_id"),
+        (least(col("cum"), (col("pack_id") + 1) * 512L) -
+          greatest(col("start"), col("pack_id") * 512L)).as("n"))
+      .groupBy("pack_id").agg(sum(col("n")).as("n_toks"))
+    val packStore = Sinks.readStore(spark, s"$work/packs")
+      .select("pack_id", "n_toks", "tokens").cache()
+    val packCounts = packStore.select("pack_id", "n_toks")
+    assert(packCounts.exceptAll(expectedPacks).count() === 0 &&
+      expectedPacks.exceptAll(packCounts).count() === 0,
+      "pack store counts differ from the independent span-index twin")
+    assert(packStore.filter(
+        size(split(col("tokens"), " ")) =!= col("n_toks")).count() === 0,
+      "a pack's token payload length must equal its indexed n_toks")
+    // every pack but the last is exactly full
+    val lastPack = packStore.agg(max(col("pack_id"))).first().getLong(0)
+    assert(packStore.filter(col("pack_id") < lastPack &&
+        col("n_toks") =!= 512L).count() === 0,
+      "every pack but the last must hold exactly L tokens")
+    // replaying the terminal stage rewrites the same winners — commit
+    // idempotence, same contract as every other soak store
+    val before = packStore.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    packStore.unpersist()
+    Jobs.runPackStage(spark, work)
+    val after = Sinks.readStore(spark, s"$work/packs")
+      .select("pack_id", "n_toks", "tokens").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after === before, "pack stage replay must be idempotent")
+
     // the run was genuinely multi-micro-batch at every stage: the commit
     // log records one entry per micro-batch
     def commits(chk: String): Int =

@@ -32,8 +32,14 @@ def main(outdir, sfdir):
              if os.path.isdir(os.path.join(outdir, d))]
     n_pass = n_fail = 0
     # a query that crashed in Verify writes no output dir at all — that is
-    # a FAIL, not a skip (the driver's gate would record err for it)
-    for name in sorted(set(oracle) - set(qdirs)):
+    # a FAIL, not a skip (the driver's gate would record err for it).
+    # Diff against the full executed list when Verify dumped one, so a
+    # crashed ROWS-ONLY query (no oracle entry) is flagged too, not just
+    # oracle-backed ones.
+    exec_path = os.path.join(outdir, "executed_queries.json")
+    expected = set(json.load(open(exec_path))) if os.path.exists(exec_path) \
+        else set(oracle)
+    for name in sorted(expected - set(qdirs)):
         print(f"FAIL {name}: no output dir (query crashed in Verify?)")
         n_fail += 1
     for name in qdirs:
