@@ -42,6 +42,11 @@ object Sessions {
     // localCheckpoint — see core.Barrier): SPARK_GRAFT_BARRIER=persist
     // lets the whole Verify/Bench surface run under the cluster tier
     sys.env.get("SPARK_GRAFT_BARRIER").foreach(m => b.config(Barrier.ConfKey, m))
+    // prefix-sum bucket-count override (TextAnalysis.prefixBuckets) —
+    // output-invariant by design; the env hook lets the whole
+    // Verify/localcheck gate run under a different count to prove it
+    sys.env.get("SPARK_GRAFT_PREFIX_BUCKETS")
+      .foreach(n => b.config("spark.graft.prefixSumBuckets", n))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

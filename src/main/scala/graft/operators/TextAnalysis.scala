@@ -692,10 +692,9 @@ object TextAnalysis extends OpModule {
     "corpus_pack_spans" -> ((s, dir) =>
       packSpansFrom(packIndex(s, dir, 512L), 512L)),
     // The materialized training batches — each pack's L tokens assembled
-    // from its spans (the terminal product a training loader reads).
-    // Token pieces move exactly once, keyed by pack_id — the minimal
-    // movement, since reassembly IS the output; slice arithmetic is the
-    // span index's, so text content and index can never disagree.
+    // from its spans (the terminal product a training loader reads);
+    // slice arithmetic is the span index's, so text content and index
+    // can never disagree (movement audit on materializePacks).
     "corpus_pack_tokens" -> ((s, dir) =>
       materializePacks(
         t(s, dir, "documents").select(col("doc_id"), col("text")), 512L)),
@@ -1053,7 +1052,7 @@ object TextAnalysis extends OpModule {
   /** The prefix-sum core of [[packIndex]] over an arbitrary thin
     * (doc_id, toks) relation — also the tail of `pipeline_packed_corpus`,
     * where the relation is the front door's train-split survivors. */
-  private def packIndexFromCounts(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def packIndexFromCounts(docs: org.apache.spark.sql.DataFrame,
       L: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nB = prefixBuckets(docs.sparkSession)
@@ -1103,11 +1102,15 @@ object TextAnalysis extends OpModule {
   /** Materialized training packs over an arbitrary (doc_id, text)
     * relation: index → spans → per-span token slices → packs reassembled
     * in offset order. One tokenize pass (the token arrays feed BOTH the
-    * count index and the slicing, barriered so neither re-scans text);
-    * token pieces then cross exactly ONE exchange, keyed by pack_id —
-    * minimal movement, since reassembly is the output. Every pack but the
-    * last has exactly L tokens; `n_toks` is carried so a consumer (and
-    * SoakSpec) can check pack ≡ span-index without re-tokenizing.
+    * count index and the slicing, barriered so neither re-scans text).
+    * Token movement: the audited fixture plan broadcasts the THIN span
+    * side into the slice join, so token data crosses exactly one exchange
+    * (the pack_id reassembly — unavoidable, reassembly IS the output); at
+    * cluster scale where spans outgrow broadcast, the slice join
+    * co-partitions by doc_id and text moves twice — still bounded by the
+    * output's own volume, never quadratic. Every pack but the last has
+    * exactly L tokens; `n_toks` is carried so a consumer (and SoakSpec)
+    * can check pack ≡ span-index without re-tokenizing.
     */
   private[graft] def materializePacks(docs: org.apache.spark.sql.DataFrame,
       L: Long): org.apache.spark.sql.DataFrame = {

@@ -249,6 +249,14 @@ object Jobs {
             compactThreshold = 2)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$admittedDir/batch_$id")
+        // the admitted micro-batch appends to the pack index WITHOUT a
+        // global prefix-sum recompute — the streaming tier of the
+        // terminal pack stage (admission order = id order, so the
+        // maintained index is the batch index of the admitted corpus)
+        StatefulStreaming.packIndexIngestBatch(
+          spark.read.parquet(s"$admittedDir/batch_$id")
+            .select(col("doc_id"), col("text")),
+          s"$workDir/pack_index", id)
         graft.core.Barrier.releaseAll(spark)
         ()
       }

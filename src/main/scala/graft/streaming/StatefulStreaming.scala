@@ -632,6 +632,71 @@ object StatefulStreaming {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Streaming PACK-INDEX maintenance, for `foreachBatch` — the
+    * incremental tier of `corpus_pack_sequences`: an admitted micro-batch
+    * appends its documents to the global concatenate-and-slice pack index
+    * WITHOUT recomputing the global prefix-sum. The already-indexed
+    * corpus contributes exactly ONE number — its total token count — so
+    * per batch the engine runs the distributed prefix-sum over the BATCH
+    * only and shifts it by that base.
+    *
+    * State is the lineDedupIngestBatch discipline: a per-batch directory
+    * of 1-row (toks_total) meta contributions under `__meta/`; the base
+    * offset is their sum — O(batches) rows, never the corpus — and the
+    * batch's own dirs are excluded from the read and Overwrite-rewritten,
+    * so replay is idempotent. The emitted index rows are also persisted
+    * per batch (`__batch=N/`) as the loader-facing product; ingest order
+    * = doc order by the admission contract (arrival order = id order in
+    * the soak), under which the maintained index is row-identical to the
+    * batch `corpus_pack_sequences` over the same docs (pinned in
+    * StreamingSpec).
+    */
+  def packIndexIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long, L: Long = 512L): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    val counts = batch
+      .select(col("doc_id"),
+        graft.functions.Text.bpeishTokenCount(col("text")).cast("long")
+          .as("toks"))
+      .filter(col("toks") > 0L)
+      .barrier() // read by the local index, the meta write
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$storeDir/__meta")
+    val fs = metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // base = batches STRICTLY BEFORE this one (streaming batch ids are
+    // monotonic) — not merely "all but own": a batch replayed after later
+    // batches have committed must still see the base it saw live, or the
+    // rewrite would shift its offsets
+    val priorMeta =
+      (if (fs.exists(metaRoot))
+        fs.listStatus(metaRoot).filter(_.isDirectory).map(_.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path])
+        .filter(p => p.getName.startsWith("__batch=") &&
+          p.getName.stripPrefix("__batch=").toLong < batchId)
+        .filter(p => fs.listFiles(p, true).hasNext)
+    // ONE scalar: the token total of everything indexed so far. A 1-row
+    // driver fetch over an O(batches) relation — bounded by design, the
+    // same class as Sinks' touched-bucket lists.
+    val base = if (priorMeta.isEmpty) 0L
+      else spark.read.parquet(priorMeta.map(_.toString).toIndexedSeq: _*)
+        .agg(coalesce(sum(col("toks_total")), lit(0L))).first().getLong(0)
+    val shifted = graft.operators.TextAnalysis
+      .packIndexFromCounts(counts, L)
+      .withColumn("start_tok", col("start_tok") + lit(base))
+      .withColumn("cum", col("start_tok") + col("toks"))
+      .select(col("doc_id"), col("toks"), col("start_tok"),
+        expr(s"start_tok div $L").as("pack_first"),
+        expr(s"(cum - 1) div $L").as("pack_last"),
+        expr(s"start_tok % $L").as("offset_in_pack"))
+      .barrier() // read by the index write AND returned to the caller
+    counts.agg(coalesce(sum(col("toks")), lit(0L)).as("toks_total"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__meta/__batch=$batchId")
+    shifted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__batch=$batchId")
+    shifted
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

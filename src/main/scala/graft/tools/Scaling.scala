@@ -33,7 +33,7 @@ object Scaling {
     "a8_cohort_retention", "a9_event_transitions", "sim_pq_ann",
     "mm_phash_dedup", "text_gopher_rules", "a6_session_stats",
     "corpus_health_report", "corpus_dedup_stats", "sim_centroid_outliers",
-    "text_unigram_rarity")
+    "text_unigram_rarity", "corpus_pack_tokens")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
@@ -131,6 +131,11 @@ object Scaling {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // prefix-sum bucket-count override for the flat-across-bucket-counts
+    // reading (SCALING.md): the output is bucket-count invariant, so two
+    // counts must time the same at the same k
+    sys.env.get("SPARK_GRAFT_PREFIX_BUCKETS")
+      .foreach(spark.conf.set("spark.graft.prefixSumBuckets", _))
     spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
 
     factors.foreach { k =>

@@ -109,11 +109,21 @@ class SoakSpec extends SparkSpec {
     val admittedDocs = spark.read.parquet(s"$work/admitted/batch_*")
       .select("doc_id", "text")
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-    val expectedPacks = admittedDocs
+    val cums = admittedDocs
       .select(col("doc_id"), graft.functions.Text
         .bpeishTokenCount(col("text")).cast("long").as("toks"))
       .filter(col("toks") > 0L)
       .withColumn("cum", sum(col("toks")).over(wCum))
+    // the STREAM-maintained pack index (appended per admitted micro-batch
+    // in stage 0, no global recompute) ≡ the same independent twin
+    val idxGot = spark.read.parquet(s"$work/pack_index/__batch=*")
+      .select("doc_id", "toks", "start_tok")
+    val idxTwin = cums.select(col("doc_id"), col("toks"),
+      (col("cum") - col("toks")).as("start_tok"))
+    assert(idxGot.exceptAll(idxTwin).count() === 0 &&
+      idxTwin.exceptAll(idxGot).count() === 0,
+      "stream-maintained pack index differs from the independent twin")
+    val expectedPacks = cums
       .select((col("cum") - col("toks")).as("start"), col("cum"))
       .select(col("start"), col("cum"),
         explode(expr("sequence(start div 512, (cum - 1) div 512)"))

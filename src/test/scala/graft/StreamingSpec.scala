@@ -549,6 +549,56 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("pack-index ingest: stream-maintained index equals batch corpus_pack_sequences") {
+    val store = java.nio.file.Files.createTempDirectory("packstore").toString
+    try {
+      // the admission contract: arrival order = doc_id order, chunked
+      // into micro-batches like the soak's hygiene stream
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        val (loId, hiId) = (ids(lo), ids(hi - 1))
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(loId, hiId))
+      }
+      val outs = batches.zipWithIndex.map { case (b, i) =>
+        val out = StatefulStreaming.packIndexIngestBatch(b, store, i.toLong)
+          .collect()
+        graft.core.Barrier.releaseAll(spark)
+        out
+      }
+      val streamed = outs.flatten
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batchTwin = graft.operators.TextAnalysis
+        .queries("corpus_pack_sequences")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed === batchTwin,
+        "stream-maintained pack index must equal the batch query")
+      // the store's persisted union is the same loader-facing index
+      val persisted = spark.read.parquet(s"$store/__batch=*")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(persisted === batchTwin, "persisted per-batch dirs drifted")
+      // REPLAY of the middle batch AFTER the last batch committed: the
+      // base sums strictly-earlier batches only, so even a late retry
+      // reproduces the rows it emitted live and cannot shift any offset
+      val replay = StatefulStreaming
+        .packIndexIngestBatch(batches(1), store, 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      graft.core.Barrier.releaseAll(spark)
+      assert(replay === outs(1).map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet,
+        "pack-index batch replay must be idempotent")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
