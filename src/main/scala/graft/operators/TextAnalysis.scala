@@ -667,6 +667,52 @@ object TextAnalysis extends OpModule {
         .filter(col("cum") <= budget)
         .select(col("doc_id"), col("source"), col("toks"))
     }),
+    // Length-grouped batching — the padding-MINIMIZING alternative to
+    // concatenation packing for models that must not split or mix
+    // documents in a sequence (the published group-by-length batching of
+    // seq2seq training): docs sort by (toks, doc_id), consecutive runs of
+    // B docs form a batch, each batch pads to ITS OWN max length — near-
+    // equal lengths share a batch, so padding collapses versus arrival-
+    // order batching. The global rank is the SAME distributed prefix-sum
+    // discipline as the pack index, but counting docs instead of summing
+    // tokens: toks-RANGE buckets (toks*nB div (max+1), monotone in toks,
+    // ties stay in-bucket so the (toks, doc_id) tie-break is local),
+    // per-bucket COUNTS roll into bounded-window offsets, within-bucket
+    // row_number partitions by bucket — no global sort, no unpartitioned
+    // window over data. Emits the per-batch padding report (all exact
+    // integers; padding = n_docs·max_toks − sum_toks is the waste a
+    // loader would allocate).
+    "corpus_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 32L
+      val nB = prefixBuckets(s)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0L)
+      val mx = toks.agg(max(col("toks")).as("mxt"))
+      val bucketed = toks.join(broadcast(mx), lit(true))
+        .withColumn("bucket", expr(s"toks * ${nB}L div (mxt + 1L)"))
+        .drop("mxt")
+        .barrier() // read by the count rollup AND the rank projection
+      val wb = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("prior", coalesce(sum(col("bn")).over(wb), lit(0L)))
+        .select(col("bucket"), col("prior"))
+      bucketed.join(broadcast(offsets), "bucket")
+        .withColumn("rn", col("prior") + row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("toks"), col("doc_id"))))
+        .withColumn("batch_id", expr(s"(rn - 1) div $B"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("toks")).as("max_toks"),
+          sum(col("toks")).as("sum_toks"))
+        .select(col("batch_id"), col("n_docs"), col("max_toks"),
+          col("sum_toks"),
+          (col("n_docs") * col("max_toks") - col("sum_toks")).as("padding"))
+    }),
     // Sequence-packing index — the GPT-style concatenate-and-slice
     // layout: documents concatenate in doc_id order into one token
     // stream, sliced into fixed L-token training sequences; each doc owns
@@ -2017,6 +2063,26 @@ object TextAnalysis extends OpModule {
         |    - greatest(start_tok, pack_id * 512) AS n_toks,
         |  greatest(start_tok, pack_id * 512) - pack_id * 512 AS pack_offset
         |FROM x""".stripMargin,
+    // plain global row_number over (toks, doc_id) — the semantics; the
+    // bucketed doc-count prefix sum is the scale mechanism. Every output
+    // column CAST to BIGINT (DuckDB windowed/grouped sums go HUGEINT).
+    "corpus_length_batches" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, toks,
+        |    row_number() OVER (ORDER BY toks, doc_id) AS rn
+        |  FROM s WHERE toks > 0),
+        |b AS (SELECT doc_id, toks,
+        |        CAST((rn - 1) // 32 AS BIGINT) AS batch_id FROM r)
+        |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(toks) AS BIGINT) AS max_toks,
+        |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+        |  CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS padding
+        |FROM b GROUP BY 1""".stripMargin,
     // the same span CTEs, then each span's actual token slice, packs
     // reassembled in offset order — mirrors materializePacks exactly
     "corpus_pack_tokens" ->

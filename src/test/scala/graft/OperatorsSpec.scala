@@ -791,4 +791,38 @@ class OperatorsSpec extends SparkSpec {
     assert(spans.groupBy(_._2).exists(_._2.length > 1),
       "no doc spans two packs — fixture inert")
   }
+
+  test("length batches: contiguous, length-sorted, padding beats arrival order") {
+    val rows = graft.operators.TextAnalysis
+      .queries("corpus_length_batches")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val nDocs = rows.map(_._2).sum
+    // batch ids contiguous from 0; every batch 32 docs except the last
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong),
+      "batch ids must be contiguous from 0")
+    rows.init.foreach { case (b, n, _, _, _) =>
+      assert(n === 32L, s"batch $b not full") }
+    assert(rows.last._2 === (nDocs - 1) % 32 + 1)
+    // global (toks, doc_id) sort ⇒ max_toks nondecreasing across batches
+    rows.sliding(2).foreach { case Array((b1, _, m1, _, _), (_, _, m2, _, _)) =>
+      assert(m1 <= m2, s"max_toks decreased after batch $b1") }
+    // padding identity holds per batch
+    rows.foreach { case (b, n, mx, sm, pad) =>
+      assert(pad === n * mx - sm, s"padding identity broken in batch $b") }
+    // the operator's reason to exist: total padding strictly under the
+    // same-B arrival-order (doc_id) batching on this corpus
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.bpeishTokenCount(col("text")).cast("long")
+          .as("toks"))
+      .filter(col("toks") > 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val arrivalPad = toks.grouped(32).map { g =>
+      g.length * g.map(_._2).max - g.map(_._2).sum }.sum
+    val sortedPad = rows.map(_._5).sum
+    assert(sortedPad < arrivalPad,
+      s"length-grouping must cut padding: $sortedPad vs $arrivalPad")
+    assert(nDocs === toks.length, "every nonempty doc lands in a batch")
+  }
 }
