@@ -793,8 +793,16 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("length batches: contiguous, length-sorted, padding beats arrival order") {
-    val rows = graft.operators.TextAnalysis
+    val df = graft.operators.TextAnalysis
       .queries("corpus_length_batches")(spark, sfDir)
+    // the doc-ranking window must be PARTITIONED by bucket — the only
+    // unpartitioned window allowed is the bounded offset rollup, which
+    // never sees the data relation
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), plan.take(2000))
+    assert("windowspecdefinition\\(bucket".r.findFirstIn(plan).isDefined,
+      "row_number window lost its bucket partitioning:\n" + plan.take(2000))
+    val rows = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sortBy(_._1)
     val nDocs = rows.map(_._2).sum
