@@ -1167,10 +1167,27 @@ object TextAnalysis extends OpModule {
       .barrier() // read by the count index AND the slice join
     val spans = packSpansFrom(
       packIndexFromCounts(toks.select(col("doc_id"), col("toks")), L), L)
-    spans.join(toks.select(col("doc_id"), col("toklist")), "doc_id")
+    assemblePacks(packPieces(toks.select(col("doc_id"), col("toklist")),
+      spans))
+  }
+
+  /** Per-span token slices from a (doc_id, toklist) relation and a span
+    * index — the (pack_id, pack_offset, piece) rows both the batch
+    * materializer and the streaming carry tier assemble from. */
+  private[graft] def packPieces(toks: org.apache.spark.sql.DataFrame,
+      spans: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spans.join(toks, "doc_id")
       .select(col("pack_id"), col("pack_offset"),
         expr("slice(toklist, CAST(tok_from AS INT) + 1, " +
           "CAST(n_toks AS INT))").as("piece"))
+
+  /** Offset-ordered reassembly of (pack_id, pack_offset, piece) rows into
+    * (pack_id, n_toks, tokens) packs — the one exchange token payload
+    * ever crosses (see [[materializePacks]]'s movement audit). */
+  private[graft] def assemblePacks(pieces: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pieces
       .groupBy(col("pack_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pack_offset"), col("piece")))),
@@ -1178,7 +1195,6 @@ object TextAnalysis extends OpModule {
       .select(col("pack_id"),
         size(col("tokarr")).cast("long").as("n_toks"),
         concat_ws(" ", col("tokarr")).as("tokens"))
-  }
 
   /** Distinct word-n-gram fingerprints per document: (doc_id, gfp) with
     * gfp the first 60 bits of md5(space-joined gram) — an 8-byte join key

@@ -651,6 +651,68 @@ object StatefulStreaming {
     * batch `corpus_pack_sequences` over the same docs (pinned in
     * StreamingSpec).
     */
+  /** Store dirs under `root` named `__batch=<id>` with id strictly below
+    * `batchId` and at least one file — the shared "state strictly before
+    * this batch" read of the pack ingest tiers. Base/carry must come from
+    * strictly-earlier batches (streaming batch ids are monotonic), NOT
+    * merely "all but own": a batch replayed after later batches have
+    * committed must still see the state it saw live, or the rewrite
+    * would shift offsets.
+    */
+  private def priorBatchDirs(spark: SparkSession, root: String,
+      batchId: Long): Seq[org.apache.hadoop.fs.Path] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(rootPath))
+      fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+    else Array.empty[org.apache.hadoop.fs.Path])
+      .filter(p => p.getName.startsWith("__batch=") &&
+        p.getName.stripPrefix("__batch=").toLong < batchId)
+      // require an actual data file — a zero-row write can leave only
+      // _SUCCESS, and reading such a dir fails schema inference; an
+      // empty contribution and a missing one mean the same thing here
+      .filter { p =>
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (it.hasNext && !found)
+          found = it.next().getPath.getName.startsWith("part-")
+        found
+      }
+      .toIndexedSeq
+  }
+
+  /** ONE scalar: the token total of batches strictly before `batchId`,
+    * summed from the 1-row per-batch meta contributions. A 1-row driver
+    * fetch over an O(batches) relation — bounded by design, the same
+    * class as Sinks' touched-bucket lists.
+    */
+  private def packBase(spark: SparkSession, storeDir: String,
+      batchId: Long): Long = {
+    val prior = priorBatchDirs(spark, s"$storeDir/__meta", batchId)
+    if (prior.isEmpty) 0L
+    else spark.read.parquet(prior.map(_.toString): _*)
+      .agg(coalesce(sum(col("toks_total")), lit(0L))).first().getLong(0)
+  }
+
+  /** The batch's own distributed prefix-sum shifted by the global base —
+    * the incremental tier's whole trick: no plan node ever touches the
+    * already-indexed corpus. */
+  private def shiftedPackIndex(counts: DataFrame, base: Long,
+      L: Long): DataFrame =
+    graft.operators.TextAnalysis.packIndexFromCounts(counts, L)
+      .withColumn("start_tok", col("start_tok") + lit(base))
+      .withColumn("cum", col("start_tok") + col("toks"))
+      .select(col("doc_id"), col("toks"), col("start_tok"),
+        expr(s"start_tok div $L").as("pack_first"),
+        expr(s"(cum - 1) div $L").as("pack_last"),
+        expr(s"start_tok % $L").as("offset_in_pack"))
+
+  private def writeMeta(counts: DataFrame, storeDir: String,
+      batchId: Long): Unit =
+    counts.agg(coalesce(sum(col("toks")), lit(0L)).as("toks_total"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__meta/__batch=$batchId")
+
   def packIndexIngestBatch(batch: DataFrame, storeDir: String,
       batchId: Long, L: Long = 512L): DataFrame = {
     import graft.core.Barrier.BarrierOps
@@ -661,40 +723,71 @@ object StatefulStreaming {
           .as("toks"))
       .filter(col("toks") > 0L)
       .barrier() // read by the local index, the meta write
-    val metaRoot = new org.apache.hadoop.fs.Path(s"$storeDir/__meta")
-    val fs = metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // base = batches STRICTLY BEFORE this one (streaming batch ids are
-    // monotonic) — not merely "all but own": a batch replayed after later
-    // batches have committed must still see the base it saw live, or the
-    // rewrite would shift its offsets
-    val priorMeta =
-      (if (fs.exists(metaRoot))
-        fs.listStatus(metaRoot).filter(_.isDirectory).map(_.getPath)
-      else Array.empty[org.apache.hadoop.fs.Path])
-        .filter(p => p.getName.startsWith("__batch=") &&
-          p.getName.stripPrefix("__batch=").toLong < batchId)
-        .filter(p => fs.listFiles(p, true).hasNext)
-    // ONE scalar: the token total of everything indexed so far. A 1-row
-    // driver fetch over an O(batches) relation — bounded by design, the
-    // same class as Sinks' touched-bucket lists.
-    val base = if (priorMeta.isEmpty) 0L
-      else spark.read.parquet(priorMeta.map(_.toString).toIndexedSeq: _*)
-        .agg(coalesce(sum(col("toks_total")), lit(0L))).first().getLong(0)
-    val shifted = graft.operators.TextAnalysis
-      .packIndexFromCounts(counts, L)
-      .withColumn("start_tok", col("start_tok") + lit(base))
-      .withColumn("cum", col("start_tok") + col("toks"))
-      .select(col("doc_id"), col("toks"), col("start_tok"),
-        expr(s"start_tok div $L").as("pack_first"),
-        expr(s"(cum - 1) div $L").as("pack_last"),
-        expr(s"start_tok % $L").as("offset_in_pack"))
+    val base = packBase(spark, storeDir, batchId)
+    val shifted = shiftedPackIndex(counts, base, L)
       .barrier() // read by the index write AND returned to the caller
-    counts.agg(coalesce(sum(col("toks")), lit(0L)).as("toks_total"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$storeDir/__meta/__batch=$batchId")
+    writeMeta(counts, storeDir, batchId)
     shifted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/__batch=$batchId")
     shifted
+  }
+
+  /** Streaming PACK MATERIALIZATION, for `foreachBatch` — the incremental
+    * tier of `corpus_pack_tokens` (the actual training batches on disk):
+    * each admitted micro-batch materializes ONLY the packs it completes —
+    * O(batch) work regardless of corpus size — and carries the one
+    * incomplete trailing pack's pieces as state to the next batch.
+    *
+    * State is the [[packIndexIngestBatch]] discipline twice over: the
+    * 1-row `__meta/` token-total contributions give the global base
+    * offset, and `__carry/__batch=N` holds the (pack_id, pack_offset,
+    * piece) rows of the trailing partial pack AFTER batch N — bounded by
+    * L tokens, read from the LATEST batch id strictly below this one, so
+    * a replay after later commits reproduces exactly the packs it wrote
+    * live (Overwrite + strictly-earlier reads = idempotent, the store
+    * contract everywhere in this file). Completed packs land in
+    * `packs/__batch=N`; ingest order = doc order by the admission
+    * contract, under which the union of all batch dirs plus the final
+    * carry is row-identical to batch `materializePacks` over the same
+    * docs (pinned in StreamingSpec).
+    */
+  def packMaterializeIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long, L: Long = 512L): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    val toks = batch
+      .select(col("doc_id"),
+        graft.functions.Text.bpeishTokens(col("text")).as("toklist"))
+      .withColumn("toks", size(col("toklist")).cast("long"))
+      .filter(col("toks") > 0L)
+      .barrier() // read by the index, the slice join, the meta write
+    val counts = toks.select(col("doc_id"), col("toks"))
+    val base = packBase(spark, storeDir, batchId)
+    val batchToks = counts.agg(coalesce(sum(col("toks")), lit(0L)))
+      .first().getLong(0)
+    val spans = graft.operators.TextAnalysis
+      .packSpansFrom(shiftedPackIndex(counts, base, L), L)
+    val pieces = graft.operators.TextAnalysis
+      .packPieces(toks.select(col("doc_id"), col("toklist")), spans)
+    val carryDirs = priorBatchDirs(spark, s"$storeDir/__carry", batchId)
+    val carried =
+      if (carryDirs.isEmpty) pieces
+      else pieces.unionByName(spark.read.parquet(
+        carryDirs.maxBy(_.getName.stripPrefix("__batch=").toLong)
+          .toString))
+    val all = carried.barrier() // read by the full split AND the carry
+    // packs strictly below the post-batch boundary are COMPLETE (exactly
+    // L tokens); the boundary pack (if any tokens) is the next carry
+    val boundary = (base + batchToks) / L
+    val full = graft.operators.TextAnalysis
+      .assemblePacks(all.filter(col("pack_id") < boundary))
+    writeMeta(counts, storeDir, batchId)
+    full.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/packs/__batch=$batchId")
+    all.filter(col("pack_id") >= boundary)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__carry/__batch=$batchId")
+    full
   }
 
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,

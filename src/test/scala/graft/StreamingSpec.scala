@@ -599,6 +599,54 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("pack materialization ingest: streamed full packs + carry equal batch packs") {
+    val store = java.nio.file.Files.createTempDirectory("packmat").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      val fulls = batches.zipWithIndex.map { case (b, i) =>
+        val out = StatefulStreaming
+          .packMaterializeIngestBatch(b, store, i.toLong).collect()
+        graft.core.Barrier.releaseAll(spark)
+        out
+      }
+      // every streamed pack is COMPLETE — exactly L tokens
+      fulls.flatten.foreach(r =>
+        assert(r.getLong(1) === 512L, s"pack ${r.getLong(0)} not full"))
+      val streamed = fulls.flatten
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // the trailing partial pack lives in the last batch's carry
+      val carry = graft.operators.TextAnalysis.assemblePacks(
+        spark.read.parquet(s"$store/__carry/__batch=2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val batchTwin = graft.operators.TextAnalysis
+        .queries("corpus_pack_tokens")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed.map(_._1).toSet
+          .intersect(carry.map(_._1).toSet).isEmpty,
+        "a pack must be either complete or carried, never both")
+      assert((streamed ++ carry).toSet === batchTwin,
+        "streamed packs + final carry must equal the batch materializer")
+      // REPLAY of the middle batch AFTER the last batch committed: base
+      // and carry read strictly-earlier state, so the retry writes the
+      // same completed packs it wrote live
+      val replay = StatefulStreaming
+        .packMaterializeIngestBatch(batches(1), store, 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      graft.core.Barrier.releaseAll(spark)
+      assert(replay === fulls(1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet,
+        "pack materialization replay must be idempotent")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
