@@ -539,6 +539,44 @@ object TextAnalysis extends OpModule {
             .when(col("fp_old") === col("fp_new"), lit("unchanged"))
             .otherwise(lit("changed")).as("change"))
     }),
+    // Quality-distribution drift between snapshots — the corpus-refresh
+    // monitor a production pipeline runs BEFORE any gate moves: stopword-
+    // ratio quality buckets counted in the old and the new snapshot (the
+    // corpus_snapshot_diff conventions), per-bucket share in exact ppm
+    // (n·1e6 div total — one integer division, bit-exact in any engine),
+    // and the signed share shift. A scraper regression flooding low-
+    // quality text shows as a large |shift_ppm| at the distribution head
+    // while every per-doc gate still passes. Scale shape: two narrow
+    // scans → two ≤21-row bucket aggs → broadcast 1-row totals → a tiny
+    // full-outer on bucket keys; text never moves.
+    "corpus_quality_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = hashBucket("mem|", col("doc_id"))
+      val newText = when(hashBucket("upd|", col("doc_id")) < 10,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      def dist(d: org.apache.spark.sql.DataFrame,
+          txt: org.apache.spark.sql.Column) = d
+        .select(least(floor(Text.stopwordRatio(txt) * 20), lit(20L))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      def withPpm(d: org.apache.spark.sql.DataFrame, nCol: String,
+          ppmCol: String) = {
+        val tot = d.agg(sum(col("n")).as("tot"))
+        d.join(broadcast(tot), lit(true))
+          .select(col("bucket"), col("n").as(nCol),
+            expr("n * 1000000L div tot").as(ppmCol))
+      }
+      withPpm(dist(docs.filter(m < 95), col("text")), "old_n", "old_ppm")
+        .join(withPpm(dist(docs.filter(m >= 5), newText),
+          "new_n", "new_ppm"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n"),
+          coalesce(col("old_ppm"), lit(0L)).as("old_ppm"),
+          coalesce(col("new_ppm"), lit(0L)).as("new_ppm"),
+          (coalesce(col("new_ppm"), lit(0L)) -
+            coalesce(col("old_ppm"), lit(0L))).as("shift_ppm"))
+    }),
     // Deterministic hash-mod sampling — the reproducible alternative to
     // RNG sampling a training pipeline actually wants: membership depends
     // only on doc_id, so reruns, backfills, and different cluster sizes
@@ -1960,6 +1998,39 @@ object TextAnalysis extends OpModule {
          |  CAST(len(string_split(d.text, chr(10))) AS BIGINT)
          |    - CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_dropped
          |FROM docs d LEFT JOIN cleaned c ON c.doc_id = d.doc_id""".stripMargin
+    },
+    // same snapshot conventions as corpus_snapshot_diff; the score and
+    // 21-bucket granularity mirror corpus_token_budget's proven fragment;
+    // every count/ppm CAST to BIGINT (DuckDB sums/divides go HUGEINT)
+    "corpus_quality_drift" -> {
+      def snap(pred: String, txt: String) =
+        s"""SELECT CAST(least(floor((CASE WHEN len(toks0) = 0 THEN 0.0
+           |    ELSE CAST(len(list_filter(toks0,
+           |           x -> list_contains($stop, x))) AS DOUBLE)
+           |         / CAST(len(toks0) AS DOUBLE) END) * 20), 20)
+           |  AS BIGINT) AS bucket
+           |FROM (SELECT list_filter(string_split_regex(lower($txt),
+           |        '[^a-z0-9]+'), x -> x <> '') AS toks0
+           |      FROM documents WHERE $pred)""".stripMargin
+      val newTxt = s"CASE WHEN ${oraHashBucket("upd|")} < 10 " +
+        "THEN text || ' rev2' ELSE text END"
+      s"""WITH olds AS (${snap(s"${oraHashBucket("mem|")} < 95", "text")}),
+         |news AS (${snap(s"${oraHashBucket("mem|")} >= 5", newTxt)}),
+         |oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |       FROM olds GROUP BY 1),
+         |nc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |       FROM news GROUP BY 1),
+         |op AS (SELECT bucket, n,
+         |         CAST(n * 1000000 // (SELECT sum(n) FROM oc) AS BIGINT)
+         |           AS ppm FROM oc),
+         |np AS (SELECT bucket, n,
+         |         CAST(n * 1000000 // (SELECT sum(n) FROM nc) AS BIGINT)
+         |           AS ppm FROM nc)
+         |SELECT COALESCE(op.bucket, np.bucket) AS bucket,
+         |  COALESCE(op.n, 0) AS old_n, COALESCE(np.n, 0) AS new_n,
+         |  COALESCE(op.ppm, 0) AS old_ppm, COALESCE(np.ppm, 0) AS new_ppm,
+         |  COALESCE(np.ppm, 0) - COALESCE(op.ppm, 0) AS shift_ppm
+         |FROM op FULL OUTER JOIN np ON op.bucket = np.bucket""".stripMargin
     },
     "corpus_snapshot_diff" ->
       s"""WITH o AS (

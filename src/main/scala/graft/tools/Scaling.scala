@@ -33,7 +33,8 @@ object Scaling {
     "a8_cohort_retention", "a9_event_transitions", "sim_pq_ann",
     "mm_phash_dedup", "text_gopher_rules", "a6_session_stats",
     "corpus_health_report", "corpus_dedup_stats", "sim_centroid_outliers",
-    "text_unigram_rarity", "corpus_pack_tokens", "corpus_length_batches")
+    "text_unigram_rarity", "corpus_pack_tokens", "corpus_length_batches",
+    "corpus_quality_drift")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

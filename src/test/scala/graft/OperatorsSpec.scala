@@ -792,6 +792,29 @@ class OperatorsSpec extends SparkSpec {
       "no doc spans two packs — fixture inert")
   }
 
+  test("quality drift: counts conserve, ppm shares sum to a million, drift fires") {
+    val rows = graft.operators.TextAnalysis
+      .queries("corpus_quality_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // bucket counts conserve both snapshot cardinalities exactly
+    val nDocs = docs.count()
+    val nOld = rows.map(_._2).sum
+    val nNew = rows.map(_._3).sum
+    assert(nOld < nDocs && nNew < nDocs && nOld != nNew,
+      s"fixture snapshots must differ: old=$nOld new=$nNew all=$nDocs")
+    // integer-div ppm shares: within one truncation unit per bucket
+    Seq(rows.map(_._4).sum, rows.map(_._5).sum).foreach { s =>
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"ppm shares must sum to 1e6 minus truncation: $s") }
+    rows.foreach { case (b, on, nn, op, np, shift) =>
+      assert(shift === np - op, s"shift identity broken in bucket $b") }
+    // the monitored quantity actually moves on the fixture (text
+    // revisions change stopword ratios)
+    assert(rows.exists(_._6 != 0L), "no drift on fixture — report inert")
+  }
+
   test("length batches: contiguous, length-sorted, padding beats arrival order") {
     val df = graft.operators.TextAnalysis
       .queries("corpus_length_batches")(spark, sfDir)
