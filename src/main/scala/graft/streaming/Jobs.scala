@@ -249,14 +249,18 @@ object Jobs {
             compactThreshold = 2)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$admittedDir/batch_$id")
-        // the admitted micro-batch appends to the pack index WITHOUT a
-        // global prefix-sum recompute — the streaming tier of the
-        // terminal pack stage (admission order = id order, so the
-        // maintained index is the batch index of the admitted corpus)
-        StatefulStreaming.packIndexIngestBatch(
-          spark.read.parquet(s"$admittedDir/batch_$id")
-            .select(col("doc_id"), col("text")),
+        // the admitted micro-batch appends to the pack index AND
+        // materializes the packs it completes, WITHOUT any global
+        // recompute — the streaming tiers of the terminal pack stage
+        // (admission order = id order, so the maintained index/packs are
+        // the batch index/packs of the admitted corpus)
+        val admittedBatch = spark.read
+          .parquet(s"$admittedDir/batch_$id")
+          .select(col("doc_id"), col("text"))
+        StatefulStreaming.packIndexIngestBatch(admittedBatch,
           s"$workDir/pack_index", id)
+        StatefulStreaming.packMaterializeIngestBatch(admittedBatch,
+          s"$workDir/pack_stream", id)
         graft.core.Barrier.releaseAll(spark)
         ()
       }

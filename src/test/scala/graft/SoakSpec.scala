@@ -157,6 +157,25 @@ class SoakSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(after === before, "pack stage replay must be idempotent")
 
+    // the STREAM-materialized packs (per-batch carry tier in stage 0)
+    // plus the final carry equal the terminal batch store — the same
+    // training batches, built incrementally as each micro-batch admitted
+    val streamedPacks = spark.read
+      .parquet(s"$work/pack_stream/packs/__batch=*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val carryRoot = new java.io.File(s"$work/pack_stream/__carry")
+    val lastCarry = carryRoot.listFiles()
+      .filter(d => d.isDirectory &&
+        d.listFiles().exists(_.getName.startsWith("part-")))
+      .map(_.getName.stripPrefix("__batch=").toLong).max
+    val finalCarry = graft.operators.TextAnalysis.assemblePacks(
+      spark.read.parquet(s"$work/pack_stream/__carry/__batch=$lastCarry"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert((streamedPacks ++ finalCarry).toSet === before,
+      "stream-materialized packs + carry differ from the terminal store")
+    streamedPacks.foreach { case (p, n, _) =>
+      assert(n === 512L, s"streamed pack $p not full") }
+
     // the run was genuinely multi-micro-batch at every stage: the commit
     // log records one entry per micro-batch
     def commits(chk: String): Int =
