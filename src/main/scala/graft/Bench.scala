@@ -181,7 +181,10 @@ object Bench {
       if (tailSpread > SpreadBar || guardBad) tail :+= once(name)
       raw(name) = raw(name) ++ tail
       val all = raw(name)
-      results(name) = (median(all), all.min)
+      // keep the failed sentinel: a query that died during its tail runs
+      // must not re-enter the totals with a fast-fail elapsed time
+      results(name) = if (failed.contains(name)) (-1.0, -1.0)
+                      else (median(all), all.min)
       if (tailSpread <= SpreadBar && !guardBad && !failed.contains(name)) {
         requalified ::= name
         loadFlagged = loadFlagged.filterNot(_ == name)

@@ -17,13 +17,16 @@ object Verify {
     // against THIS run's (possibly truncated) oracle map — a removed or
     // filtered-out query must disappear from the report, not downgrade
     // to a weak rows-only PASS
-    new java.io.File(outDir).listFiles().foreach { f =>
+    // listFiles is null for an uncreatable or non-directory outDir — let
+    // the first parquet write raise the actionable error instead of an
+    // opaque NPE here
+    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
       def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(rm)
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
         x.delete(); ()
       }
       rm(f)
-    }
+    })
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>

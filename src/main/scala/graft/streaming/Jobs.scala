@@ -245,21 +245,22 @@ object Jobs {
             StatefulStreaming.classifierGateBatch(batch.toDF()),
             benchFps, benchBloom),
           benchGramFps)
-        StatefulStreaming.nearDupIngestBatch(gated, sigStore, id,
-            compactThreshold = 2)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        val admitted = StatefulStreaming.nearDupIngestBatch(gated,
+          sigStore, id, compactThreshold = 2)
+        admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$admittedDir/batch_$id")
         // the admitted micro-batch appends to the pack index AND
         // materializes the packs it completes, WITHOUT any global
         // recompute — the streaming tiers of the terminal pack stage
         // (admission order = id order, so the maintained index/packs are
-        // the batch index/packs of the admitted corpus)
-        val admittedBatch = spark.read
+        // the batch index/packs of the admitted corpus). Read back the
+        // just-written files (cheaper than re-running the gate plan) with
+        // the KNOWN schema — a fully-rejected batch writes no data files,
+        // and a schema-less read of that dir would kill the stream.
+        val admittedBatch = spark.read.schema(admitted.schema)
           .parquet(s"$admittedDir/batch_$id")
           .select(col("doc_id"), col("text"))
-        StatefulStreaming.packIndexIngestBatch(admittedBatch,
-          s"$workDir/pack_index", id)
-        StatefulStreaming.packMaterializeIngestBatch(admittedBatch,
+        StatefulStreaming.packIngestBatch(admittedBatch,
           s"$workDir/pack_stream", id)
         graft.core.Barrier.releaseAll(spark)
         ()
@@ -345,16 +346,22 @@ object Jobs {
     * materialized packs (`TextAnalysis.materializePacks`), committed via
     * the bucketed keyed store (`Sinks.upsert` on pack_id) so a replayed
     * stage rewrites the same winners instead of double-appending —
-    * replay-idempotent like every other soak commit. The seq is constant:
-    * packs are a pure function of the admitted corpus, so any replay's
-    * rows ARE the current rows and latest-per-key keeps them unchanged.
+    * replay-idempotent like every other soak commit. The seq is the
+    * admitted-batch count: append-only ingest means a pack's content can
+    * only change when MORE batches were admitted, so a re-run over a
+    * grown corpus deterministically replaces the stale trailing pack
+    * (a constant seq would leave the winner to an arbitrary tie-break),
+    * while a replay over the same corpus rewrites identical rows.
     */
   def runPackStage(spark: SparkSession, workDir: String,
       L: Long = 512L): Unit = {
     val admitted = spark.read.parquet(s"$workDir/admitted/batch_*")
       .select(col("doc_id"), col("text"))
+    val seq = Option(new java.io.File(s"$workDir/admitted").listFiles())
+      .map(_.count(d => d.isDirectory && d.getName.startsWith("batch_")))
+      .getOrElse(0)
     val packs = TextAnalysis.materializePacks(admitted, L)
-      .withColumn("__seq", lit(0L))
+      .withColumn("__seq", lit(seq.toLong))
     Sinks.upsert(spark, packs, "pack_id", "__seq", s"$workDir/packs")
     graft.core.Barrier.releaseAll(spark)
   }

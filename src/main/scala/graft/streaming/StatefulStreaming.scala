@@ -659,7 +659,23 @@ object StatefulStreaming {
     * committed must still see the state it saw live, or the rewrite
     * would shift offsets.
     */
-  private def priorBatchDirs(spark: SparkSession, root: String,
+  /** True when the dir holds an actual data file — a zero-row write can
+    * leave only _SUCCESS, and reading such a dir fails schema inference.
+    */
+  private def hasDataFile(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (it.hasNext && !found)
+      found = it.next().getPath.getName.startsWith("part-")
+    found
+  }
+
+  /** Every `__batch=<id>` dir under `root` with id strictly below
+    * `batchId`, WRITTEN OR NOT (an existing dir with no data file is a
+    * real state: "this batch's contribution was empty"). */
+  private def allPriorBatchDirs(spark: SparkSession, root: String,
       batchId: Long): Seq[org.apache.hadoop.fs.Path] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -668,18 +684,15 @@ object StatefulStreaming {
     else Array.empty[org.apache.hadoop.fs.Path])
       .filter(p => p.getName.startsWith("__batch=") &&
         p.getName.stripPrefix("__batch=").toLong < batchId)
-      // require an actual data file — a zero-row write can leave only
-      // _SUCCESS, and reading such a dir fails schema inference; an
-      // empty contribution and a missing one mean the same thing here
-      .filter { p =>
-        val it = fs.listFiles(p, true)
-        var found = false
-        while (it.hasNext && !found)
-          found = it.next().getPath.getName.startsWith("part-")
-        found
-      }
       .toIndexedSeq
   }
+
+  private def priorBatchDirs(spark: SparkSession, root: String,
+      batchId: Long): Seq[org.apache.hadoop.fs.Path] =
+    // for SUMMED contributions (meta) an empty dir and a missing one
+    // mean the same thing — skip part-less dirs
+    allPriorBatchDirs(spark, root, batchId)
+      .filter(p => hasDataFile(spark, p))
 
   /** ONE scalar: the token total of batches strictly before `batchId`,
     * summed from the 1-row per-batch meta contributions. A 1-row driver
@@ -752,7 +765,18 @@ object StatefulStreaming {
     * docs (pinned in StreamingSpec).
     */
   def packMaterializeIngestBatch(batch: DataFrame, storeDir: String,
-      batchId: Long, L: Long = 512L): DataFrame = {
+      batchId: Long, L: Long = 512L): DataFrame =
+    packIngestBatch(batch, storeDir, batchId, L, writeIndex = false)._2
+
+  /** Index AND materialization tiers over ONE tokenize pass and ONE
+    * shifted prefix-sum — what a production ingest runs per trigger (the
+    * soak's shape): the shifted index persists to `__batch=N`, completed
+    * packs to `packs/__batch=N`, the trailing carry to `__carry/__batch=N`,
+    * one shared `__meta` base store. Returns (index, completed packs).
+    */
+  def packIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long, L: Long = 512L, writeIndex: Boolean = true)
+      : (DataFrame, DataFrame) = {
     import graft.core.Barrier.BarrierOps
     val spark = batch.sparkSession
     val toks = batch
@@ -765,16 +789,24 @@ object StatefulStreaming {
     val base = packBase(spark, storeDir, batchId)
     val batchToks = counts.agg(coalesce(sum(col("toks")), lit(0L)))
       .first().getLong(0)
-    val spans = graft.operators.TextAnalysis
-      .packSpansFrom(shiftedPackIndex(counts, base, L), L)
+    val shifted = shiftedPackIndex(counts, base, L)
+      .barrier() // read by the span derivation AND the index write
+    if (writeIndex)
+      shifted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$storeDir/__batch=$batchId")
+    val spans = graft.operators.TextAnalysis.packSpansFrom(shifted, L)
     val pieces = graft.operators.TextAnalysis
       .packPieces(toks.select(col("doc_id"), col("toklist")), spans)
-    val carryDirs = priorBatchDirs(spark, s"$storeDir/__carry", batchId)
-    val carried =
-      if (carryDirs.isEmpty) pieces
-      else pieces.unionByName(spark.read.parquet(
-        carryDirs.maxBy(_.getName.stripPrefix("__batch=").toLong)
-          .toString))
+    // carry is REPLACEMENT state, not a summed contribution: the LATEST
+    // prior carry dir wins even when it is empty (a batch that ended
+    // exactly on a pack boundary wrote an empty carry, which must SHADOW
+    // older non-empty carries — falling back to one would re-inject
+    // already-packed pieces); only read it when it holds data
+    val carried = allPriorBatchDirs(spark, s"$storeDir/__carry", batchId)
+      .sortBy(_.getName.stripPrefix("__batch=").toLong).lastOption
+      .filter(p => hasDataFile(spark, p))
+      .map(p => pieces.unionByName(spark.read.parquet(p.toString)))
+      .getOrElse(pieces)
     val all = carried.barrier() // read by the full split AND the carry
     // packs strictly below the post-batch boundary are COMPLETE (exactly
     // L tokens); the boundary pack (if any tokens) is the next carry
@@ -787,7 +819,7 @@ object StatefulStreaming {
     all.filter(col("pack_id") >= boundary)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/__carry/__batch=$batchId")
-    full
+    (shifted, full)
   }
 
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,

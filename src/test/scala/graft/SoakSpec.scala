@@ -116,7 +116,7 @@ class SoakSpec extends SparkSpec {
       .withColumn("cum", sum(col("toks")).over(wCum))
     // the STREAM-maintained pack index (appended per admitted micro-batch
     // in stage 0, no global recompute) ≡ the same independent twin
-    val idxGot = spark.read.parquet(s"$work/pack_index/__batch=*")
+    val idxGot = spark.read.parquet(s"$work/pack_stream/__batch=*")
       .select("doc_id", "toks", "start_tok")
     val idxTwin = cums.select(col("doc_id"), col("toks"),
       (col("cum") - col("toks")).as("start_tok"))
@@ -163,14 +163,17 @@ class SoakSpec extends SparkSpec {
     val streamedPacks = spark.read
       .parquet(s"$work/pack_stream/packs/__batch=*")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the final carry is the LATEST batch's dir — empty or not (an empty
+    // latest carry SHADOWS older ones; the engine applies the same rule)
     val carryRoot = new java.io.File(s"$work/pack_stream/__carry")
-    val lastCarry = carryRoot.listFiles()
-      .filter(d => d.isDirectory &&
-        d.listFiles().exists(_.getName.startsWith("part-")))
-      .map(_.getName.stripPrefix("__batch=").toLong).max
-    val finalCarry = graft.operators.TextAnalysis.assemblePacks(
-      spark.read.parquet(s"$work/pack_stream/__carry/__batch=$lastCarry"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lastCarryDir = carryRoot.listFiles().filter(_.isDirectory)
+      .maxBy(_.getName.stripPrefix("__batch=").toLong)
+    val finalCarry =
+      if (!lastCarryDir.listFiles().exists(_.getName.startsWith("part-")))
+        Array.empty[(Long, Long, String)]
+      else graft.operators.TextAnalysis.assemblePacks(
+        spark.read.parquet(lastCarryDir.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert((streamedPacks ++ finalCarry).toSet === before,
       "stream-materialized packs + carry differ from the terminal store")
     streamedPacks.foreach { case (p, n, _) =>

@@ -647,6 +647,37 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("pack materialization ingest: empty carry shadows older carries") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("packcarry").toString
+    try {
+      // "w " * n tokenizes to exactly n bpeish tokens
+      def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+      val f0 = StatefulStreaming.packMaterializeIngestBatch(
+        Seq(doc(1, 300)).toDF("doc_id", "text"), store, 0L).collect()
+      graft.core.Barrier.releaseAll(spark)
+      assert(f0.isEmpty, "300 tokens complete no pack")
+      // batch 1 lands EXACTLY on the pack boundary (300 + 724 = 2·512):
+      // packs 0..1 complete, carry is EMPTY
+      val f1 = StatefulStreaming.packMaterializeIngestBatch(
+        Seq(doc(2, 724)).toDF("doc_id", "text"), store, 1L).collect()
+      graft.core.Barrier.releaseAll(spark)
+      assert(f1.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+      assert(f1.forall(_.getLong(1) === 512L))
+      // batch 2 must see the EMPTY carry — falling back to batch 0's
+      // stale carry would re-emit a bogus incomplete "pack 0"
+      val f2 = StatefulStreaming.packMaterializeIngestBatch(
+        Seq(doc(3, 100)).toDF("doc_id", "text"), store, 2L).collect()
+      graft.core.Barrier.releaseAll(spark)
+      assert(f2.isEmpty,
+        s"stale carry re-injected: packs ${f2.map(_.getLong(0)).toList}")
+      val carry = spark.read.parquet(s"$store/__carry/__batch=2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(carry.toSeq === Seq((2L, 0L)),
+        s"carry must hold only doc 3's piece at pack 2 offset 0: ${carry.toList}")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("near-dup gate: paraphrased benchmark text dropped across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
