@@ -792,6 +792,24 @@ class OperatorsSpec extends SparkSpec {
       "no doc spans two packs — fixture inert")
   }
 
+  test("prefix-sum outputs are bucket-count invariant") {
+    // the scale knob (spark.graft.prefixSumBuckets) must never change
+    // WHAT is computed — only how the running total decomposes; an odd
+    // tiny count stresses uneven bucket boundaries
+    def rows(q: String) = graft.operators.TextAnalysis
+      .queries(q)(spark, sfDir).collect().map(_.toSeq).toSet
+    val qs = Seq("corpus_pack_sequences", "corpus_token_budget",
+      "corpus_length_batches")
+    val defaults = qs.map(q => q -> rows(q)).toMap
+    graft.core.Barrier.releaseAll(spark)
+    spark.conf.set("spark.graft.prefixSumBuckets", "7")
+    try qs.foreach { q =>
+      assert(rows(q) === defaults(q),
+        s"$q changed under a different bucket count")
+      graft.core.Barrier.releaseAll(spark)
+    } finally spark.conf.unset("spark.graft.prefixSumBuckets")
+  }
+
   test("quality drift: counts conserve, ppm shares sum to a million, drift fires") {
     val rows = graft.operators.TextAnalysis
       .queries("corpus_quality_drift")(spark, sfDir)
