@@ -11,22 +11,43 @@ object Verify {
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    new java.io.File(outDir).mkdirs()
+    val out = new java.io.File(outDir)
+    out.mkdirs()
     // clear prior artifacts: a stale query dir from an earlier (possibly
     // unfiltered) run would otherwise be re-validated by localcheck
     // against THIS run's (possibly truncated) oracle map — a removed or
     // filtered-out query must disappear from the report, not downgrade
-    // to a weak rows-only PASS
+    // to a weak rows-only PASS.
+    // The wipe is gated on a marker file written by a prior Verify run: a
+    // mistyped or reused outDir pointing at unrelated files must refuse
+    // loudly, not silently destroy them.
     // listFiles is null for an uncreatable or non-directory outDir — let
     // the first parquet write raise the actionable error instead of an
     // opaque NPE here
-    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+    val marker = new java.io.File(out, ".graft_verify_dir")
+    // legacy fallback: pre-marker Verify runs left no marker — a dir whose
+    // every entry is a recognizable verify artifact (query output dir,
+    // oracle/executed dump) is still safe to clear, so a driver-reused
+    // outDir from an older round doesn't brick the correctness gate
+    val knownArtifact: java.io.File => Boolean = { f =>
+      (f.isDirectory && SparkEntry.queries.contains(f.getName)) ||
+        f.getName == "oracle_sql.json" || f.getName == "executed_queries.json"
+    }
+    val existing = Option(out.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    if (existing.nonEmpty && !marker.exists() && !existing.forall(knownArtifact)) {
+      System.err.println(s"[verify] refusing to clear non-empty $outDir: " +
+        s"no ${marker.getName} marker, so it is not a prior Verify output " +
+        "dir — pass an empty or verify-owned directory")
+      sys.exit(2)
+    }
+    existing.foreach { f =>
       def rm(x: java.io.File): Unit = {
         if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
         x.delete(); ()
       }
       rm(f)
-    })
+    }
+    marker.createNewFile()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>

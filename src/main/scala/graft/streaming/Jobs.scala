@@ -355,7 +355,17 @@ object Jobs {
     */
   def runPackStage(spark: SparkSession, workDir: String,
       L: Long = 512L): Unit = {
-    val admitted = spark.read.parquet(s"$workDir/admitted/batch_*")
+    // schema pinned (mirrors the foreachBatch read-back): an all-rejected
+    // run leaves batch dirs holding only _SUCCESS, and a schema-less read
+    // over those dies with 'Unable to infer schema' instead of a clean
+    // zero-row no-op
+    val admittedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val admitted = spark.read.schema(admittedSchema)
+      .parquet(s"$workDir/admitted/batch_*")
       .select(col("doc_id"), col("text"))
     val seq = Option(new java.io.File(s"$workDir/admitted").listFiles())
       .map(_.count(d => d.isDirectory && d.getName.startsWith("batch_")))

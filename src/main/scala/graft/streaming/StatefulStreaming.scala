@@ -682,8 +682,11 @@ object StatefulStreaming {
     (if (fs.exists(rootPath))
       fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
     else Array.empty[org.apache.hadoop.fs.Path])
+      // toLongOption: a stray non-numeric `__batch=<garbage>` dir (partial
+      // copy, editor temp) must be skipped, not NumberFormatException the
+      // stream from inside foreachBatch
       .filter(p => p.getName.startsWith("__batch=") &&
-        p.getName.stripPrefix("__batch=").toLong < batchId)
+        p.getName.stripPrefix("__batch=").toLongOption.exists(_ < batchId))
       .toIndexedSeq
   }
 

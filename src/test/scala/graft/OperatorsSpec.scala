@@ -12,6 +12,13 @@ class OperatorsSpec extends SparkSpec {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
+    // and the reverse: every query is oracle-backed. A queries entry
+    // without an oracleSql twin only gets the driver's weak rows>0 check —
+    // this suite has kept the set at zero since r8, so pin it: adding a
+    // rows-only query must be an explicit decision here, not an accident.
+    val rowsOnly = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty,
+      s"rows-only (oracle-less) queries: ${rowsOnly.toSeq.sorted.mkString(",")}")
   }
 
   test("flagship entry returns rows") {
