@@ -208,20 +208,8 @@ object Similarity extends OpModule {
     // pair join shuffles (cluster, id, vec) once on the cluster id, and C
     // grows with the corpus (C ≈ √N bounds expected cluster size) so the
     // blocked join never degenerates to all-pairs.
-    "dedup_semantic" -> ((s, dir) => {
-      val (assigned, _) = ivf(s, dir, 16, 4)
-      val m = assigned.barrier() // one assignment pass feeds both join sides
-      val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val dropped = a.join(b, Seq("cluster"))
-        .filter(col("vec_a") < col("vec_b") &&
-          expr("cosine_sim(ea, eb)") >= 0.3)
-        .select(col("vec_b").as("vec_id")).distinct()
-      m.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-        .join(dropped, Seq("vec_id"), "left_anti")
-    }),
+    "dedup_semantic" -> ((s, dir) =>
+      semanticKeepFirst(ivf(s, dir, 16, 4)._1)),
     // One k-means (Lloyd) refinement step over the IVF assignment — the
     // iterative-clustering primitive a corpus pipeline runs to tighten
     // centroids before IVF/SemDeDup. Emits the update's MERGEABLE partial
@@ -281,6 +269,31 @@ object Similarity extends OpModule {
     emb.join(broadcast(centArr), lit(true))
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
+  }
+
+  /** SemDeDup keep-first canonicalization WITHIN each coarse cluster of a
+    * (vec_id, embedding, cluster) assignment: drop every vector whose
+    * cosine to an earlier (smaller-id) member of the SAME cluster reaches
+    * τ. One body shared by the first-C-init (`dedup_semantic`) and
+    * trained-centroid (`dedup_semantic_trained`) variants — the blocking
+    * key is the only thing that differs. Scale shape: the pair join
+    * shuffles (cluster, id, vec) once on the cluster id; C grows with the
+    * corpus (C ≈ √N bounds expected cluster size) so the blocked join
+    * never degenerates to all-pairs.
+    */
+  private def semanticKeepFirst(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = assigned.barrier() // one assignment pass feeds both join sides
+    val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        expr("cosine_sim(ea, eb)") >= 0.3)
+      .select(col("vec_b").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** The Lloyd step's MERGEABLE fixed-point state over an assignment:
@@ -367,6 +380,17 @@ object Similarity extends OpModule {
     "sim_kmeans_train" -> ((s, dir) =>
       microStep(assignTo(t(s, dir, "embeddings"),
         kmeansTrain(s, dir, 16, 2)))),
+    // SemDeDup over TRAINED centroids — the production composition the
+    // published method actually prescribes (cluster with a trained coarse
+    // quantizer, then dedup within clusters): the same keep-first body as
+    // dedup_semantic, blocked by the 2-round-Lloyd assignment instead of
+    // the first-C init. The oracle re-derives the full training chain
+    // (the proven sim_kmeans_train CTE ladder) before the dedup, so the
+    // gate pins train → assign → dedup end-to-end.
+    "dedup_semantic_trained" -> ((s, dir) => {
+      val (assigned, _) = ivfTrained(s, dir, 16, 4, 2)
+      semanticKeepFirst(assigned)
+    }),
     // Prototypicality-based pruning (the SSL-prototypes data-pruning
     // method: score each example by cosine to its cluster centroid, prune
     // from the extremes): the 8 LEAST prototypical vectors per coarse
@@ -647,7 +671,7 @@ object Similarity extends OpModule {
     * trained centroid through the identical double-divide + float-round,
     * so round k+1's cosine inputs are bit-equal.
     */
-  private lazy val oraKmeansTrain: String = {
+  private lazy val oraKmeansChain: String = {
     def round(k: Int): String = {
       val prev = if (k == 1) "cents0" else s"cents${k - 1}"
       s"""a$k AS (
@@ -675,7 +699,10 @@ object Similarity extends OpModule {
          |  SELECT p.cid, COALESCE(nw.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN cn$k nw ON nw.cid = p.cid)""".stripMargin
     }
-    s"""WITH cents0 AS (
+    // the shared ladder: cents0 → cents1 → cents2 → the final trained
+    // assignment `af` — prefix of sim_kmeans_train AND the trained
+    // semantic-dedup oracle, so both gates pin the identical chain
+    s"""cents0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
        |  FROM embeddings WHERE vec_id < 16),
        |${round(1)},
@@ -686,7 +713,11 @@ object Similarity extends OpModule {
        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                             CAST(c.cv AS DOUBLE[])) DESC,
        |      c.cid ASC) AS rk
-       |  FROM embeddings e CROSS JOIN cents2 c)
+       |  FROM embeddings e CROSS JOIN cents2 c)""".stripMargin
+  }
+
+  private lazy val oraKmeansTrain: String =
+    s"""WITH $oraKmeansChain
        |SELECT CAST(cid AS BIGINT) AS cluster, j - 1 AS dim,
        |  CAST(sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
        |    AS BIGINT)) AS BIGINT) AS sum_micro,
@@ -695,10 +726,25 @@ object Similarity extends OpModule {
        |        unnest(generate_series(1, len(embedding))) AS j
        |      FROM af WHERE rk = 1)
        |GROUP BY 1, 2""".stripMargin
-  }
 
   def oracles: Map[String, String] = Map(
     "sim_kmeans_train" -> oraKmeansTrain,
+    // trained-assignment twin of the dedup_semantic oracle: the SAME
+    // keep-first dedup, blocked by the cents2 (2-round-Lloyd) assignment
+    // from the shared training ladder
+    "dedup_semantic_trained" ->
+      s"""WITH $oraKmeansChain,
+         |assigned AS (SELECT vec_id, cid AS cluster FROM af WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // same assignment CTE as the IVF mirrors; the outlier ranking then
     // orders within each cluster by the kept crank=1 csim ASC
     "sim_centroid_outliers" ->

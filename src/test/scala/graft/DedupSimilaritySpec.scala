@@ -147,6 +147,27 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cluster minimum $minId must survive keep-first dedup"))
   }
 
+  test("trained semantic dedup: blocks on the trained assignment, cluster minima survive") {
+    val kept = graft.operators.Similarity
+      .queries("dedup_semantic_trained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (assigned, _) =
+      graft.operators.Similarity.ivfTrained(spark, sfDir, 16, 4, 2)
+    val clusters = assigned.select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(kept.nonEmpty && kept.length < clusters.size,
+      "τ=0.3 must drop some semantic dups under the trained blocking too")
+    // output carries the TRAINED assignment it blocked on — not the
+    // first-C init's (the two differ after two Lloyd rounds)
+    kept.foreach { case (v, c) => assert(clusters(v) === c,
+      s"vec $v: output cluster $c is not its trained assignment") }
+    // keep-first can never drop a cluster's smallest id
+    val keptIds = kept.map(_._1).toSet
+    clusters.groupBy(_._2).values.map(_.keys.min)
+      .foreach(minId => assert(keptIds.contains(minId),
+        s"cluster minimum $minId must survive keep-first dedup"))
+  }
+
   test("contamination check counts shared fingerprints across sources") {
     import spark.implicits._
     // doc 10 in srcB is a content clone of doc 0 in srcA (fingerprint
