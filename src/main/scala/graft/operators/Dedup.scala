@@ -110,14 +110,21 @@ object Dedup extends OpModule {
       // re-tokenize per shingle index; interpreted HOF lambdas don't
       // share subexpressions, and CollapseProject re-inlines plain
       // projections), so the signature derivation runs with ZERO
-      // intermediate materializations. One barrier() remains, on the
-      // final sigs relation: verifiedPairs reads it three times (two
-      // self-join sides + the toks verify join); without it each read
-      // recomputes the whole derivation. core.Barrier picks
-      // localCheckpoint locally and persist(DISK_ONLY) on clusters;
-      // long sessions release via Barrier.releaseAll.
-      // repartition ON THE BUCKET KEY before the barrier: the candidate
-      // self-join below is the expensive stage, and its parallelism must
+      // intermediate materializations — and with ZERO barriers (r9):
+      // the banded self-join's two sides share ONE ReusedExchange (the
+      // identical bucket-key repartitions collapse), so the signature
+      // derivation runs once without any checkpoint, and the verify
+      // joins read a SEPARATE 1×-volume token relation. The old shape
+      // barriered the combined sigs+toks relation, checkpointing every
+      // token array 3× (once per band) — profiled as both the slowest
+      // and the highest-variance variant (r8's 2.46–4.25 s spread;
+      // split/no-barrier: 1.35–1.51 s, 1.08× steady spread).
+      // tokenizeDistinct runs once per verify side (two narrow corpus
+      // scans); on a cluster, barrier() the toks relation instead if
+      // scans dominate — verifiedPairsSplit takes whatever the caller
+      // materialized.
+      // repartition ON THE BUCKET KEY before the self-join: the
+      // candidate join is the expensive stage, and its parallelism must
       // not be inherited from the signature aggregate's shuffle — AQE
       // coalesces that tiny relation down to one partition and the
       // bucket join would run on a single core (measured 3.5×). This is
@@ -131,8 +138,10 @@ object Dedup extends OpModule {
       // the token table by doc_id instead, so tokens move once per
       // verify side.
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      verifiedPairs(
-        bandedSigs(t(s, dir, "documents")).barrier(), nPart)
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        Text.tokenizeDistinct(col("text")).as("toks"))
+      verifiedPairsSplit(thinSigs(docs), toks, nPart)
     }),
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
@@ -278,6 +287,18 @@ object Dedup extends OpModule {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
+  /** THIN banded signatures — (doc_id, band, sig) straight from the
+    * slice aggregates, no token join: the relation the banded self-join
+    * actually needs. Token arrays live in a separate 1×-volume relation
+    * (see [[verifiedPairsSplit]]) instead of riding every banded row 3×.
+    */
+  def thinSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    minhashSlices(docs)
+      .select(col("doc_id"),
+        posexplode(array(bandSig(0, 1), bandSig(2, 3), bandSig(4, 5))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+
   /** The six 20-bit BIGINT min-slices per doc — the raw MinHash vector
     * [[bandedSigs]] bands up, also read directly by the estimator-quality
     * query (slice agreement IS the MinHash Jaccard estimate). */
@@ -333,6 +354,34 @@ object Dedup extends OpModule {
       .select(col("doc_a"), col("doc_b")).distinct()
     val toks = sigs.filter(col("band") === 0)
       .select(col("doc_id"), col("toks"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .filter(jaccard(col("toks_a"), col("toks_b")) >= thr)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[verifiedPairs]] with the signature and token relations SPLIT: the
+    * banded self-join runs over thin (doc_id, band, sig) rows and the
+    * tiny candidate set re-joins a separate (doc_id, toks) relation. The
+    * split keeps token arrays out of whatever materialization the caller
+    * puts behind `sigsThin`/`toks` — barriering the combined bandedSigs
+    * relation checkpoints every token array 3× (once per band), which is
+    * the write the r8 variance profile pointed at.
+    */
+  def verifiedPairsSplit(sigsThin: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame, nPart: Int,
+      thr: Double = 0.6): org.apache.spark.sql.DataFrame = {
+    val banded = sigsThin.repartition(nPart, col("band"), col("sig"))
+    val cand = banded.select(col("band").as("band_a"),
+        col("sig").as("sig_a"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band").as("band_b"),
+          col("sig").as("sig_b"), col("doc_id").as("doc_b")),
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         "doc_a")

@@ -413,7 +413,14 @@ object TextAnalysis extends OpModule {
       // tier (c): whole-doc paraphrase (verified near-dup pair with a
       // bench member; either orientation)
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val pairs = Dedup.verifiedPairs(Dedup.bandedSigs(docs).barrier(), nPart)
+      // split shape (see dedup_minhash_lsh): thin sigs self-join via one
+      // ReusedExchange + a separate 1x token relation — no fat barrier.
+      // The barrier sits on the TINY pair relation instead, because the
+      // two semi-joins below read `pairs` twice.
+      val pairToks = docs.select(col("doc_id"),
+        Text.tokenizeDistinct(col("text")).as("toks"))
+      val pairs = Dedup.verifiedPairsSplit(
+        Dedup.thinSigs(docs), pairToks, nPart).barrier()
       val bench = withBench.filter(col("is_bench")).select(col("doc_id"))
       val para = pairs
         .join(bench.select(col("doc_id").as("doc_b")), Seq("doc_b"),

@@ -6,8 +6,10 @@ package graft
   */
 class BarrierSpec extends SparkSpec {
 
+  // a barrier-USING query (dedup_minhash_lsh went zero-barrier in r9;
+  // the estimator still barriers its slice relation)
   private def runMinhash(): Set[(Long, Long)] =
-    SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    SparkEntry.queries("dedup_minhash_estimate")(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
