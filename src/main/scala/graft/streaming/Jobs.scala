@@ -200,7 +200,7 @@ object Jobs {
     * admissions is exactly greedy keep-first over the gated corpus.
     */
   def runSoak(spark: SparkSession, sfDir: String, workDir: String,
-      srcFiles: Int = 4): Unit = {
+      srcFiles: Int = 4): Seq[String] = {
     import org.apache.spark.sql.streaming.Trigger
 
     // STAGE 0 — ingest hygiene front door over the documents table
@@ -300,8 +300,13 @@ object Jobs {
     // stream in, streaming aggregate state across triggers, bucketed
     // upsert out. Complete mode emits the full current aggregate, so the
     // store's final state is exactly the all-data aggregate.
+    // returns the state operators' custom-metric keys from the final
+    // progress event — the DWS aggregates are the soak's actual state
+    // store surface, and SoakSpec's cluster-tier variant asserts the
+    // RocksDB provider genuinely held that state (its provider exports
+    // rocksdb* metrics; the default HDFS provider exports none of those)
     def dws(factDir: String, chk: String, store: String)(
-        agg: DataFrame => DataFrame): Unit = {
+        agg: DataFrame => DataFrame): Seq[String] = {
       val schema = spark.read.parquet(factDir).schema
       val q = agg(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 2).parquet(factDir))
@@ -314,23 +319,29 @@ object Jobs {
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
     }
 
     // the reference keyword DWS consumes the HYGIENE stage's admitted
     // stream — contaminated/duplicate docs must never reach the counts
-    dws(s"$admittedDir/batch_*", s"$workDir/_chk_kw", s"$workDir/store_kw") {
+    val kwMetrics = dws(s"$admittedDir/batch_*", s"$workDir/_chk_kw",
+        s"$workDir/store_kw") {
       df =>
         df.select(explode(Text.tokenizeCjk(col("text"))).as("keyword"))
           .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
           .withColumn("__k", col("keyword"))
     }
-    dws(s"$dwd/page/batch_*", s"$workDir/_chk_page", s"$workDir/store_page") { df =>
+    val pageMetrics = dws(s"$dwd/page/batch_*", s"$workDir/_chk_page",
+        s"$workDir/store_page") { df =>
       df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"),
           pmod(col("k"), lit(3L)).as("ch"))
         .agg(count(lit(1)).as("pv"), sum(col("k")).as("k_sum"))
         .withColumn("__k", concat(col("cur_date"), lit("|"), col("ch")))
     }
-    dws(s"$dwd/err/batch_*", s"$workDir/_chk_err", s"$workDir/store_err") { df =>
+    val errMetrics = dws(s"$dwd/err/batch_*", s"$workDir/_chk_err",
+        s"$workDir/store_err") { df =>
       df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
         .agg(count(lit(1)).as("err_ct"))
         .withColumn("__k", col("cur_date"))
@@ -338,6 +349,7 @@ object Jobs {
 
     // TERMINAL STAGE — corpus → training batches on disk
     runPackStage(spark, workDir)
+    kwMetrics ++ pageMetrics ++ errMetrics
   }
 
   /** The soak's terminal stage: the ADMITTED (hygiene-cleaned) corpus

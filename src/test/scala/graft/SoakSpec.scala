@@ -14,9 +14,13 @@ import graft.streaming.{Jobs, Sinks, StatefulStreaming}
   */
 class SoakSpec extends SparkSpec {
 
-  test("chained streaming DAG final state equals the batch composition") {
+  /** The whole soak + every store-vs-batch-twin assertion; returns the
+    * DWS state operators' custom-metric keys so the cluster-tier variant
+    * can prove WHICH provider held the streaming aggregate state.
+    */
+  private def runSoakAndAssert(): Seq[String] = {
     val work = Files.createTempDirectory("soak").toString
-    Jobs.runSoak(spark, sfDir, work, srcFiles = 4)
+    val stateMetricKeys = Jobs.runSoak(spark, sfDir, work, srcFiles = 4)
 
     // STAGE 0: streamed hygiene admissions ≡ batch gates (classifier +
     // exact fp + 13-gram) + GLOBAL greedy keep-first (arrival order = id
@@ -189,5 +193,26 @@ class SoakSpec extends SparkSpec {
     assert(commits(s"$work/_chk_dwd") >= 4, "splitter ran >=4 micro-batches")
     assert(commits(s"$work/_chk_page") >= 2, "page DWS ran >=2 micro-batches")
     assert(commits(s"$work/_chk_err") >= 2, "err DWS ran >=2 micro-batches")
+    stateMetricKeys
+  }
+
+  test("chained streaming DAG final state equals the batch composition") {
+    runSoakAndAssert()
+    ()
+  }
+
+  test("the full soak is green under the RocksDB state store (cluster tier)") {
+    // provider class is read at query start, so setting it on the shared
+    // session configures exactly what SPARK_GRAFT_STATESTORE=rocksdb
+    // would — every streaming aggregate in the soak then keeps its state
+    // in RocksDB while all the store-vs-batch-twin assertions still hold
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.core.Sessions.RocksDbProvider)
+    try {
+      val metricKeys = runSoakAndAssert()
+      assert(metricKeys.nonEmpty, "DWS stages must report state operators")
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"soak state must live in RocksDB, got metrics: ${metricKeys.distinct.toList}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
