@@ -140,7 +140,12 @@ object Scaling {
     spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
 
     factors.foreach { k =>
-      val dir = s"/tmp/graft_scale_${k}x"
+      // the BASE is part of the dir name: the harness reuses an existing
+      // dir without re-materializing, and a bare `_16x` dir built from
+      // sf0.01 once masqueraded as sf0.1×16 (10× less data than the
+      // reading claimed — caught in r9 when a same-session 64× ran 40×
+      // the rows of "16×"). Never let two bases share a dir again.
+      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
       Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
