@@ -64,16 +64,54 @@ object Relational extends OpModule {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val wp = Window.partitionBy(col("l_returnflag"))
-      val wr = wp.orderBy(col("l_extendedprice"))
-      val ranked = base
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(wp))
-      val exact = ranked.groupBy(col("l_returnflag")).agg(
-        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
-          col("l_extendedprice"))).as("p50x"),
-        max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
-          col("l_extendedprice"))).as("p95x"))
+      // EXACT tier by distributed HISTOGRAM RANK-SELECTION, not a per-key
+      // global sort: the old shape windowed over partitionBy(l_returnflag)
+      // — 3 distinct flags, so the whole relation sorted through 3 window
+      // partitions (47 s at 64×/38.4 M rows, the serialize-through-few-
+      // partitions anti-pattern). Selection instead: (1) per-flag extent
+      // + count (3-row agg); (2) fixed-width B-bucket histogram counts —
+      // one narrow scan + a (flag, bucket) agg; (3) running total over
+      // the ≤B-row-per-flag histogram (bounded window, same class as the
+      // prefix-sum buckets) locates the bucket holding each target rank;
+      // (4) ONLY the located buckets' rows (≈ n/B each; worst case —
+      // all-equal values — degenerates to one bucket, i.e. the old cost)
+      // are ranked to pick the (k − prior)-th smallest. The k-th smallest
+      // VALUE is tie-order independent and bucketing is monotone in
+      // value, so the selected values are identical to the sort's.
+      val B = 1024
+      val ext = base.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      val wb = base.join(broadcast(ext), "l_returnflag")
+        .withColumn("bkt", least(lit(B - 1), greatest(lit(0),
+          floor((col("l_extendedprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(B) + lit(1e-12))).cast("int"))))
+      val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      val cum = wb.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("prev", col("cum") - col("c"))
+      val targets = ext.select(col("l_returnflag"), explode(array(
+          struct(lit("p50").as("q"),
+            ceil(lit(0.5) * col("n")).cast("long").as("k")),
+          struct(lit("p95").as("q"),
+            ceil(lit(0.95) * col("n")).cast("long").as("k")))).as("t"))
+        .select(col("l_returnflag"), col("t.q").as("q"), col("t.k").as("k"))
+      val located = targets.join(cum, Seq("l_returnflag"))
+        .filter(col("k") > col("prev") && col("k") <= col("cum"))
+        .select(col("l_returnflag"), col("q"), col("bkt"),
+          (col("k") - col("prev")).as("krel"))
+      val exact = wb
+        .select(col("l_returnflag"), col("bkt"), col("l_extendedprice"))
+        .join(broadcast(located), Seq("l_returnflag", "bkt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"), col("q"))
+            .orderBy(col("l_extendedprice"))))
+        .filter(col("rn") === col("krel"))
+        .groupBy(col("l_returnflag")).agg(
+          max(when(col("q") === "p50", col("l_extendedprice"))).as("p50x"),
+          max(when(col("q") === "p95", col("l_extendedprice"))).as("p95x"))
       val approx = base.groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("a50"),

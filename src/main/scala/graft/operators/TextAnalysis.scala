@@ -283,6 +283,41 @@ object TextAnalysis extends OpModule {
       winners.join(texts, Seq("lang", "gfp"))
         .select(col("lang"), col("gram"), col("cnt"), col("rank"))
     }),
+    // BPE merge-candidate counting — the distributed inner loop of
+    // tokenizer training: count every ADJACENT pair of the bpeish
+    // subword stream (the same token stream the pack materializer
+    // slices) and rank the top merge candidates. BPE's apply-merge step
+    // is a narrow per-doc rewrite; THIS counting pass is the
+    // cluster-scale work a training run repeats per merge round. Scale
+    // shape mirrors text_top_ngrams: pair text never rides the counting
+    // shuffle (8-byte fp key, map-side combine), the global rank is a
+    // WindowGroupLimit-cut literal top-K over the DISTINCT-pair relation
+    // (vocab²-bounded, not corpus-bounded), and only the ≤K winners join
+    // back (broadcast) to recover text, min() shipping one string per
+    // partition per winner.
+    "text_bpe_merges" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = t(s, dir, "documents")
+        .select(Text.bpeishTokens(col("text")).as("tl"))
+        .filter(size(col("tl")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(tl, 1, size(tl) - 1), slice(tl, 2, size(tl) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("pair"))
+        .select(col("pair"),
+          conv(substring(md5(col("pair")), 1, 15), 16, 10)
+            .cast("long").as("pfp"))
+        .barrier() // counted AND joined-back-to — one pair pass, not two
+      val counts = pairs.groupBy(col("pfp"))
+        .agg(count(lit(1)).as("pair_count"))
+      val w = Window.orderBy(col("pair_count").desc, col("pfp").asc)
+      val winners = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 40)
+      val texts = pairs
+        .join(broadcast(winners.select(col("pfp"))), Seq("pfp"))
+        .groupBy(col("pfp")).agg(min(col("pair")).as("pair"))
+      winners.join(texts, Seq("pfp"))
+        .select(col("rank"), col("pair"), col("pair_count"))
+    }),
     // corpus accounting: the per-(lang, source) rollup every training-data
     // pipeline reports — doc counts, token budget, quality aggregates
     "text_corpus_stats" -> ((s, dir) => {
@@ -1810,6 +1845,26 @@ object TextAnalysis extends OpModule {
         |FROM r JOIN (SELECT lang, gfp, min(gram) AS gram
         |             FROM g GROUP BY 1, 2) t USING (lang, gfp)
         |WHERE rank <= 10""".stripMargin,
+    // mirrors text_bpe_merges: the bpeish subword stream, adjacent-pair
+    // unnest, fp-keyed counting, global rank tie-broken on the fp
+    "text_bpe_merges" ->
+      """WITH tl AS (
+        |  SELECT regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT pair,
+        |    ('0x' || substring(md5(pair), 1, 15))::BIGINT AS pfp
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |          i -> t[i] || ' ' || t[i + 1])) AS pair
+        |        FROM tl WHERE len(t) >= 2)),
+        |c AS (SELECT pfp, min(pair) AS pair, count(*) AS pair_count
+        |      FROM p GROUP BY 1)
+        |SELECT rank, pair, pair_count FROM (
+        |  SELECT pair, pair_count,
+        |    row_number() OVER (ORDER BY pair_count DESC, pfp ASC) AS rank
+        |  FROM c)
+        |WHERE rank <= 40""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
