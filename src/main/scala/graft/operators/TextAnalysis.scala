@@ -289,11 +289,15 @@ object TextAnalysis extends OpModule {
     // slices) and rank the top merge candidates. BPE's apply-merge step
     // is a narrow per-doc rewrite; THIS counting pass is the
     // cluster-scale work a training run repeats per merge round. Scale
-    // shape mirrors text_top_ngrams: pair text never rides the counting
-    // shuffle (8-byte fp key, map-side combine), the global rank is a
-    // WindowGroupLimit-cut literal top-K over the DISTINCT-pair relation
-    // (vocab²-bounded, not corpus-bounded), and only the ≤K winners join
-    // back (broadcast) to recover text, min() shipping one string per
+    // shape mirrors text_top_ngrams for the counting (pair text never
+    // rides the shuffle — 8-byte fp key, map-side combine) but the rank
+    // is GLOBAL, so the literal top-K goes through orderBy+limit =
+    // TakeOrderedAndProject (per-partition partial top-K, no
+    // single-partition window over the distinct-pair relation — an
+    // unpartitioned row_number+filter does NOT get the WindowGroupLimit
+    // cut, verified in the final plan); row_number then ranks the ≤K-row
+    // result (bounded window), and only those winners join back
+    // (broadcast) to recover text, min() shipping one string per
     // partition per winner.
     "text_bpe_merges" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -310,8 +314,9 @@ object TextAnalysis extends OpModule {
       val counts = pairs.groupBy(col("pfp"))
         .agg(count(lit(1)).as("pair_count"))
       val w = Window.orderBy(col("pair_count").desc, col("pfp").asc)
-      val winners = counts.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 40)
+      val winners = counts
+        .orderBy(col("pair_count").desc, col("pfp").asc).limit(40)
+        .withColumn("rank", row_number().over(w))
       val texts = pairs
         .join(broadcast(winners.select(col("pfp"))), Seq("pfp"))
         .groupBy(col("pfp")).agg(min(col("pair")).as("pair"))
