@@ -78,40 +78,7 @@ object Relational extends OpModule {
       // are ranked to pick the (k − prior)-th smallest. The k-th smallest
       // VALUE is tie-order independent and bucketing is monotone in
       // value, so the selected values are identical to the sort's.
-      val B = 1024
-      val ext = base.groupBy(col("l_returnflag")).agg(
-        count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("mn"),
-        max(col("l_extendedprice")).as("mx"))
-      val wb = base.join(broadcast(ext), "l_returnflag")
-        .withColumn("bkt", least(lit(B - 1), greatest(lit(0),
-          floor((col("l_extendedprice") - col("mn")) /
-            ((col("mx") - col("mn")) / lit(B) + lit(1e-12))).cast("int"))))
-      val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
-      val cum = wb.groupBy(col("l_returnflag"), col("bkt"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wcum))
-        .withColumn("prev", col("cum") - col("c"))
-      val targets = ext.select(col("l_returnflag"), explode(array(
-          struct(lit("p50").as("q"),
-            ceil(lit(0.5) * col("n")).cast("long").as("k")),
-          struct(lit("p95").as("q"),
-            ceil(lit(0.95) * col("n")).cast("long").as("k")))).as("t"))
-        .select(col("l_returnflag"), col("t.q").as("q"), col("t.k").as("k"))
-      val located = targets.join(cum, Seq("l_returnflag"))
-        .filter(col("k") > col("prev") && col("k") <= col("cum"))
-        .select(col("l_returnflag"), col("q"), col("bkt"),
-          (col("k") - col("prev")).as("krel"))
-      val exact = wb
-        .select(col("l_returnflag"), col("bkt"), col("l_extendedprice"))
-        .join(broadcast(located), Seq("l_returnflag", "bkt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag"), col("q"))
-            .orderBy(col("l_extendedprice"))))
-        .filter(col("rn") === col("krel"))
-        .groupBy(col("l_returnflag")).agg(
-          max(when(col("q") === "p50", col("l_extendedprice"))).as("p50x"),
-          max(when(col("q") === "p95", col("l_extendedprice"))).as("p95x"))
+      val exact = exactQuantileSelect(base)
       val approx = base.groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("a50"),
@@ -334,6 +301,53 @@ object Relational extends OpModule {
         .filter(col("rn") === 1 && col("event_type") =!= "error")
         .select(col("user_id"), col("value").as("dim_value"))
     }))
+
+  /** Exact per-flag p50/p95 of `l_extendedprice` by distributed HISTOGRAM
+    * RANK-SELECTION over a (l_returnflag, l_extendedprice) relation — the
+    * selection core of `q_quantiles_approx`'s verification tier, factored
+    * out so the spec can pin it against the sort-derived truth on
+    * adversarial inputs (ties, skew, all-equal groups). See the query's
+    * comment for the shape; the k-th smallest VALUE is tie-order
+    * independent and fixed-width bucketing is monotone in value, so the
+    * selected values equal a per-key global sort's.
+    */
+  private[graft] def exactQuantileSelect(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1024
+    val ext = base.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    val wb = base.join(broadcast(ext), "l_returnflag")
+      .withColumn("bkt", least(lit(B - 1), greatest(lit(0),
+        floor((col("l_extendedprice") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(B) + lit(1e-12))).cast("int"))))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+    val cum = wb.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("prev", col("cum") - col("c"))
+    val targets = ext.select(col("l_returnflag"), explode(array(
+        struct(lit("p50").as("q"),
+          ceil(lit(0.5) * col("n")).cast("long").as("k")),
+        struct(lit("p95").as("q"),
+          ceil(lit(0.95) * col("n")).cast("long").as("k")))).as("t"))
+      .select(col("l_returnflag"), col("t.q").as("q"), col("t.k").as("k"))
+    val located = targets.join(cum, Seq("l_returnflag"))
+      .filter(col("k") > col("prev") && col("k") <= col("cum"))
+      .select(col("l_returnflag"), col("q"), col("bkt"),
+        (col("k") - col("prev")).as("krel"))
+    wb.select(col("l_returnflag"), col("bkt"), col("l_extendedprice"))
+      .join(broadcast(located), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"), col("q"))
+          .orderBy(col("l_extendedprice"))))
+      .filter(col("rn") === col("krel"))
+      .groupBy(col("l_returnflag")).agg(
+        max(when(col("q") === "p50", col("l_extendedprice"))).as("p50x"),
+        max(when(col("q") === "p95", col("l_extendedprice"))).as("p95x"))
+  }
 
   def oracles: Map[String, String] = Map(
     // ordering happens on the DECIMAL sum inside the subquery (ordering the

@@ -822,6 +822,36 @@ object TextAnalysis extends OpModule {
     // integer intersection of [start, start+toks) with [p·L, (p+1)·L).
     "corpus_pack_spans" -> ((s, dir) =>
       packSpansFrom(packIndex(s, dir, 512L), 512L)),
+    // Per-pack PROVENANCE manifest — the data-mixture accounting a
+    // training run needs per batch (and the audit trail attribution
+    // asks for): how many doc slices and tokens each pack holds, how
+    // many distinct sources feed it, and which source dominates it (by
+    // tokens, ties broken lexicographically). Scale shape: spans are
+    // thin (pack_id, doc_id, n_toks) — no text anywhere; doc metadata
+    // joins by doc_id; the per-(pack, source) rollup barriers once
+    // (read by the totals AND the top-source rank) and the rank=1 cut
+    // is a partitioned WindowGroupLimit.
+    "corpus_pack_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = packSpansFrom(packIndex(s, dir, 512L), 512L)
+        .select(col("pack_id"), col("doc_id"), col("n_toks"))
+      val meta = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val perSource = spans.join(meta, "doc_id")
+        .groupBy(col("pack_id"), col("source"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("toks"))
+        .barrier() // read by the totals rollup AND the top-source rank
+      val w = Window.partitionBy(col("pack_id"))
+        .orderBy(col("toks").desc, col("source").asc)
+      val top = perSource.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("pack_id"), col("source").as("top_source"),
+          col("toks").as("top_source_toks"))
+      perSource.groupBy(col("pack_id")).agg(
+          sum(col("nd")).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          count(lit(1)).as("n_sources"))
+        .join(top, "pack_id")
+    }),
     // The materialized training batches — each pack's L tokens assembled
     // from its spans (the terminal product a training loader reads);
     // slice arithmetic is the span index's, so text content and index
@@ -2217,6 +2247,49 @@ object TextAnalysis extends OpModule {
         |    - greatest(start_tok, pack_id * 512) AS n_toks,
         |  greatest(start_tok, pack_id * 512) - pack_id * 512 AS pack_offset
         |FROM x""".stripMargin,
+    // the spans CTE joined to doc metadata, rolled up per (pack, source),
+    // totals + top-source (toks DESC, source ASC) per pack
+    "corpus_pack_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM s WHERE toks > 0),
+        |x AS (
+        |  SELECT doc_id, toks, CAST(cum - toks AS BIGINT) AS start_tok,
+        |    unnest(generate_series(CAST((cum - toks) // 512 AS BIGINT),
+        |                           CAST((cum - 1) // 512 AS BIGINT)))
+        |      AS pack_id
+        |  FROM c),
+        |sp AS (
+        |  SELECT pack_id, doc_id,
+        |    least(start_tok + toks, (pack_id + 1) * 512)
+        |      - greatest(start_tok, pack_id * 512) AS n_toks
+        |  FROM x),
+        |ps AS (
+        |  SELECT sp.pack_id, d.source,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(sp.n_toks) AS BIGINT) AS toks
+        |  FROM sp JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2)
+        |SELECT t.pack_id, t.n_docs, t.n_tokens, t.n_sources,
+        |  p.top_source, p.top_source_toks
+        |FROM (SELECT pack_id, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_sources
+        |      FROM ps GROUP BY 1) t
+        |JOIN (SELECT pack_id, source AS top_source,
+        |        toks AS top_source_toks
+        |      FROM (SELECT pack_id, source, toks,
+        |              row_number() OVER (PARTITION BY pack_id
+        |                ORDER BY toks DESC, source ASC) AS rk
+        |            FROM ps)
+        |      WHERE rk = 1) p USING (pack_id)""".stripMargin,
     // plain global row_number over (toks, doc_id) — the semantics; the
     // bucketed doc-count prefix sum is the scale mechanism. Every output
     // column CAST to BIGINT (DuckDB windowed/grouped sums go HUGEINT).

@@ -34,7 +34,8 @@ object Scaling {
     "mm_phash_dedup", "text_gopher_rules", "a6_session_stats",
     "corpus_health_report", "corpus_dedup_stats", "sim_centroid_outliers",
     "text_unigram_rarity", "corpus_pack_tokens", "corpus_length_batches",
-    "corpus_quality_drift", "text_bpe_merges", "dedup_semantic_trained")
+    "corpus_quality_drift", "text_bpe_merges", "dedup_semantic_trained",
+    "corpus_pack_manifest")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

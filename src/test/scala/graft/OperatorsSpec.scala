@@ -25,6 +25,39 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("histogram rank-selection equals sort-derived exact quantiles on adversarial inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties (100 distinct values over 10k rows), heavy right skew
+    // (quadratic growth crams most rows into the histogram's low
+    // buckets), and an all-equal group (zero extent — the degenerate
+    // one-bucket case)
+    val rows =
+      Seq.tabulate(10000)(i => ("A", (i % 100).toDouble)) ++
+      Seq.tabulate(5000)(i => ("B", i.toDouble * i)) ++
+      Seq.tabulate(777)(_ => ("C", 42.0))
+    val base = rows.toDF("l_returnflag", "l_extendedprice")
+    val got = graft.operators.Relational.exactQuantileSelect(base)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // the truth twin: the per-key global sort the selection replaced
+    val wp = Window.partitionBy(col("l_returnflag"))
+    val wr = wp.orderBy(col("l_extendedprice"))
+    val expect = base
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy(col("l_returnflag")).agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("l_extendedprice"))).as("p50x"),
+        max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
+          col("l_extendedprice"))).as("p95x"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got === expect,
+      "histogram selection must pick the identical k-th-smallest values")
+    assert(got("C") === ((42.0, 42.0)), "all-equal group: both quantiles 42")
+  }
+
   test("U1 CJK tier: han bigram recall, latin path unchanged, mixed scripts") {
     import spark.implicits._
     val toks = Seq("深度学习 deep learning 2024", "我", "abc 123", "")
