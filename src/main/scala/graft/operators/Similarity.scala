@@ -209,7 +209,7 @@ object Similarity extends OpModule {
     // grows with the corpus (C ≈ √N bounds expected cluster size) so the
     // blocked join never degenerates to all-pairs.
     "dedup_semantic" -> ((s, dir) =>
-      semanticKeepFirst(ivf(s, dir, 16, 4)._1)),
+      semanticKeepFirst(ivf(s, dir, semanticC(s), 4)._1)),
     // One k-means (Lloyd) refinement step over the IVF assignment — the
     // iterative-clustering primitive a corpus pipeline runs to tighten
     // centroids before IVF/SemDeDup. Emits the update's MERGEABLE partial
@@ -270,6 +270,20 @@ object Similarity extends OpModule {
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
   }
+
+  /** Coarse-cluster count for the semantic-dedup blocking — the published
+    * method scales C ≈ √N with the corpus so expected cluster size stays
+    * √N and the within-cluster pair join never degenerates toward
+    * all-pairs. The fixture DEFAULT (16) is what every oracle pins;
+    * `spark.graft.semanticCentroids` lets a scale run (or a deployment)
+    * supply the corpus-appropriate C — same plan, different blocking
+    * granularity. Mirrors the prefixSumBuckets parameterization, except
+    * C is a quality/scale knob, not output-invariant: the oracle gate
+    * always runs at the default.
+    */
+  private def semanticC(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.semanticCentroids").map(_.toInt)
+      .getOrElse(16)
 
   /** SemDeDup keep-first canonicalization WITHIN each coarse cluster of a
     * (vec_id, embedding, cluster) assignment: drop every vector whose
@@ -388,7 +402,7 @@ object Similarity extends OpModule {
     // (the proven sim_kmeans_train CTE ladder) before the dedup, so the
     // gate pins train → assign → dedup end-to-end.
     "dedup_semantic_trained" -> ((s, dir) => {
-      val (assigned, _) = ivfTrained(s, dir, 16, 4, 2)
+      val (assigned, _) = ivfTrained(s, dir, semanticC(s), 4, 2)
       semanticKeepFirst(assigned)
     }),
     // Prototypicality-based pruning (the SSL-prototypes data-pruning

@@ -138,6 +138,11 @@ object Scaling {
     // counts must time the same at the same k
     sys.env.get("SPARK_GRAFT_PREFIX_BUCKETS")
       .foreach(spark.conf.set("spark.graft.prefixSumBuckets", _))
+    // semantic-dedup blocking granularity: the published method scales
+    // C ≈ √N, and a scale run must supply it or the fixed fixture C
+    // degenerates the within-cluster pair join toward all-pairs
+    sys.env.get("SPARK_GRAFT_SEMANTIC_C")
+      .foreach(spark.conf.set("spark.graft.semanticCentroids", _))
     spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
 
     factors.foreach { k =>
