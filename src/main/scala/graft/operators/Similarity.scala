@@ -262,7 +262,7 @@ object Similarity extends OpModule {
     * `cents(cid int, cv array<float>)` — the same shuffle-free 1-row
     * broadcast argmax as [[ivf]], factored out so trained centroids plug
     * into the identical plan shape. */
-  private def assignTo(emb: org.apache.spark.sql.DataFrame,
+  private[graft] def assignTo(emb: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame) = {
     val centArr = cents
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))

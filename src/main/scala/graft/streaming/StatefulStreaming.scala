@@ -417,6 +417,31 @@ object StatefulStreaming {
     * Returns the admitted subset of `batch`. Callers release barrier
     * blocks after writing (`Barrier.releaseAll`).
     */
+  /** IVF ANN index maintenance — the per-micro-batch ingest of a
+    * production vector index: assign each arriving vector to the FIXED
+    * coarse centroids (one narrow broadcast-argmax pass, the same
+    * audited shuffle-free shape as `sim_ivf_ann` — the corpus never
+    * shuffles for assignment) and upsert the (vec_id, cluster,
+    * embedding) rows into the bucketed keyed store. Replay-idempotent:
+    * `Sinks.upsert` keyed by vec_id with seq = batchId rewrites the same
+    * winners. Centroids stay fixed between retrains — the standard
+    * coarse-quantizer operating mode (retrain = rebuild via
+    * `Similarity.kmeansTrain`, ingest = assign-only), so every batch's
+    * assignment agrees with what a full batch re-assignment would say.
+    * A cluster-PRUNED serving layout (partition the store by cluster for
+    * probe-side partition pruning) is a rebuild from this store; the
+    * ingest store itself buckets by vec_id for idempotent merges.
+    */
+  def ivfIngestBatch(batch: DataFrame, cents: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    val assigned = graft.operators.Similarity.assignTo(batch, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("embedding"))
+      .withColumn("__seq", lit(batchId))
+    Sinks.upsert(batch.sparkSession, assigned, "vec_id", "__seq", storeDir)
+  }
+
   def nearDupIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
       buckets: Int = 16, compactThreshold: Int = 16): DataFrame = {
     import graft.core.Barrier.BarrierOps

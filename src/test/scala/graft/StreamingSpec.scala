@@ -777,6 +777,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("IVF index ingest: streamed store equals the batch assignment, replay-idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    val storeDir = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          StatefulStreaming.ivfIngestBatch(b.toDF(), cents, storeDir, id)
+          ()
+      }.start()
+    try {
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def store(): Set[(Long, Long)] = graft.streaming.Sinks
+      .readStore(spark, storeDir).select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = store()
+    // incremental assign-only ingest ≡ one batch assignment of the corpus
+    val want = graft.operators.Similarity.ivf(spark, sfDir, 16, 4)._1
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want,
+      "streamed IVF store must equal the batch centroid assignment")
+    // a replayed micro-batch rewrites the same winners — store unchanged
+    StatefulStreaming.ivfIngestBatch(
+      emb.filter(col("vec_id") >= h2.head._1).select("vec_id", "embedding"),
+      cents, storeDir, 1L)
+    assert(store() === got, "replaying the last batch must be a no-op")
+  }
+
   test("near-dup ingest: clones dropped across AND within micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
