@@ -859,6 +859,31 @@ object TextAnalysis extends OpModule {
     "corpus_pack_tokens" -> ((s, dir) =>
       materializePacks(
         t(s, dir, "documents").select(col("doc_id"), col("text")), 512L)),
+    // Sliding-window chunking — the doc → chunk explosion an
+    // embedding/RAG pipeline runs before encoding: fixed-size token
+    // windows (W=64, stride S=48) with doc provenance and in-doc
+    // offsets. Chunk starts are the multiples of S below the doc's
+    // token count; each chunk covers [start, min(start+W, toks)).
+    // Scale shape: ONE tokenize (the array binds as a Generate output,
+    // the wordShingles lesson), a bounded explode (≤ ⌈toks/S⌉ chunks
+    // per doc), slice+array_join reassembly — fully narrow, zero
+    // exchanges; scan-bandwidth-bound at any corpus size.
+    "text_chunk_windows" -> ((s, dir) => {
+      val W = 64
+      val S = 48
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(Text.bpeishTokens(col("text")))).as("tl"))
+        .filter(size(col("tl")) > 0)
+        .select(col("doc_id"), col("tl"),
+          explode(expr(s"sequence(0, (size(tl) - 1) div $S)")).as("ci"))
+        .select(col("doc_id"),
+          (col("ci").cast("long") * S).as("chunk_start"),
+          least(lit(W.toLong),
+            size(col("tl")).cast("long") - col("ci") * S).as("chunk_toks"),
+          expr(s"array_join(slice(tl, ci * $S + 1, $W), ' ')")
+            .as("chunk_text"))
+    }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
     // consecutive gram hashes): any two docs sharing a run of at least
@@ -2246,6 +2271,23 @@ object TextAnalysis extends OpModule {
         |  least(start_tok + toks, (pack_id + 1) * 512)
         |    - greatest(start_tok, pack_id * 512) AS n_toks,
         |  greatest(start_tok, pack_id * 512) - pack_id * 512 AS pack_offset
+        |FROM x""".stripMargin,
+    // mirrors text_chunk_windows: starts at multiples of 48 below the
+    // token count, 64-token slices clipped at doc end (DuckDB 1-based
+    // inclusive list slicing clips like Spark's slice)
+    "text_chunk_windows" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT)))
+        |      AS ci
+        |  FROM tl WHERE len(t) > 0)
+        |SELECT doc_id, CAST(ci * 48 AS BIGINT) AS chunk_start,
+        |  CAST(least(64, len(t) - ci * 48) AS BIGINT) AS chunk_toks,
+        |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
         |FROM x""".stripMargin,
     // the spans CTE joined to doc metadata, rolled up per (pack, source),
     // totals + top-source (toks DESC, source ASC) per pack
