@@ -868,21 +868,19 @@ object TextAnalysis extends OpModule {
     // the wordShingles lesson), a bounded explode (≤ ⌈toks/S⌉ chunks
     // per doc), slice+array_join reassembly — fully narrow, zero
     // exchanges; scan-bandwidth-bound at any corpus size.
-    "text_chunk_windows" -> ((s, dir) => {
-      val W = 64
-      val S = 48
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array(Text.bpeishTokens(col("text")))).as("tl"))
-        .filter(size(col("tl")) > 0)
-        .select(col("doc_id"), col("tl"),
-          explode(expr(s"sequence(0, (size(tl) - 1) div $S)")).as("ci"))
-        .select(col("doc_id"),
-          (col("ci").cast("long") * S).as("chunk_start"),
-          least(lit(W.toLong),
-            size(col("tl")).cast("long") - col("ci") * S).as("chunk_toks"),
-          expr(s"array_join(slice(tl, ci * $S + 1, $W), ' ')")
-            .as("chunk_text"))
+    "text_chunk_windows" -> ((s, dir) =>
+      chunkWindows(t(s, dir, "documents"))),
+    // The RAG-prep composition: front door (quality gate → keep-first
+    // dedup → decontamination → split) feeding the chunker — cleaned
+    // TRAIN survivors exploded into encoder-ready windows. Same
+    // composition discipline as pipeline_packed_corpus: the survivor
+    // join is thin (doc_id only), text is scanned exactly twice
+    // (fingerprint+quality in the front door, tokenize in the chunker)
+    // no matter how many hygiene stages compose.
+    "pipeline_chunked_corpus" -> ((s, dir) => {
+      val surv = cleanCorpus(s, dir).filter(col("split") === "train")
+        .select(col("doc_id"))
+      chunkWindows(t(s, dir, "documents").join(surv, "doc_id"))
     }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
@@ -1210,6 +1208,30 @@ object TextAnalysis extends OpModule {
       .select(col("doc_id"), col("source"),
         when(split < 80, lit("train")).when(split < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
+  }
+
+  /** Sliding-window chunk body over an arbitrary (doc_id, text) relation
+    * — `text_chunk_windows` over the raw corpus, `pipeline_chunked_corpus`
+    * over the front door's train survivors. W=64-token windows at stride
+    * S=48; starts are the multiples of S below the token count, each
+    * chunk covers [start, min(start+W, toks)). One tokenize (Generate-
+    * bound array), bounded explode, zero exchanges. */
+  private def chunkWindows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = 64
+    val S = 48
+    docs
+      .select(col("doc_id"),
+        explode(array(Text.bpeishTokens(col("text")))).as("tl"))
+      .filter(size(col("tl")) > 0)
+      .select(col("doc_id"), col("tl"),
+        explode(expr(s"sequence(0, (size(tl) - 1) div $S)")).as("ci"))
+      .select(col("doc_id"),
+        (col("ci").cast("long") * S).as("chunk_start"),
+        least(lit(W.toLong),
+          size(col("tl")).cast("long") - col("ci") * S).as("chunk_toks"),
+        expr(s"array_join(slice(tl, ci * $S + 1, $W), ' ')")
+          .as("chunk_text"))
   }
 
   private def packIndex(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -2217,6 +2239,25 @@ object TextAnalysis extends OpModule {
          |  CAST((cum - 1) // 512 AS BIGINT) AS pack_last,
          |  CAST((cum - toks) % 512 AS BIGINT) AS offset_in_pack
          |FROM c""".stripMargin,
+    // front-door CTEs → train survivors → the chunk CTE over exactly
+    // those docs
+    "pipeline_chunked_corpus" ->
+      s"""WITH ${oraCleanCorpusCtes("documents")},
+         |sel AS ($oraCleanCorpusSelect),
+         |surv AS (SELECT doc_id FROM sel WHERE split = 'train'),
+         |tl AS (
+         |  SELECT d.doc_id, regexp_extract_all(lower(d.text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |x AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT)))
+         |      AS ci
+         |  FROM tl WHERE len(t) > 0)
+         |SELECT doc_id, CAST(ci * 48 AS BIGINT) AS chunk_start,
+         |  CAST(least(64, len(t) - ci * 48) AS BIGINT) AS chunk_toks,
+         |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+         |FROM x""".stripMargin,
     // the oracle IS the full front-door re-run on the new snapshot — hash
     // equality proves the incremental patch-and-rededup path reproduces it
     "pipeline_incremental_corpus" ->
