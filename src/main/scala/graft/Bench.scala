@@ -223,7 +223,10 @@ object Bench {
     // spread/min triggers — the ratio makes that visible in the record
     // itself instead of requiring cross-file adjudication.
     val vsCommitted = {
-      val names = stats.filter(_._2._1 >= 0).keys
+      // Seq, not .keys: a Map's key view is a SET, and flatMap over it
+      // collapses committed times that collide at 3-decimal rounding —
+      // c.size then undercounts and the ratio silently disappears
+      val names = stats.toSeq.filter(_._2._1 >= 0).map(_._1)
       val c = names.flatMap(committed.get).filter(_ > 0)
       if (c.size == names.size && c.sum > 0) f""","vs_committed":${total / c.sum}%.2f"""
       else ""
