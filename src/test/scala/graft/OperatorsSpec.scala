@@ -224,6 +224,24 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("bpe merges: global top-K is TakeOrderedAndProject, not a data-sized window") {
+    val plan = graft.operators.TextAnalysis
+      .queries("text_bpe_merges")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // an unpartitioned row_number + literal filter does NOT get the
+    // WindowGroupLimit cut (r9 plan audit) — the global rank must ride
+    // orderBy+limit so the distinct-pair relation is top-K'd per
+    // partition instead of sorted through one window partition
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("pack manifest: top-source cut is a partitioned WindowGroupLimit") {
+    val plan = graft.operators.TextAnalysis
+      .queries("corpus_pack_manifest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("J7 as-of join: no Join node, both matched and unmatched clicks") {
     val df = graft.operators.Relational
       .queries("j7_asof_join")(spark, sfDir)
