@@ -154,6 +154,42 @@ object Similarity extends OpModule {
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // Full kNN-graph construction — top-k neighbor lists for EVERY
+    // vector, the primitive behind graph-based dedup/cluster passes and
+    // kNN-classifier label propagation. Unlike sim_lsh_ann (8 broadcast
+    // queries), BOTH sides are the corpus, so candidates meet through
+    // the multi-table LSH bucket shuffle (repartition on sig), exactly
+    // the dedup_embedding_lsh join geometry: never all-pairs, candidate
+    // volume bounded by bucket occupancy. Verify-then-distinct keeps the
+    // embedding arrays off the dedup shuffle (the sim_lsh_ann lesson),
+    // and the per-source top-k is a WindowGroupLimit rank — partial
+    // limits run before the vec_id exchange.
+    "sim_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val withSigs = emb.select(col("vec_id"), col("embedding"))
+        .join(sigs, "vec_id")
+        .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
+        .repartition(nPart, col("sig"))
+        .barrier()
+      val a = withSigs.select(col("sig").as("sig_a"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = withSigs.select(col("sig").as("sig_b"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val cand = a.join(b,
+          col("sig_a") === col("sig_b") && col("vec_a") =!= col("vec_b"))
+        .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+          expr("cosine_sim(ea, eb)").as("sim"))
+        .distinct()
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"))
     }))
 
   /** IVF-style ANN: a coarse quantizer (C deterministic centroids — the
@@ -1079,6 +1115,27 @@ object Similarity extends OpModule {
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    // the same signature chain, but candidates over ALL (a, b) bucket
+    // cohabitants — the full-graph twin of sim_lsh_ann
+    "sim_knn_graph" ->
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank FROM (
+         |  SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin)

@@ -882,6 +882,72 @@ object TextAnalysis extends OpModule {
         .select(col("doc_id"))
       chunkWindows(t(s, dir, "documents").join(surv, "doc_id"))
     }),
+    // DSIR-style importance weights (hashed n-gram importance sampling):
+    // per hashed-unigram bucket, the smoothed target-vs-raw frequency
+    // ratio, where "target" is the quality-gate-passing subset standing
+    // in for the published method's target domain. Two exact BIGINT
+    // counts per bucket (one explode → one partial-combining hash-agg →
+    // D=1024 rows), 1-row totals broadcast, ratio fixed-pointed to micro
+    // units in one deterministic IEEE chain. At 100 TB the whole weight
+    // model is a 1024-row relation — training it is one aggregation pass
+    // over the corpus, and it broadcasts everywhere it's consumed.
+    "text_dsir_weights" -> ((s, dir) => dsirWeights(s, dir)),
+    // The consumer: per-document mean bucket weight (exact BIGINT sum /
+    // token count — single IEEE division), then importance-proportional
+    // selection via the deterministic ppm coin: accept iff
+    // hash(doc) ppm < score/2 (capped) — docs that look like the target
+    // distribution are kept ∝ their likelihood ratio, the published
+    // importance-resampling step made replayable. Scale shape: the 1024-
+    // row weight table broadcasts into the exploded token stream; the
+    // per-doc rollup partial-combines map-side before the doc_id shuffle.
+    "sample_importance_dsir" -> ((s, dir) => {
+      val w = dsirWeights(s, dir).select(col("bucket"), col("w_micro"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("tok"))
+        .select(col("doc_id"), dsirBucket(col("tok")).as("bucket"))
+        .join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w_micro")).as("w_sum"), count(lit(1)).as("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("w_sum").cast("double") / col("n_toks").cast("double"))
+            .as("score"))
+        .filter(ppmBucket("dsirs|", col("doc_id")) <
+          least(lit(999999L), expr("CAST(round(score / 2) AS BIGINT)")))
+    }),
+    // Curriculum ordering — the deterministic global training-order
+    // position (easy → hard) a curriculum-scheduled run feeds its data
+    // loader. Difficulty bands are exact integers (length bands, 16 of
+    // them); the GLOBAL position inside the (band, doc_id) order is the
+    // bucketed two-level rank: per-(band, id-range-bucket) counts roll up
+    // through a bounded ≤16·B-row offset window, positions complete with
+    // a per-(band, bucket) partitioned row_number. Same decomposition as
+    // the pack index — no unpartitioned window ever sees a data-sized
+    // relation, so the "sort the whole corpus by difficulty" step
+    // survives 100 TB.
+    "sample_curriculum_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nB = prefixBuckets(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          least(lit(15L), expr("CAST(length(text) AS BIGINT) div 256"))
+            .as("band"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val bucketed = docs.join(broadcast(mx), lit(true))
+        .withColumn("sub", expr(s"doc_id * ${nB}L div (mx + 1L)"))
+        .drop("mx")
+        .barrier() // read by the offset rollup AND the final rank
+      val wb = Window.orderBy(col("band"), col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("band"), col("sub"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prior", coalesce(sum(col("n")).over(wb), lit(0L)))
+        .select(col("band"), col("sub"), col("prior"))
+      bucketed.join(broadcast(offsets), Seq("band", "sub"))
+        .withColumn("pos", col("prior") - 1L + row_number().over(
+          Window.partitionBy(col("band"), col("sub"))
+            .orderBy(col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("band"), col("pos"))
+    }),
     // Winnowing fingerprints — the published robust-fingerprinting
     // algorithm (select the MINIMUM gram hash in each sliding window of w
     // consecutive gram hashes): any two docs sharing a run of at least
@@ -1452,6 +1518,40 @@ object TextAnalysis extends OpModule {
       Text.stopwordRatio(col("text")) >= 0.05 &&
       Text.punctRatio(col("text")) <= 0.2
 
+  /** Hashed-feature bucket for the DSIR weight model — same salted-md5
+    * device as the classifier's feature hash, D = 1024 buckets. */
+  private val DsirD = 1024
+  private def dsirBucket(tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("dsir|"), tok)), 1, 15), 16, 10)
+      .cast("long") % DsirD
+
+  /** The DSIR weight model as a relation: per hashed-unigram bucket,
+    * exact target/raw counts plus the add-one-smoothed normalized
+    * frequency ratio in micro units —
+    * w = ((tgt+1)/(tgt_tot+D)) / ((raw+1)/(raw_tot+D)), one fixed IEEE
+    * op chain then one round, so Spark and the DuckDB oracle agree
+    * bit-exactly. Target membership is the heuristic quality gate
+    * (qualityPred) — the stand-in for a curated target domain. */
+  private[graft] def dsirWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ct = t(s, dir, "documents")
+      .select(qualityPred.as("is_tgt"),
+        explode(Text.tokenize(col("text"))).as("tok"))
+      .select(col("is_tgt"), dsirBucket(col("tok")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_ct"),
+        count(lit(1)).as("raw_ct"))
+      .barrier() // read by the totals rollup AND the ratio projection
+    val tot = ct.agg(sum(col("tgt_ct")).as("tgt_tot"),
+      sum(col("raw_ct")).as("raw_tot"))
+    ct.join(broadcast(tot), lit(true))
+      .select(col("bucket"), col("tgt_ct"), col("raw_ct"),
+        expr("CAST(round(((CAST(tgt_ct + 1 AS DOUBLE) / " +
+          s"CAST(tgt_tot + $DsirD AS DOUBLE)) / (CAST(raw_ct + 1 AS DOUBLE) / " +
+          s"CAST(raw_tot + $DsirD AS DOUBLE))) * 1000000D) AS BIGINT)")
+          .as("w_micro"))
+  }
+
   /** Shared bench-membership rule: planted ids <= -100 are benchmark docs
     * by construction, plus a 20% hash-mod holdout of the generated corpus
     * (non-negative ids). Used by the 13-gram decontamination and the
@@ -1666,6 +1766,44 @@ object TextAnalysis extends OpModule {
 
   private def oraPpmBucket(salt: String) =
     s"('0x' || substring(md5('$salt' || doc_id::VARCHAR), 1, 6))::BIGINT % 1000000"
+
+  /** DuckDB mirror of [[dsirWeights]]: quality-gate target membership →
+    * hashed-unigram bucket counts → smoothed micro-unit ratio. Ends in
+    * `dq(doc_id, toks, is_tgt)` (reused by the importance consumer) and
+    * `dw(bucket, tgt_ct, raw_ct, w_micro)`. */
+  private lazy val oraDsirCtes: String =
+    s"""dq AS (
+       |  SELECT doc_id, toks,
+       |    (CAST(length(text) AS INT) >= 100
+       |     AND len(string_split_regex(trim(text), '\\s+')) >= 20
+       |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |          ELSE CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+       |               / CAST(len(toks) AS DOUBLE) END) >= 0.05
+       |     AND (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |               / CAST(length(text) AS DOUBLE) END) <= 0.2) AS is_tgt
+       |  FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                              x -> x <> '') AS toks
+       |        FROM documents)),
+       |db AS (
+       |  SELECT is_tgt,
+       |    ('0x' || substring(md5('dsir|' || tok), 1, 15))::BIGINT
+       |      % 1024 AS bucket
+       |  FROM (SELECT is_tgt, unnest(toks) AS tok FROM dq)),
+       |dct AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_ct,
+       |    count(*) AS raw_ct
+       |  FROM db GROUP BY 1),
+       |dtot AS (
+       |  SELECT sum(tgt_ct) AS tgt_tot, sum(raw_ct) AS raw_tot FROM dct),
+       |dw AS (
+       |  SELECT bucket, CAST(tgt_ct AS BIGINT) AS tgt_ct,
+       |    CAST(raw_ct AS BIGINT) AS raw_ct,
+       |    CAST(round(((CAST(tgt_ct + 1 AS DOUBLE) / CAST(tgt_tot + 1024 AS DOUBLE))
+       |      / (CAST(raw_ct + 1 AS DOUBLE) / CAST(raw_tot + 1024 AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS w_micro
+       |  FROM dct CROSS JOIN dtot)""".stripMargin
 
   private val stop =
     "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that']"
@@ -2258,6 +2396,33 @@ object TextAnalysis extends OpModule {
          |  CAST(least(64, len(t) - ci * 48) AS BIGINT) AS chunk_toks,
          |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
          |FROM x""".stripMargin,
+    "text_dsir_weights" ->
+      s"""WITH $oraDsirCtes
+         |SELECT bucket, tgt_ct, raw_ct, w_micro FROM dw""".stripMargin,
+    "sample_importance_dsir" ->
+      s"""WITH $oraDsirCtes,
+         |dtk AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5('dsir|' || tok), 1, 15))::BIGINT
+         |      % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dq)),
+         |dsc AS (
+         |  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM dtk JOIN dw USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_toks,
+         |  CAST(w_sum AS DOUBLE) / CAST(n_toks AS DOUBLE) AS score
+         |FROM dsc
+         |WHERE ${oraPpmBucket("dsirs|")}
+         |  < least(999999, CAST(round((CAST(w_sum AS DOUBLE)
+         |      / CAST(n_toks AS DOUBLE)) / 2) AS BIGINT))""".stripMargin,
+    "sample_curriculum_order" ->
+      """SELECT doc_id, band,
+        |  CAST(row_number() OVER (ORDER BY band, doc_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM (SELECT doc_id,
+        |        CAST(least(15, length(text) // 256) AS BIGINT) AS band
+        |      FROM documents)""".stripMargin,
     // the oracle IS the full front-door re-run on the new snapshot — hash
     // equality proves the incremental patch-and-rededup path reproduces it
     "pipeline_incremental_corpus" ->

@@ -222,6 +222,29 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (bucketed candidates, 4x6-bit multi-table)")
   }
 
+  test("kNN graph: contiguous ranks; query-vector rows equal sim_lsh_ann") {
+    val g = graft.operators.Similarity
+      .queries("sim_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.core.Barrier.releaseAll(spark)
+    assert(g.nonEmpty, "graph must have edges")
+    assert(g.forall { case (v, n, _) => v != n }, "no self-edges")
+    // per-source ranks are contiguous 1..m with m <= 5
+    g.groupBy(_._1).foreach { case (v, es) =>
+      val ranks = es.map(_._3).sorted.toSeq
+      assert(ranks === (1 to es.length), s"vec $v ranks not contiguous")
+      assert(es.length <= 5, s"vec $v has ${es.length} > k neighbors")
+    }
+    // sim_lsh_ann restricted to the 8 query vectors sees the SAME
+    // candidate buckets, so its top-5 must coincide edge-for-edge
+    val ann = graft.operators.Similarity
+      .queries("sim_lsh_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.core.Barrier.releaseAll(spark)
+    assert(g.filter(_._1 < 8).toSet === ann,
+      "kNN graph disagrees with sim_lsh_ann on the query vectors")
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the

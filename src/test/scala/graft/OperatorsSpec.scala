@@ -857,7 +857,7 @@ class OperatorsSpec extends SparkSpec {
     def rows(q: String) = graft.operators.TextAnalysis
       .queries(q)(spark, sfDir).collect().map(_.toSeq).toSet
     val qs = Seq("corpus_pack_sequences", "corpus_token_budget",
-      "corpus_length_batches")
+      "corpus_length_batches", "sample_curriculum_order")
     val defaults = qs.map(q => q -> rows(q)).toMap
     graft.core.Barrier.releaseAll(spark)
     spark.conf.set("spark.graft.prefixSumBuckets", "7")
@@ -866,6 +866,58 @@ class OperatorsSpec extends SparkSpec {
         s"$q changed under a different bucket count")
       graft.core.Barrier.releaseAll(spark)
     } finally spark.conf.unset("spark.graft.prefixSumBuckets")
+  }
+
+  test("curriculum order is the exact (band, doc_id) global rank") {
+    val rows = graft.operators.TextAnalysis
+      .queries("sample_curriculum_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    assert(rows.map(_._3).toSet === (0L until n).toSet,
+      "positions must be a permutation of 0..n-1")
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    assert(sorted.map(_._3).toSeq === (0L until n).toSeq,
+      "position order must match (band asc, doc_id asc)")
+    assert(rows.map(_._2).distinct.length > 1, "single band — fixture inert")
+  }
+
+  /** JVM mirror of TextAnalysis.dsirBucket for planted-vocab assertions. */
+  private def dsirBucketOf(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"dsir|$tok".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 1024L
+  }
+
+  test("DSIR weights separate target-like from junk vocabulary") {
+    import spark.implicits._
+    // target docs pass the quality gate and carry the marker 'vocabq';
+    // junk docs fail it (too short) and carry only 'zzjunk'
+    val tgtText = ("the quick brown fox jumps over a lazy dog and then " +
+      "walks on to the wide green field with calm bright skies vocabq ") * 2
+    val docs = (0 until 20).map(i => (i.toLong, tgtText)) ++
+      (20 until 40).map(i => (i.toLong, "zzjunk zzjunk zzjunk"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = graft.operators.TextAnalysis.dsirWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    graft.core.Barrier.releaseAll(spark)
+    // target-dominant vocabulary weighs above uniform (1e6 micro),
+    // junk-only vocabulary below — the likelihood ratio points the
+    // right way on a corpus where membership is unambiguous
+    assert(w(dsirBucketOf("vocabq")) > 1000000L,
+      s"target token weight ${w(dsirBucketOf("vocabq"))} not > 1e6")
+    assert(w(dsirBucketOf("zzjunk")) < 1000000L,
+      s"junk token weight ${w(dsirBucketOf("zzjunk"))} not < 1e6")
+    // the consumer keeps target-like docs at a higher rate than junk
+    val kept = graft.operators.TextAnalysis
+      .queries("sample_importance_dsir")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Barrier.releaseAll(spark)
+    val (tgtKept, junkKept) = (kept.count(_ < 20), kept.count(_ >= 20))
+    assert(tgtKept > junkKept,
+      s"importance sampling kept $tgtKept target vs $junkKept junk docs")
   }
 
   test("quality drift: counts conserve, ppm shares sum to a million, drift fires") {
