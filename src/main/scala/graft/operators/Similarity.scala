@@ -165,32 +165,56 @@ object Similarity extends OpModule {
     // embedding arrays off the dedup shuffle (the sim_lsh_ann lesson),
     // and the per-source top-k is a WindowGroupLimit rank — partial
     // limits run before the vec_id exchange.
-    "sim_knn_graph" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.plans.GraftFunctions.register(s)
-      val emb = t(s, dir, "embeddings")
-      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
-      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val withSigs = emb.select(col("vec_id"), col("embedding"))
-        .join(sigs, "vec_id")
-        .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
-        .repartition(nPart, col("sig"))
-        .barrier()
-      val a = withSigs.select(col("sig").as("sig_a"),
-        col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = withSigs.select(col("sig").as("sig_b"),
-        col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val cand = a.join(b,
-          col("sig_a") === col("sig_b") && col("vec_a") =!= col("vec_b"))
-        .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
-          expr("cosine_sim(ea, eb)").as("sim"))
-        .distinct()
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    "sim_knn_graph" -> ((s, dir) =>
+      knnGraph(s, dir)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"))),
+    // Graph clustering of the embedding space — connected components over
+    // the τ-pruned kNN graph (the "cluster the corpus, then inspect each
+    // cluster" workflow an embedding-curation pass runs). Reuses the
+    // LARGE-STAR/SMALL-STAR edge-rewrite fixpoint from the dedup family
+    // verbatim: O(log diameter) rounds over the EDGE relation only (≤ k·N
+    // thin rows), per-round lineage cut, loud round-cap failure —
+    // singleton vectors never enter the loop and label themselves via
+    // one left join at the end. Same 100 TB shape as dedup_cc_clusters.
+    "sim_graph_components" -> ((s, dir) => {
+      val edges = knnGraph(s, dir).filter(col("sim") >= 0.3)
+        .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      val (labels, _) = Dedup.ccLabelsFromEdges(edges)
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(labels.select(col("doc_id").as("vec_id"),
+          col("cluster_id").as("m_lbl")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("m_lbl"), col("vec_id")).as("component_id"))
     }))
+
+  /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
+    * `sim_knn_graph` and the τ-pruned component query. */
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val withSigs = emb.select(col("vec_id"), col("embedding"))
+      .join(sigs, "vec_id")
+      .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
+      .repartition(nPart, col("sig"))
+      .barrier()
+    val a = withSigs.select(col("sig").as("sig_a"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = withSigs.select(col("sig").as("sig_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val cand = a.join(b,
+        col("sig_a") === col("sig_b") && col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+        expr("cosine_sim(ea, eb)").as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
 
   /** IVF-style ANN: a coarse quantizer (C deterministic centroids — the
     * first C vectors, classic random-init) partitions the corpus into
@@ -1138,7 +1162,42 @@ object Similarity extends OpModule {
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
-         |WHERE rank <= $K""".stripMargin)
+         |WHERE rank <= $K""".stripMargin,
+    // τ-pruned kNN edges → transitive closure → min-id component labels
+    // (the dedup_cc oracle pattern over the graph relation)
+    "sim_graph_components" ->
+      s"""WITH RECURSIVE $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K AND sim >= 0.3),
+         |edges AS (
+         |  SELECT vec_id AS x, neighbor_id AS y FROM ke
+         |  UNION
+         |  SELECT neighbor_id, vec_id FROM ke),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |minr AS (SELECT x AS vec_id, min(y) AS mn FROM reach GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CASE WHEN m.mn IS NULL OR e.vec_id < m.mn THEN e.vec_id
+         |       ELSE m.mn END AS component_id
+         |FROM embeddings e LEFT JOIN minr m ON m.vec_id = e.vec_id""".stripMargin)
 
   /** DuckDB mirror of `Vectors.lshSignaturesAgg(6 bits, 4 tables)`: the
     * exploded-dims → md5-sign products → per-(table) bit-string CTE chain,

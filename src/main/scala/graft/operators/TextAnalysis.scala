@@ -1534,13 +1534,26 @@ object TextAnalysis extends OpModule {
     * (qualityPred) — the stand-in for a curated target domain. */
   private[graft] def dsirWeights(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val ct = t(s, dir, "documents")
-      .select(qualityPred.as("is_tgt"),
-        explode(Text.tokenize(col("text"))).as("tok"))
-      .select(col("is_tgt"), dsirBucket(col("tok")).as("bucket"))
+    val docs = t(s, dir, "documents")
+    // The explode must carry ONLY plain columns (doc_id) past the
+    // Generate: riding the interpreted quality HOFs through the same
+    // select re-inlines them into the post-Generate projection and
+    // evaluates them once per TOKEN, not per doc (the CollapseProject
+    // trap the minhash path documents — measured 22 s → 0.6 s at sf0.1).
+    // So: per-(doc, bucket) counts first (thin, ≤ min(toks, D) rows per
+    // doc), then the per-DOC quality flag joins onto that pre-aggregated
+    // relation — two narrow corpus scans, same discipline as the
+    // verify-side tokenize in dedup_minhash_lsh.
+    val perDoc = docs
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("tok"))
+      .select(col("doc_id"), dsirBucket(col("tok")).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val flags = docs.select(col("doc_id"), qualityPred.as("is_tgt"))
+    val ct = perDoc.join(flags, "doc_id")
       .groupBy(col("bucket"))
-      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_ct"),
-        count(lit(1)).as("raw_ct"))
+      .agg(sum(when(col("is_tgt"), col("ct")).otherwise(0L)).as("tgt_ct"),
+        sum(col("ct")).as("raw_ct"))
       .barrier() // read by the totals rollup AND the ratio projection
     val tot = ct.agg(sum(col("tgt_ct")).as("tgt_tot"),
       sum(col("raw_ct")).as("raw_tot"))

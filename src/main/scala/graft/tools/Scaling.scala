@@ -35,7 +35,9 @@ object Scaling {
     "corpus_health_report", "corpus_dedup_stats", "sim_centroid_outliers",
     "text_unigram_rarity", "corpus_pack_tokens", "corpus_length_batches",
     "corpus_quality_drift", "text_bpe_merges", "dedup_semantic_trained",
-    "corpus_pack_manifest", "text_chunk_windows", "pipeline_chunked_corpus")
+    "corpus_pack_manifest", "text_chunk_windows", "pipeline_chunked_corpus",
+    "text_dsir_weights", "sample_importance_dsir", "sample_curriculum_order",
+    "sim_knn_graph")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

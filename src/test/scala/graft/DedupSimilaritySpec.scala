@@ -245,6 +245,35 @@ class DedupSimilaritySpec extends SparkSpec {
       "kNN graph disagrees with sim_lsh_ann on the query vectors")
   }
 
+  test("graph components equal union-find over the τ-pruned kNN edges") {
+    val edges = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .filter(col("sim") >= 0.3)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.core.Barrier.releaseAll(spark)
+    val labels = graft.operators.Similarity
+      .queries("sim_graph_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Barrier.releaseAll(spark)
+    // driver-side union-find rooted at the smaller id (component minimum)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = labels.keys.map(id => id -> find(id)).toMap
+    assert(labels === truth,
+      "graph component labels must equal exact transitive closure")
+    // every vector is labeled, and the τ prune leaves real structure:
+    // at least one multi-member component and at least one singleton
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.exists(_._2 >= 2), "no multi-member component — inert")
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the
