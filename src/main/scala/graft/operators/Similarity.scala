@@ -185,6 +185,41 @@ object Similarity extends OpModule {
           col("cluster_id").as("m_lbl")), Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("m_lbl"), col("vec_id")).as("component_id"))
+    }),
+    // PageRank over the kNN graph — centrality of each vector in the
+    // embedding space (prototypicality ranking: high-rank vectors sit in
+    // dense well-connected neighborhoods, the complement of
+    // sim_centroid_outliers). Two damped power-iteration rounds in exact
+    // INTEGER micro units (r' = 0.15 + 0.85·Σ r_u/out(u), each division a
+    // truncating DIV), so both engines agree bit-for-bit — the
+    // sim_kmeans_step fixed-point device applied to graph iteration.
+    // Scale shape: each round is one thin (src, dst, od) edge-relation
+    // join against the O(N) rank relation + a dst-keyed integer sum —
+    // never the embeddings; edge degrees bounded by k. The edge relation
+    // is barriered once and reused by both rounds; kNN graphs have no
+    // dangling nodes (every vector emits ≤ k edges; isolated vectors
+    // contribute nothing and settle at the 0.15 floor via the left join).
+    "sim_pagerank" -> ((s, dir) => {
+      val edges = knnGraph(s, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val e = edges.join(deg, "src").barrier() // read by both rounds
+      val nodes = t(s, dir, "embeddings").select(col("vec_id"))
+        .barrier() // read by r0 and both rounds' left joins
+      def round(r: org.apache.spark.sql.DataFrame) = {
+        val contrib = e
+          .join(r.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst"), expr("pr DIV od").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            expr("150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+              .as("pr"))
+      }
+      val r0 = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
+      round(round(r0)).select(col("vec_id"), col("pr").as("pr_micro"))
     }))
 
   /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
@@ -1197,7 +1232,50 @@ object Similarity extends OpModule {
          |SELECT e.vec_id,
          |  CASE WHEN m.mn IS NULL OR e.vec_id < m.mn THEN e.vec_id
          |       ELSE m.mn END AS component_id
-         |FROM embeddings e LEFT JOIN minr m ON m.vec_id = e.vec_id""".stripMargin)
+         |FROM embeddings e LEFT JOIN minr m ON m.vec_id = e.vec_id""".stripMargin,
+    // the kNN edge list (same ke derivation as sim_graph_components,
+    // unpruned) → out-degrees → two exact integer-micro-unit damped
+    // power-iteration rounds (r0 = 1e6 everywhere, so round 1's
+    // contribution is 1000000 // od)
+    "sim_pagerank" ->
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K),
+         |deg AS (SELECT vec_id AS src, CAST(count(*) AS BIGINT) AS od
+         |        FROM ke GROUP BY 1),
+         |e AS (
+         |  SELECT ke.vec_id AS src, ke.neighbor_id AS dst, d.od
+         |  FROM ke JOIN deg d ON d.src = ke.vec_id),
+         |r1 AS (
+         |  SELECT v.vec_id,
+         |    150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM embeddings v LEFT JOIN (
+         |    SELECT dst, CAST(sum(1000000 // od) AS BIGINT) AS s
+         |    FROM e GROUP BY 1) c ON c.dst = v.vec_id),
+         |r2 AS (
+         |  SELECT v.vec_id,
+         |    150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM embeddings v LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(r1.pr // e.od) AS BIGINT) AS s
+         |    FROM e JOIN r1 ON r1.vec_id = e.src GROUP BY 1) c
+         |  ON c.dst = v.vec_id)
+         |SELECT vec_id, pr AS pr_micro FROM r2""".stripMargin)
 
   /** DuckDB mirror of `Vectors.lshSignaturesAgg(6 bits, 4 tables)`: the
     * exploded-dims → md5-sign products → per-(table) bit-string CTE chain,

@@ -15,7 +15,7 @@ import graft.core.Barrier.BarrierOps
   */
 object TextAnalysis extends OpModule {
 
-  def queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = irQueries ++ Map(
     // U1/J6: tokenize → explode → count per keyword (the reference flagship
     // shape, minus the time window which a1 covers on events).
     "u1_tokenize_explode" -> ((s, dir) => {
@@ -1148,6 +1148,188 @@ object TextAnalysis extends OpModule {
           .otherwise(lit("test")).as("split"))
     }))
 
+  /** BM25 query-term literals — one rare discriminative term (`dup`,
+    * df ≈ 5% of docs by the generator's vocabulary) plus two common ones,
+    * so the idf spread is real at every SF.
+    */
+  private val bm25Terms = Seq("dup", "vector", "window")
+
+  /** IR / language-model scoring family. Both queries keep the score
+    * TRANSCENDENTAL-FREE (the text_unigram_rarity device): every partial
+    * is an exact integer in micro units, so Spark and DuckDB agree
+    * bit-for-bit — no log/exp whose ulps differ across libm builds.
+    */
+  private lazy val irQueries: Map[String, Q] = Map(
+    // BM25 top-k retrieval — the inverted-index ranking shape: score every
+    // document against a fixed query-term set, return the global top 20.
+    // RATIONAL-IDF variant: idf = (N - df) / (df + 1) in micro units
+    // (monotone in the same direction as Robertson's log idf), and the
+    // k1=1.2/b=0.75 saturation term cleared of divisions by multiplying
+    // through by 10·T (T = corpus token count, avgdl = T/N):
+    //   sat = 2.2·tf / (tf + 0.3 + 0.9·dl·N/T)
+    //       = 22·T·tf / (10·T·tf + 3·T + 9·N·dl)      — exact integers.
+    // Overflow bound: 22e6·T·tf ≤ 9.2e18 holds through the 64× scale rig
+    // (T ≈ 7.7e8, tf ≤ 5e2). Scale shape: tf is FILTERED to the |Q| query
+    // terms before its aggregate (the posting-list read — candidate docs
+    // only, never the corpus); df and the (N, T) scalars ride broadcasts;
+    // the global top-20 is orderBy+limit → TakeOrderedAndProject
+    // (per-partition heads, no full sort).
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+        .barrier() // read by the corpus stats AND the posting-list side
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("t_tokens"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .barrier() // feeds the df rollup AND the score join
+      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfr), "tok")
+        .join(broadcast(stats), lit(true))
+        .withColumn("idf_micro",
+          expr("((n_docs - df) * 1000000) DIV (df + 1)"))
+        .withColumn("sat_micro", expr(
+          "(22000000 * t_tokens * tf) DIV " +
+            "(10 * t_tokens * tf + 3 * t_tokens + 9 * n_docs * dl)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(expr("(idf_micro * sat_micro) DIV 1000000")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"), col("score_micro"))
+    }),
+    // Interpolated bigram-LM scoring — the CCNet quality gate's actual
+    // shape: train an n-gram LM on a held-in slice (hash split, stable
+    // under reprocessing), score EVERY doc by mean token predictability,
+    // flag the low-likelihood tail. Model: p(w2|w1) = 3/4·cb/cu1 +
+    // 1/4·cu2/Tb over TRAIN bigram events (cu1/cu2 = left/right unigram
+    // occurrences, so both mixture components normalize exactly); unseen
+    // bigrams back off to the unigram term alone. All probabilities in
+    // integer micro units; the one IEEE division sits at the output.
+    // Scale shape: ONE narrow bigram explode (array-zip HOF, no shuffle)
+    // barriered for both the train rollups and the scoring pass; the
+    // count relations are vocab²-bounded — broadcast here, and at a
+    // 100 TB vocab they shuffle on (w1,w2) while the corpus side still
+    // moves only thin (doc, w1, w2) rows.
+    "text_bigram_lm" -> ((s, dir) => {
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .barrier() // feeds the train counts AND the scoring join
+      val train = bigrams
+        .filter(hashBucket("lm|", col("doc_id")) < 50)
+        .barrier() // three count rollups read it
+      val cb = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cw1 = train.groupBy(col("w1")).agg(count(lit(1)).as("cu1"))
+      val cw2 = train.groupBy(col("w2")).agg(count(lit(1)).as("cu2"))
+      val tb = train.agg(count(lit(1)).as("tb"))
+      bigrams
+        .join(broadcast(cb), Seq("w1", "w2"), "left")
+        .join(broadcast(cw1), Seq("w1"), "left")
+        .join(broadcast(cw2), Seq("w2"), "left")
+        .join(broadcast(tb), lit(true))
+        .withColumn("p_micro", expr(
+          "(3 * (CASE WHEN cb IS NULL OR cu1 IS NULL THEN 0 " +
+            "ELSE (1000000 * cb) DIV cu1 END) + " +
+            "(CASE WHEN cu2 IS NULL THEN 0 " +
+            "ELSE (1000000 * cu2) DIV tb END)) DIV 4"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_micro")).as("lm_micro_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_micro_sum"),
+          (col("lm_micro_sum").cast("double") /
+            col("n_bigrams").cast("double")).as("lm_score"),
+          ((col("lm_micro_sum").cast("double") /
+            col("n_bigrams").cast("double")) < lit(32000.0)).as("is_tail"))
+    }))
+
+  /** DuckDB mirrors of [[irQueries]] — same tokenization CTEs as the
+    * rarity/salient oracles; HUGEINT sums cast back to BIGINT; `//` is
+    * DuckDB's integer DIV (identical on the all-positive operands here).
+    * Bigram pairs come from DuckDB's aligned multi-unnest zip.
+    */
+  private lazy val irOracles: Map[String, String] = Map(
+    "text_bm25_topk" -> {
+      val terms = bm25Terms.map("'" + _ + "'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS t_tokens FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+         |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+         |        GROUP BY 1)
+         |SELECT doc_id, n_terms, score_micro FROM (
+         |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum((((n_docs - df) * 1000000 // (df + 1)) *
+         |      ((22000000 * t_tokens * tf) //
+         |       (10 * t_tokens * tf + 3 * t_tokens + 9 * n_docs * dl)))
+         |      // 1000000) AS BIGINT) AS score_micro
+         |  FROM tf JOIN dfr USING (tok) CROSS JOIN stats
+         |  GROUP BY 1)
+         |ORDER BY score_micro DESC, doc_id ASC
+         |LIMIT 20""".stripMargin
+    },
+    "text_bigram_lm" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM d),
+         |train AS (
+         |  SELECT * FROM bg
+         |  WHERE ${oraHashBucket("lm|")} < 50),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM train
+         |       GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu1 FROM train
+         |        GROUP BY 1),
+         |cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS cu2 FROM train
+         |        GROUP BY 1),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM train),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    (3 * (CASE WHEN cb.cb IS NULL OR cw1.cu1 IS NULL THEN 0
+         |          ELSE (1000000 * cb.cb) // cw1.cu1 END)
+         |     + (CASE WHEN cw2.cu2 IS NULL THEN 0
+         |        ELSE (1000000 * cw2.cu2) // tb.tb END)) // 4 AS p_micro
+         |  FROM bg
+         |  LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+         |  LEFT JOIN cw1 ON cw1.w1 = bg.w1
+         |  LEFT JOIN cw2 ON cw2.w2 = bg.w2
+         |  CROSS JOIN tb)
+         |SELECT doc_id, n_bigrams, lm_micro_sum,
+         |  CAST(lm_micro_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS lm_score,
+         |  (CAST(lm_micro_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |    < 32000.0 AS is_tail
+         |FROM (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(p_micro) AS BIGINT) AS lm_micro_sum
+         |  FROM scored GROUP BY 1)""".stripMargin)
+
   /** Mixed-script fixture rows (negative ids, disjoint from generated data)
     * exercising: han+latin mix, digit runs, a single-char han span, and a
     * pure-han keyword — mirrored verbatim in the DuckDB oracle.
@@ -1858,7 +2040,7 @@ object TextAnalysis extends OpModule {
        |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
        |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = irOracles ++ Map(
     "u1_tokenize_explode" ->
       """SELECT keyword, count(*) AS keyword_count
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword

@@ -548,4 +548,34 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
     }
   }
+
+  test("pagerank: two integer power-iteration rounds match a driver " +
+      "recompute over the kNN edges exactly") {
+    val got = graft.operators.Similarity
+      .queries("sim_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recompute from the SAME edge relation (the kNN graph is
+    // oracle-pinned separately by sim_knn_graph)
+    val edges = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def round(r: Map[Long, Long]): Map[Long, Long] = {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      nodes.map(v =>
+        v -> (150000L + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val r0 = nodes.map(_ -> 1000000L).toMap
+    val want = round(round(r0))
+    assert(got === want)
+    // centrality is non-degenerate: ranks spread, floor respected
+    assert(got.values.toSet.size > 1, "all ranks equal")
+    assert(got.values.forall(_ >= 150000L), "below the damping floor")
+    // in-degree-0 nodes (if any) sit exactly at the floor
+    val receivers = edges.map(_._2).toSet
+    nodes.filterNot(receivers).foreach(v => assert(got(v) === 150000L))
+  }
 }

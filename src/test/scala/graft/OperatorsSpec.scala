@@ -984,4 +984,80 @@ class OperatorsSpec extends SparkSpec {
       s"length-grouping must cut padding: $sortedPad vs $arrivalPad")
     assert(nDocs === toks.length, "every nonempty doc lands in a batch")
   }
+
+  test("bm25: scores match a driver recompute, top-k plan is " +
+      "TakeOrderedAndProject") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_bm25_topk")(spark, sfDir)
+    // the global top-20 must be per-partition heads + merge, never a
+    // full sort of the scored relation
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent recompute of the full rational-BM25 ladder
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val terms = Set("dup", "vector", "window")
+    val n = docs.length.toLong
+    val tTok = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(terms).groupBy(identity).map { case (t, o) =>
+        (id, toks.length.toLong, t, o.length.toLong) } }
+    val dfr = tf.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val want = tf.groupBy(_._1).map { case (id, rows) =>
+      val score = rows.map { case (_, dl, t, f) =>
+        val idf = (n - dfr(t)) * 1000000L / (dfr(t) + 1L)
+        val sat = (22000000L * tTok * f) /
+          (10L * tTok * f + 3L * tTok + 9L * n * dl)
+        idf * sat / 1000000L
+      }.sum
+      (id, rows.length.toLong, score)
+    }.toSeq.sortBy(r => (-r._3, r._1)).take(20)
+    assert(got.sortBy(r => (-r._3, r._1)).toSeq === want)
+    assert(got.nonEmpty)
+  }
+
+  test("bigram LM: scores match a driver recompute of the interpolated " +
+      "model exactly") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_bigram_lm")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .filter(_._2.length >= 2)
+    val bigrams = docs.map { case (id, toks) =>
+      id -> toks.init.zip(toks.tail) }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lm|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(6), 16) % 100
+    }
+    val train = bigrams.filter(b => bucket(b._1) < 50).flatMap(_._2)
+    assert(train.nonEmpty, "hash split left no training bigrams")
+    val cb = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw1 = train.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cw2 = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tb = train.size.toLong
+    val want = bigrams.map { case (id, bgs) =>
+      val s = bgs.map { case (w1, w2) =>
+        val pb = if (cb.contains((w1, w2)) && cw1.contains(w1))
+          1000000L * cb((w1, w2)) / cw1(w1) else 0L
+        val pu = if (cw2.contains(w2)) 1000000L * cw2(w2) / tb else 0L
+        (3L * pb + pu) / 4L
+      }.sum
+      val nb = bgs.length.toLong
+      val score = s.toDouble / nb.toDouble
+      id -> (nb, s, score, score < 32000.0)
+    }.toMap
+    assert(got === want)
+    // train/score asymmetry is real: scored docs outnumber train docs
+    assert(bigrams.size > bigrams.count(b => bucket(b._1) < 50))
+  }
 }
