@@ -220,6 +220,41 @@ object Similarity extends OpModule {
       }
       val r0 = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
       round(round(r0)).select(col("vec_id"), col("pr").as("pr_micro"))
+    }),
+    // kNN-classifier label propagation — the semi-supervised labeling
+    // workflow: a stable md5 hash split marks 50% of vectors as labeled
+    // SEEDS, every vector takes the majority label among its kNN
+    // neighbors that are seeds (unlabeled neighbors don't vote; ties →
+    // smallest label; no seed neighbor → -1). Scale shape: votes ride the
+    // thin (vec, neighbor) edge relation joined to the seed labels — the
+    // embeddings never re-enter after graph construction; the majority
+    // pick is a row_number()=1 cut (WindowGroupLimit: per-partition
+    // head BEFORE the vec_id exchange), and the final attach is one
+    // left join on the O(N) node relation.
+    "sim_label_prop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def bucket(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("lp|"), c.cast("string"))), 1, 6),
+          16, 10).cast("long") % 100
+      val edges = knnGraph(s, dir)
+        .select(col("vec_id"), col("neighbor_id"))
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(bucket(col("vec_id")) < 50)
+        .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      val votes = edges.join(seeds, "neighbor_id")
+        .groupBy(col("vec_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("votes").desc, col("n_label").asc)
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("n_label"), col("votes"))
+      emb.select(col("vec_id"), col("label"))
+        .join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_label"), lit(-1)).as("pred_label"),
+          coalesce(col("votes"), lit(0L)).as("votes"),
+          (bucket(col("vec_id")) < 50).as("is_seed"))
     }))
 
   /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
@@ -229,7 +264,15 @@ object Similarity extends OpModule {
     import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
-    val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+    // signature width is the graph family's scale knob: candidate volume
+    // is Σ occupancy² per bucket, so bits must grow ~log₂N to hold
+    // expected occupancy (N/2^bits) constant as the corpus grows — the
+    // fixture DEFAULT (6) is what the oracles pin; a scale run supplies
+    // the corpus-appropriate width (the semanticCentroids pattern:
+    // quality/scale knob, oracle gate always at the default)
+    val knnBits = s.conf.getOption("spark.graft.knnLshBits").map(_.toInt)
+      .getOrElse(6)
+    val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", knnBits, 4)
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withSigs = emb.select(col("vec_id"), col("embedding"))
       .join(sigs, "vec_id")
@@ -1275,7 +1318,51 @@ object Similarity extends OpModule {
          |    SELECT e.dst, CAST(sum(r1.pr // e.od) AS BIGINT) AS s
          |    FROM e JOIN r1 ON r1.vec_id = e.src GROUP BY 1) c
          |  ON c.dst = v.vec_id)
-         |SELECT vec_id, pr AS pr_micro FROM r2""".stripMargin)
+         |SELECT vec_id, pr AS pr_micro FROM r2""".stripMargin,
+    // same ke derivation; seeds = md5('lp|'...)% 100 < 50, majority vote
+    // with votes-DESC/label-ASC tie-break, no-seed-neighbor → -1
+    "sim_label_prop" ->
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K),
+         |seeds AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  WHERE ('0x' || substring(md5('lp|' || vec_id::VARCHAR), 1, 6))
+         |    ::BIGINT % 100 < 50),
+         |votes AS (
+         |  SELECT ke.vec_id, s.label AS n_label,
+         |    CAST(count(*) AS BIGINT) AS votes
+         |  FROM ke JOIN seeds s ON s.vec_id = ke.neighbor_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT vec_id, n_label, votes FROM (
+         |    SELECT vec_id, n_label, votes,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY votes DESC, n_label ASC) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id, e.label,
+         |  COALESCE(p.n_label, -1) AS pred_label,
+         |  COALESCE(p.votes, 0) AS votes,
+         |  (('0x' || substring(md5('lp|' || e.vec_id::VARCHAR), 1, 6))
+         |    ::BIGINT % 100 < 50) AS is_seed
+         |FROM embeddings e LEFT JOIN pred p ON p.vec_id = e.vec_id""".stripMargin)
 
   /** DuckDB mirror of `Vectors.lshSignaturesAgg(6 bits, 4 tables)`: the
     * exploded-dims → md5-sign products → per-(table) bit-string CTE chain,

@@ -37,7 +37,8 @@ object Scaling {
     "corpus_quality_drift", "text_bpe_merges", "dedup_semantic_trained",
     "corpus_pack_manifest", "text_chunk_windows", "pipeline_chunked_corpus",
     "text_dsir_weights", "sample_importance_dsir", "sample_curriculum_order",
-    "sim_knn_graph")
+    "sim_knn_graph", "text_bm25_topk", "text_bigram_lm", "sim_pagerank",
+    "sim_label_prop")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
@@ -145,6 +146,10 @@ object Scaling {
     // degenerates the within-cluster pair join toward all-pairs
     sys.env.get("SPARK_GRAFT_SEMANTIC_C")
       .foreach(spark.conf.set("spark.graft.semanticCentroids", _))
+    // kNN-graph signature width: bits ~ log2(N) keeps LSH bucket
+    // occupancy (and so the candidate join) flat as the corpus scales
+    sys.env.get("SPARK_GRAFT_KNN_BITS")
+      .foreach(spark.conf.set("spark.graft.knnLshBits", _))
     spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
 
     factors.foreach { k =>

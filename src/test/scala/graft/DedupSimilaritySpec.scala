@@ -578,4 +578,48 @@ class DedupSimilaritySpec extends SparkSpec {
     val receivers = edges.map(_._2).toSet
     nodes.filterNot(receivers).foreach(v => assert(got(v) === 150000L))
   }
+
+  test("label propagation: majority vote over seed neighbors matches a " +
+      "driver recompute; WindowGroupLimit plan") {
+    val df = graft.operators.Similarity
+      .queries("sim_label_prop")(spark, sfDir)
+    // the rn=1 majority pick must prune per-partition before the exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    val edges = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def isSeed(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lp|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(6), 16) % 100 < 50
+    }
+    val want = labels.keys.map { v =>
+      val voteCounts = edges.collect {
+        case (src, nb) if src == v && isSeed(nb) => labels(nb) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val (pl, vt) =
+        if (voteCounts.isEmpty) (-1, 0L)
+        else {
+          val (l, c) = voteCounts.minBy { case (l, c) => (-c, l) }
+          (l, c)
+        }
+      v -> (labels(v), pl, vt, isSeed(v))
+    }.toMap
+    assert(got === want)
+    // the split is real and votes are bounded by k
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+    assert(got.values.forall(_._3 <= 5L))
+    // non-seed vectors do receive propagated labels (the fixture's labels
+    // are independent of the embeddings, so ACCURACY is chance here by
+    // construction — the operator's vote mechanics are what the exact
+    // recompute above pins)
+    assert(got.values.exists(r => !r._4 && r._2 >= 0))
+  }
 }
