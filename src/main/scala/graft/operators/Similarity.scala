@@ -688,6 +688,92 @@ object Similarity extends OpModule {
        |  AS DOUBLE)
        |/ sqrt(CAST(n2q * rn2 AS DOUBLE)) END""".stripMargin
 
+  /** The barriered int8-code relation every PQ path starts from. */
+  private def pqWithCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    emb.join(broadcast(sqScale(emb)), lit(true))
+      .select(col("vec_id"), expr(codesExpr).as("codes"))
+      .barrier() // codebook, corpus-encode, and query sides all read it
+  }
+
+  /** Deterministic first-PqK init codebook as a 1-row broadcast array. */
+  private def pqInitCbs(withCodes: org.apache.spark.sql.DataFrame) =
+    withCodes.filter(col("vec_id") < PqK)
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(vec_id, codes))), p -> p.codes)").as("cbs"))
+
+  /** Per-subspace Lloyd refinement of the PQ codebook: each round
+    * re-encodes the corpus against the current codewords (exact integer
+    * L2 argmin — [[pqEncExpr]]) and re-centers every (codeword,
+    * subspace-dim) cell on its members' mean, rounded half-up back to an
+    * int — so codewords stay integer vectors and the NEXT round's
+    * distances are again exact BIGINTs. One IEEE division + one
+    * half-up rounding per cell = bit-identical in any engine (the
+    * kmeansTrain re-encoding device). A codeword with no members in a
+    * subspace keeps its previous values (the empty-cluster rule).
+    * Scale shape per round: one narrow broadcast encode pass, ONE
+    * (16·64)-cell HashAggregate off a bounded explode, and a
+    * PqK-row epilogue rebuild — the corpus is scanned `iters` times,
+    * never shuffled.
+    */
+  private[graft] def pqTrainCbs(withCodes: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    var cb = pqInitCbs(withCodes)
+    (1 to iters).foreach { _ =>
+      val enc = withCodes.join(broadcast(cb), lit(true))
+        .select(col("codes"), expr(pqEncExpr).as("enc"))
+      val means = enc
+        .select(col("codes"), posexplode(col("enc")).as(Seq("j", "k")))
+        .select(col("j"), col("k"),
+          posexplode(expr(s"slice(codes, j * $PqD + 1, $PqD)"))
+            .as(Seq("dj", "c")))
+        .select(col("k"), (col("j") * PqD + col("dj")).as("dim"), col("c"))
+        .groupBy(col("k"), col("dim"))
+        .agg(expr("CAST(round(CAST(sum(c) AS DOUBLE) / " +
+          "CAST(count(1) AS DOUBLE)) AS INT)").as("mc"))
+      val prevRel = cb.select(posexplode(col("cbs")).as(Seq("k", "cv")))
+        .select(col("k"), posexplode(col("cv")).as(Seq("dim", "pc")))
+      cb = prevRel.join(means, Seq("k", "dim"), "left")
+        .select(col("k"), col("dim"), coalesce(col("mc"), col("pc")).as("c"))
+        .groupBy(col("k"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+          " p -> p.c)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(k, cv)))," +
+          " p -> p.cv)").as("cbs"))
+        .barrier() // next round's encode AND the epilogue read it
+    }
+    cb
+  }
+
+  /** The PQ ANN body shared by the init-codebook and trained-codebook
+    * variants: encode, ADC-rank, top-4K cut, exact-cosine rescore. */
+  private def pqAnnBody(s: org.apache.spark.sql.SparkSession, dir: String,
+      withCodes: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val encDf = withCodes.join(broadcast(cb), lit(true))
+      .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
+      .select(col("vec_id"), col("cbs"), col("enc"),
+        expr(pqReconN2Expr).as("rn2"))
+    val q = withCodes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        expr(n2Expr).as("n2q"))
+    val scored = encDf
+      .select(col("vec_id").as("neighbor_id"), col("cbs"), col("enc"),
+        col("rn2"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(pqAdcExpr).as("qsim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= K * 4)
+      .select(col("query_id"), col("neighbor_id"))
+    rescoreTopK(s, dir, cand)
+  }
+
   def queriesSq: Map[String, Q] = Map(
     // Product quantization — the remaining member of the FAISS family
     // (SQ compresses per-dim, IVF prunes lists, IVF+SQ composes; PQ
@@ -703,35 +789,29 @@ object Similarity extends OpModule {
     // (neighbor_id, 8-byte code) rows conceptually survive the scan and
     // only (long, long) candidate ids reach the ranking exchange.
     "sim_pq_ann" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.plans.GraftFunctions.register(s)
-      val emb = t(s, dir, "embeddings")
-      val withCodes = emb.join(broadcast(sqScale(emb)), lit(true))
-        .select(col("vec_id"), expr(codesExpr).as("codes"))
-        .barrier() // codebook, corpus-encode, and query sides all read it
-      val cb = withCodes.filter(col("vec_id") < PqK)
-        .agg(expr("transform(array_sort(collect_list(" +
-          "struct(vec_id, codes))), p -> p.codes)").as("cbs"))
-      val encDf = withCodes.join(broadcast(cb), lit(true))
-        .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
-        .select(col("vec_id"), col("cbs"), col("enc"),
-          expr(pqReconN2Expr).as("rn2"))
-      val q = withCodes.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
-          expr(n2Expr).as("n2q"))
-      val scored = encDf
-        .select(col("vec_id").as("neighbor_id"), col("cbs"), col("enc"),
-          col("rn2"))
-        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          expr(pqAdcExpr).as("qsim"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("qsim").desc, col("neighbor_id").asc)
-      val cand = scored.withColumn("qrank", row_number().over(wq))
-        .filter(col("qrank") <= K * 4)
-        .select(col("query_id"), col("neighbor_id"))
-      rescoreTopK(s, dir, cand)
+      val withCodes = pqWithCodes(s, dir)
+      pqAnnBody(s, dir, withCodes, pqInitCbs(withCodes))
     }),
+    // PQ over TRAINED codebooks — the published IVFPQ training recipe:
+    // per-subspace Lloyd refinement of the codewords (assign each
+    // subvector to its nearest codeword by exact integer L2, re-center
+    // each codeword on its members' per-dim mean, rounded back to int8
+    // so the next round's distances stay exact BIGINTs). Two rounds sit
+    // fully under the oracle — every assignment, mean, and rounding is
+    // the same integer/IEEE op in both engines (the kmeansTrain device
+    // applied per subspace). The ANN body is byte-identical to
+    // sim_pq_ann; only the codebook differs.
+    "sim_pq_ann_trained" -> ((s, dir) => {
+      val withCodes = pqWithCodes(s, dir)
+      pqAnnBody(s, dir, withCodes, pqTrainCbs(withCodes, 2))
+    }),
+    // the trained codebook ITSELF (k, dim, code) — the training loop's
+    // direct output under the oracle gate, and the artifact a deployment
+    // persists/broadcasts
+    "sim_pq_train" -> ((s, dir) =>
+      pqTrainCbs(pqWithCodes(s, dir), 2)
+        .select(posexplode(col("cbs")).as(Seq("k", "cv")))
+        .select(col("k"), posexplode(col("cv")).as(Seq("dim", "code")))),
     "sim_sq_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -926,77 +1006,27 @@ object Similarity extends OpModule {
     // order-independent, so the exploded-row GROUP BYs here equal the
     // Spark side's index-ordered HOF accumulations bit-for-bit.
     "sim_pq_ann" ->
-      s"""WITH amax AS (
-         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
-         |  FROM (SELECT embedding,
-         |          unnest(generate_series(1, len(embedding))) AS j
-         |        FROM embeddings)),
-         |codes AS (
-         |  SELECT vec_id, j - 1 AS dim,
-         |    CAST(round(CAST(embedding[j] AS DOUBLE)
-         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, len(embedding))) AS j
-         |        FROM embeddings)),
+      s"""WITH $oraPqCodes,
          |cb AS (SELECT vec_id AS k, dim, c FROM codes
          |       WHERE vec_id < $PqK),
-         |dists AS (
-         |  SELECT v.vec_id, b.k, v.dim // $PqD AS j,
-         |    CAST(sum(CAST(v.c - b.c AS BIGINT) * (v.c - b.c)) AS BIGINT)
-         |      AS dist
-         |  FROM codes v JOIN cb b ON b.dim = v.dim
-         |  GROUP BY 1, 2, 3),
-         |enc AS (
-         |  SELECT vec_id, j, k FROM (
-         |    SELECT vec_id, j, k,
-         |      row_number() OVER (PARTITION BY vec_id, j
-         |        ORDER BY dist ASC, k ASC) AS r
-         |    FROM dists)
-         |  WHERE r = 1),
-         |rn2 AS (
-         |  SELECT e.vec_id,
-         |    CAST(sum(CAST(b.c AS BIGINT) * b.c) AS BIGINT) AS rn2
-         |  FROM enc e JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
-         |  GROUP BY 1),
-         |n2 AS (
-         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
-         |  FROM codes GROUP BY 1),
-         |adc AS (
-         |  SELECT qc.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    CAST(sum(CAST(qc.c AS BIGINT) * b.c) AS BIGINT) AS dotq
-         |  FROM enc e
-         |  JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
-         |  JOIN codes qc ON qc.dim = b.dim
-         |  WHERE qc.vec_id < 8 AND qc.vec_id <> e.vec_id
-         |  GROUP BY 1, 2),
-         |qsims AS (
-         |  SELECT a.query_id, a.neighbor_id,
-         |    CASE WHEN nq.n2 = 0 OR r.rn2 = 0 THEN -2.0
-         |         ELSE CAST(a.dotq AS DOUBLE)
-         |              / sqrt(CAST(nq.n2 * r.rn2 AS DOUBLE)) END AS qsim
-         |  FROM adc a
-         |  JOIN n2 nq ON nq.vec_id = a.query_id
-         |  JOIN rn2 r ON r.vec_id = a.neighbor_id),
-         |cand AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
-         |    FROM qsims)
-         |  WHERE qrank <= ${K * 4}),
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |WHERE rank <= $K""".stripMargin,
+         |$oraPqAnnBody""".stripMargin,
+    // the per-subspace Lloyd ladder: round r assigns every subvector by
+    // exact integer L2 (dists_t/enc_t), re-centers each (codeword, dim)
+    // cell on the members' mean rounded half-up to INT (means_t), and
+    // keeps the previous codeword where a cell is empty (cb_r COALESCE)
+    // — the same ops in the same order as pqTrainCbs, so 2 full rounds
+    // are hash-exact
+    "sim_pq_train" ->
+      s"""WITH $oraPqCodes,
+         |${oraPqTrainLadder(2)}
+         |cbt AS (SELECT k, dim, c AS code FROM cb2)
+         |SELECT k, dim, code FROM cbt""".stripMargin,
+    // trained codebook, then the sim_pq_ann body verbatim on cb2
+    "sim_pq_ann_trained" ->
+      s"""WITH $oraPqCodes,
+         |${oraPqTrainLadder(2)}
+         |cb AS (SELECT k, dim, c FROM cb2),
+         |$oraPqAnnBody""".stripMargin,
     // mirrors the IVF+SQ composition: the shared assignment + probes,
     // sq's integer codes/norms, quantized-cosine ranking inside probed
     // clusters only, exact-cosine rescore of the top-4K
@@ -1369,6 +1399,121 @@ object Similarity extends OpModule {
     * shared by the sim_lsh_ann and dedup_embedding_lsh oracles. Yields a
     * `sigs(vec_id, sig)` relation, one row per (vector, table).
     */
+  /** amax + int8 codes CTEs shared by every PQ oracle (mirror of
+    * [[sqScale]] + [[codesExpr]]). */
+  private val oraPqCodes: String =
+    s"""amax AS (
+       |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
+       |  FROM (SELECT embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings)),
+       |codes AS (
+       |  SELECT vec_id, j - 1 AS dim,
+       |    CAST(round(CAST(embedding[j] AS DOUBLE)
+       |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings))""".stripMargin
+
+  /** The shared ANN tail over a codebook relation `cb(k, dim, c)`:
+    * encode → reconstruction norms → ADC → top-4K → exact rescore.
+    * Mirror of [[pqAnnBody]]. */
+  private val oraPqAnnBody: String =
+    s"""dists AS (
+       |  SELECT v.vec_id, b.k, v.dim // $PqD AS j,
+       |    CAST(sum(CAST(v.c - b.c AS BIGINT) * (v.c - b.c)) AS BIGINT)
+       |      AS dist
+       |  FROM codes v JOIN cb b ON b.dim = v.dim
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT vec_id, j, k,
+       |      row_number() OVER (PARTITION BY vec_id, j
+       |        ORDER BY dist ASC, k ASC) AS r
+       |    FROM dists)
+       |  WHERE r = 1),
+       |rn2 AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CAST(b.c AS BIGINT) * b.c) AS BIGINT) AS rn2
+       |  FROM enc e JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
+       |  GROUP BY 1),
+       |n2 AS (
+       |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
+       |  FROM codes GROUP BY 1),
+       |adc AS (
+       |  SELECT qc.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    CAST(sum(CAST(qc.c AS BIGINT) * b.c) AS BIGINT) AS dotq
+       |  FROM enc e
+       |  JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
+       |  JOIN codes qc ON qc.dim = b.dim
+       |  WHERE qc.vec_id < 8 AND qc.vec_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |qsims AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    CASE WHEN nq.n2 = 0 OR r.rn2 = 0 THEN -2.0
+       |         ELSE CAST(a.dotq AS DOUBLE)
+       |              / sqrt(CAST(nq.n2 * r.rn2 AS DOUBLE)) END AS qsim
+       |  FROM adc a
+       |  JOIN n2 nq ON nq.vec_id = a.query_id
+       |  JOIN rn2 r ON r.vec_id = a.neighbor_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+       |    FROM qsims)
+       |  WHERE qrank <= ${K * 4}),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
+  /** cb0 (first-PqK init) plus `rounds` Lloyd-round CTE groups ending in
+    * `cb$rounds(k, dim, c)`. Emitted WITH a trailing comma-terminated
+    * last CTE so callers append their own tail. */
+  private def oraPqTrainLadder(rounds: Int): String = {
+    val init =
+      s"""cb0 AS (SELECT vec_id AS k, dim, c FROM codes
+         |        WHERE vec_id < $PqK),""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"cb${r - 1}"
+      s"""dists_t$r AS (
+         |  SELECT v.vec_id, b.k, v.dim // $PqD AS j,
+         |    CAST(sum(CAST(v.c - b.c AS BIGINT) * (v.c - b.c)) AS BIGINT)
+         |      AS dist
+         |  FROM codes v JOIN $prev b ON b.dim = v.dim
+         |  GROUP BY 1, 2, 3),
+         |enc_t$r AS (
+         |  SELECT vec_id, j, k FROM (
+         |    SELECT vec_id, j, k,
+         |      row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY dist ASC, k ASC) AS r
+         |    FROM dists_t$r)
+         |  WHERE r = 1),
+         |means_t$r AS (
+         |  SELECT e.k, c.dim,
+         |    CAST(round(CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE)) AS INT) AS mc
+         |  FROM enc_t$r e
+         |  JOIN codes c ON c.vec_id = e.vec_id AND c.dim // $PqD = e.j
+         |  GROUP BY 1, 2),
+         |cb$r AS (
+         |  SELECT p.k, p.dim, COALESCE(m.mc, p.c) AS c
+         |  FROM $prev p LEFT JOIN means_t$r m
+         |    ON m.k = p.k AND m.dim = p.dim),""".stripMargin
+    }
+    (init +: steps).mkString("\n")
+  }
+
   private val oraLshSigs: String =
     """expl0 AS (
       |  SELECT vec_id, embedding,

@@ -622,4 +622,41 @@ class DedupSimilaritySpec extends SparkSpec {
     // recompute above pins)
     assert(got.values.exists(r => !r._4 && r._2 >= 0))
   }
+
+  test("PQ training: Lloyd rounds cut quantization distortion vs the " +
+      "first-16 init codebook") {
+    // exact oracle equivalence of the 2-round ladder is the driver gate;
+    // this pins the property the training loop EXISTS for
+    val trained = graft.operators.Similarity
+      .queries("sim_pq_train")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val am = emb.iterator.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    val codes = emb.map { case (id, v) =>
+      id -> v.map(x => math.round(
+        BigDecimal(x.toDouble / am * 127.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt)
+    }
+    val init = codes.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    val trainedCb = (0 until 16).map(k =>
+      Array.tabulate(64)(d => trained((k, d)))).toArray
+    assert(trainedCb.flatten.toSeq != init.flatten.toSeq,
+      "training changed nothing")
+    def distortion(cb: Array[Array[Int]]): Long =
+      codes.map { case (_, c) =>
+        (0 until 8).map { j =>
+          (0 until 16).map { k =>
+            (0 until 8).map { d =>
+              val diff = (c(j * 8 + d) - cb(k)(j * 8 + d)).toLong
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val (dInit, dTrained) = (distortion(init), distortion(trainedCb))
+    assert(dTrained < dInit,
+      s"Lloyd rounds must cut distortion: $dTrained vs $dInit")
+  }
 }
