@@ -1152,7 +1152,33 @@ object TextAnalysis extends OpModule {
     * df ≈ 5% of docs by the generator's vocabulary) plus two common ones,
     * so the idf spread is real at every SF.
     */
-  private val bm25Terms = Seq("dup", "vector", "window")
+  private[graft] val bm25Terms = Seq("dup", "vector", "window")
+
+  /** The BM25 scoring tail shared by the batch query and the streaming
+    * index-maintenance tier (`StatefulStreaming.bm25SearchFrom`): rank a
+    * posting relation `tf(doc_id, dl, tok, tf)` against per-term
+    * `dfr(tok, df)` and 1-row `stats(n_docs, t_tokens)` — exact integer
+    * micro-unit arithmetic throughout (see text_bm25_topk's comment for
+    * the rational-idf derivation and overflow bounds), global top-k via
+    * TakeOrderedAndProject.
+    */
+  private[graft] def bm25TopK(tf: org.apache.spark.sql.DataFrame,
+      dfr: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      k: Int = 20): org.apache.spark.sql.DataFrame =
+    tf.join(broadcast(dfr), "tok")
+      .join(broadcast(stats), lit(true))
+      .withColumn("idf_micro",
+        expr("((n_docs - df) * 1000000) DIV (df + 1)"))
+      .withColumn("sat_micro", expr(
+        "(22000000 * t_tokens * tf) DIV " +
+          "(10 * t_tokens * tf + 3 * t_tokens + 9 * n_docs * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("(idf_micro * sat_micro) DIV 1000000")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"), col("score_micro"))
 
   /** IR / language-model scoring family. Both queries keep the score
     * TRANSCENDENTAL-FREE (the text_unigram_rarity device): every partial
@@ -1179,7 +1205,7 @@ object TextAnalysis extends OpModule {
         .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
         .barrier() // read by the corpus stats AND the posting-list side
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
+      val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl").cast("long")).as("t_tokens"))
       val tf = docs
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
@@ -1187,20 +1213,8 @@ object TextAnalysis extends OpModule {
         .groupBy(col("doc_id"), col("dl"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .barrier() // feeds the df rollup AND the score join
-      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfr), "tok")
-        .join(broadcast(stats), lit(true))
-        .withColumn("idf_micro",
-          expr("((n_docs - df) * 1000000) DIV (df + 1)"))
-        .withColumn("sat_micro", expr(
-          "(22000000 * t_tokens * tf) DIV " +
-            "(10 * t_tokens * tf + 3 * t_tokens + 9 * n_docs * dl)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(expr("(idf_micro * sat_micro) DIV 1000000")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id").asc)
-        .limit(20)
-        .select(col("doc_id"), col("n_terms"), col("score_micro"))
+      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+      bm25TopK(tf, dfr, stats)
     }),
     // Interpolated bigram-LM scoring — the CCNet quality gate's actual
     // shape: train an n-gram LM on a held-in slice (hash split, stable

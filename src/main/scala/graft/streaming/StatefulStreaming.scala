@@ -850,6 +850,79 @@ object StatefulStreaming {
     (shifted, full)
   }
 
+  /** Streaming BM25 INDEX MAINTENANCE, for `foreachBatch` — the
+    * incremental tier of `text_bm25_topk`: each micro-batch of arriving
+    * documents appends its OWN posting contribution (doc_id, dl, tok, tf)
+    * plus two additive rollups — per-term df deltas and a 1-row
+    * (n_docs, t_tokens) stats delta — O(batch) work regardless of index
+    * size, never touching already-indexed postings. Doc ids are
+    * append-only across batches (the admission contract every store in
+    * this file shares), so summing per-batch df/stats contributions
+    * equals the batch recompute exactly; Overwrite per `__batch=N` dir
+    * makes replay after a failed commit idempotent. Returns the batch's
+    * posting contribution.
+    */
+  def bm25IngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val toks = batch
+      .select(col("doc_id"),
+        graft.functions.Text.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      .barrier() // read by the posting explode AND the stats rollup
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .barrier() // read by the posting write AND the df rollup
+    tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/postings/__batch=$batchId")
+    // tf rows are distinct (doc, tok) pairs → count = this batch's df
+    tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__df/__batch=$batchId")
+    toks.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("t_tokens"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__meta/__batch=$batchId")
+    tf
+  }
+
+  /** Query the maintained BM25 index: per-term posting lists come off the
+    * store FILTERED to the query terms (the pushed-down posting-list
+    * read — candidates only, never the index), df and corpus stats are
+    * sums of the per-batch contributions, and the scoring tail is the
+    * SAME exact-integer `TextAnalysis.bm25TopK` the batch query runs —
+    * after any ingest sequence over a corpus, results are row-identical
+    * to `text_bm25_topk` on that corpus (pinned in StreamingSpec).
+    * Schema-pinned reads: an empty batch's dir holds a zero-row part
+    * file, but pinning keeps an all-empty store a clean no-result rather
+    * than an inference error.
+    */
+  def bm25SearchFrom(spark: SparkSession, storeDir: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val postSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dl", IntegerType), StructField("tok", StringType),
+      StructField("tf", LongType)))
+    val dfSchema = StructType(Seq(StructField("tok", StringType),
+      StructField("df", LongType)))
+    val metaSchema = StructType(Seq(StructField("n_docs", LongType),
+      StructField("t_tokens", LongType)))
+    val post = spark.read.schema(postSchema)
+      .parquet(s"$storeDir/postings/__batch=*")
+      .filter(col("tok").isin(terms: _*))
+    val dfr = spark.read.schema(dfSchema)
+      .parquet(s"$storeDir/__df/__batch=*")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val stats = spark.read.schema(metaSchema)
+      .parquet(s"$storeDir/__meta/__batch=*")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("t_tokens")), lit(0L)).as("t_tokens"))
+    graft.operators.TextAnalysis.bm25TopK(post, dfr, stats, k)
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

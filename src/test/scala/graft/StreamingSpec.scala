@@ -599,6 +599,43 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("BM25 ingest: stream-maintained index answers exactly like the " +
+      "batch query, replay-idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("bm25store").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.bm25IngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val streamed = top(StatefulStreaming.bm25SearchFrom(spark, store,
+        graft.operators.TextAnalysis.bm25Terms))
+      val batchTwin = top(graft.operators.TextAnalysis
+        .queries("text_bm25_topk")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      // EXACT order-sensitive equality: same integer scores, same global
+      // top-20 in the same (score DESC, doc_id ASC) order
+      assert(streamed === batchTwin,
+        s"stream-maintained index drifted:\n$streamed\nvs\n$batchTwin")
+      // replay of the middle batch after later commits: Overwrite per
+      // __batch dir + additive rollups → search unchanged
+      StatefulStreaming.bm25IngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      val replayed = top(StatefulStreaming.bm25SearchFrom(spark, store,
+        graft.operators.TextAnalysis.bm25Terms))
+      assert(replayed === batchTwin, "replay must not change the index")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("pack materialization ingest: streamed full packs + carry equal batch packs") {
     val store = java.nio.file.Files.createTempDirectory("packmat").toString
     try {
