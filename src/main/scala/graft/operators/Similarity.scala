@@ -221,6 +221,29 @@ object Similarity extends OpModule {
       val r0 = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
       round(round(r0)).select(col("vec_id"), col("pr").as("pr_micro"))
     }),
+    // Per-dimension embedding health report — the corpus_health_report of
+    // the vector space: count, micro-unit-exact mean, zero rate (dead
+    // dims), min/max (scale drift), and a milli-unit sum of squares
+    // (spread) per dimension. The monitoring pass an embedding pipeline
+    // runs before trusting an index build. Exact integers up to one IEEE
+    // division (the microStep device); one bounded posexplode feeding a
+    // d-cell HashAggregate — map-side combinable, output is O(dims).
+    "sim_dim_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(x * 1000000D) AS BIGINT)")).as("sum_micro"),
+          sum(expr("CASE WHEN x = 0D THEN 1L ELSE 0L END")).as("n_zero"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          sum(expr("CAST(round(x * 1000D) AS BIGINT) * " +
+            "CAST(round(x * 1000D) AS BIGINT)")).as("sq_milli_sum"))
+        .select(col("dim"), col("n"), col("sum_micro"),
+          (col("sum_micro").cast("double") /
+            (col("n").cast("double") * lit(1000000.0))).as("mean_x"),
+          col("n_zero"), col("min_x"), col("max_x"), col("sq_milli_sum"))),
     // kNN-classifier label propagation — the semi-supervised labeling
     // workflow: a stable md5 hash split marks 50% of vectors as labeled
     // SEEDS, every vector takes the majority label among its kNN
@@ -1349,6 +1372,32 @@ object Similarity extends OpModule {
          |    FROM e JOIN r1 ON r1.vec_id = e.src GROUP BY 1) c
          |  ON c.dst = v.vec_id)
          |SELECT vec_id, pr AS pr_micro FROM r2""".stripMargin,
+    // unnest-with-position mirror; float→double widening is exact, the
+    // micro/milli roundings are the single-rounding device every
+    // fixed-point oracle here shares
+    "sim_dim_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(j - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[j] AS DOUBLE) AS x
+        |  FROM (SELECT embedding,
+        |          unnest(generate_series(1, len(embedding))) AS j
+        |        FROM embeddings)),
+        |agg AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS sum_micro,
+        |    CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    min(x) AS min_x, max(x) AS max_x,
+        |    CAST(sum(CAST(round(x * 1000) AS BIGINT)
+        |             * CAST(round(x * 1000) AS BIGINT)) AS BIGINT)
+        |      AS sq_milli_sum
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, sum_micro,
+        |  CAST(sum_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |    AS mean_x,
+        |  n_zero, min_x, max_x, sq_milli_sum
+        |FROM agg""".stripMargin,
     // same ke derivation; seeds = md5('lp|'...)% 100 < 50, majority vote
     // with votes-DESC/label-ASC tie-break, no-seed-neighbor → -1
     "sim_label_prop" ->
