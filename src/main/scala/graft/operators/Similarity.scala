@@ -278,13 +278,39 @@ object Similarity extends OpModule {
           coalesce(col("n_label"), lit(-1)).as("pred_label"),
           coalesce(col("votes"), lit(0L)).as("votes"),
           (bucket(col("vec_id")) < 50).as("is_seed"))
+    }),
+    // Hard-negative mining — the contrastive-training data op: for every
+    // anchor vector, its 3 most similar neighbors with a DIFFERENT label
+    // (the pairs a triplet/contrastive loss learns most from). Same LSH
+    // candidate relation as the kNN graph, so candidates never go
+    // all-pairs; labels attach to the thin (long, long, double) candidate
+    // rows by id join (embeddings never ride the ranking shuffle), and
+    // the rank≤3 literal cut compiles to WindowGroupLimit.
+    "sim_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cand = knnCandidates(s, dir)
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .join(labels.select(col("vec_id"),
+          col("label").as("a_label")), "vec_id")
+        .filter(col("n_label") =!= col("a_label"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("a_label"), col("rank"),
+          col("neighbor_id"), col("n_label"))
     }))
 
-  /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
-    * `sim_knn_graph` and the τ-pruned component query. */
-  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+  /** The deduplicated LSH-candidate relation (vec_id, neighbor_id, sim)
+    * the whole graph family ranks over — [[knnGraph]] takes the global
+    * top-K per vector, `sim_hard_negatives` the top per vector AFTER a
+    * label filter (so a candidate set shared by both is ranked twice,
+    * never rebuilt). */
+  private[graft] def knnCandidates(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
     // signature width is the graph family's scale knob: candidate volume
@@ -306,14 +332,21 @@ object Similarity extends OpModule {
       col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = withSigs.select(col("sig").as("sig_b"),
       col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    val cand = a.join(b,
+    a.join(b,
         col("sig_a") === col("sig_b") && col("vec_a") =!= col("vec_b"))
       .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
         expr("cosine_sim(ea, eb)").as("sim"))
       .distinct()
+  }
+
+  /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
+    * `sim_knn_graph` and the τ-pruned component query. */
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    knnCandidates(s, dir).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
   }
 
@@ -1398,6 +1431,29 @@ object Similarity extends OpModule {
         |    AS mean_x,
         |  n_zero, min_x, max_x, sq_milli_sum
         |FROM agg""".stripMargin,
+    // same candidate CTE, labels attached by id, different-label filter
+    // BEFORE the rank — the rank is over surviving negatives only
+    "sim_hard_negatives" ->
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, ea.label AS a_label, c.neighbor_id,
+         |    eb.label AS n_label,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+         |  WHERE ea.label <> eb.label)
+         |SELECT vec_id, a_label, rank, neighbor_id, n_label FROM (
+         |  SELECT vec_id, a_label, neighbor_id, n_label,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     // same ke derivation; seeds = md5('lp|'...)% 100 < 50, majority vote
     // with votes-DESC/label-ASC tie-break, no-seed-neighbor → -1
     "sim_label_prop" ->

@@ -623,6 +623,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.values.exists(r => !r._4 && r._2 >= 0))
   }
 
+  test("hard negatives: every mined pair crosses labels, ranks " +
+      "contiguous, WindowGroupLimit plan") {
+    val df = graft.operators.Similarity
+      .queries("sim_hard_negatives")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // the defining property: anchor and negative NEVER share a label
+    rows.foreach { case (v, al, _, n, nl) =>
+      assert(al != nl, s"same-label pair mined: $v($al) -> $n($nl)") }
+    // ranks contiguous 1..k per anchor, negatives distinct per anchor
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length))
+      assert(g.map(_._4).distinct.length == g.length)
+    }
+    // consistency with the kNN graph: a top-K neighbor that already
+    // crosses labels must appear as that anchor's rank-1 hard negative
+    // when it is the anchor's most similar cross-label candidate — spot
+    // check via the shared candidate relation's own ordering
+    val labels = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bestNeg = graft.operators.Similarity.knnCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (v, n, _) => labels(v) != labels(n) }
+      .groupBy(_._1).view.mapValues(_.minBy(c => (-c._3, c._2))._2).toMap
+    val gotR1 = rows.filter(_._3 == 1).map(r => r._1 -> r._4).toMap
+    assert(gotR1 === bestNeg)
+  }
+
   test("PQ training: Lloyd rounds cut quantization distortion vs the " +
       "first-16 init codebook") {
     // exact oracle equivalence of the 2-round ladder is the driver gate;
