@@ -1154,6 +1154,54 @@ object TextAnalysis extends OpModule {
     */
   private[graft] val bm25Terms = Seq("dup", "vector", "window")
 
+  /** One narrow array-zip bigram explode of a (doc_id, text) relation —
+    * (doc_id, w1, w2), no shuffle. Shared by the bigram-LM / collocation
+    * batch queries and the streaming model-maintenance tier. */
+  private[graft] def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The bigram-LM train membership — a stable function of doc_id, so
+    * streaming reprocessing and the batch query select the same docs. */
+  private[graft] def lmTrainSplit(bigrams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bigrams.filter(hashBucket("lm|", col("doc_id")) < 50)
+
+  /** The interpolated-LM scoring tail over a bigram relation and the
+    * model count relations cb(w1,w2,cb) / cw1(w1,cu1) / cw2(w2,cu2) /
+    * 1-row tb — shared by the batch query and the streaming
+    * model-maintenance tier so both paths run the SAME exact-integer
+    * arithmetic. */
+  private[graft] def bigramLmScore(bigrams: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      cw1: org.apache.spark.sql.DataFrame,
+      cw2: org.apache.spark.sql.DataFrame,
+      tb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bigrams
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cw1), Seq("w1"), "left")
+      .join(broadcast(cw2), Seq("w2"), "left")
+      .join(broadcast(tb), lit(true))
+      .withColumn("p_micro", expr(
+        "(3 * (CASE WHEN cb IS NULL OR cu1 IS NULL THEN 0 " +
+          "ELSE (1000000 * cb) DIV cu1 END) + " +
+          "(CASE WHEN cu2 IS NULL THEN 0 " +
+          "ELSE (1000000 * cu2) DIV tb END)) DIV 4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micro")).as("lm_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micro_sum"),
+        (col("lm_micro_sum").cast("double") /
+          col("n_bigrams").cast("double")).as("lm_score"),
+        ((col("lm_micro_sum").cast("double") /
+          col("n_bigrams").cast("double")) < lit(32000.0)).as("is_tail"))
+
   /** The BM25 scoring tail shared by the batch query and the streaming
     * index-maintenance tier (`StatefulStreaming.bm25SearchFrom`): rank a
     * posting relation `tf(doc_id, dl, tok, tf)` against per-term
@@ -1230,41 +1278,44 @@ object TextAnalysis extends OpModule {
     // 100 TB vocab they shuffle on (w1,w2) while the corpus side still
     // moves only thin (doc, w1, w2) rows.
     "text_bigram_lm" -> ((s, dir) => {
-      val bigrams = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1), " +
-            "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bigrams = bigramsOf(t(s, dir, "documents"))
         .barrier() // feeds the train counts AND the scoring join
-      val train = bigrams
-        .filter(hashBucket("lm|", col("doc_id")) < 50)
+      val train = lmTrainSplit(bigrams)
         .barrier() // three count rollups read it
       val cb = train.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("cb"))
       val cw1 = train.groupBy(col("w1")).agg(count(lit(1)).as("cu1"))
       val cw2 = train.groupBy(col("w2")).agg(count(lit(1)).as("cu2"))
       val tb = train.agg(count(lit(1)).as("tb"))
-      bigrams
-        .join(broadcast(cb), Seq("w1", "w2"), "left")
-        .join(broadcast(cw1), Seq("w1"), "left")
-        .join(broadcast(cw2), Seq("w2"), "left")
+      bigramLmScore(bigrams, cb, cw1, cw2, tb)
+    }),
+    // Collocation extraction — the top-20 adjacent word pairs by LIFT
+    // (observed/expected co-occurrence: cb·T / (cu1·cu2), the
+    // transcendental-free twin of PMI — identical ranking since log is
+    // monotone), minimum support 5. The corpus-analysis op behind
+    // phrase mining and tokenizer-vocab candidates. Micro-unit integer
+    // lift with divisions ORDERED to stay in int64 at 64×:
+    // ((1e6·cb) DIV cu1) · T DIV cu2 — both engines run the same two
+    // truncating DIVs in the same order. Scale shape: one narrow bigram
+    // explode, vocab²-bounded count relations, TakeOrderedAndProject
+    // top-20 — the corpus never rides a ranking shuffle.
+    "text_collocations" -> ((s, dir) => {
+      val bigrams = bigramsOf(t(s, dir, "documents"))
+        .barrier() // four count rollups read it
+      val cb = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cw1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cu1"))
+      val cw2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("cu2"))
+      val tb = bigrams.agg(count(lit(1)).as("tb"))
+      cb.filter(col("cb") >= 5)
+        .join(broadcast(cw1), "w1")
+        .join(broadcast(cw2), "w2")
         .join(broadcast(tb), lit(true))
-        .withColumn("p_micro", expr(
-          "(3 * (CASE WHEN cb IS NULL OR cu1 IS NULL THEN 0 " +
-            "ELSE (1000000 * cb) DIV cu1 END) + " +
-            "(CASE WHEN cu2 IS NULL THEN 0 " +
-            "ELSE (1000000 * cu2) DIV tb END)) DIV 4"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("p_micro")).as("lm_micro_sum"))
-        .select(col("doc_id"), col("n_bigrams"), col("lm_micro_sum"),
-          (col("lm_micro_sum").cast("double") /
-            col("n_bigrams").cast("double")).as("lm_score"),
-          ((col("lm_micro_sum").cast("double") /
-            col("n_bigrams").cast("double")) < lit(32000.0)).as("is_tail"))
+        .withColumn("lift_micro",
+          expr("((1000000 * cb) DIV cu1) * tb DIV cu2"))
+        .orderBy(col("lift_micro").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .select(col("w1"), col("w2"), col("cb"), col("lift_micro"))
     }))
 
   /** DuckDB mirrors of [[irQueries]] — same tokenization CTEs as the
@@ -1342,7 +1393,34 @@ object TextAnalysis extends OpModule {
          |FROM (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |    CAST(sum(p_micro) AS BIGINT) AS lm_micro_sum
-         |  FROM scored GROUP BY 1)""".stripMargin)
+         |  FROM scored GROUP BY 1)""".stripMargin,
+    // full-corpus bigram counts (no split), lift's two integer DIVs in
+    // the SAME order as the Spark expr
+    "text_collocations" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM d),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg
+         |       GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu1 FROM bg
+         |        GROUP BY 1),
+         |cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS cu2 FROM bg
+         |        GROUP BY 1),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bg)
+         |SELECT w1, w2, cb,
+         |  ((1000000 * cb) // cu1) * tb // cu2 AS lift_micro
+         |FROM cb JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN tb
+         |WHERE cb >= 5
+         |ORDER BY lift_micro DESC, w1 ASC, w2 ASC
+         |LIMIT 20""".stripMargin)
 
   /** Mixed-script fixture rows (negative ids, disjoint from generated data)
     * exercising: han+latin mix, digit runs, a single-char han span, and a

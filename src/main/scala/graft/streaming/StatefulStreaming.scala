@@ -923,6 +923,65 @@ object StatefulStreaming {
     graft.operators.TextAnalysis.bm25TopK(post, dfr, stats, k)
   }
 
+  /** Streaming bigram-LM MODEL MAINTENANCE — the text_bigram_lm twin of
+    * [[bm25IngestBatch]]: each micro-batch appends its train-split docs'
+    * additive count contributions (cb / cw1 / cw2 deltas plus a 1-row
+    * bigram total) under the per-`__batch=N` Overwrite discipline.
+    * Train membership is the same stable hash split as the batch query,
+    * so any arrival order accumulates the same model. O(batch) work;
+    * replay-idempotent. Returns the batch's full bigram relation.
+    */
+  def bigramLmIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val bg = graft.operators.TextAnalysis.bigramsOf(batch)
+      .barrier() // the train split AND the caller read it
+    val train = graft.operators.TextAnalysis.lmTrainSplit(bg)
+      .barrier() // four count rollups read it
+    train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__cb/__batch=$batchId")
+    train.groupBy(col("w1")).agg(count(lit(1)).as("cu1"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__cw1/__batch=$batchId")
+    train.groupBy(col("w2")).agg(count(lit(1)).as("cu2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__cw2/__batch=$batchId")
+    train.agg(count(lit(1)).as("tb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__meta/__batch=$batchId")
+    bg
+  }
+
+  /** Score a (doc_id, text) relation against the maintained bigram-LM
+    * model: count contributions sum additively off the store
+    * (schema-pinned reads), then the SAME exact-integer scoring tail as
+    * the batch query — after ingesting a corpus in any batch sequence,
+    * scoring it from the store is row-identical to `text_bigram_lm`
+    * (pinned in StreamingSpec).
+    */
+  def bigramLmScoreFrom(spark: SparkSession, storeDir: String,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def summed(sub: String, keys: Seq[String], cnt: String): DataFrame = {
+      val schema = StructType(
+        keys.map(StructField(_, StringType)) :+ StructField(cnt, LongType))
+      spark.read.schema(schema).parquet(s"$storeDir/$sub/__batch=*")
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(cnt)).as(cnt))
+    }
+    val metaSchema = StructType(Seq(StructField("tb", LongType)))
+    val tb = spark.read.schema(metaSchema)
+      .parquet(s"$storeDir/__meta/__batch=*")
+      .agg(coalesce(sum(col("tb")), lit(0L)).as("tb"))
+    graft.operators.TextAnalysis.bigramLmScore(
+      graft.operators.TextAnalysis.bigramsOf(docs),
+      summed("__cb", Seq("w1", "w2"), "cb"),
+      summed("__cw1", Seq("w1"), "cu1"),
+      summed("__cw2", Seq("w2"), "cu2"), tb)
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

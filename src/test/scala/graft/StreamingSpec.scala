@@ -636,6 +636,43 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("bigram-LM ingest: stream-maintained model scores exactly like " +
+      "the batch query, replay-idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("lmstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.bigramLmIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toMap
+      val streamed = scores(
+        StatefulStreaming.bigramLmScoreFrom(spark, store, docs))
+      graft.core.Barrier.releaseAll(spark)
+      val batchTwin = scores(graft.operators.TextAnalysis
+        .queries("text_bigram_lm")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed === batchTwin,
+        "stream-maintained model must score identically to the batch query")
+      // mid-sequence replay: Overwrite + additive contributions
+      StatefulStreaming.bigramLmIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      val replayed = scores(
+        StatefulStreaming.bigramLmScoreFrom(spark, store, docs))
+      assert(replayed === batchTwin, "replay must not change the model")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("pack materialization ingest: streamed full packs + carry equal batch packs") {
     val store = java.nio.file.Files.createTempDirectory("packmat").toString
     try {
