@@ -909,18 +909,29 @@ object StatefulStreaming {
       StructField("df", LongType)))
     val metaSchema = StructType(Seq(StructField("n_docs", LongType),
       StructField("t_tokens", LongType)))
-    val post = spark.read.schema(postSchema)
-      .parquet(s"$storeDir/postings/__batch=*")
+    val post = storeRead(spark, s"$storeDir/postings", postSchema)
       .filter(col("tok").isin(terms: _*))
-    val dfr = spark.read.schema(dfSchema)
-      .parquet(s"$storeDir/__df/__batch=*")
+    val dfr = storeRead(spark, s"$storeDir/__df", dfSchema)
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    val stats = spark.read.schema(metaSchema)
-      .parquet(s"$storeDir/__meta/__batch=*")
+    val stats = storeRead(spark, s"$storeDir/__meta", metaSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("t_tokens")), lit(0L)).as("t_tokens"))
     graft.operators.TextAnalysis.bm25TopK(post, dfr, stats, k)
+  }
+
+  /** Schema-pinned read of every `__batch=*` contribution under `root`;
+    * a NEVER-INGESTED store (no dirs at all) is an empty relation, not a
+    * PATH_NOT_FOUND error — searching/scoring before the first ingest is
+    * a clean no-result. */
+  private def storeRead(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath))
+      spark.read.schema(schema).parquet(s"$root/__batch=*")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Streaming bigram-LM MODEL MAINTENANCE — the text_bigram_lm twin of
@@ -967,13 +978,12 @@ object StatefulStreaming {
     def summed(sub: String, keys: Seq[String], cnt: String): DataFrame = {
       val schema = StructType(
         keys.map(StructField(_, StringType)) :+ StructField(cnt, LongType))
-      spark.read.schema(schema).parquet(s"$storeDir/$sub/__batch=*")
+      storeRead(spark, s"$storeDir/$sub", schema)
         .groupBy(keys.map(col): _*)
         .agg(sum(col(cnt)).as(cnt))
     }
     val metaSchema = StructType(Seq(StructField("tb", LongType)))
-    val tb = spark.read.schema(metaSchema)
-      .parquet(s"$storeDir/__meta/__batch=*")
+    val tb = storeRead(spark, s"$storeDir/__meta", metaSchema)
       .agg(coalesce(sum(col("tb")), lit(0L)).as("tb"))
     graft.operators.TextAnalysis.bigramLmScore(
       graft.operators.TextAnalysis.bigramsOf(docs),

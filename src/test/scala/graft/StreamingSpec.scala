@@ -636,6 +636,23 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("BM25/bigram-LM stores: querying before the first ingest is a " +
+      "clean empty result, not an error") {
+    val empty = java.nio.file.Files.createTempDirectory("neverstore")
+      .toString
+    assert(StatefulStreaming.bm25SearchFrom(spark, empty,
+      graft.operators.TextAnalysis.bm25Terms).count() === 0L)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(3)
+    // scoring against an EMPTY model: every probability term is the
+    // unseen fallback, so docs still score (all-backoff), with 0 sums
+    val scored = StatefulStreaming
+      .bigramLmScoreFrom(spark, empty, docs).collect()
+    assert(scored.nonEmpty)
+    scored.foreach(r => assert(r.getLong(2) === 0L,
+      "empty model must give zero micro-probability mass"))
+  }
+
   test("bigram-LM ingest: stream-maintained model scores exactly like " +
       "the batch query, replay-idempotent") {
     val store = java.nio.file.Files.createTempDirectory("lmstore").toString
