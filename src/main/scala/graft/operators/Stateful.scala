@@ -179,6 +179,81 @@ object Stateful extends OpModule {
         .unionByName(s3.agg(count(lit(1)).as("users"))
           .select(lit(3).as("stage"), lit("purchase").as("event_type"),
             col("users")))
+    }),
+    // Funnel conversion-latency quantiles — the depth behind
+    // a7_funnel_steps' counts: exact p50/p95 of view→click and
+    // click→purchase latency (integer microseconds, exactly representable
+    // as doubles) via the histogram RANK-SELECTION core shared with
+    // q_quantiles_approx (Relational.exactQuantileSelect) — the k-th
+    // smallest VALUE, tie-order independent, so the oracle's sort-derived
+    // selection matches bit-for-bit. Each stage keeps its anchor time in
+    // the groupBy key (t1/t2 are functions of user_id), so latencies fall
+    // out of the stage aggregates with NO extra join; the quantile core
+    // is a B-bucket histogram + one bucket-local rank — never a global
+    // sort.
+    "a7_funnel_latency" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val day = 86400000000L
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          epochMicros(col("ts")).as("us"))
+        .barrier()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1")).barrier()
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + day)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+        .barrier() // read by its latency branch AND stage 3
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + day)
+        .groupBy(col("user_id"), col("t2")).agg(min(col("us")).as("t3"))
+      val lat = s2.select(lit("view_to_click").as("l_returnflag"),
+          (col("t2") - col("t1")).cast("double").as("l_extendedprice"))
+        .unionByName(s3.select(
+          lit("click_to_purchase").as("l_returnflag"),
+          (col("t3") - col("t2")).cast("double").as("l_extendedprice")))
+        .barrier() // the quantile core reads it 3x (extents/counts/pick)
+      val n = lat.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_users"))
+      Relational.exactQuantileSelect(lat)
+        .join(n, "l_returnflag")
+        .select(col("l_returnflag").as("stage"), col("n_users"),
+          col("p50x").as("p50_us"), col("p95x").as("p95_us"))
+    }),
+    // Windowed rate-anomaly detection — the ops-monitoring op: per
+    // (event_type, 1 h epoch-aligned tumble) counts, flagged when a
+    // window exceeds 2× that type's MEDIAN window count. The median is
+    // rank-selected (k = ceil(n/2)-th smallest count, window-start
+    // tie-break) over the (type, window) COUNT relation — which is
+    // O(types × time-range), data-size independent, so the per-type rank
+    // window is bounded at any corpus scale; raw events only ever feed
+    // the first map-side-combinable count.
+    "a10_rate_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.core.Barrier.BarrierOps
+      val counts = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("cnt"))
+        .barrier() // ranked for the median AND flagged in the output
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").asc, col("window_start").asc)
+      val med = counts
+        .withColumn("rn", row_number().over(wOrd))
+        .join(counts.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nw")), "event_type")
+        .filter(col("rn") === ceil(lit(0.5) * col("nw")).cast("long"))
+        .select(col("event_type"), col("cnt").as("med"))
+      counts.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("window_start"),
+          col("cnt"), col("med"),
+          (col("cnt") > lit(2) * col("med")).as("is_anomaly"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -251,5 +326,59 @@ object Stateful extends OpModule {
         |UNION ALL
         |SELECT 2, 'click', count(*) FROM s2
         |UNION ALL
-        |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin)
+        |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+    // the same funnel ladder keeping each stage's anchor, then quantiles
+    // by SORT-DERIVED rank selection — the k-th smallest VALUE is what
+    // the Spark side's histogram rank-selection also returns
+    "a7_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1
+        |         AND e.us <= s1.t1 + 86400000000 GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t2, min(e.us) AS t3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |         AND e.us <= s2.t2 + 86400000000 GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT 'view_to_click' AS stage, CAST(t2 - t1 AS DOUBLE) AS lat
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', CAST(t3 - t2 AS DOUBLE) FROM s3),
+        |ranked AS (
+        |  SELECT stage, lat,
+        |    row_number() OVER (PARTITION BY stage ORDER BY lat) AS rn,
+        |    count(*) OVER (PARTITION BY stage) AS n
+        |  FROM lat)
+        |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN lat END) AS p50_us,
+        |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN lat END) AS p95_us
+        |FROM ranked GROUP BY 1""".stripMargin,
+    // epoch-aligned 1 h buckets (the a1 tumble idiom), per-type median
+    // window count by rank selection, 2x flag
+    "a10_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    strftime(to_timestamp(floor(epoch(ts)/3600)*3600),
+        |             '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt ASC, window_start ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nw
+        |  FROM c),
+        |m AS (SELECT event_type, cnt AS med FROM r
+        |      WHERE rn = CAST(ceil(0.5 * nw) AS BIGINT))
+        |SELECT c.event_type, c.window_start, c.cnt, m.med,
+        |  c.cnt > 2 * m.med AS is_anomaly
+        |FROM c JOIN m USING (event_type)""".stripMargin)
 }

@@ -39,7 +39,8 @@ object Scaling {
     "text_dsir_weights", "sample_importance_dsir", "sample_curriculum_order",
     "sim_knn_graph", "text_bm25_topk", "text_bigram_lm", "sim_pagerank",
     "sim_label_prop", "sim_pq_train", "sim_pq_ann_trained",
-    "sim_hard_negatives", "sim_dim_stats", "text_collocations")
+    "sim_hard_negatives", "sim_dim_stats", "text_collocations",
+    "a7_funnel_latency", "a10_rate_anomaly")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -985,6 +985,57 @@ class OperatorsSpec extends SparkSpec {
     assert(nDocs === toks.length, "every nonempty doc lands in a batch")
   }
 
+  test("funnel latency: histogram rank-selection equals a sort-derived " +
+      "driver recompute of both stage latencies") {
+    val got = graft.operators.Stateful
+      .queries("a7_funnel_latency")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // driver funnel replay over raw events
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp_ltz")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val day = 86400000000L
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val t2 = ev.filter(_._2 == "click")
+      .filter(e => t1.get(e._1).exists(a => e._3 > a && e._3 <= a + day))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val t3 = ev.filter(_._2 == "purchase")
+      .filter(e => t2.get(e._1).exists(a => e._3 > a && e._3 <= a + day))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    def q(lats: Seq[Long]): (Long, Double, Double) = {
+      val s = lats.sorted
+      def kth(p: Double) = s(math.ceil(p * s.size).toInt - 1).toDouble
+      (s.size.toLong, kth(0.5), kth(0.95))
+    }
+    val want = Map(
+      "view_to_click" -> q(t2.map { case (u, t) => t - t1(u) }.toSeq),
+      "click_to_purchase" -> q(t3.map { case (u, t) => t - t2(u) }.toSeq))
+    assert(got === want)
+  }
+
+  test("rate anomaly: per-type median is the rank-selected window count, " +
+      "flags consistent") {
+    val rows = graft.operators.Stateful
+      .queries("a10_rate_anomaly")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, g) =>
+      // one med per type; med = ceil(n/2)-th smallest count
+      val meds = g.map(_._4).distinct
+      assert(meds.length === 1, s"$tpe has ${meds.length} medians")
+      val counts = g.map(_._3).sorted
+      assert(meds.head === counts(math.ceil(0.5 * counts.size).toInt - 1),
+        s"$tpe median drifted")
+      g.foreach { case (_, w, cnt, med, flag) =>
+        assert(flag === (cnt > 2 * med), s"flag wrong at $tpe/$w") }
+    }
+  }
+
   test("bm25: scores match a driver recompute, top-k plan is " +
       "TakeOrderedAndProject") {
     val df = graft.operators.TextAnalysis
