@@ -302,6 +302,101 @@ object Similarity extends OpModule {
         .filter(col("rank") <= 3)
         .select(col("vec_id"), col("a_label"), col("rank"),
           col("neighbor_id"), col("n_label"))
+    }),
+    // ANN recall report — the index-evaluation pass a vector pipeline
+    // runs before trusting an approximate index: per-query recall@K of
+    // the IVF and multi-table-LSH indexes against the exact brute-force
+    // top-K. The report itself rides only the (query_id, neighbor_id)
+    // id relations the three index queries emit — integer set
+    // intersection, so the verdict is exact regardless of float ranking
+    // internals — and recall = hits/n_true is a single int/int IEEE
+    // division both engines agree on. Scale shape: the truth set is
+    // |queries|·K rows (the query panel is small by construction — this
+    // is an evaluation harness, not a serving path), each hit count one
+    // thin semi-join-shaped inner join + count; the expensive index
+    // scans are the already-audited sim_* plans, reused verbatim.
+    "sim_recall_report" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val bf = queries("sim_topk_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .barrier() // read by truth + one hit join per method
+      val truth = bf.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true")).barrier()
+      def branch(name: String, approx: org.apache.spark.sql.DataFrame) = {
+        val hits = bf
+          .join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        truth.join(hits, Seq("query_id"), "left")
+          .select(lit(name).as("method"), col("query_id"), col("n_true"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") /
+              col("n_true").cast("double")).as("recall"))
+      }
+      branch("ivf", queries("sim_ivf_ann")(s, dir))
+        .unionByName(branch("lsh", queries("sim_lsh_ann")(s, dir)))
+    }),
+    // Per-node triangle count + local clustering coefficient over the
+    // kNN graph — the community-structure diagnostic next to PageRank
+    // and components (dense clique-ish neighborhoods → near-duplicate
+    // pockets or tight topic clusters; coefficient ~0 → hub/bridge
+    // vectors). Degree-ordered triangle enumeration (Suri &
+    // Vassilvitskii's MR shape): every undirected edge is oriented from
+    // its lower-(degree, id) endpoint to the higher one, wedges form
+    // only among a node's OUT-edges, and the closing edge is probed in
+    // oriented form — each triangle materializes exactly once at its
+    // order-smallest vertex and total wedge volume is O(|E|^1.5)
+    // regardless of hubs (a hub's edges point INTO it, so its degree²
+    // wedge set never forms). All joins ride thin (long, long, long)
+    // edge rows; embeddings never re-enter after graph construction.
+    "sim_graph_triangles" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val und = knnGraph(s, dir)
+        .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("b"))
+        .distinct().barrier() // read by deg + the orientation join
+      val deg = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+        .barrier() // read by orientation (2x) + the output attach
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+            .otherwise(
+              struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+            .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .barrier() // read by both wedge sides + the closing-edge probe
+      val wedges = oriented
+        .select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+        .join(oriented.select(col("u"), col("v").as("v2"),
+          col("dv").as("d2")), Seq("u"))
+        .filter(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2")))
+      val tri = wedges
+        .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+          Seq("v1", "v2"))
+        .select(col("u"), col("v1"), col("v2"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(deg.select(col("v").as("vec_id"), col("degree")),
+          Seq("vec_id"), "left")
+        .join(perNode.select(col("v").as("vec_id"), col("triangles")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(coalesce(col("degree"), lit(0L)) < 2, lit(0.0))
+            .otherwise(lit(2.0) *
+              coalesce(col("triangles"), lit(0L)).cast("double") /
+              (col("degree") * (col("degree") - lit(1))).cast("double"))
+            .as("clustering_coeff"))
     }))
 
   /** The deduplicated LSH-candidate relation (vec_id, neighbor_id, sim)
@@ -1327,6 +1422,121 @@ object Similarity extends OpModule {
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin,
+    // the three index oracles chained as CTEs (the proven composed-CTE
+    // device): exact brute-force truth, IVF and LSH candidates, then
+    // integer hit counts and one int/int division per (method, query)
+    "sim_recall_report" ->
+      s"""WITH $oraLshSigs,
+         |$oraIvfAssign,
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(n.embedding AS DOUBLE[])) DESC,
+         |        n.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |    WHERE q.vec_id < 8)
+         |  WHERE rank <= $K),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
+         |           WHERE vec_id < 8 AND crank <= 4),
+         |icand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM assigned a
+         |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
+         |ivfq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM icand) WHERE rank <= $K),
+         |lcand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs n
+         |    ON q.sig = n.sig AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 8),
+         |lscored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM lcand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |lshq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM lscored) WHERE rank <= $K),
+         |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+         |hit AS (
+         |  SELECT 'ivf' AS method, b.query_id, count(*) AS hits
+         |  FROM bf b JOIN ivfq USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'lsh', b.query_id, count(*)
+         |  FROM bf b JOIN lshq USING (query_id, neighbor_id) GROUP BY 2),
+         |m AS (SELECT unnest(['ivf', 'lsh']) AS method)
+         |SELECT m.method, t.query_id, t.n_true,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+         |    CAST(t.n_true AS DOUBLE) AS recall
+         |FROM m CROSS JOIN truth t
+         |LEFT JOIN hit h
+         |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin,
+    // same knn chain → id-ordered (a<b) undirected edges → x<y<z triangle
+    // enumeration (orientation-free: the triangle SET is what the Spark
+    // side's degree-ordered enumeration also materializes, once each)
+    "sim_graph_triangles" ->
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |knn AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored) WHERE rank <= $K),
+         |und AS (
+         |  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |    greatest(vec_id, neighbor_id) AS b
+         |  FROM knn),
+         |deg AS (
+         |  SELECT v, count(*) AS degree FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pern AS (
+         |  SELECT v, count(*) AS triangles FROM (
+         |    SELECT x AS v FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY 1)
+         |SELECT e.vec_id,
+         |  COALESCE(d.degree, 0) AS degree,
+         |  COALESCE(p.triangles, 0) AS triangles,
+         |  CASE WHEN COALESCE(d.degree, 0) < 2 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(2.0 AS DOUBLE) * COALESCE(p.triangles, 0) /
+         |         (d.degree * (d.degree - 1))
+         |  END AS clustering_coeff
+         |FROM embeddings e
+         |LEFT JOIN deg d ON d.v = e.vec_id
+         |LEFT JOIN pern p ON p.v = e.vec_id""".stripMargin,
     // τ-pruned kNN edges → transitive closure → min-id component labels
     // (the dedup_cc oracle pattern over the graph relation)
     "sim_graph_components" ->

@@ -518,6 +518,66 @@ object TextAnalysis extends OpModule {
           (col("max_c").cast("double") / col("n_toks").cast("double"))
             .as("top_token_share"))
     }),
+    // Code-vs-prose detection — the corpus-routing heuristic (code goes
+    // to a code pipeline with its own dedup/quality rules; The-Stack-
+    // style filters start exactly here): symbol density, code-keyword
+    // hits, and indented-line count, combined into an integer
+    // evidence-per-100-chars score (one BIGINT DIV — bit-exact in any
+    // engine, no float weights). The fixture corpus is prose-only, so
+    // planted code/JSON/prose docs (negative ids, mirrored in the
+    // oracle) put both classes under the gate — including a
+    // keyword-in-prose doc that must stay BELOW threshold. One narrow
+    // whole-stage-codegen pass: three regexp counts + a length per row,
+    // no shuffle, no explode.
+    "text_code_detect" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(codeFixture.toDF("doc_id", "text"))
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          regexp_count(col("text"), lit("[{}()\\[\\];=<>]"))
+            .cast("long").as("n_sym"),
+          regexp_count(col("text"), lit("\\b(def|return|import|class|" +
+            "function|const|void|elif|lambda|struct|printf|println)\\b"))
+            .cast("long").as("n_kw"),
+          regexp_count(col("text"), lit("(?m)^[ \\t]"))
+            .cast("long").as("n_indent"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        .withColumn("code_score", expr(
+          "(10L * n_sym + 25L * n_kw + 40L * n_indent) * 100L" +
+            " DIV greatest(n_chars, 1L)"))
+        .withColumn("is_code", col("code_score") >= 50)
+    }),
+    // Tokenizer-vocabulary coverage curve — the vocab-sizing report run
+    // before committing to a tokenizer: what fraction of the corpus token
+    // mass the top-V vocabulary entries cover, at each candidate V. The
+    // top-4096 cut is a TakeOrderedAndProject (per-partition partial
+    // top-K, one bounded merge — the sample_exact_k_global device), so
+    // the full vocabulary relation is never globally sorted; the rank
+    // window then runs on the 4096-row cut only (B-row-bounded, the
+    // prefix-sum discipline) and each coverage row is one integer sum
+    // with a final int/int division.
+    "text_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(explode(Text.tokenize(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .barrier() // read by the total and the top-V cut
+      val total = tf.agg(sum(col("tf")).as("total_tokens"))
+      val ranked = tf.orderBy(col("tf").desc, col("tok").asc).limit(4096)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("tok").asc)))
+      val sizes = Seq(8L, 16L, 32L, 64L, 256L).toDF("vocab_size")
+      ranked.join(broadcast(sizes), col("rank") <= col("vocab_size"))
+        .groupBy(col("vocab_size"))
+        .agg(sum(col("tf")).as("covered_tokens"))
+        .join(broadcast(total), lit(true))
+        .select(col("vocab_size"), col("covered_tokens"),
+          col("total_tokens"),
+          (col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("coverage"))
+    }),
     // Line-level dedup — the C4/RefinedWeb boilerplate-removal primitive,
     // the SUB-document sibling of whole-doc dedup: a line occurring in
     // more than maxDocs DISTINCT documents is chrome (cookie banners,
@@ -2018,6 +2078,27 @@ object TextAnalysis extends OpModule {
     (-56L, "entirely boilerplate free document"),
     (-57L, "Accept cookies to continue"))
 
+  /** Planted code/prose docs for the code detector (negative ids
+    * -111..-116, disjoint from every other fixture block; mirrored in the
+    * oracle): -111 python-shaped (def/return, indented block), -112
+    * c-shaped (braces, semicolons), -113 JSON-ish config (braces,
+    * indentation, no keywords), -114 plain prose, -115 prose containing
+    * one code KEYWORD in passing — must score below threshold (keyword
+    * evidence alone is not code), -116 a short note.
+    */
+  private val codeFixture = Seq(
+    (-111L, "def shard(items):\n    total = 0\n    for x in items:\n" +
+      "        total = total + x\n    return total"),
+    (-112L, "int main(void) {\n    int n = 42;\n    printf(fmt, n);\n" +
+      "    return 0;\n}"),
+    (-113L, "{\n  \"retries\": 3,\n  \"endpoint\": \"local\",\n" +
+      "  \"batch\": [1, 2, 3]\n}"),
+    (-114L, "the quarterly report shows steady growth across all regions " +
+      "with no surprises"),
+    (-115L, "the word class appears here in prose but nothing else looks " +
+      "like source code at all"),
+    (-116L, "short note"))
+
   /** Planted passage-sharing docs for partial-overlap detection (negative
     * ids -61..-63, disjoint from every other fixture block; mirrored in
     * the oracle): -61 and -62 embed the same 14-token passage inside
@@ -2534,6 +2615,64 @@ object TextAnalysis extends OpModule {
         |                '[^a-z0-9]+'), x -> x <> '')) AS tok
         |            FROM documents))
         |GROUP BY doc_id""".stripMargin,
+    // same planted union; counts via len(regexp_extract_all) — RE2-safe
+    // patterns (char class, alternation + \b, (?m) anchor), score by
+    // BIGINT floor division (// ≡ Spark's DIV on non-negative operands)
+    "text_code_detect" -> {
+      val values = codeFixture.map { case (id, txt) =>
+        val t = txt.split("\n", -1).map(s => "'" + s.replace("'", "''") + "'")
+          .mkString(" || chr(10) || ")
+        s"($id, $t)"
+      }.mkString(",\n          ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $values) v(doc_id, text)),
+         |""".stripMargin +
+        """f AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(len(regexp_extract_all(text,
+          |      '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+          |    CAST(len(regexp_extract_all(text,
+          |      '\b(def|return|import|class|function|const|void|elif|lambda|struct|printf|println)\b'))
+          |      AS BIGINT) AS n_kw,
+          |    CAST(len(regexp_extract_all(text, '(?m)^[ \t]'))
+          |      AS BIGINT) AS n_indent,
+          |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+          |  FROM docs)
+          |SELECT doc_id, n_chars, n_sym, n_kw, n_indent, n_lines,
+          |  (10 * n_sym + 25 * n_kw + 40 * n_indent) * 100
+          |    // greatest(n_chars, 1) AS code_score,
+          |  ((10 * n_sym + 25 * n_kw + 40 * n_indent) * 100
+          |    // greatest(n_chars, 1)) >= 50 AS is_code
+          |FROM f""".stripMargin
+    },
+    // the tokenize chain shared with text_top_ngrams; global rank only
+    // over the top-4096 cut, HUGEINT sums pinned back to BIGINT
+    "text_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT tok, tf,
+        |    row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank
+        |  FROM tf),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+        |sz AS (SELECT unnest([8, 16, 32, 64, 256]) AS vocab_size)
+        |SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(sum(r.tf) AS BIGINT) AS covered_tokens,
+        |  t.total_tokens,
+        |  CAST(CAST(sum(r.tf) AS BIGINT) AS DOUBLE) /
+        |    CAST(t.total_tokens AS DOUBLE) AS coverage
+        |FROM sz s
+        |JOIN ranked r ON r.rank <= s.vocab_size
+        |CROSS JOIN tot t
+        |GROUP BY s.vocab_size, t.total_tokens""".stripMargin,
     "text_line_dedup" -> {
       val values = lineFixture.map { case (id, txt) =>
         val t = txt.split("\n", -1).map(s => s"'$s'")

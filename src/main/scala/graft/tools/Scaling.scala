@@ -40,7 +40,9 @@ object Scaling {
     "sim_knn_graph", "text_bm25_topk", "text_bigram_lm", "sim_pagerank",
     "sim_label_prop", "sim_pq_train", "sim_pq_ann_trained",
     "sim_hard_negatives", "sim_dim_stats", "text_collocations",
-    "a7_funnel_latency", "a10_rate_anomaly")
+    "a7_funnel_latency", "a10_rate_anomaly",
+    "sim_recall_report", "sim_graph_triangles", "text_code_detect",
+    "text_vocab_coverage")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

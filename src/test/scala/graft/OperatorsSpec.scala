@@ -1111,4 +1111,99 @@ class OperatorsSpec extends SparkSpec {
     // train/score asymmetry is real: scored docs outnumber train docs
     assert(bigrams.size > bigrams.count(b => bucket(b._1) < 50))
   }
+
+  test("code detect: planted classes split correctly; score is the " +
+      "integer evidence formula") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_code_detect")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // planted verdicts: code shapes flag; prose does not — including the
+    // keyword-in-prose doc, whose evidence must be nonzero yet subcritical
+    assert(Seq(-111L, -112L, -113L).forall(id => rows(id).getBoolean(7)))
+    assert(Seq(-114L, -115L, -116L).forall(id => !rows(id).getBoolean(7)))
+    assert(rows(-115L).getLong(6) > 0 && rows(-115L).getLong(6) < 50)
+    // recompute the score from the emitted counts for every doc
+    rows.values.foreach { r =>
+      val score = (10L * r.getLong(2) + 25L * r.getLong(3) +
+        40L * r.getLong(4)) * 100L / math.max(r.getLong(1), 1L)
+      assert(r.getLong(6) === score, s"score drift at doc ${r.getLong(0)}")
+    }
+  }
+
+  test("vocab coverage: matches a driver recompute, monotone, and the " +
+      "top-V cut is TakeOrderedAndProject") {
+    val df = graft.operators.TextAnalysis
+      .queries("text_vocab_coverage")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.Text.tokenize(col("text"))).as("tok"))
+      .collect().map(_.getString(0))
+    val ranked = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = toks.length.toLong
+    got.foreach { case (v, cov, tot, ratio) =>
+      assert(tot === total)
+      val want = ranked.take(v.toInt).map(_._2).sum
+      assert(cov === want, s"covered_tokens at V=$v")
+      assert(ratio === cov.toDouble / total.toDouble)
+    }
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted), "monotone in V")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("triangles: degree-ordered enumeration equals a brute-force " +
+      "neighbor-set recompute") {
+    val got = graft.operators.Similarity
+      .queries("sim_graph_triangles")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val und = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .select(least(col("vec_id"), col("neighbor_id")),
+        greatest(col("vec_id"), col("neighbor_id")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neigh = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (v, (d, t, c)) =>
+      val dd = neigh.get(v).map(_.size.toLong).getOrElse(0L)
+      assert(d === dd, s"degree at $v")
+      val tt = neigh.get(v).fold(0L)(_.toSeq.combinations(2).count {
+        case Seq(x, y) =>
+          und.contains((math.min(x, y), math.max(x, y)))
+        case _ => false
+      }.toLong)
+      assert(t === tt, s"triangles at $v")
+      val cc = if (dd < 2) 0.0 else 2.0 * tt / (dd * (dd - 1)).toDouble
+      assert(c === cc, s"coefficient at $v")
+    }
+    assert(got.values.exists(_._2 > 0), "fixture graph must have triangles")
+  }
+
+  test("recall report: hits equal the intersection of the emitted " +
+      "topk relations") {
+    def pairs(name: String) = graft.operators.Similarity
+      .queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs("sim_topk_bruteforce")
+    val byMethod = Map("ivf" -> pairs("sim_ivf_ann"),
+      "lsh" -> pairs("sim_lsh_ann"))
+    val got = graft.operators.Similarity
+      .queries("sim_recall_report")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val qids = bf.map(_._1)
+    assert(got.size === 2 * qids.size, "one row per (method, query)")
+    for (q <- qids; (m, ap) <- byMethod) {
+      val truth = bf.filter(_._1 == q)
+      val hits = truth.count(ap.contains).toLong
+      val (nTrue, h, rec) = got((m, q))
+      assert(nTrue === truth.size.toLong, s"n_true at ($m, $q)")
+      assert(h === hits, s"hits at ($m, $q)")
+      assert(rec === hits.toDouble / truth.size.toDouble, s"recall ($m, $q)")
+    }
+  }
 }
