@@ -230,31 +230,49 @@ object Stateful extends OpModule {
     // O(types × time-range), data-size independent, so the per-type rank
     // window is bounded at any corpus scale; raw events only ever feed
     // the first map-side-combinable count.
-    "a10_rate_anomaly" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.core.Barrier.BarrierOps
-      val counts = t(s, dir, "events")
-        .filter(col("ts").isNotNull)
-        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("event_type"),
-          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("window_start"),
-          col("cnt"))
-        .barrier() // ranked for the median AND flagged in the output
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col("cnt").asc, col("window_start").asc)
-      val med = counts
-        .withColumn("rn", row_number().over(wOrd))
-        .join(counts.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("nw")), "event_type")
-        .filter(col("rn") === ceil(lit(0.5) * col("nw")).cast("long"))
-        .select(col("event_type"), col("cnt").as("med"))
-      counts.join(broadcast(med), "event_type")
-        .select(col("event_type"), col("window_start"),
-          col("cnt"), col("med"),
-          (col("cnt") > lit(2) * col("med")).as("is_anomaly"))
-    }))
+    "a10_rate_anomaly" -> ((s, dir) =>
+      rateAnomalyFlag(rateAnomalyCounts(t(s, dir, "events")))))
+
+  /** Per-(event_type, 1 h epoch-aligned tumble) counts over a raw-events
+    * relation. ADDITIVE across disjoint event slices — a window's count
+    * is the sum of its slices' counts — which is what lets the streaming
+    * tier ([[graft.streaming.StatefulStreaming.rateAnomalyIngestBatch]])
+    * maintain per-batch contributions and roll them up exactly. */
+  private[graft] def rateAnomalyCounts(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("cnt"))
+
+  /** Median rank-selection + 2× flag over a (event_type, window_start,
+    * cnt) relation — shared verbatim by the batch query and the
+    * streaming store reader, so stream-maintained counts flag exactly
+    * like the batch query. The rank window runs on the O(types ×
+    * time-range) COUNT relation, bounded at any corpus scale. */
+  private[graft] def rateAnomalyFlag(
+      counts0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Barrier.BarrierOps
+    val counts = counts0
+      .barrier() // ranked for the median AND flagged in the output
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").asc, col("window_start").asc)
+    val med = counts
+      .withColumn("rn", row_number().over(wOrd))
+      .join(counts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nw")), "event_type")
+      .filter(col("rn") === ceil(lit(0.5) * col("nw")).cast("long"))
+      .select(col("event_type"), col("cnt").as("med"))
+    counts.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("window_start"),
+        col("cnt"), col("med"),
+        (col("cnt") > lit(2) * col("med")).as("is_anomaly"))
+  }
 
   def oracles: Map[String, String] = Map(
     "a4_uv_per_day" ->

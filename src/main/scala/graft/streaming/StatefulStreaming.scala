@@ -992,6 +992,41 @@ object StatefulStreaming {
       summed("__cw2", Seq("w2"), "cu2"), tb)
   }
 
+  /** Streaming rate-anomaly monitor maintenance — the a10_rate_anomaly
+    * twin of [[bm25IngestBatch]]: each micro-batch writes its per-(type,
+    * 1 h tumble) count CONTRIBUTION under the per-`__batch=N` Overwrite
+    * discipline. Window counts are additive across disjoint slices
+    * (`Stateful.rateAnomalyCounts`), so any arrival order accumulates
+    * the same count relation and replaying a batch is idempotent.
+    * O(batch) work per call; the store is O(types × time-range).
+    */
+  def rateAnomalyIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): DataFrame = {
+    val c = graft.operators.Stateful.rateAnomalyCounts(batch)
+    c.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/counts/__batch=$batchId")
+    c
+  }
+
+  /** Flag anomalies from the maintained count store: contributions sum
+    * into the exact per-window counts, then the SAME median
+    * rank-selection + 2× flag tail the batch query runs
+    * (`Stateful.rateAnomalyFlag`) — after any ingest sequence over a
+    * corpus, output is row-identical to `a10_rate_anomaly` on that
+    * corpus (pinned in StreamingSpec). Schema-pinned read; a
+    * never-ingested store is a clean empty result.
+    */
+  def rateAnomalyFrom(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("window_start", StringType),
+      StructField("cnt", LongType)))
+    val counts = storeRead(spark, s"$storeDir/counts", schema)
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Stateful.rateAnomalyFlag(counts)
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

@@ -1151,4 +1151,42 @@ class StreamingSpec extends SparkSpec {
         s"late row must be dropped, got $rows")
     } finally q.stop()
   }
+
+  test("rate-anomaly ingest: stream-maintained counts flag exactly like " +
+      "the batch query, replay-idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("ratestore").toString
+    try {
+      val ev = graft.core.Tables.load(spark, sfDir, "events")
+      // three disjoint slices by event_id hash — deliberately NOT
+      // time-ordered, so a window's count accumulates across batches
+      val batches = (0 until 3).map(i =>
+        ev.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.rateAnomalyIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      val streamed = rows(StatefulStreaming.rateAnomalyFrom(spark, store))
+      graft.core.Barrier.releaseAll(spark)
+      val batchTwin = rows(graft.operators.Stateful
+        .queries("a10_rate_anomaly")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed === batchTwin, "stream-maintained monitor drifted")
+      assert(streamed.exists(_._5), "an anomalous window must exist")
+      // replaying the middle batch must not change a single flag
+      StatefulStreaming.rateAnomalyIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      val replayed = rows(StatefulStreaming.rateAnomalyFrom(spark, store))
+      graft.core.Barrier.releaseAll(spark)
+      assert(replayed === batchTwin, "replay must not change the monitor")
+      // never-ingested store: clean empty, not an error
+      val empty = java.nio.file.Files.createTempDirectory("neverrate")
+        .toString
+      assert(StatefulStreaming.rateAnomalyFrom(spark, empty).count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
 }
