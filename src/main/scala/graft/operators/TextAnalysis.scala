@@ -533,20 +533,41 @@ object TextAnalysis extends OpModule {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(codeFixture.toDF("doc_id", "text"))
-      docs.select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          regexp_count(col("text"), lit("[{}()\\[\\];=<>]"))
-            .cast("long").as("n_sym"),
-          regexp_count(col("text"), lit("\\b(def|return|import|class|" +
-            "function|const|void|elif|lambda|struct|printf|println)\\b"))
-            .cast("long").as("n_kw"),
-          regexp_count(col("text"), lit("(?m)^[ \\t]"))
-            .cast("long").as("n_indent"),
-          size(split(col("text"), "\n")).cast("long").as("n_lines"))
-        .withColumn("code_score", expr(
-          "(10L * n_sym + 25L * n_kw + 40L * n_indent) * 100L" +
-            " DIV greatest(n_chars, 1L)"))
+      codeScored(docs).drop("text")
         .withColumn("is_code", col("code_score") >= 50)
+    }),
+    // Lane-routed corpus front door — the pipeline composition the code
+    // detector exists FOR: route every doc to a code or prose lane
+    // (code_score threshold), gate each lane with ITS OWN filter (prose:
+    // the pipeline_clean_corpus quality predicate; code: a length floor
+    // — prose heuristics like stopword ratio would wrongly kill source
+    // files), then keep-first exact-dedup WITHIN lane (a code file and a
+    // prose doc never compete for canonicality). Output is the full
+    // routing/verdict relation. Scale shape: one narrow scoring pass,
+    // the gates are per-row predicates, and the only shuffle is the
+    // (lane, fp) dedup window over thin keyed rows.
+    "pipeline_routed_corpus" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(codeFixture.toDF("doc_id", "text"))
+      val routed = codeScored(docs)
+        .withColumn("lane",
+          when(col("code_score") >= 50, lit("code")).otherwise(lit("prose")))
+        .withColumn("passed",
+          when(col("lane") === "code", col("n_chars") >= 30)
+            .otherwise(qualityPred))
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .barrier() // read by the keep-first cut AND the output attach
+      val w = Window.partitionBy(col("lane"), col("fp"))
+        .orderBy(col("doc_id").asc)
+      val kept = routed.filter(col("passed"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), (col("rn") === 1).as("kept"))
+      routed.select(col("doc_id"), col("lane"), col("passed"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lane"), col("passed"),
+          coalesce(col("kept"), lit(false)).as("kept"))
     }),
     // Tokenizer-vocabulary coverage curve — the vocab-sizing report run
     // before committing to a tokenizer: what fraction of the corpus token
@@ -1186,6 +1207,50 @@ object TextAnalysis extends OpModule {
     // same deterministic hash device as every sampler, at ppm
     // granularity. Scale shape: one tiny per-lang count agg → broadcast →
     // narrow codegen'd filter; no shuffle of the corpus.
+    // Mixture-schedule materialization — the data-loader ORDER a
+    // multi-source training run consumes: deterministic weighted
+    // round-robin (stride scheduling) where each cycle takes w_s docs
+    // from source s, w_s = ceil(sqrt(n_s)) (temperature α=0.5 over
+    // source sizes — sqrt is IEEE-correctly-rounded in any engine, the
+    // one transcendental-free weight family). Order key (cycle, source,
+    // slot) is all-integer and strictly total; the global position is
+    // the bucketed TWO-LEVEL rank (cycle-range buckets → bounded B-row
+    // offset window → within-bucket rank), never a global sort — the
+    // sample_curriculum_order device over a different order key.
+    "sample_mixture_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nB = prefixBuckets(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val w = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          expr("CAST(ceil(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)")
+            .as("w"))
+      val keyed = docs
+        .withColumn("rk", (row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
+          .cast("long"))
+        .join(broadcast(w), "source")
+        .select(col("doc_id"), col("source"),
+          expr("rk DIV w").as("cycle"), expr("rk % w").as("slot"))
+      val mxc = keyed.agg(max(col("cycle")).as("mxc"))
+      val bucketed = keyed.join(broadcast(mxc), lit(true))
+        .withColumn("sub", expr(s"cycle * ${nB}L DIV (mxc + 1L)"))
+        .drop("mxc")
+        .barrier() // read by the offset rollup AND the final rank
+      val wb = Window.orderBy(col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("sub"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prior", coalesce(sum(col("n")).over(wb), lit(0L)))
+        .select(col("sub"), col("prior"))
+      bucketed.join(broadcast(offsets), Seq("sub"))
+        .withColumn("pos", col("prior") - 1L + row_number().over(
+          Window.partitionBy(col("sub"))
+            .orderBy(col("cycle"), col("source"), col("slot")))
+          .cast("long"))
+        .select(col("doc_id"), col("source"), col("cycle"), col("slot"),
+          col("pos"))
+    }),
     "sample_temperature_alpha" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
@@ -2086,6 +2151,55 @@ object TextAnalysis extends OpModule {
     * one code KEYWORD in passing — must score below threshold (keyword
     * evidence alone is not code), -116 a short note.
     */
+  /** Shared code-evidence regexes — the SAME pattern strings run in Java
+    * regex (Spark) and RE2 (DuckDB oracle); char class, \b alternation,
+    * and the (?m) line anchor are dialect-common. */
+  private val CodeSymRe = "[{}()\\[\\];=<>]"
+  private val CodeKwRe = "\\b(def|return|import|class|function|const|" +
+    "void|elif|lambda|struct|printf|println)\\b"
+  private val CodeIndentRe = "(?m)^[ \\t]"
+
+  /** (doc_id, text) → evidence counts + the integer evidence-per-100-chars
+    * code score; shared by `text_code_detect` and the routed pipeline. */
+  private def codeScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit(CodeSymRe)).cast("long").as("n_sym"),
+        regexp_count(col("text"), lit(CodeKwRe)).cast("long").as("n_kw"),
+        regexp_count(col("text"), lit(CodeIndentRe)).cast("long")
+          .as("n_indent"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .withColumn("code_score", expr(
+        "(10L * n_sym + 25L * n_kw + 40L * n_indent) * 100L" +
+          " DIV greatest(n_chars, 1L)"))
+
+  /** DuckDB mirror of [[codeScored]] over a `docs(doc_id, text)` CTE —
+    * emits `sc` (counts) and `scs` (+ code_score). */
+  private def oraCodeScored: String =
+    s"""sc AS (
+       |  SELECT doc_id, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, '$CodeSymRe')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(len(regexp_extract_all(text, '$CodeKwRe')) AS BIGINT)
+       |      AS n_kw,
+       |    CAST(len(regexp_extract_all(text, '$CodeIndentRe')) AS BIGINT)
+       |      AS n_indent,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+       |  FROM docs),
+       |scs AS (
+       |  SELECT *, (10 * n_sym + 25 * n_kw + 40 * n_indent) * 100
+       |    // greatest(n_chars, 1) AS code_score
+       |  FROM sc)""".stripMargin
+
+  /** The planted docs as a DuckDB VALUES body (newlines via chr(10)). */
+  private def codeFixtureValues: String = codeFixture.map { case (id, txt) =>
+    val t = txt.split("\n", -1).map(s => "'" + s.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+    s"($id, $t)"
+  }.mkString(",\n          ")
+
   private val codeFixture = Seq(
     (-111L, "def shard(items):\n    total = 0\n    for x in items:\n" +
       "        total = total + x\n    return total"),
@@ -2097,7 +2211,13 @@ object TextAnalysis extends OpModule {
       "with no surprises"),
     (-115L, "the word class appears here in prose but nothing else looks " +
       "like source code at all"),
-    (-116L, "short note"))
+    (-116L, "short note"),
+    // byte-identical clone of -112: routes to the code lane with the same
+    // fingerprint, so the routed pipeline's within-lane keep-first dedup
+    // keeps exactly one of the pair (doc_id ASC → -117, the smaller id)
+    // and marks the other kept=false
+    (-117L, "int main(void) {\n    int n = 42;\n    printf(fmt, n);\n" +
+      "    return 0;\n}"))
 
   /** Planted passage-sharing docs for partial-overlap detection (negative
     * ids -61..-63, disjoint from every other fixture block; mirrored in
@@ -2618,37 +2738,60 @@ object TextAnalysis extends OpModule {
     // same planted union; counts via len(regexp_extract_all) — RE2-safe
     // patterns (char class, alternation + \b, (?m) anchor), score by
     // BIGINT floor division (// ≡ Spark's DIV on non-negative operands)
-    "text_code_detect" -> {
-      val values = codeFixture.map { case (id, txt) =>
-        val t = txt.split("\n", -1).map(s => "'" + s.replace("'", "''") + "'")
-          .mkString(" || chr(10) || ")
-        s"($id, $t)"
-      }.mkString(",\n          ")
+    "text_code_detect" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT * FROM (VALUES
-         |          $values) v(doc_id, text)),
+         |          $codeFixtureValues) v(doc_id, text)),
+         |$oraCodeScored
+         |SELECT doc_id, n_chars, n_sym, n_kw, n_indent, n_lines,
+         |  code_score, code_score >= 50 AS is_code
+         |FROM scs""".stripMargin,
+    // the shared scoring chain, then per-lane gates (prose: the proven
+    // pipeline_clean_corpus predicate chain; code: length floor) and a
+    // keep-first (lane, fp) dedup window
+    "pipeline_routed_corpus" ->
+      (s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |          $codeFixtureValues) v(doc_id, text)),
+         |$oraCodeScored,
          |""".stripMargin +
-        """f AS (
-          |  SELECT doc_id,
-          |    CAST(length(text) AS BIGINT) AS n_chars,
-          |    CAST(len(regexp_extract_all(text,
-          |      '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
-          |    CAST(len(regexp_extract_all(text,
-          |      '\b(def|return|import|class|function|const|void|elif|lambda|struct|printf|println)\b'))
-          |      AS BIGINT) AS n_kw,
-          |    CAST(len(regexp_extract_all(text, '(?m)^[ \t]'))
-          |      AS BIGINT) AS n_indent,
-          |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
-          |  FROM docs)
-          |SELECT doc_id, n_chars, n_sym, n_kw, n_indent, n_lines,
-          |  (10 * n_sym + 25 * n_kw + 40 * n_indent) * 100
-          |    // greatest(n_chars, 1) AS code_score,
-          |  ((10 * n_sym + 25 * n_kw + 40 * n_indent) * 100
-          |    // greatest(n_chars, 1)) >= 50 AS is_code
-          |FROM f""".stripMargin
-    },
+        s"""routed AS (
+           |  SELECT doc_id, text, n_chars,
+           |    CASE WHEN code_score >= 50 THEN 'code' ELSE 'prose' END
+           |      AS lane,
+           |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+           |      'g'))) AS fp,
+           |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |      x -> x <> '') AS toks
+           |  FROM scs),
+           |gated AS (
+           |  SELECT doc_id, lane, fp,
+           |    CASE WHEN lane = 'code' THEN n_chars >= 30
+           |         ELSE (n_chars >= 100
+           |           AND len(string_split_regex(trim(text), '\\s+')) >= 20
+           |           AND (CASE WHEN len(toks) = 0 THEN 0.0
+           |                ELSE CAST(len(list_filter(toks,
+           |                    x -> list_contains($stop, x))) AS DOUBLE)
+           |                  / CAST(len(toks) AS DOUBLE) END) >= 0.05
+           |           AND (CASE WHEN length(text) = 0 THEN 0.0
+           |                ELSE CAST(length(text) - length(regexp_replace(
+           |                    text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |                  / CAST(length(text) AS DOUBLE) END) <= 0.2)
+           |    END AS passed
+           |  FROM routed),
+           |keep AS (
+           |  SELECT doc_id, rn = 1 AS kept FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY lane, fp
+           |      ORDER BY doc_id ASC) AS rn
+           |    FROM gated WHERE passed))
+           |SELECT g.doc_id, g.lane, g.passed,
+           |  COALESCE(k.kept, false) AS kept
+           |FROM gated g LEFT JOIN keep k ON k.doc_id = g.doc_id"""
+          .stripMargin),
     // the tokenize chain shared with text_top_ngrams; global rank only
     // over the top-4096 cut, HUGEINT sums pinned back to BIGINT
     "text_vocab_coverage" ->
@@ -3144,6 +3287,25 @@ object TextAnalysis extends OpModule {
     "sample_hash_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,
+    // all-integer order key; the oracle's global row_number IS the
+    // Spark side's two-level bucketed rank (strict total order)
+    "sample_mixture_schedule" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs FROM documents
+        |           GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(ceil(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |      FROM n),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY doc_id) - 1 AS BIGINT) AS rk
+        |      FROM documents),
+        |k AS (SELECT r.doc_id, r.source,
+        |        rk // w.w AS cycle, rk % w.w AS slot
+        |      FROM r JOIN w USING (source))
+        |SELECT doc_id, source, cycle, slot,
+        |  CAST(row_number() OVER (ORDER BY cycle, source, slot) - 1
+        |    AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     "sample_temperature_alpha" ->
       s"""WITH r AS (
          |  SELECT lang,

@@ -42,7 +42,8 @@ object Scaling {
     "sim_hard_negatives", "sim_dim_stats", "text_collocations",
     "a7_funnel_latency", "a10_rate_anomaly",
     "sim_recall_report", "sim_graph_triangles", "text_code_detect",
-    "text_vocab_coverage")
+    "text_vocab_coverage", "sample_mixture_schedule",
+    "pipeline_routed_corpus")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

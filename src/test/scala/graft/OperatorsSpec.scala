@@ -1206,4 +1206,52 @@ class OperatorsSpec extends SparkSpec {
       assert(rec === hits.toDouble / truth.size.toDouble, s"recall ($m, $q)")
     }
   }
+
+  test("mixture schedule: weighted round-robin order matches a driver " +
+      "recompute; positions are a permutation") {
+    val got = graft.operators.TextAnalysis
+      .queries("sample_mixture_schedule")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keyed = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val w = math.ceil(math.sqrt(ds.length.toDouble)).toLong
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, rk) =>
+        (id, src, rk / w, rk % w) }
+    }
+    val want = keyed.sortBy { case (_, src, c, sl) => (c, src, sl) }
+      .zipWithIndex.map { case ((id, src, c, sl), pos) =>
+        (id, src, c, sl, pos.toLong) }
+    assert(got.sortBy(_._5).toSeq === want)
+    assert(got.map(_._5).sorted.toSeq === (0L until got.length.toLong),
+      "positions must be a 0-based permutation")
+  }
+
+  test("routed pipeline: lanes route by detector verdict, gates are " +
+      "lane-specific, dedup is within-lane keep-first") {
+    val rows = graft.operators.TextAnalysis
+      .queries("pipeline_routed_corpus")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    // the planted clone pair lands in the code lane; keep-first by
+    // doc_id ASC keeps -117 and drops -112
+    assert(rows(-117L) === (("code", true, true)))
+    assert(rows(-112L) === (("code", true, false)),
+      "clone -112 must lose keep-first")
+    // lane-specific gating is real: -112 (71 chars) passes the code
+    // gate but would fail the prose length floor (100)
+    assert(rows(-111L)._1 === "code" && rows(-113L)._1 === "code")
+    // lane assignment agrees with the detector for every doc
+    val det = graft.operators.TextAnalysis
+      .queries("text_code_detect")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    rows.foreach { case (id, (lane, _, _)) =>
+      assert((lane == "code") === det(id), s"lane/detector drift at $id") }
+    // kept implies passed, and both prose verdict classes are real
+    assert(rows.values.forall { case (_, p, k) => !k || p })
+    assert(rows.values.exists { case (l, p, _) => l == "prose" && p })
+    assert(rows.values.exists { case (l, p, _) => l == "prose" && !p })
+  }
 }
