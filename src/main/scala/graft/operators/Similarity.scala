@@ -315,27 +315,18 @@ object Similarity extends OpModule {
     // is an evaluation harness, not a serving path), each hit count one
     // thin semi-join-shaped inner join + count; the expensive index
     // scans are the already-audited sim_* plans, reused verbatim.
-    "sim_recall_report" -> ((s, dir) => {
-      import graft.core.Barrier.BarrierOps
-      val bf = queries("sim_topk_bruteforce")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .barrier() // read by truth + one hit join per method
-      val truth = bf.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_true")).barrier()
-      def branch(name: String, approx: org.apache.spark.sql.DataFrame) = {
-        val hits = bf
-          .join(approx.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id"))
-          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-        truth.join(hits, Seq("query_id"), "left")
-          .select(lit(name).as("method"), col("query_id"), col("n_true"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            (coalesce(col("hits"), lit(0L)).cast("double") /
-              col("n_true").cast("double")).as("recall"))
-      }
-      branch("ivf", queries("sim_ivf_ann")(s, dir))
-        .unionByName(branch("lsh", queries("sim_lsh_ann")(s, dir)))
-    }),
+    "sim_recall_report" -> ((s, dir) =>
+      recallReport(queries("sim_topk_bruteforce")(s, dir), Seq(
+        "ivf" -> queries("sim_ivf_ann")(s, dir),
+        "lsh" -> queries("sim_lsh_ann")(s, dir)))),
+    // the quantized half of the index family under the same evaluation
+    // harness: int8 scalar quantization and 8-byte product quantization
+    // recall vs the exact truth — the compression-loss report a
+    // deployment reads before choosing a code size
+    "sim_recall_report_quantized" -> ((s, dir) =>
+      recallReport(queries("sim_topk_bruteforce")(s, dir), Seq(
+        "pq" -> queries("sim_pq_ann")(s, dir),
+        "sq" -> queries("sim_sq_ann")(s, dir)))),
     // Per-node triangle count + local clustering coefficient over the
     // kNN graph — the community-structure diagnostic next to PageRank
     // and components (dense clique-ish neighborhoods → near-duplicate
@@ -398,6 +389,31 @@ object Similarity extends OpModule {
               (col("degree") * (col("degree") - lit(1))).cast("double"))
             .as("clustering_coeff"))
     }))
+
+  /** Per-query recall@K of each (method, topk-relation) against the
+    * exact brute-force truth. Rides only the integer (query_id,
+    * neighbor_id) id relations the index queries emit, so the verdict is
+    * exact regardless of float ranking internals; recall = hits/n_true
+    * is one int/int IEEE division. Truth is barriered (read by the
+    * n_true rollup + one hit join per method). */
+  private def recallReport(bf0: org.apache.spark.sql.DataFrame,
+      methods: Seq[(String, org.apache.spark.sql.DataFrame)])
+      : org.apache.spark.sql.DataFrame = {
+    val bf = bf0.select(col("query_id"), col("neighbor_id")).barrier()
+    val truth = bf.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true")).barrier()
+    methods.map { case (name, approx) =>
+      val hits = bf
+        .join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      truth.join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("method"), col("query_id"), col("n_true"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
 
   /** The deduplicated LSH-candidate relation (vec_id, neighbor_id, sim)
     * the whole graph family ranks over — [[knnGraph]] takes the global
@@ -1156,11 +1172,7 @@ object Similarity extends OpModule {
     // division, top-4K cut, exact-cosine rescore. Integer sums are
     // order-independent, so the exploded-row GROUP BYs here equal the
     // Spark side's index-ordered HOF accumulations bit-for-bit.
-    "sim_pq_ann" ->
-      s"""WITH $oraPqCodes,
-         |cb AS (SELECT vec_id AS k, dim, c FROM codes
-         |       WHERE vec_id < $PqK),
-         |$oraPqAnnBody""".stripMargin,
+    "sim_pq_ann" -> oraPqAnnFull,
     // the per-subspace Lloyd ladder: round r assigns every subvector by
     // exact integer L2 (dists_t/enc_t), re-centers each (codeword, dim)
     // cell on the members' mean rounded half-up to INT (means_t), and
@@ -1241,56 +1253,7 @@ object Similarity extends OpModule {
          |WHERE rank <= $K""".stripMargin,
     // mirrors queriesSq: same double quantization arithmetic, same exact
     // integer prefilter, same cosine rescoring of the top-4K candidates
-    "sim_sq_ann" ->
-      s"""WITH amax AS (
-         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
-         |  FROM (SELECT embedding,
-         |          unnest(generate_series(1, len(embedding))) AS j
-         |        FROM embeddings)),
-         |codes AS (
-         |  SELECT vec_id, j - 1 AS dim,
-         |    CAST(round(CAST(embedding[j] AS DOUBLE)
-         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, len(embedding))) AS j
-         |        FROM embeddings)),
-         |n2 AS (
-         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
-         |  FROM codes GROUP BY 1),
-         |scores AS (
-         |  SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
-         |    CAST(sum(CAST(cq.c AS BIGINT) * cn.c) AS BIGINT) AS dotq
-         |  FROM codes cq JOIN codes cn ON cq.dim = cn.dim
-         |    AND cq.vec_id < 8 AND cq.vec_id <> cn.vec_id
-         |  GROUP BY 1, 2),
-         |qsims AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |    CASE WHEN nq.n2 = 0 OR nn.n2 = 0 THEN -2.0
-         |         ELSE CAST(s.dotq AS DOUBLE)
-         |              / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE)) END AS qsim
-         |  FROM scores s
-         |  JOIN n2 nq ON nq.vec_id = s.query_id
-         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),
-         |cand AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
-         |    FROM qsims)
-         |  WHERE qrank <= ${K * 4}),
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |WHERE rank <= $K""".stripMargin,
+    "sim_sq_ann" -> oraSqAnnFull,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1480,6 +1443,37 @@ object Similarity extends OpModule {
          |  SELECT 'lsh', b.query_id, count(*)
          |  FROM bf b JOIN lshq USING (query_id, neighbor_id) GROUP BY 2),
          |m AS (SELECT unnest(['ivf', 'lsh']) AS method)
+         |SELECT m.method, t.query_id, t.n_true,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+         |    CAST(t.n_true AS DOUBLE) AS recall
+         |FROM m CROSS JOIN truth t
+         |LEFT JOIN hit h
+         |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin,
+    // the two quantized oracles embedded VERBATIM as nested-WITH CTEs
+    // (their inner CTE names are scoped inside the parens), then the
+    // same integer hit/recall tail as the base report
+    "sim_recall_report_quantized" ->
+      s"""WITH bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(n.embedding AS DOUBLE[])) DESC,
+         |        n.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |    WHERE q.vec_id < 8)
+         |  WHERE rank <= $K),
+         |sqq AS ($oraSqAnnFull),
+         |pqq AS ($oraPqAnnFull),
+         |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+         |hit AS (
+         |  SELECT 'pq' AS method, b.query_id, count(*) AS hits
+         |  FROM bf b JOIN pqq USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'sq', b.query_id, count(*)
+         |  FROM bf b JOIN sqq USING (query_id, neighbor_id) GROUP BY 2),
+         |m AS (SELECT unnest(['pq', 'sq']) AS method)
          |SELECT m.method, t.query_id, t.n_true,
          |  COALESCE(h.hits, 0) AS hits,
          |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /
@@ -1716,6 +1710,66 @@ object Similarity extends OpModule {
     */
   /** amax + int8 codes CTEs shared by every PQ oracle (mirror of
     * [[sqScale]] + [[codesExpr]]). */
+  /** Complete sim_sq_ann oracle SELECT — a val so the quantized
+    * recall report can embed it verbatim as a nested-WITH CTE. */
+  private lazy val oraSqAnnFull: String =
+    s"""WITH amax AS (
+         |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am
+         |  FROM (SELECT embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |codes AS (
+         |  SELECT vec_id, j - 1 AS dim,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE)
+         |         / (SELECT am FROM amax) * 127.0) AS INT) AS c
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |n2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS n2
+         |  FROM codes GROUP BY 1),
+         |scores AS (
+         |  SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
+         |    CAST(sum(CAST(cq.c AS BIGINT) * cn.c) AS BIGINT) AS dotq
+         |  FROM codes cq JOIN codes cn ON cq.dim = cn.dim
+         |    AND cq.vec_id < 8 AND cq.vec_id <> cn.vec_id
+         |  GROUP BY 1, 2),
+         |qsims AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CASE WHEN nq.n2 = 0 OR nn.n2 = 0 THEN -2.0
+         |         ELSE CAST(s.dotq AS DOUBLE)
+         |              / sqrt(CAST(nq.n2 * nn.n2 AS DOUBLE)) END AS qsim
+         |  FROM scores s
+         |  JOIN n2 nq ON nq.vec_id = s.query_id
+         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+         |    FROM qsims)
+         |  WHERE qrank <= ${K * 4}),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin
+
+  /** Complete sim_pq_ann oracle SELECT (same embedding reuse). */
+  private lazy val oraPqAnnFull: String =
+    s"""WITH $oraPqCodes,
+       |cb AS (SELECT vec_id AS k, dim, c FROM codes
+       |       WHERE vec_id < $PqK),
+       |$oraPqAnnBody""".stripMargin
+
   private val oraPqCodes: String =
     s"""amax AS (
        |  SELECT CAST(max(abs(embedding[j])) AS DOUBLE) AS am

@@ -35,6 +35,20 @@ object Windows extends OpModule {
         .agg(count(lit(1)).as("view_count"))
         .select(stt, edt, col("view_count"))
     }),
+    // SLIDING window — the W-family member the tumble/session ops don't
+    // cover: "active users over the last hour, refreshed every 15 min".
+    // Spark's native window(ts, 1h, 15m) assigns each event its 4
+    // overlapping epoch-aligned windows inside the scan's Generate (no
+    // self-join); the distinct-user count is exact (a 2-shuffle
+    // count_distinct — the HLL twin approx_uv_hll is the 100 TB
+    // cardinality path, same as for A4).
+    "a1_slide_uu" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(countDistinct(col("user_id")).as("uu"),
+          count(lit(1)).as("events"))
+        .select(stt, edt, col("uu"), col("events"))),
     "a2_keyed_window_reduce" -> ((s, dir) => {
       t(s, dir, "events")
         .filter(col("user_id").isNotNull)
@@ -115,6 +129,19 @@ object Windows extends OpModule {
       s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, count(*) AS view_count
          |FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
          |GROUP BY 1, 2""".stripMargin,
+    // each event expands to its 4 overlapping 1 h / 15 min-slide windows
+    // (start = floor(epoch/900)·900 − 900k, k = 0..3 — always exactly 4)
+    "a1_slide_uu" ->
+      """SELECT
+        |  strftime(to_timestamp(floor(epoch(ts)/900)*900 - 900*k),
+        |    '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(to_timestamp(floor(epoch(ts)/900)*900 - 900*k + 3600),
+        |    '%Y-%m-%d %H:%M:%S') AS edt,
+        |  count(DISTINCT user_id) AS uu,
+        |  CAST(count(*) AS BIGINT) AS events
+        |FROM events, (SELECT unnest(generate_series(0, 3)) AS k) ks
+        |WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "a2_keyed_window_reduce" ->
       s"""SELECT ${bucket("stt", 0)}, ${bucket("edt", 10)}, event_type,
          |  user_id % 4 AS ch, count(*) AS pv_ct,

@@ -1254,4 +1254,51 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.values.exists { case (l, p, _) => l == "prose" && p })
     assert(rows.values.exists { case (l, p, _) => l == "prose" && !p })
   }
+
+  test("quantized recall report: hits equal intersections; sq dominates " +
+      "pq (coarser codes lose recall)") {
+    def pairs(name: String) = graft.operators.Similarity
+      .queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs("sim_topk_bruteforce")
+    val byMethod = Map("pq" -> pairs("sim_pq_ann"),
+      "sq" -> pairs("sim_sq_ann"))
+    val got = graft.operators.Similarity
+      .queries("sim_recall_report_quantized")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val qids = bf.map(_._1)
+    assert(got.size === 2 * qids.size)
+    for (q <- qids; (m, ap) <- byMethod) {
+      val truth = bf.filter(_._1 == q)
+      val hits = truth.count(ap.contains).toLong
+      val (nTrue, h, rec) = got((m, q))
+      assert(nTrue === truth.size.toLong && h === hits, s"hits at ($m, $q)")
+      assert(rec === hits.toDouble / truth.size.toDouble, s"recall ($m, $q)")
+    }
+    def total(m: String) = got.collect { case ((mm, _), (_, h, _)) if mm == m => h }.sum
+    assert(total("sq") >= total("pq"),
+      "int8 SQ must not recall worse than 8-byte PQ")
+  }
+
+  test("sliding window: every event lands in exactly 4 overlapping " +
+      "windows; uu bounded by events") {
+    val rows = graft.operators.Windows
+      .queries("a1_slide_uu")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val n = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull).count()
+    assert(rows.map(_._4).sum === 4 * n, "conservation: 4 windows/event")
+    rows.foreach { case (stt, edt, uu, ev) =>
+      assert(uu >= 1 && uu <= ev, s"uu out of range at $stt")
+      // window bounds are 1 h apart and slide-aligned (minute in :00/:15/:30/:45)
+      assert(Set("00", "15", "30", "45").contains(stt.substring(14, 16)),
+        s"unaligned start $stt")
+    }
+    // overlap is real: strictly more window rows than a 1 h tumble would produce
+    val tumbles = rows.map(_._1.substring(0, 13)).distinct.length
+    assert(rows.length > tumbles)
+  }
 }
