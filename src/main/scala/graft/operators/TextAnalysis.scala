@@ -1251,6 +1251,29 @@ object TextAnalysis extends OpModule {
         .select(col("doc_id"), col("source"), col("cycle"), col("slot"),
           col("pos"))
     }),
+    // Per-doc out-of-vocabulary rate against the top-V corpus vocabulary
+    // — the other half of the tokenizer-eval pair with
+    // text_vocab_coverage: a doc whose tokens fall outside the committed
+    // vocab fragments into UNK/bytes at training time. The vocab cut is
+    // the same TakeOrderedAndProject device (never a global sort); it
+    // then BROADCASTS (V rows by construction) so the per-doc rollup is
+    // one left join + map-side-combinable integer sums over the single
+    // barriered (doc, tok) explode.
+    "text_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("tok"))
+        .barrier() // read by the vocab build AND the per-doc rollup
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc).limit(16)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_toks").cast("double"))
+            .as("oov_rate"))
+    }),
     "sample_temperature_alpha" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
@@ -3287,6 +3310,28 @@ object TextAnalysis extends OpModule {
     "sample_hash_stratified" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${oraHashBucket("smp|")} < 10""".stripMargin,
+    // the tokenize chain shared with text_vocab_coverage; top-32 by
+    // (tf DESC, tok ASC), membership via NOT IN over the bounded cut
+    "text_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+        |    FROM tf)
+        |  WHERE rn <= 16)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM top) THEN 0 ELSE 1
+        |           END) AS BIGINT) AS n_oov,
+        |  CAST(CAST(sum(CASE WHEN tok IN (SELECT tok FROM top) THEN 0
+        |           ELSE 1 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM tk GROUP BY 1""".stripMargin,
     // all-integer order key; the oracle's global row_number IS the
     // Spark side's two-level bucketed rank (strict total order)
     "sample_mixture_schedule" ->

@@ -1301,4 +1301,29 @@ class OperatorsSpec extends SparkSpec {
     val tumbles = rows.map(_._1.substring(0, 13)).distinct.length
     assert(rows.length > tumbles)
   }
+
+  test("oov rate: matches a driver recompute against the top-16 vocab") {
+    val got = graft.operators.TextAnalysis
+      .queries("text_oov_rate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docToks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenize(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.nonEmpty)
+    val vocab = docToks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(16).map(_._1).toSet
+    assert(got.size === docToks.length)
+    docToks.foreach { case (id, tks) =>
+      val oov = tks.count(!vocab.contains(_)).toLong
+      val (n, o, r) = got(id)
+      assert(n === tks.length.toLong && o === oov, s"counts at $id")
+      assert(r === oov.toDouble / tks.length.toDouble, s"rate at $id")
+    }
+    // both verdict classes live: some in-vocab-only docs would be rate 0,
+    // but at minimum the rate must vary across the corpus
+    assert(got.values.map(_._3).toSet.size > 1, "degenerate OOV rates")
+  }
 }
