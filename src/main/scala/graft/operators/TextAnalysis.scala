@@ -551,13 +551,7 @@ object TextAnalysis extends OpModule {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(codeFixture.toDF("doc_id", "text"))
-      val routed = codeScored(docs)
-        .withColumn("lane",
-          when(col("code_score") >= 50, lit("code")).otherwise(lit("prose")))
-        .withColumn("passed",
-          when(col("lane") === "code", col("n_chars") >= 30)
-            .otherwise(qualityPred))
-        .withColumn("fp", Text.fingerprint(col("text")))
+      val routed = routedVerdicts(docs)
         .barrier() // read by the keep-first cut AND the output attach
       val w = Window.partitionBy(col("lane"), col("fp"))
         .orderBy(col("doc_id").asc)
@@ -2216,6 +2210,22 @@ object TextAnalysis extends OpModule {
        |    // greatest(n_chars, 1) AS code_score
        |  FROM sc)""".stripMargin
 
+  /** (doc_id, text) → per-doc routing verdicts (lane, passed, fp) — the
+    * batch pipeline's per-row front half (route by code score, gate with
+    * the lane's own filter, fingerprint for the dedup), shared VERBATIM
+    * with the streaming routed-ingest tier so stream and batch agree on
+    * every verdict. */
+  private[graft] def routedVerdicts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    codeScored(docs)
+      .withColumn("lane",
+        when(col("code_score") >= 50, lit("code")).otherwise(lit("prose")))
+      .withColumn("passed",
+        when(col("lane") === "code", col("n_chars") >= 30)
+          .otherwise(qualityPred))
+      .select(col("doc_id"), col("lane"), col("passed"),
+        Text.fingerprint(col("text")).as("fp"))
+
   /** The planted docs as a DuckDB VALUES body (newlines via chr(10)). */
   private def codeFixtureValues: String = codeFixture.map { case (id, txt) =>
     val t = txt.split("\n", -1).map(s => "'" + s.replace("'", "''") + "'")
@@ -2223,7 +2233,7 @@ object TextAnalysis extends OpModule {
     s"($id, $t)"
   }.mkString(",\n          ")
 
-  private val codeFixture = Seq(
+  private[graft] val codeFixture = Seq(
     (-111L, "def shard(items):\n    total = 0\n    for x in items:\n" +
       "        total = total + x\n    return total"),
     (-112L, "int main(void) {\n    int n = 42;\n    printf(fmt, n);\n" +

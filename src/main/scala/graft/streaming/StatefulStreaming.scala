@@ -1027,6 +1027,67 @@ object StatefulStreaming {
     graft.operators.Stateful.rateAnomalyFlag(counts)
   }
 
+  /** Streaming lane-routed corpus admission — the pipeline_routed_corpus
+    * twin: per batch, route + gate each doc with the SAME shared
+    * `TextAnalysis.routedVerdicts`, then keep-first dedup within (lane,
+    * fp) ACROSS batches via an admitted-signature store. Prior
+    * signatures are read from strictly-earlier `__batch=` dirs only and
+    * this batch's contribution Overwrites its own dir, so replaying a
+    * batch is idempotent (the packIndexIngestBatch discipline). Arrival
+    * order defines keep-first across batches — in-order feeds reproduce
+    * the batch pipeline exactly (pinned in StreamingSpec); within a
+    * batch the smaller doc_id wins, same as batch. O(batch) routing
+    * work; the signature store carries one thin (lane, fp) row per
+    * admitted doc.
+    */
+  def routedIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lane",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType)))
+    val priorDirs = priorBatchDirs(spark, s"$storeDir/sigs", batchId)
+    val prior =
+      if (priorDirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
+      else spark.read.schema(sigSchema)
+        .parquet(priorDirs.map(_.toString): _*).distinct()
+    val v = graft.operators.TextAnalysis.routedVerdicts(batch)
+      .barrier() // read by the admission cut AND the verdict attach
+    val w = Window.partitionBy(col("lane"), col("fp"))
+      .orderBy(col("doc_id").asc)
+    val admitted = v.filter(col("passed"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(prior, Seq("lane", "fp"), "left_anti")
+      .barrier() // read by the sig write AND the verdict attach
+    admitted.select(col("lane"), col("fp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/sigs/__batch=$batchId")
+    val verdict = v
+      .join(admitted.select(col("doc_id"), lit(true).as("kept0")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lane"), col("passed"),
+        coalesce(col("kept0"), lit(false)).as("kept"))
+    verdict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/verdicts/__batch=$batchId")
+    verdict
+  }
+
+  /** All verdicts accumulated so far (schema-pinned; never-ingested
+    * store → clean empty relation). */
+  def routedVerdictsFrom(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lane", StringType), StructField("passed", BooleanType),
+      StructField("kept", BooleanType)))
+    storeRead(spark, s"$storeDir/verdicts", schema)
+  }
+
   case class AsOfEvent(user_id: Long, tsMicros: Long, side: Int, id: Long,
     value: Option[Double])
   case class PayState(tsMicros: Long, pay_id: Long, value: Option[Double])

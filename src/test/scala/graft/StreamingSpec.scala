@@ -1189,4 +1189,52 @@ class StreamingSpec extends SparkSpec {
       assert(StatefulStreaming.rateAnomalyFrom(spark, empty).count() === 0L)
     } finally graft.core.Barrier.releaseAll(spark)
   }
+
+  test("routed ingest: in-order stream admission equals the batch " +
+      "pipeline, replay-idempotent, empty store clean") {
+    val store = java.nio.file.Files.createTempDirectory("routestore")
+      .toString
+    try {
+      import spark.implicits._
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+        .unionByName(graft.operators.TextAnalysis.codeFixture
+          .toDF("doc_id", "text"))
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.routedIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getBoolean(3))).toSet
+      val streamed = rows(
+        StatefulStreaming.routedVerdictsFrom(spark, store))
+      val batchTwin = rows(graft.operators.TextAnalysis
+        .queries("pipeline_routed_corpus")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      // in-order feed (batches ascend by doc_id) -> arrival keep-first
+      // IS the batch smallest-id keep-first
+      assert(streamed === batchTwin, "stream admission drifted from batch")
+      // replay the middle batch: same verdicts, store unchanged
+      StatefulStreaming.routedIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      val replayed = rows(
+        StatefulStreaming.routedVerdictsFrom(spark, store))
+      assert(replayed === batchTwin, "replay must not change admission")
+      // cross-batch dedup is real: the -112/-117 clone pair spans the
+      // verdict set with exactly one kept
+      val clones = streamed.filter(r => r._1 == -112L || r._1 == -117L)
+      assert(clones.count(_._4) === 1, "exactly one clone admitted")
+      val empty = java.nio.file.Files
+        .createTempDirectory("neverroute").toString
+      assert(StatefulStreaming.routedVerdictsFrom(spark, empty)
+        .count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
 }
