@@ -201,23 +201,39 @@ object Multimodal extends OpModule {
     // keep-first survivor. Scale shape: narrow mapPartitions decode +
     // ONE hash-groupBy (map-side combine) — the exact-dedup plan with a
     // decoded-content key.
-    "mm_phash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val key = java.lang.Math.floorMod(id, 100L)
-            // payload length 7 + key%24 → width 8 + key%24: wide enough
-            // that the 8x8 grid samples distinct columns (w >= 8), so
-            // different keys produce different hashes instead of
-            // collapsing into a handful of degenerate patterns
-            val png = synthPng(key, new Array[Byte](7 + (key % 24L).toInt))
-            (id, aHash(ImageIO.read(new ByteArrayInputStream(png))))
-          }
-        }
-        .toDF("doc_id", "phash")
+    "mm_phash_dedup" -> ((s, dir) =>
+      phashes(s, dir)
         .groupBy(col("phash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))),
+    // Perceptual NEAR-dup over the decoded-image hash — the banded
+    // Hamming join (the simhash trick applied to the 64-bit aHash):
+    // split each hash into 4 x 16-bit bands, candidates meet only
+    // through an exact band match, then the Hamming verify runs on
+    // candidates alone. By pigeonhole, any pair within Hamming 3 agrees
+    // on >= 1 of the 4 bands — so unlike LSH this blocking has ZERO
+    // false negatives at t = 3 while still never going all-pairs
+    // (candidate volume is band-occupancy-bounded). The per-pair verify
+    // is a 64-step codegen'd HOF over the hash strings.
+    "mm_phash_neardup" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val hs = phashes(s, dir).barrier() // both band sides read it
+      val bands = hs.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("phash"), 1 + 16 * b, 16)): _*))
+          .as(Seq("band_idx", "band")))
+      val a = bands.select(col("band_idx"), col("band"),
+        col("doc_id").as("doc_a"), col("phash").as("ha"))
+      val b = bands.select(col("band_idx"), col("band"),
+        col("doc_id").as("doc_b"), col("phash").as("hb"))
+      a.join(b, Seq("band_idx", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("size(filter(sequence(1, 64), i -> " +
+            "substring(ha, i, 1) != substring(hb, i, 1)))")
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
     }),
     // audio modality, same contract as decode: a real WAV round-trips
     // through the JDK codec and the reported frame count / rate / channel
@@ -272,6 +288,27 @@ object Multimodal extends OpModule {
     * (r+g+b)/3, bit = gray >= integer mean of the 64 samples. All
     * integer arithmetic — the oracle reproduces every bit analytically.
     */
+  /** The corpus's decoded-image hash relation (doc_id, phash) — REAL
+    * PNG decode per row (the [[synthPng]] fixture contract), shared by
+    * exact phash dedup and the banded near-dup join. */
+  private[graft] def phashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = java.lang.Math.floorMod(id, 100L)
+          // payload length 7 + key%24 → width 8 + key%24: wide enough
+          // that the 8x8 grid samples distinct columns (w >= 8), so
+          // different keys produce different hashes instead of
+          // collapsing into a handful of degenerate patterns
+          val png = synthPng(key, new Array[Byte](7 + (key % 24L).toInt))
+          (id, aHash(ImageIO.read(new ByteArrayInputStream(png))))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   def aHash(img: BufferedImage): String = {
     val w = img.getWidth
     val h = img.getHeight
@@ -298,6 +335,36 @@ object Multimodal extends OpModule {
     ImageIO.write(dst, "png", bos)
     bos.toByteArray
   }
+
+  /** Arithmetic mirror of [[phashes]] (the synthPng pixel formula through
+    * the aHash grid sample, channel average, mean threshold) — emits the
+    * `hs(doc_id, phash)` CTE, shared by the exact-dedup and banded
+    * near-dup oracles. */
+  private val oraPhashCtes: String =
+    """d AS (
+      |  SELECT doc_id, ((doc_id % 100) + 100) % 100 AS key
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, key,
+      |    1 + (7 + key % 24) % 31 AS w,
+      |    1 + key % 17 AS h
+      |  FROM d),
+      |gr AS (
+      |  SELECT doc_id, j, i,
+      |    (((v // 65536) % 256) + ((v // 256) % 256) + (v % 256)) // 3
+      |      AS gray
+      |  FROM (
+      |    SELECT doc_id, j, i,
+      |      (key + (i * w // 8) * 31 + (j * h // 8)) % 16777216 AS v
+      |    FROM dims,
+      |      unnest(generate_series(0, 7)) AS a(i),
+      |      unnest(generate_series(0, 7)) AS b(j))),
+      |m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY 1),
+      |hs AS (
+      |  SELECT gr.doc_id,
+      |    string_agg(CASE WHEN gray >= mean THEN '1' ELSE '0' END, ''
+      |      ORDER BY j, i) AS phash
+      |  FROM gr JOIN m ON m.doc_id = gr.doc_id GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "mm_binary_features" ->
@@ -337,32 +404,31 @@ object Multimodal extends OpModule {
     // round-trip is exact), grays and the mean in pure integer math —
     // only a faithful decode makes the Spark-side hash agree bit-for-bit
     "mm_phash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, ((doc_id % 100) + 100) % 100 AS key
-        |  FROM documents),
-        |dims AS (
-        |  SELECT doc_id, key,
-        |    1 + (7 + key % 24) % 31 AS w,
-        |    1 + key % 17 AS h
-        |  FROM d),
-        |gr AS (
-        |  SELECT doc_id, j, i,
-        |    (((v // 65536) % 256) + ((v // 256) % 256) + (v % 256)) // 3
-        |      AS gray
-        |  FROM (
-        |    SELECT doc_id, j, i,
-        |      (key + (i * w // 8) * 31 + (j * h // 8)) % 16777216 AS v
-        |    FROM dims,
-        |      unnest(generate_series(0, 7)) AS a(i),
-        |      unnest(generate_series(0, 7)) AS b(j))),
-        |m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY 1),
-        |hs AS (
-        |  SELECT gr.doc_id,
-        |    string_agg(CASE WHEN gray >= mean THEN '1' ELSE '0' END, ''
-        |      ORDER BY j, i) AS phash
-        |  FROM gr JOIN m ON m.doc_id = gr.doc_id GROUP BY 1)
-        |SELECT phash, min(doc_id) AS keep_id, count(*) AS dup_ct
-        |FROM hs GROUP BY 1""".stripMargin,
+      s"""WITH $oraPhashCtes
+         |SELECT phash, min(doc_id) AS keep_id, count(*) AS dup_ct
+         |FROM hs GROUP BY 1""".stripMargin,
+    // same hash chain → 4 x 16-bit bands → exact-band candidate join →
+    // per-pair Hamming over the hash strings (<= 3)
+    "mm_phash_neardup" ->
+      s"""WITH $oraPhashCtes,
+         |bands AS (
+         |  SELECT doc_id, phash, b AS band_idx,
+         |    substr(phash, 1 + 16 * b, 16) AS band
+         |  FROM hs, unnest(generate_series(0, 3)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS ha, b.phash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |      AND a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(generate_series(1, 64),
+         |      i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS BIGINT)
+         |      AS hamming
+         |  FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id, 8000 AS sample_rate,
         |  CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n_frames,

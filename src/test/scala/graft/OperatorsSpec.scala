@@ -1326,4 +1326,23 @@ class OperatorsSpec extends SparkSpec {
     // but at minimum the rate must vary across the corpus
     assert(got.values.map(_._3).toSet.size > 1, "degenerate OOV rates")
   }
+
+  test("phash neardup: banded join finds EVERY pair within hamming 3 " +
+      "(pigeonhole completeness, zero false negatives)") {
+    val hs = graft.operators.Multimodal.phashes(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val want = (for {
+      i <- hs.indices
+      j <- (i + 1) until hs.length
+      h = ham(hs(i)._2, hs(j)._2) if h <= 3
+    } yield (math.min(hs(i)._1, hs(j)._1),
+      math.max(hs(i)._1, hs(j)._1), h.toLong)).toSet
+    val got = graft.operators.Multimodal
+      .queries("mm_phash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "banded candidates must equal the brute-force set")
+    assert(got.exists(_._3 > 0), "non-exact near pairs must exist")
+    assert(got.exists(_._3 === 0L), "exact pairs must exist")
+  }
 }
