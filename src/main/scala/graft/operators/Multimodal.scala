@@ -214,26 +214,22 @@ object Multimodal extends OpModule {
     // false negatives at t = 3 while still never going all-pairs
     // (candidate volume is band-occupancy-bounded). The per-pair verify
     // is a 64-step codegen'd HOF over the hash strings.
-    "mm_phash_neardup" -> ((s, dir) => {
-      import graft.core.Barrier.BarrierOps
-      val hs = phashes(s, dir).barrier() // both band sides read it
-      val bands = hs.select(col("doc_id"), col("phash"),
-        posexplode(array((0 until 4).map(b =>
-          substring(col("phash"), 1 + 16 * b, 16)): _*))
-          .as(Seq("band_idx", "band")))
-      val a = bands.select(col("band_idx"), col("band"),
-        col("doc_id").as("doc_a"), col("phash").as("ha"))
-      val b = bands.select(col("band_idx"), col("band"),
-        col("doc_id").as("doc_b"), col("phash").as("hb"))
-      a.join(b, Seq("band_idx", "band"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          expr("size(filter(sequence(1, 64), i -> " +
-            "substring(ha, i, 1) != substring(hb, i, 1)))")
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
+    "mm_phash_neardup" -> ((s, dir) => phashNearPairs(s, dir)),
+    // image-dedup clusters — the CONSUMER of the near-dup pairs: the
+    // LARGE-STAR/SMALL-STAR edge-rewrite fixpoint from the dedup family
+    // (O(log diameter) rounds over the thin pair relation only) labels
+    // every doc with its min-id perceptual cluster; singletons label
+    // themselves via one left join. Same 100 TB shape as
+    // dedup_cc_clusters / sim_graph_components.
+    "mm_phash_clusters" -> ((s, dir) => {
+      val pairs = phashNearPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val (labels, _) = Dedup.ccLabelsFromEdges(pairs)
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(labels.select(col("doc_id"),
+          col("cluster_id").as("m_lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
     }),
     // audio modality, same contract as decode: a real WAV round-trips
     // through the JDK codec and the reported frame count / rate / channel
@@ -307,6 +303,32 @@ object Multimodal extends OpModule {
         }
       }
       .toDF("doc_id", "phash")
+  }
+
+  /** Banded-Hamming near-dup pair relation (doc_a, doc_b, hamming <= 3)
+    * over [[phashes]] — shared by the pair report and the cluster
+    * labeling. */
+  private[graft] def phashNearPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val hs = phashes(s, dir).barrier() // both band sides read it
+    val bands = hs.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("phash"), 1 + 16 * b, 16)): _*))
+        .as(Seq("band_idx", "band")))
+    val a = bands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_a"), col("phash").as("ha"))
+    val b = bands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_b"), col("phash").as("hb"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(sequence(1, 64), i -> " +
+          "substring(ha, i, 1) != substring(hb, i, 1)))")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
   }
 
   def aHash(img: BufferedImage): String = {
@@ -429,6 +451,39 @@ object Multimodal extends OpModule {
          |  FROM cand)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= 3""".stripMargin,
+    // same pair chain → transitive closure → min-id cluster labels (the
+    // dedup_cc oracle pattern over the perceptual pair relation)
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $oraPhashCtes,
+         |bands AS (
+         |  SELECT doc_id, phash, b AS band_idx,
+         |    substr(phash, 1 + 16 * b, 16) AS band
+         |  FROM hs, unnest(generate_series(0, 3)) AS t(b)),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      len(list_filter(generate_series(1, 64),
+         |        i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS hamming
+         |    FROM (
+         |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.phash AS ha, b.phash AS hb
+         |      FROM bands a JOIN bands b
+         |        ON a.band_idx = b.band_idx AND a.band = b.band
+         |          AND a.doc_id < b.doc_id))
+         |  WHERE hamming <= 3),
+         |edges AS (
+         |  SELECT doc_a AS x, doc_b AS y FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |minr AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id
+         |       ELSE m.mn END AS cluster_id
+         |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id, 8000 AS sample_rate,
         |  CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n_frames,

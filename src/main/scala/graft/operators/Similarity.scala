@@ -541,6 +541,16 @@ object Similarity extends OpModule {
     "sim_ivf_ann" -> ((s, dir) => {
       val (assigned, probes) = ivf(s, dir, 16, 4)
       ivfTopK(assigned, probes)
+    }),
+    // IVF ANN over TRAINED coarse centroids — the deployment shape
+    // (train the quantizer, then serve): the 2-round-Lloyd ladder from
+    // sim_kmeans_train supplies the centroids, the probe/assign/score
+    // tail is byte-identical to sim_ivf_ann (shared ivfTopK). Completes
+    // the trained family next to sim_pq_ann_trained and
+    // dedup_semantic_trained.
+    "sim_ivf_ann_trained" -> ((s, dir) => {
+      val (assigned, probes) = ivfTrained(s, dir, 16, 4, 2)
+      ivfTopK(assigned, probes)
     }))
 
   /** Probed-list candidate scoring + top-K for an (assigned, probes) pair
@@ -1384,6 +1394,28 @@ object Similarity extends OpModule {
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    // the shared training ladder's af relation supplies BOTH the trained
+    // assignment (rk = 1) and the trained probe ranking (rk <= nprobe);
+    // the candidate/rank tail mirrors sim_ivf_ann
+    "sim_ivf_ann_trained" ->
+      s"""WITH $oraKmeansChain,
+         |assigned AS (SELECT vec_id, cid AS cluster FROM af WHERE rk = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS probe FROM af
+         |           WHERE vec_id < 8 AND rk <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM assigned a
+         |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  JOIN embeddings ne ON ne.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
          |WHERE rank <= $K""".stripMargin,
     // the three index oracles chained as CTEs (the proven composed-CTE
     // device): exact brute-force truth, IVF and LSH candidates, then

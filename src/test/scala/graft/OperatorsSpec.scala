@@ -1345,4 +1345,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "non-exact near pairs must exist")
     assert(got.exists(_._3 === 0L), "exact pairs must exist")
   }
+
+  test("phash clusters: labels equal a driver union-find over the " +
+      "near-dup pairs") {
+    val got = graft.operators.Multimodal
+      .queries("mm_phash_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Multimodal.phashNearPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (id, lbl) =>
+      assert(lbl === find(id), s"cluster label drift at $id") }
+    assert(got.values.toSet.size < got.size, "non-trivial clusters exist")
+  }
+
+  test("trained IVF ANN: every emitted neighbor lies in a probed " +
+      "trained cluster; ranks contiguous per query") {
+    val (assigned, probes) = graft.operators.Similarity
+      .ivfTrained(spark, sfDir, 16, 4, 2)
+    val asg = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val prb = probes.select("query_id", "probe").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.operators.Similarity
+      .queries("sim_ivf_ann_trained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, _) =>
+      assert(prb(q).contains(asg(n)),
+        s"neighbor $n of query $q not in a probed cluster") }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length), s"ranks at $q") }
+  }
 }
