@@ -222,14 +222,27 @@ object Multimodal extends OpModule {
     // themselves via one left join. Same 100 TB shape as
     // dedup_cc_clusters / sim_graph_components.
     "mm_phash_clusters" -> ((s, dir) => {
-      val pairs = phashNearPairs(s, dir)
+      import graft.core.Barrier.BarrierOps
+      // fully collapse-first: CC runs over the distinct-HASH near graph
+      // (one node per hash CLASS, keyed by the class's min doc id), and
+      // docs attach to their class's component by one hash join — no
+      // doc-pair relation is ever materialized, so clone-class size
+      // never enters any join (the scale-safe consumer of the family).
+      val hs = phashes(s, dir).barrier() // class reps + the final attach
+      val reps = hs.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("rep")).barrier()
+      val edges = nearHashPairs(s, dir)
+        .join(reps.select(col("phash").as("ha"), col("rep").as("doc_a")),
+          "ha")
+        .join(reps.select(col("phash").as("hb"), col("rep").as("doc_b")),
+          "hb")
         .select(col("doc_a"), col("doc_b"))
-      val (labels, _) = Dedup.ccLabelsFromEdges(pairs)
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(labels.select(col("doc_id"),
-          col("cluster_id").as("m_lbl")), Seq("doc_id"), "left")
+      val (labels, _) = Dedup.ccLabelsFromEdges(edges)
+      hs.join(reps, "phash")
+        .join(labels.select(col("doc_id").as("rep"),
+          col("cluster_id").as("m_lbl")), Seq("rep"), "left")
         .select(col("doc_id"),
-          coalesce(col("m_lbl"), col("doc_id")).as("cluster_id"))
+          coalesce(col("m_lbl"), col("rep")).as("cluster_id"))
     }),
     // audio modality, same contract as decode: a real WAV round-trips
     // through the JDK codec and the reported frame count / rate / channel
@@ -305,30 +318,54 @@ object Multimodal extends OpModule {
       .toDF("doc_id", "phash")
   }
 
-  /** Banded-Hamming near-dup pair relation (doc_a, doc_b, hamming <= 3)
-    * over [[phashes]] — shared by the pair report and the cluster
-    * labeling. */
-  private[graft] def phashNearPairs(s: org.apache.spark.sql.SparkSession,
+  /** Banded near (Hamming <= 3) DISTINCT-hash pairs (ha, hb, hamming),
+    * ha < hb — the whole near-dup computation runs HERE, over one row
+    * per distinct hash. Exact-dup clones collapse before any join, so
+    * clone-class size (which the 64x-cloned scale fixture inflates, and
+    * which real corpora inflate with boilerplate images) never enters
+    * the band join's cost. */
+  private[graft] def nearHashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import graft.core.Barrier.BarrierOps
-    val hs = phashes(s, dir).barrier() // both band sides read it
-    val bands = hs.select(col("doc_id"), col("phash"),
+    val hc = phashes(s, dir).select(col("phash")).distinct()
+      .barrier() // both band sides read it
+    val bands = hc.select(col("phash"),
       posexplode(array((0 until 4).map(b =>
         substring(col("phash"), 1 + 16 * b, 16)): _*))
         .as(Seq("band_idx", "band")))
-    val a = bands.select(col("band_idx"), col("band"),
-      col("doc_id").as("doc_a"), col("phash").as("ha"))
-    val b = bands.select(col("band_idx"), col("band"),
-      col("doc_id").as("doc_b"), col("phash").as("hb"))
-    a.join(b, Seq("band_idx", "band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
+    bands.select(col("band_idx"), col("band"), col("phash").as("ha"))
+      .join(bands.select(col("band_idx"), col("band"),
+        col("phash").as("hb")), Seq("band_idx", "band"))
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb")).distinct()
+      .select(col("ha"), col("hb"),
         expr("size(filter(sequence(1, 64), i -> " +
           "substring(ha, i, 1) != substring(hb, i, 1)))")
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+  }
+
+  /** Doc-level near-dup pair relation (doc_a, doc_b, hamming <= 3) —
+    * the collapse-first expansion of [[nearHashPairs]]: within-class
+    * pairs are the exact-dup (hamming 0) expansion, cross-class pairs
+    * attach members to each side of a near HASH pair. The only
+    * clone-class-quadratic step is writing the pair LIST itself (output
+    * size is the semantics); every join input is distinct-hash-sized or
+    * output-sized. */
+  private[graft] def phashNearPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val hs = phashes(s, dir).barrier() // read by both expansions (3x)
+    val within = hs.select(col("phash"), col("doc_id").as("doc_a"))
+      .join(hs.select(col("phash"), col("doc_id").as("doc_b")), "phash")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    val cross = nearHashPairs(s, dir)
+      .join(hs.select(col("phash").as("ha"), col("doc_id").as("da")), "ha")
+      .join(hs.select(col("phash").as("hb"), col("doc_id").as("db")), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   def aHash(img: BufferedImage): String = {

@@ -60,6 +60,63 @@ object Relational extends OpModule {
     // integer index arithmetic → bit-exact in both engines, no
     // interpolation-formula drift), same discipline as approx_uv_hll:
     // the oracle recomputes the exact side and expects within_tol=true.
+    // Data-quality expectations report — the dbt-test/Great-Expectations
+    // primitive a warehouse runs before trusting a load: per-constraint
+    // (violations, total, pass) over range checks and referential
+    // integrity. The fixture tables are pristine by construction, so
+    // planted bad rows (negative keys, mirrored in the oracle) put the
+    // violation branch under the gate: an orphan over-range lineitem and
+    // an orphan negative-price order. Scale shape: one conditional-sum
+    // scan per table (map-side combinable) + two LEFT ANTI key joins
+    // that move only the key columns; the report itself is O(checks).
+    "q_expectations_report" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core.Barrier.BarrierOps
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .unionByName(Seq((-9001L, 500.0, 0.5))
+          .toDF("l_orderkey", "l_quantity", "l_discount"))
+        .barrier() // read by the range scan AND the FK anti join
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .unionByName(Seq((-9101L, -9102L, -5.0))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+        .barrier() // read by its own scan, the li FK probe, the cust FK
+      val liStats = li.agg(count(lit(1)).as("total"),
+          sum(when(col("l_quantity").between(1.0, 50.0), 0L)
+            .otherwise(1L)).as("v_qty"),
+          sum(when(col("l_discount").between(0.0, 0.1), 0L)
+            .otherwise(1L)).as("v_disc"))
+        .barrier() // three report rows read it
+      val ordStats = ord.agg(count(lit(1)).as("total"),
+          sum(when(col("o_totalprice") > 0.0, 0L).otherwise(1L))
+            .as("v_price"))
+        .barrier() // two report rows read it
+      val vLiFk = li
+        .join(ord.select(col("o_orderkey").as("l_orderkey")).distinct(),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val vOrdFk = ord
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey")).distinct(),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val rows = Seq(
+        liStats.select(lit("lineitem_quantity_in_1_50").as("check_name"),
+          col("v_qty").as("violations"), col("total")),
+        liStats.select(lit("lineitem_discount_in_0_01").as("check_name"),
+          col("v_disc").as("violations"), col("total")),
+        vLiFk.join(liStats.select(col("total")), lit(true))
+          .select(lit("lineitem_fk_orders").as("check_name"),
+            col("violations"), col("total")),
+        vOrdFk.join(ordStats.select(col("total")), lit(true))
+          .select(lit("orders_fk_customer").as("check_name"),
+            col("violations"), col("total")),
+        ordStats.select(lit("orders_totalprice_positive").as("check_name"),
+          col("v_price").as("violations"), col("total")))
+      rows.reduce(_ unionByName _)
+        .withColumn("pass", col("violations") === 0L)
+    }),
     "q_quantiles_approx" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
@@ -411,6 +468,46 @@ object Relational extends OpModule {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 3""".stripMargin,
+    // same planted bad rows; NOT IN is safe (no NULL keys in either side)
+    "q_expectations_report" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_discount FROM lineitem
+        |  UNION ALL SELECT -9001, 500.0, 0.5),
+        |ord AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL SELECT -9101, -9102, -5.0),
+        |r AS (
+        |  SELECT 'lineitem_quantity_in_1_50' AS check_name,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0
+        |             ELSE 1 END) AS BIGINT) AS violations,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_0_01',
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0
+        |             ELSE 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders',
+        |    CAST((SELECT count(*) FROM li
+        |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ord))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM li) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer',
+        |    CAST((SELECT count(*) FROM ord
+        |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM ord) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |    CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END)
+        |      AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM ord)
+        |SELECT check_name, violations, total, violations = 0 AS pass
+        |FROM r""".stripMargin,
     // the sketch estimate is approximate by design; deterministic are the
     // exact rank-selected percentiles and the 1%-tolerance verdict
     "q_quantiles_approx" ->

@@ -1386,4 +1386,21 @@ class OperatorsSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (q, g) =>
       assert(g.map(_._3).sorted.toSeq === (1 to g.length), s"ranks at $q") }
   }
+
+  test("expectations report: planted violations surface in exactly the " +
+      "right checks with exact counts") {
+    val rows = graft.operators.Relational
+      .queries("q_expectations_report")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size === 5)
+    val nLi = graft.core.Tables.load(spark, sfDir, "lineitem").count() + 1
+    val nOrd = graft.core.Tables.load(spark, sfDir, "orders").count() + 1
+    // each planted bad row violates its checks exactly once
+    assert(rows("lineitem_quantity_in_1_50") === ((1L, nLi, false)))
+    assert(rows("lineitem_discount_in_0_01") === ((1L, nLi, false)))
+    assert(rows("lineitem_fk_orders") === ((1L, nLi, false)))
+    assert(rows("orders_fk_customer") === ((1L, nOrd, false)))
+    assert(rows("orders_totalprice_positive") === ((1L, nOrd, false)))
+  }
 }
