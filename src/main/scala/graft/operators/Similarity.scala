@@ -318,6 +318,7 @@ object Similarity extends OpModule {
     "sim_recall_report" -> ((s, dir) =>
       recallReport(queries("sim_topk_bruteforce")(s, dir), Seq(
         "ivf" -> queries("sim_ivf_ann")(s, dir),
+        "ivf_trained" -> queries("sim_ivf_ann_trained")(s, dir),
         "lsh" -> queries("sim_lsh_ann")(s, dir)))),
     // the quantized half of the index family under the same evaluation
     // harness: int8 scalar quantization and 8-byte product quantization
@@ -1059,6 +1060,28 @@ object Similarity extends OpModule {
     * identical. Shared WITH-prefix of every IVF-family oracle (ivf ann,
     * ivf+sq ann, semantic dedup, k-means step).
     */
+  /** Complete sim_ivf_ann_trained oracle SELECT — a val so the recall
+    * report can embed it verbatim as a nested-WITH CTE. */
+  private lazy val oraIvfTrainedFull: String =
+    s"""WITH $oraKmeansChain,
+       |assigned AS (SELECT vec_id, cid AS cluster FROM af WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS probe FROM af
+       |           WHERE vec_id < 8 AND rk <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+       |  FROM assigned a
+       |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ne ON ne.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM cand)
+       |WHERE rank <= $K""".stripMargin
+
   private val oraIvfAssign: String =
     """cents AS (
       |  SELECT vec_id AS cent_id, embedding AS cv
@@ -1398,25 +1421,7 @@ object Similarity extends OpModule {
     // the shared training ladder's af relation supplies BOTH the trained
     // assignment (rk = 1) and the trained probe ranking (rk <= nprobe);
     // the candidate/rank tail mirrors sim_ivf_ann
-    "sim_ivf_ann_trained" ->
-      s"""WITH $oraKmeansChain,
-         |assigned AS (SELECT vec_id, cid AS cluster FROM af WHERE rk = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS probe FROM af
-         |           WHERE vec_id < 8 AND rk <= 4),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
-         |  FROM assigned a
-         |  JOIN probes p ON a.cluster = p.probe AND p.query_id <> a.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = p.query_id
-         |  JOIN embeddings ne ON ne.vec_id = a.vec_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM cand)
-         |WHERE rank <= $K""".stripMargin,
+    "sim_ivf_ann_trained" -> oraIvfTrainedFull,
     // the three index oracles chained as CTEs (the proven composed-CTE
     // device): exact brute-force truth, IVF and LSH candidates, then
     // integer hit counts and one int/int division per (method, query)
@@ -1467,14 +1472,18 @@ object Similarity extends OpModule {
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank
          |    FROM lscored) WHERE rank <= $K),
+         |ivt AS ($oraIvfTrainedFull),
          |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
          |hit AS (
          |  SELECT 'ivf' AS method, b.query_id, count(*) AS hits
          |  FROM bf b JOIN ivfq USING (query_id, neighbor_id) GROUP BY 2
          |  UNION ALL
+         |  SELECT 'ivf_trained', b.query_id, count(*)
+         |  FROM bf b JOIN ivt USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
          |  SELECT 'lsh', b.query_id, count(*)
          |  FROM bf b JOIN lshq USING (query_id, neighbor_id) GROUP BY 2),
-         |m AS (SELECT unnest(['ivf', 'lsh']) AS method)
+         |m AS (SELECT unnest(['ivf', 'ivf_trained', 'lsh']) AS method)
          |SELECT m.method, t.query_id, t.n_true,
          |  COALESCE(h.hits, 0) AS hits,
          |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /

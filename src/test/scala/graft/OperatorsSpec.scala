@@ -1189,6 +1189,7 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf = pairs("sim_topk_bruteforce")
     val byMethod = Map("ivf" -> pairs("sim_ivf_ann"),
+      "ivf_trained" -> pairs("sim_ivf_ann_trained"),
       "lsh" -> pairs("sim_lsh_ann"))
     val got = graft.operators.Similarity
       .queries("sim_recall_report")(spark, sfDir)
@@ -1196,7 +1197,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     val qids = bf.map(_._1)
-    assert(got.size === 2 * qids.size, "one row per (method, query)")
+    assert(got.size === 3 * qids.size, "one row per (method, query)")
     for (q <- qids; (m, ap) <- byMethod) {
       val truth = bf.filter(_._1 == q)
       val hits = truth.count(ap.contains).toLong
