@@ -328,6 +328,36 @@ object Similarity extends OpModule {
       recallReport(queries("sim_topk_bruteforce")(s, dir), Seq(
         "pq" -> queries("sim_pq_ann")(s, dir),
         "sq" -> queries("sim_sq_ann")(s, dir)))),
+    // Matryoshka-style truncation report — the MRL evaluation a
+    // dimensionality decision reads: recall@K of brute-force search
+    // over PREFIX dimensions (8/16/32) vs the full-64-dim truth. Each
+    // truncated scan is the audited brute-force shape over a narrower
+    // vector (slice happens in the scan's codegen projection — less
+    // data moves, same plan); the report tail is the shared integer
+    // recall harness.
+    "sim_matryoshka_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      def topkAt(d: Int): org.apache.spark.sql.DataFrame = {
+        val e = emb.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $d)").as("embedding"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val scored = e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nv"))
+          .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            expr("cosine_sim(qv, nv)").as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      recallReport(queries("sim_topk_bruteforce")(s, dir),
+        Seq(8, 16, 32).map(d => s"dims_$d" -> topkAt(d)))
+    }),
     // Per-node triangle count + local clustering coefficient over the
     // kNN graph — the community-structure diagnostic next to PageRank
     // and components (dense clique-ish neighborhoods → near-duplicate
@@ -1522,6 +1552,44 @@ object Similarity extends OpModule {
          |FROM m CROSS JOIN truth t
          |LEFT JOIN hit h
          |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin,
+    // one truncated brute-force CTE per prefix width (list slicing +
+    // the same double-cast cosine), then the shared integer recall tail
+    "sim_matryoshka_recall" -> {
+      def bfAt(d: Int, name: String) =
+        s"""$name AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_cosine_similarity(
+           |          CAST(q.embedding[1:$d] AS DOUBLE[]),
+           |          CAST(n.embedding[1:$d] AS DOUBLE[])) DESC,
+           |        n.vec_id ASC) AS rank
+           |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+           |    WHERE q.vec_id < 8)
+           |  WHERE rank <= $K)""".stripMargin
+      s"""WITH ${bfAt(64, "bf")},
+         |${bfAt(8, "d8")},
+         |${bfAt(16, "d16")},
+         |${bfAt(32, "d32")},
+         |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+         |hit AS (
+         |  SELECT 'dims_8' AS method, b.query_id, count(*) AS hits
+         |  FROM bf b JOIN d8 USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'dims_16', b.query_id, count(*)
+         |  FROM bf b JOIN d16 USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'dims_32', b.query_id, count(*)
+         |  FROM bf b JOIN d32 USING (query_id, neighbor_id) GROUP BY 2),
+         |m AS (SELECT unnest(['dims_8', 'dims_16', 'dims_32']) AS method)
+         |SELECT m.method, t.query_id, t.n_true,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+         |    CAST(t.n_true AS DOUBLE) AS recall
+         |FROM m CROSS JOIN truth t
+         |LEFT JOIN hit h
+         |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin
+    },
     // same knn chain → id-ordered (a<b) undirected edges → x<y<z triangle
     // enumeration (orientation-free: the triangle SET is what the Spark
     // side's degree-ordered enumeration also materializes, once each)

@@ -1404,4 +1404,46 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("orders_fk_customer") === ((1L, nOrd, false)))
     assert(rows("orders_totalprice_positive") === ((1L, nOrd, false)))
   }
+
+  test("matryoshka recall: hits equal truncated-search intersections; " +
+      "truncation loses recall on non-MRL vectors") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def topk(d: Int): Set[(Long, Long)] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < d) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+      }
+      emb.filter(_._1 < 8).flatMap { case (q, qv) =>
+        emb.filter(_._1 != q)
+          .map { case (n, nv) => (n, cos(qv, nv)) }
+          .sortBy { case (n, s) => (-s, n) }.take(5)
+          .map { case (n, _) => (q, n) }
+      }.toSet
+    }
+    val truth = topk(64)
+    val got = graft.operators.Similarity
+      .queries("sim_matryoshka_recall")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val qids = truth.map(_._1)
+    assert(got.size === 3 * qids.size)
+    for (d <- Seq(8, 16, 32); q <- qids) {
+      val tq = truth.filter(_._1 == q)
+      val hits = tq.count(topk(d).contains).toLong
+      val (nTrue, h, rec) = got((s"dims_$d", q))
+      assert(nTrue === tq.size.toLong && h === hits, s"hits at ($d, $q)")
+      assert(rec === hits.toDouble / tq.size.toDouble, s"recall ($d, $q)")
+    }
+    // random (non-MRL-trained) vectors must lose recall when truncated
+    def avg(d: Int) = got.collect {
+      case ((m, _), (_, _, r)) if m == s"dims_$d" => r }.sum
+    assert(avg(8) < qids.size.toDouble, "8-dim prefix cannot be lossless")
+  }
 }
