@@ -143,6 +143,34 @@ object Dedup extends OpModule {
         Text.tokenizeDistinct(col("text")).as("toks"))
       verifiedPairsSplit(thinSigs(docs), toks, nPart)
     }),
+    // Threshold-tuning sweep — the report read BEFORE committing a dedup
+    // threshold: the banded candidate relation is scored with exact
+    // Jaccard ONCE (the expensive part — bucket join + verify), then
+    // sliced at every candidate threshold by one broadcast range join +
+    // per-threshold counts. n_drop_candidates = distinct doc_b (docs
+    // pairing with an earlier doc — the naive drop estimate; the greedy
+    // fixpoint refines it after a threshold is chosen). Thresholds with
+    // zero pairs still report (left join), so the curve is complete.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core.Barrier.BarrierOps
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        Text.tokenizeDistinct(col("text")).as("toks"))
+      val scored = scoredPairsSplit(thinSigs(docs), toks, nPart)
+        .barrier() // sliced once per threshold via the range join
+      val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      val aggd = scored.join(broadcast(ts), col("jac") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_drop_candidates"))
+      ts.join(aggd, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_drop_candidates"), lit(0L))
+            .as("n_drop_candidates"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
       // across the doc's token set. Shape: explode tokens → md5 ONCE per
@@ -373,7 +401,17 @@ object Dedup extends OpModule {
     */
   def verifiedPairsSplit(sigsThin: org.apache.spark.sql.DataFrame,
       toks: org.apache.spark.sql.DataFrame, nPart: Int,
-      thr: Double = 0.6): org.apache.spark.sql.DataFrame = {
+      thr: Double = 0.6): org.apache.spark.sql.DataFrame =
+    scoredPairsSplit(sigsThin, toks, nPart)
+      .filter(col("jac") >= thr)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** The same banded candidate relation, scored with exact word-set
+    * Jaccard but NOT thresholded — the input a threshold-tuning sweep
+    * scores once and slices many times. */
+  def scoredPairsSplit(sigsThin: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame, nPart: Int)
+      : org.apache.spark.sql.DataFrame = {
     val banded = sigsThin.repartition(nPart, col("band"), col("sig"))
     val cand = banded.select(col("band").as("band_a"),
         col("sig").as("sig_a"), col("doc_id").as("doc_a"))
@@ -387,8 +425,8 @@ object Dedup extends OpModule {
         "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         "doc_b")
-      .filter(jaccard(col("toks_a"), col("toks_b")) >= thr)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("toks_a"), col("toks_b")).as("jac"))
   }
 
   /** Dropped set of GREEDY KEEP-FIRST canonicalization over a verified
@@ -548,6 +586,21 @@ object Dedup extends OpModule {
          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> oraclesMinhash,
+    // the unthresholded scored pairs sliced at each candidate threshold;
+    // zero-pair thresholds still report via the left join
+    "dedup_threshold_sweep" ->
+      s"""WITH scored AS (${oraclesScoredFrom("documents")}),
+         |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         |agg AS (
+         |  SELECT t.threshold,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT s.doc_b) AS BIGINT) AS n_drop_candidates
+         |  FROM t JOIN scored s ON s.jac >= t.threshold
+         |  GROUP BY 1)
+         |SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+         |  COALESCE(a.n_pairs, 0) AS n_pairs,
+         |  COALESCE(a.n_drop_candidates, 0) AS n_drop_candidates
+         |FROM t LEFT JOIN agg a USING (threshold)""".stripMargin,
     "dedup_minhash_estimate" -> {
       val mSel = (0 to 5).map(i => s"${oraMinhash(i)} AS m$i").mkString(",\n        |  ")
       val agree = (0 to 5).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
@@ -788,6 +841,12 @@ object Dedup extends OpModule {
     * shared with compositions that union fixture docs in (the
     * contamination report). */
   private[operators] def oraclesMinhashFrom(src: String): String =
+    s"""WITH scored AS (${oraclesScoredFrom(src)})
+       |SELECT doc_a, doc_b FROM scored WHERE jac >= 0.6""".stripMargin
+
+  /** The UNTHRESHOLDED scored pair oracle (doc_a, doc_b, jac) — the
+    * sweep's input; `oraclesMinhashFrom` is its >= 0.6 slice. */
+  private[operators] def oraclesScoredFrom(src: String): String =
     s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
        |           FROM $src),
        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
@@ -799,9 +858,12 @@ object Dedup extends OpModule {
        |  SELECT doc_id, toks, 0 AS band, s0 AS sig FROM sigs
        |  UNION ALL SELECT doc_id, toks, 1, s1 FROM sigs
        |  UNION ALL SELECT doc_id, toks, 2, s2 FROM sigs)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-       |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6""".stripMargin
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jac
+       |FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.toks AS ta, b.toks AS tb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 }

@@ -1446,4 +1446,22 @@ class OperatorsSpec extends SparkSpec {
       case ((m, _), (_, _, r)) if m == s"dims_$d" => r }.sum
     assert(avg(8) < qids.size.toDouble, "8-dim prefix cannot be lossless")
   }
+
+  test("threshold sweep: counts are monotone non-increasing in the " +
+      "threshold and match per-threshold recomputes") {
+    val got = graft.operators.Dedup
+      .queries("dedup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1) === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(got.map(_._2).reverse === got.map(_._2).reverse.sorted,
+      "n_pairs must not increase with threshold")
+    assert(got.map(_._3).reverse === got.map(_._3).reverse.sorted,
+      "n_drop_candidates must not increase with threshold")
+    // the 0.6 slice must equal the production pair relation
+    val pairs06 = graft.operators.Dedup
+      .queries("dedup_minhash_lsh")(spark, sfDir).count()
+    assert(got.find(_._1 == 0.6).get._2 === pairs06,
+      "sweep at 0.6 must equal dedup_minhash_lsh's pair count")
+  }
 }
