@@ -992,6 +992,26 @@ object StatefulStreaming {
       summed("__cw2", Seq("w2"), "cu2"), tb)
   }
 
+  /** Streaming sliding-window distinct users — the a1_slide_uu twin:
+    * watermarked window(1 h, 15 m) → per-(window, user) counts → a
+    * SECOND stateful aggregation over the same window column collapses
+    * users to an exact uu (the Spark 4 multiple-stateful-operators
+    * shape — no approx sketch needed even though streaming forbids
+    * count_distinct directly). Append mode: a window emits once, when
+    * the watermark passes its end; per-window state is O(active users),
+    * bounded by the watermark horizon. */
+  def slidingUuCounts(events: DataFrame,
+      delay: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("uu"), sum(col("n")).as("events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("uu"), col("events"))
+
   /** Streaming rate-anomaly monitor maintenance — the a10_rate_anomaly
     * twin of [[bm25IngestBatch]]: each micro-batch writes its per-(type,
     * 1 h tumble) count CONTRIBUTION under the per-`__batch=N` Overwrite

@@ -1237,4 +1237,54 @@ class StreamingSpec extends SparkSpec {
         .count() === 0L)
     } finally graft.core.Barrier.releaseAll(spark)
   }
+
+  test("W-slide streaming: finalized sliding windows carry exact uu via " +
+      "two chained stateful aggs, matching a driver recompute") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id")
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("user_id"))
+    val q = StatefulStreaming.slidingUuCounts(df)
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("append").start()
+    try {
+      // two users across two micro-batches inside the same hour; user 1
+      // repeats so uu < events in the covering windows
+      input.addData((1L, ts("2024-01-01T00:20:00Z"), 1L),
+        (2L, ts("2024-01-01T00:25:00Z"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("slide_stream").isEmpty,
+        "no window may emit before the watermark passes its end")
+      input.addData((3L, ts("2024-01-01T00:40:00Z"), 1L))
+      q.processAllAvailable()
+      // far-future event finalizes everything before 02:00
+      input.addData((4L, ts("2024-01-01T03:00:00Z"), 9L))
+      q.processAllAvailable()
+      input.addData((5L, ts("2024-01-01T04:00:00Z"), 9L))
+      q.processAllAvailable()
+      val got = spark.table("slide_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // driver recompute: each event covers 4 windows ending <= watermark
+      val evs = Seq(("2024-01-01T00:20:00Z", 1L),
+        ("2024-01-01T00:25:00Z", 2L), ("2024-01-01T00:40:00Z", 1L))
+      val want = evs.flatMap { case (t, u) =>
+        val e = java.time.Instant.parse(t).getEpochSecond
+        (0 to 3).map(k => ((e / 900) * 900 - 900L * k, u))
+      }.groupBy(_._1).map { case (st, us) =>
+        val stt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(
+            java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(st))
+        stt -> ((us.map(_._2).distinct.size.toLong, us.size.toLong))
+      }
+      want.foreach { case (stt, (uu, ev)) =>
+        assert(got.get(stt) === Some((uu, ev)),
+          s"window $stt drifted: ${got.get(stt)} vs ($uu, $ev)")
+      }
+      // the repeat user really exercised uu < events somewhere
+      assert(want.exists { case (_, (uu, ev)) => uu < ev })
+    } finally q.stop()
+  }
 }
