@@ -349,6 +349,27 @@ object Relational extends OpModule {
         .select(col("user_id"), col("event_type").as("last_type"),
           col("value").as("last_value"))
     }),
+    // SCD Type-2 dimension history — the versioned sibling of K5's
+    // latest-per-key (SCD1): every change in the per-key changelog
+    // becomes a history row with a [valid_from, valid_to) interval and
+    // an is_current flag, built from ONE partitioned window (version =
+    // row_number, valid_to = lead(ts)) — the same single key shuffle as
+    // changelog compaction, just keeping all versions. Timestamps leave
+    // as formatted strings (the oracle-safe boundary).
+    "k8_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
     "k6_dim_merge_state" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // changelog compaction with delete semantics: 'error' = delete op
@@ -589,6 +610,16 @@ object Relational extends OpModule {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // the same per-key change order, intervals via lead(ts)
+    "k8_scd2_history" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events WHERE user_id IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)""".stripMargin,
     "k6_dim_merge_state" ->
       """SELECT user_id, value AS dim_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

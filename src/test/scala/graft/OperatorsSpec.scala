@@ -1464,4 +1464,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.find(_._1 == 0.6).get._2 === pairs06,
       "sweep at 0.6 must equal dedup_minhash_lsh's pair count")
   }
+
+  test("SCD2 history: per-key intervals chain without gaps, exactly one " +
+      "current version per key, latest matches K5") {
+    val rows = graft.operators.Relational
+      .queries("k8_scd2_history")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(4), if (r.isNullAt(5)) null else r.getString(5),
+        r.getBoolean(6)))
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val byV = g.sortBy(_._2)
+      assert(byV.map(_._2) === (1L to g.length.toLong), s"versions at $u")
+      assert(byV.count(_._6) === 1 && byV.last._6,
+        s"exactly the last version is current at $u")
+      // each version's valid_to equals the next version's valid_from
+      byV.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(0)._5 === p(1)._4, s"interval gap at $u v${p(0)._2}")
+      }
+      assert(byV.last._5 === null, s"open current interval at $u")
+    }
+    // the current version IS the K5 compacted state
+    val k5 = graft.operators.Relational
+      .queries("k5_upsert_latest_per_key")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_._6).foreach { case (u, _, tpe, _, _, _) =>
+      assert(k5(u) === tpe, s"current version drifted from K5 at $u") }
+  }
 }
