@@ -349,6 +349,23 @@ object Relational extends OpModule {
         .select(col("user_id"), col("event_type").as("last_type"),
           col("value").as("last_value"))
     }),
+    // Per-key running total — the canonical cumulative window (customer
+    // lifetime value as of each order): one PARTITIONED window (bounded
+    // per-key work, never a global order), decimal accumulation inside
+    // the window so the running sum is addition-order-exact, string at
+    // the output boundary (the q1 idiom).
+    "q_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("order_date"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("string").as("running_total"),
+          count(lit(1)).over(w).as("order_seq"))
+    }),
     // SCD Type-2 dimension history — the versioned sibling of K5's
     // latest-per-key (SCD1): every change in the per-key changelog
     // becomes a history row with a [valid_from, valid_to) interval and
@@ -610,6 +627,17 @@ object Relational extends OpModule {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // decimal window accumulation mirrors Spark's; VARCHAR boundary
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS VARCHAR) AS order_date,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS VARCHAR) AS running_total,
+        |  CAST(count(*) OVER w AS BIGINT) AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // the same per-key change order, intervals via lead(ts)
     "k8_scd2_history" ->
       """SELECT user_id,

@@ -43,7 +43,7 @@ object Scaling {
     "a7_funnel_latency", "a10_rate_anomaly",
     "sim_recall_report", "sim_graph_triangles", "text_code_detect",
     "text_vocab_coverage", "sample_mixture_schedule",
-    "pipeline_routed_corpus", "a1_slide_uu", "sim_recall_report_quantized", "text_oov_rate", "mm_phash_neardup", "mm_phash_clusters", "sim_ivf_ann_trained", "q_expectations_report", "sim_matryoshka_recall", "dedup_threshold_sweep", "k8_scd2_history")
+    "pipeline_routed_corpus", "a1_slide_uu", "sim_recall_report_quantized", "text_oov_rate", "mm_phash_neardup", "mm_phash_clusters", "sim_ivf_ann_trained", "q_expectations_report", "sim_matryoshka_recall", "dedup_threshold_sweep", "k8_scd2_history", "q_running_total")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

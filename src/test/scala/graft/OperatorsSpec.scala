@@ -1490,4 +1490,29 @@ class OperatorsSpec extends SparkSpec {
     rows.filter(_._6).foreach { case (u, _, tpe, _, _, _) =>
       assert(k5(u) === tpe, s"current version drifted from K5 at $u") }
   }
+
+  test("running total: per-customer cumulative sums match a driver " +
+      "BigDecimal recompute, seq contiguous") {
+    val rows = graft.operators.Relational
+      .queries("q_running_total")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getDouble(3)))
+    val want = orders.groupBy(_._1).toSeq.flatMap { case (c, os) =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      var acc = BigDecimal(0)
+      sorted.zipWithIndex.map { case ((_, ok, d, p), i) =>
+        acc += BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        (c, ok) -> ((d, acc.toString, i + 1L))
+      }
+    }
+    val got = rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size === orders.length)
+    want.foreach { case (k, v) =>
+      assert(got(k) === v, s"running total drift at $k") }
+  }
 }
