@@ -82,6 +82,26 @@ object Vectors {
     concat(bitCols: _*)
   }
 
+  /** Data-derived hyperplane-signature width: the smallest b in
+    * [minBits, maxBits] with n ≤ occupancy·2^b, i.e. the width that holds
+    * EXPECTED per-table bucket occupancy (n/2^b) at or under `occupancy`
+    * as the corpus grows — candidate volume in a bucket self-join is
+    * Σ occupancy² per bucket, so keeping occupancy flat keeps the join
+    * linear in n. Integer search, no floating log: both engines (and the
+    * DuckDB oracle's generate_series twin) agree exactly at every n.
+    * minBits (6) is the fixture width every oracle pins — at the
+    * sf0.001/sf0.01 fixtures (n=500) the derivation lands there, so the
+    * oracle gate IS the derived gate; a 64× corpus (n=32000) derives 12
+    * with no knob. maxBits caps the bucket count at 2^24 per table —
+    * beyond that occupancy growth is the recall lever, not a scan risk.
+    */
+  def occupancyBits(n: Long, occupancy: Long = 8L, minBits: Int = 6,
+      maxBits: Int = 24): Int = {
+    var b = minBits
+    while (b < maxBits && n > occupancy * (1L << b)) b += 1
+    b
+  }
+
   /** Multi-table LSH signatures: `tables` independent `bits`-bit
     * signatures, each prefixed with its table id (so a bucket join on the
     * exploded (doc, signature) pairs never collides across tables).

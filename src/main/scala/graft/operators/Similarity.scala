@@ -25,6 +25,24 @@ object Similarity extends OpModule {
 
   private val K = 5
 
+  /** Signature width for EVERY hyperplane-LSH consumer (`sim_lsh_ann`,
+    * `dedup_embedding_lsh`, the whole kNN-graph family): an explicit conf
+    * override if a run sets one, else DERIVED from the corpus count via
+    * [[Vectors.occupancyBits]] — bits ≈ log₂(N/8), so expected bucket
+    * occupancy (and with it the candidate join's volume) stays flat as
+    * the corpus grows, with NO knob to remember. The count is one cheap
+    * metadata-light job over the id column; at the fixtures (N=500/2000)
+    * the derivation lands on the oracle-pinned widths, so the DuckDB
+    * gate (whose `oraLshSigs` CTE runs the same integer search over
+    * `generate_series`) pins the derived path itself, at every SF.
+    */
+  private[graft] def lshBits(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): Int =
+    s.conf.getOption("spark.graft.lshBits")
+      .orElse(s.conf.getOption("spark.graft.knnLshBits")).map(_.toInt)
+      .getOrElse(Vectors.occupancyBits(
+        emb.select(col("vec_id")).count()))
+
   def queries: Map[String, Q] =
     baseQueries ++ queriesIvf ++ queriesSq ++ queriesKmeans
 
@@ -88,16 +106,19 @@ object Similarity extends OpModule {
         .join(dropped, Seq("vec_id"), "left_anti")
     }),
     // The 100 TB embedding-dedup path: candidate pairs meet only inside
-    // an LSH bucket (4 tables × 6-bit hyperplane signatures — the same
-    // signature pass as sim_lsh_ann), cosine-verified, then one anti-join
-    // drops every vector that near-dups an earlier one. The corpus is
-    // shuffled on the signature, never cross-joined; the bucket-key
-    // repartition before the checkpoint keeps the verify join's
-    // parallelism independent of the signature aggregate's shuffle size.
+    // an LSH bucket (4 tables × corpus-derived-width hyperplane
+    // signatures — the same signature pass as sim_lsh_ann),
+    // cosine-verified, then one anti-join drops every vector that
+    // near-dups an earlier one. The corpus is shuffled on the signature,
+    // never cross-joined; the bucket-key repartition before the
+    // checkpoint keeps the verify join's parallelism independent of the
+    // signature aggregate's shuffle size. Width tracks log₂N (lshBits),
+    // so bucket occupancy — and the verify join — stays flat at scale.
     "dedup_embedding_lsh" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding",
+        lshBits(s, emb), 4)
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val withSigs = emb.select(col("vec_id"), col("embedding")).join(sigs, "vec_id")
         .select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
@@ -125,14 +146,16 @@ object Similarity extends OpModule {
     "sim_lsh_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
-      // Multi-table LSH: 4 independent 6-bit hyperplane tables; candidate
-      // if ANY table bucket matches (union via explode + distinct). At
-      // corpus scale the exploded (vec, sig) relation shuffles on sig —
-      // never an all-pairs join. Signatures come from ONE codegen'd
-      // posexplode + 24 sum-aggregates pass (the array-lambda form runs
-      // interpreted per bit and re-reads the vector 24x).
+      // Multi-table LSH: 4 independent hyperplane tables at the
+      // corpus-derived width (lshBits ≈ log₂(N/8)); candidate if ANY
+      // table bucket matches (union via explode + distinct). At corpus
+      // scale the exploded (vec, sig) relation shuffles on sig — never
+      // an all-pairs join. Signatures come from ONE codegen'd
+      // posexplode + (4 × bits) sum-aggregates pass (the array-lambda
+      // form runs interpreted per bit and re-reads the vector per bit).
       val emb = t(s, dir, "embeddings")
-      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", 6, 4)
+      val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding",
+        lshBits(s, emb), 4)
       val withSigs = emb.join(sigs, "vec_id").barrier()
       val q = withSigs.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -455,15 +478,18 @@ object Similarity extends OpModule {
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
-    // signature width is the graph family's scale knob: candidate volume
-    // is Σ occupancy² per bucket, so bits must grow ~log₂N to hold
-    // expected occupancy (N/2^bits) constant as the corpus grows — the
-    // fixture DEFAULT (6) is what the oracles pin; a scale run supplies
-    // the corpus-appropriate width (the semanticCentroids pattern:
-    // quality/scale knob, oracle gate always at the default)
-    val knnBits = s.conf.getOption("spark.graft.knnLshBits").map(_.toInt)
-      .getOrElse(6)
-    val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding", knnBits, 4)
+    // signature width is the graph family's scale lever: candidate
+    // volume is Σ occupancy² per bucket, so bits must grow ~log₂N to
+    // hold expected occupancy (N/2^bits) constant as the corpus grows.
+    // lshBits DERIVES the width from the corpus count (no knob); the
+    // oracle runs the identical integer derivation, so the gate pins
+    // the derived path at every SF. bit b of a signature is a PREFIX of
+    // bit b of any wider signature family (hyperplanes are indexed by
+    // (dim, bit, table), independent of the width), so widening only
+    // PRUNES candidates — recall at the derived width is ≥ recall at
+    // any wider width (pinned by KnnWidthSpec).
+    val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding",
+      lshBits(s, emb), 4)
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withSigs = emb.select(col("vec_id"), col("embedding"))
       .join(sigs, "vec_id")
@@ -1405,7 +1431,7 @@ object Similarity extends OpModule {
          |                               CAST(eb.embedding AS DOUBLE[])) >= 0.3)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_b FROM nd)""".stripMargin,
-    // mirrors Vectors.lshSignaturesAgg(6 bits, 4 tables) + the bucket join:
+    // mirrors Vectors.lshSignaturesAgg(derived bits, 4 tables) + bucket join:
     // hyperplane signs come from md5 (mdSign), reproducible in DuckDB
     "sim_lsh_ann" ->
       s"""WITH $oraLshSigs,
@@ -1812,9 +1838,11 @@ object Similarity extends OpModule {
          |    ::BIGINT % 100 < 50) AS is_seed
          |FROM embeddings e LEFT JOIN pred p ON p.vec_id = e.vec_id""".stripMargin)
 
-  /** DuckDB mirror of `Vectors.lshSignaturesAgg(6 bits, 4 tables)`: the
-    * exploded-dims → md5-sign products → per-(table) bit-string CTE chain,
-    * shared by the sim_lsh_ann and dedup_embedding_lsh oracles. Yields a
+  /** DuckDB mirror of `Vectors.lshSignaturesAgg(derived bits, 4 tables)`:
+    * the width derivation (`nb` — the same integer occupancy search as
+    * [[Vectors.occupancyBits]], run over `count(*)`), then the
+    * exploded-dims → md5-sign products → per-(table) bit-string CTE
+    * chain, shared by every hyperplane-LSH oracle. Yields a
     * `sigs(vec_id, sig)` relation, one row per (vector, table).
     */
   /** amax + int8 codes CTEs shared by every PQ oracle (mirror of
@@ -1993,7 +2021,12 @@ object Similarity extends OpModule {
   }
 
   private val oraLshSigs: String =
-    """expl0 AS (
+    """nb AS (
+      |  SELECT min(b) AS nb
+      |  FROM (SELECT unnest(generate_series(6, 24)) AS b),
+      |       (SELECT count(*) AS n FROM embeddings)
+      |  WHERE n <= 8 * (CAST(1 AS BIGINT) << b)),
+      |expl0 AS (
       |  SELECT vec_id, embedding,
       |    unnest(generate_series(1, len(embedding))) AS j
       |  FROM embeddings),
@@ -2003,7 +2036,8 @@ object Similarity extends OpModule {
       |consts AS (
       |  SELECT t, b, b * 7919 + t * 104729 AS cst
       |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
-      |       (SELECT unnest(generate_series(0, 5)) AS b)),
+      |       (SELECT unnest(generate_series(0, 23)) AS b), nb
+      |  WHERE b < nb.nb),
       |sums AS (
       |  SELECT e.vec_id, c.t, c.b,
       |    sum(e.x * CASE WHEN substr(md5(

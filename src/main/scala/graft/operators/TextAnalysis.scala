@@ -323,6 +323,73 @@ object TextAnalysis extends OpModule {
       winners.join(texts, Seq("pfp"))
         .select(col("rank"), col("pair"), col("pair_count"))
     }),
+    // The ITERATED tokenizer-training loop (r9 verdict #2): published BPE
+    // training is count adjacent pairs → pick the top pair → REWRITE the
+    // token stream (greedy left-to-right non-overlapping merge) →
+    // recount, for N rounds. `text_bpe_merges` above is one round's
+    // counting pass; this runs 3 full rounds and reports each round's
+    // winner, its naive adjacent count, the number of occurrences
+    // actually merged (≤ count when occurrences overlap, e.g. "a a a"),
+    // and the stream size after the rewrite. Scale shape: the token
+    // stream lives as a (doc_id, pos, tok) relation — per round, ONE
+    // doc_id exchange covers every window (the island/lag windows
+    // re-sort but never re-shuffle: HashPartitioning(doc_id) satisfies
+    // the (doc_id, grp) clustering), the pair count is a map-side
+    // combined thin aggregate, and the 1-row winner broadcasts back as
+    // a nested-loop build side — never a driver-side loop over data.
+    // Greedy non-overlap is windowed run-parity: overlapping candidates
+    // (only possible for A==A runs) form idx-consecutive islands
+    // (gaps-and-islands on idx − running-candidate-count), and greedy
+    // left-to-right keeps exactly the even offsets within each island.
+    "text_bpe_train" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks0 = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.bpeishTokens(col("text"))).as(Seq("pos", "tok")))
+      var toks = toks0
+      val rounds = (1 to 3).map { r =>
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val seq = toks
+          .withColumn("idx", row_number().over(wDoc))
+          .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+          .barrier() // read by the count branch AND the rewrite branch
+        val winner = seq.filter(col("nxt").isNotNull)
+          .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("tok").asc, col("nxt").asc)
+          .limit(1)
+          .select(col("tok").as("wa"), col("nxt").as("wb"), col("pair_count"))
+          .barrier() // 1 row; read by the rewrite AND the report row
+        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wIsl = Window.partitionBy(col("doc_id"), col("grp"))
+        val wLag = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+        val selected = seq.join(broadcast(winner), lit(true))
+          .withColumn("c",
+            (col("tok") === col("wa") && col("nxt") === col("wb")).cast("int"))
+          .withColumn("cumc", sum(col("c")).over(wCum))
+          .withColumn("grp", when(col("c") === 1, col("idx") - col("cumc")))
+          .withColumn("sel", col("c") === 1 &&
+            ((col("idx") - min(col("idx")).over(wIsl)) % 2 === 0))
+          .withColumn("prev_sel", lag(col("sel"), 1, false).over(wLag))
+          .barrier() // read by the rewrite AND the n_merges count
+        val next = selected.filter(!col("prev_sel"))
+          .select(col("doc_id"), col("pos"),
+            when(col("sel"), concat(col("wa"), col("wb")))
+              .otherwise(col("tok")).as("tok"))
+          .barrier() // read by next round AND tokens_after
+        val row = winner
+          .join(broadcast(selected.filter(col("sel"))
+            .agg(count(lit(1)).as("n_merges"))), lit(true))
+          .join(broadcast(next.agg(count(lit(1)).as("tokens_after"))),
+            lit(true))
+          .select(lit(r).as("round"),
+            concat(col("wa"), lit(" "), col("wb")).as("pair"),
+            col("pair_count"), col("n_merges"), col("tokens_after"))
+        toks = next
+        row
+      }
+      rounds.reduce(_ unionByName _)
+    }),
     // corpus accounting: the per-(lang, source) rollup every training-data
     // pipeline reports — doc counts, token budget, quality aggregates
     "text_corpus_stats" -> ((s, dir) => {
@@ -2606,6 +2673,64 @@ object TextAnalysis extends OpModule {
         |    row_number() OVER (ORDER BY pair_count DESC, pfp ASC) AS rank
         |  FROM c)
         |WHERE rank <= 40""".stripMargin,
+    // mirrors text_bpe_train: 3 chained count→pick→greedy-rewrite rounds
+    // (the sim_kmeans_train chained-CTE device applied to the tokenizer
+    // loop); greedy non-overlap = even offsets within idx-consecutive
+    // candidate islands, identical window algebra to the Spark side
+    "text_bpe_train" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "t0" else s"t${r - 1}"
+        s"""s$r AS (
+           |  SELECT doc_id, pos, tok,
+           |    row_number() OVER w AS idx, lead(tok) OVER w AS nxt
+           |  FROM $prev
+           |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |w$r AS (
+           |  SELECT tok AS wa, nxt AS wb, count(*) AS pair_count
+           |  FROM s$r WHERE nxt IS NOT NULL
+           |  GROUP BY 1, 2
+           |  ORDER BY pair_count DESC, wa ASC, wb ASC LIMIT 1),
+           |g$r AS (
+           |  SELECT s.*, w.wa, w.wb,
+           |    CASE WHEN s.tok = w.wa AND s.nxt = w.wb THEN 1 ELSE 0 END AS c
+           |  FROM s$r s CROSS JOIN w$r w),
+           |h$r AS (
+           |  SELECT *, CASE WHEN c = 1 THEN idx - sum(c) OVER (
+           |      PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+           |    END AS grp
+           |  FROM g$r),
+           |i$r AS (
+           |  SELECT *, c = 1 AND (idx - min(idx) OVER (
+           |      PARTITION BY doc_id, grp)) % 2 = 0 AS sel
+           |  FROM h$r),
+           |j$r AS (
+           |  SELECT *, coalesce(lag(sel) OVER (
+           |      PARTITION BY doc_id ORDER BY idx), false) AS prev_sel
+           |  FROM i$r),
+           |t$r AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN sel THEN wa || wb ELSE tok END AS tok
+           |  FROM j$r WHERE NOT prev_sel),
+           |o$r AS (
+           |  SELECT CAST($r AS INT) AS round, wa || ' ' || wb AS pair,
+           |    pair_count,
+           |    (SELECT count(*) FROM j$r WHERE sel) AS n_merges,
+           |    (SELECT count(*) FROM t$r) AS tokens_after
+           |  FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |  FROM d),
+         |t0 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM e0),
+         |$rounds
+         |SELECT * FROM o1
+         |UNION ALL SELECT * FROM o2
+         |UNION ALL SELECT * FROM o3""".stripMargin
+    },
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
