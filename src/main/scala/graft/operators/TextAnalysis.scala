@@ -15,6 +15,76 @@ import graft.core.Barrier.BarrierOps
   */
 object TextAnalysis extends OpModule {
 
+  /** The shared BPE train loop behind `text_bpe_train` (per-round report
+    * rows) and `text_bpe_apply` (the final token stream). See the
+    * text_bpe_train query comment for the window algebra and scale shape.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      nRounds: Int): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    var toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Text.bpeishTokens(col("text"))).as(Seq("pos", "tok")))
+    val rounds = (1 to nRounds).map { r =>
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // NO barrier on the windowed relation: barriers live until the
+      // query ends, so 3 rounds × a (tok, idx, nxt)-wide stream pinned
+      // ~10 GB of block-manager storage at 64× and thrashed eviction
+      // (measured 22× time for 4× data — the second scale cliff this
+      // operator hit, both caught by the sweep). The winner branch and
+      // the rewrite branch each re-derive the doc_id sort instead —
+      // 2 sorts per round, ZERO storage beyond the minimal (doc_id,
+      // pos, tok) round output barrier below.
+      val seq = toks
+        .withColumn("idx", row_number().over(wDoc))
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val nBefore = toks.agg(count(lit(1)).as("tokens_before"))
+      val winner = seq.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("tok").asc, col("nxt").asc)
+        .limit(1)
+        .select(col("tok").as("wa"), col("nxt").as("wb"), col("pair_count"))
+        .barrier() // 1 row; read by the rewrite AND the report row
+      val wCum = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wIsl = Window.partitionBy(col("doc_id"), col("grp"))
+      val wLag = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      // one fused pass from seq to the rewritten stream: the three
+      // window steps stay pipeline-internal (no materialization of the
+      // wide intermediate — barriering it at 64× cost 18× for 4× data,
+      // caught by the scale sweep and fixed here: every merge removes
+      // exactly one token, so n_merges = tokens_before − tokens_after
+      // and the fat `selected` relation never needs a second reader)
+      val next = seq
+        .join(broadcast(winner.select(col("wa"), col("wb"))), lit(true))
+        .withColumn("c",
+          (col("tok") === col("wa") && col("nxt") === col("wb")).cast("int"))
+        .withColumn("cumc", sum(col("c")).over(wCum))
+        .withColumn("grp", when(col("c") === 1, col("idx") - col("cumc")))
+        .withColumn("sel", col("c") === 1 &&
+          ((col("idx") - min(col("idx")).over(wIsl)) % 2 === 0))
+        .withColumn("prev_sel", lag(col("sel"), 1, false).over(wLag))
+        .filter(!col("prev_sel"))
+        .select(col("doc_id"), col("pos"),
+          when(col("sel"), concat(col("wa"), col("wb")))
+            .otherwise(col("tok")).as("tok"))
+        .barrier() // read by next round AND tokens_after
+      val row = winner
+        .join(broadcast(next.agg(count(lit(1)).as("tokens_after"))),
+          lit(true))
+        .join(broadcast(nBefore), lit(true))
+        .select(lit(r).as("round"),
+          concat(col("wa"), lit(" "), col("wb")).as("pair"),
+          col("pair_count"),
+          (col("tokens_before") - col("tokens_after")).as("n_merges"),
+          col("tokens_after"))
+      toks = next
+      row
+    }
+    (rounds.reduce(_ unionByName _), toks)
+  }
+
   def queries: Map[String, Q] = irQueries ++ Map(
     // U1/J6: tokenize → explode → count per keyword (the reference flagship
     // shape, minus the time window which a1 covers on events).
@@ -341,54 +411,27 @@ object TextAnalysis extends OpModule {
     // (only possible for A==A runs) form idx-consecutive islands
     // (gaps-and-islands on idx − running-candidate-count), and greedy
     // left-to-right keeps exactly the even offsets within each island.
-    "text_bpe_train" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks0 = t(s, dir, "documents")
+    "text_bpe_train" -> ((s, dir) => bpeTrain(s, dir, 3)._1),
+    // Tokenizer INFERENCE over the trained merges — the serving twin of
+    // text_bpe_train: per-doc raw vs post-merge token counts and the
+    // exact integer compression ratio (micro-units, truncating DIV — the
+    // fixed-point device, so both engines agree bit-for-bit). Applying
+    // the learned merges to the training corpus IS the training stream's
+    // final state (merges applied in learned order), so the apply pass
+    // reuses the train relation; a deployment tokenizing NEW text would
+    // run the same per-doc rewrite with the merge list broadcast.
+    "text_bpe_apply" -> ((s, dir) => {
+      val counts = bpeTrain(s, dir, 3)._2
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(Text.bpeishTokens(col("text"))).as(Seq("pos", "tok")))
-      var toks = toks0
-      val rounds = (1 to 3).map { r =>
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val seq = toks
-          .withColumn("idx", row_number().over(wDoc))
-          .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-          .barrier() // read by the count branch AND the rewrite branch
-        val winner = seq.filter(col("nxt").isNotNull)
-          .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("pair_count"))
-          .orderBy(col("pair_count").desc, col("tok").asc, col("nxt").asc)
-          .limit(1)
-          .select(col("tok").as("wa"), col("nxt").as("wb"), col("pair_count"))
-          .barrier() // 1 row; read by the rewrite AND the report row
-        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wIsl = Window.partitionBy(col("doc_id"), col("grp"))
-        val wLag = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-        val selected = seq.join(broadcast(winner), lit(true))
-          .withColumn("c",
-            (col("tok") === col("wa") && col("nxt") === col("wb")).cast("int"))
-          .withColumn("cumc", sum(col("c")).over(wCum))
-          .withColumn("grp", when(col("c") === 1, col("idx") - col("cumc")))
-          .withColumn("sel", col("c") === 1 &&
-            ((col("idx") - min(col("idx")).over(wIsl)) % 2 === 0))
-          .withColumn("prev_sel", lag(col("sel"), 1, false).over(wLag))
-          .barrier() // read by the rewrite AND the n_merges count
-        val next = selected.filter(!col("prev_sel"))
-          .select(col("doc_id"), col("pos"),
-            when(col("sel"), concat(col("wa"), col("wb")))
-              .otherwise(col("tok")).as("tok"))
-          .barrier() // read by next round AND tokens_after
-        val row = winner
-          .join(broadcast(selected.filter(col("sel"))
-            .agg(count(lit(1)).as("n_merges"))), lit(true))
-          .join(broadcast(next.agg(count(lit(1)).as("tokens_after"))),
-            lit(true))
-          .select(lit(r).as("round"),
-            concat(col("wa"), lit(" "), col("wb")).as("pair"),
-            col("pair_count"), col("n_merges"), col("tokens_after"))
-        toks = next
-        row
-      }
-      rounds.reduce(_ unionByName _)
+          Text.bpeishTokenCount(col("text")).cast("long").as("tokens_raw"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("tokens_raw"),
+          coalesce(col("n_bpe"), lit(0L)).as("tokens_bpe"),
+          expr("CASE WHEN tokens_raw = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE (coalesce(n_bpe, CAST(0 AS BIGINT)) * 1000000) " +
+            "DIV tokens_raw END").as("compression_micro"))
     }),
     // corpus accounting: the per-(lang, source) rollup every training-data
     // pipeline reports — doc counts, token budget, quality aggregates
@@ -2433,6 +2476,62 @@ object TextAnalysis extends OpModule {
        |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
        |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin
 
+  /** Shared CTE chain for the BPE oracles: the bpeish token stream
+    * (d/e0/t0) plus 3 count→pick→greedy-rewrite rounds (s/w/g/h/i/j/t/o
+    * per round). Callers prepend `WITH ` and append their own SELECT.
+    */
+  private lazy val oraBpeChain: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "t0" else s"t${r - 1}"
+      s"""s$r AS (
+         |  SELECT doc_id, pos, tok,
+         |    row_number() OVER w AS idx, lead(tok) OVER w AS nxt
+         |  FROM $prev
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |w$r AS (
+         |  SELECT tok AS wa, nxt AS wb, count(*) AS pair_count
+         |  FROM s$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2
+         |  ORDER BY pair_count DESC, wa ASC, wb ASC LIMIT 1),
+         |g$r AS (
+         |  SELECT s.*, w.wa, w.wb,
+         |    CASE WHEN s.tok = w.wa AND s.nxt = w.wb THEN 1 ELSE 0 END AS c
+         |  FROM s$r s CROSS JOIN w$r w),
+         |h$r AS (
+         |  SELECT *, CASE WHEN c = 1 THEN idx - sum(c) OVER (
+         |      PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+         |    END AS grp
+         |  FROM g$r),
+         |i$r AS (
+         |  SELECT *, c = 1 AND (idx - min(idx) OVER (
+         |      PARTITION BY doc_id, grp)) % 2 = 0 AS sel
+         |  FROM h$r),
+         |j$r AS (
+         |  SELECT *, coalesce(lag(sel) OVER (
+         |      PARTITION BY doc_id ORDER BY idx), false) AS prev_sel
+         |  FROM i$r),
+         |t$r AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN sel THEN wa || wb ELSE tok END AS tok
+         |  FROM j$r WHERE NOT prev_sel),
+         |o$r AS (
+         |  SELECT CAST($r AS INT) AS round, wa || ' ' || wb AS pair,
+         |    pair_count,
+         |    (SELECT count(*) FROM j$r WHERE sel) AS n_merges,
+         |    (SELECT count(*) FROM t$r) AS tokens_after
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+       |  FROM documents),
+       |e0 AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |  FROM d),
+       |t0 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM e0),
+       |$rounds""".stripMargin
+  }
+
   def oracles: Map[String, String] = irOracles ++ Map(
     "u1_tokenize_explode" ->
       """SELECT keyword, count(*) AS keyword_count
@@ -2677,60 +2776,25 @@ object TextAnalysis extends OpModule {
     // (the sim_kmeans_train chained-CTE device applied to the tokenizer
     // loop); greedy non-overlap = even offsets within idx-consecutive
     // candidate islands, identical window algebra to the Spark side
-    "text_bpe_train" -> {
-      val rounds = (1 to 3).map { r =>
-        val prev = if (r == 1) "t0" else s"t${r - 1}"
-        s"""s$r AS (
-           |  SELECT doc_id, pos, tok,
-           |    row_number() OVER w AS idx, lead(tok) OVER w AS nxt
-           |  FROM $prev
-           |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-           |w$r AS (
-           |  SELECT tok AS wa, nxt AS wb, count(*) AS pair_count
-           |  FROM s$r WHERE nxt IS NOT NULL
-           |  GROUP BY 1, 2
-           |  ORDER BY pair_count DESC, wa ASC, wb ASC LIMIT 1),
-           |g$r AS (
-           |  SELECT s.*, w.wa, w.wb,
-           |    CASE WHEN s.tok = w.wa AND s.nxt = w.wb THEN 1 ELSE 0 END AS c
-           |  FROM s$r s CROSS JOIN w$r w),
-           |h$r AS (
-           |  SELECT *, CASE WHEN c = 1 THEN idx - sum(c) OVER (
-           |      PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
-           |    END AS grp
-           |  FROM g$r),
-           |i$r AS (
-           |  SELECT *, c = 1 AND (idx - min(idx) OVER (
-           |      PARTITION BY doc_id, grp)) % 2 = 0 AS sel
-           |  FROM h$r),
-           |j$r AS (
-           |  SELECT *, coalesce(lag(sel) OVER (
-           |      PARTITION BY doc_id ORDER BY idx), false) AS prev_sel
-           |  FROM i$r),
-           |t$r AS (
-           |  SELECT doc_id, pos,
-           |    CASE WHEN sel THEN wa || wb ELSE tok END AS tok
-           |  FROM j$r WHERE NOT prev_sel),
-           |o$r AS (
-           |  SELECT CAST($r AS INT) AS round, wa || ' ' || wb AS pair,
-           |    pair_count,
-           |    (SELECT count(*) FROM j$r WHERE sel) AS n_merges,
-           |    (SELECT count(*) FROM t$r) AS tokens_after
-           |  FROM w$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text),
-         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
-         |  FROM documents),
-         |e0 AS (
-         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
-         |  FROM d),
-         |t0 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM e0),
-         |$rounds
+    "text_bpe_train" ->
+      s"""WITH $oraBpeChain
          |SELECT * FROM o1
          |UNION ALL SELECT * FROM o2
-         |UNION ALL SELECT * FROM o3""".stripMargin
-    },
+         |UNION ALL SELECT * FROM o3""".stripMargin,
+    // mirrors text_bpe_apply: the same 3-round chain, final stream
+    // counted per doc against the raw token count; integer // division
+    // (both engines truncate identically on non-negative operands)
+    "text_bpe_apply" ->
+      s"""WITH $oraBpeChain,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM t3 GROUP BY 1),
+         |raw AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS tokens_raw
+         |        FROM d)
+         |SELECT r.doc_id, r.tokens_raw,
+         |  CAST(coalesce(c.n, 0) AS BIGINT) AS tokens_bpe,
+         |  CASE WHEN r.tokens_raw = 0 THEN CAST(1000000 AS BIGINT)
+         |    ELSE (coalesce(c.n, 0) * 1000000) // r.tokens_raw
+         |  END AS compression_micro
+         |FROM raw r LEFT JOIN cnt c USING (doc_id)""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -168,6 +168,35 @@ object Jobs {
       .start()
   }
 
+  /** K8 streaming tier: tail an events-shaped changelog directory and
+    * maintain the SCD2 history store ([[Sinks.scd2Upsert]]) — the
+    * versioned sibling of [[runCdcUpsertStreaming]]'s latest-per-key
+    * store. Each discovered file is one micro-batch (`maxFilesPerTrigger
+    * 1`); a key's current interval closes in whatever later batch brings
+    * its next change. Null-key rows are dropped in the ETL step, matching
+    * the batch `k8_scd2_history` filter, so the store always equals the
+    * batch query over the rows ingested so far (StreamingSpec pins this
+    * across a batch boundary, plus replay idempotence). Exactly-once:
+    * file-source offsets in the checkpoint + set-semantics merge.
+    */
+  def runScd2HistoryStreaming(spark: SparkSession, changelogDir: String,
+      schema: org.apache.spark.sql.types.StructType, storeDir: String,
+      chkDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changelogDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.scd2Upsert(spark,
+          batch.toDF().filter(col("user_id").isNotNull)
+            .select("user_id", "event_id", "ts", "event_type", "value"),
+          "user_id", "event_id", "ts", storeDir)
+        ()
+      }
+      .option("checkpointLocation", chkDir)
+      .start()
+  }
+
   /** End-to-end streaming soak of the reference DAG — the jobs CHAINED
     * as rate-limited multi-micro-batch streams, the whole-graph form of
     * what the per-job streaming tests pin piecewise:
@@ -200,8 +229,15 @@ object Jobs {
     * admissions is exactly greedy keep-first over the gated corpus.
     */
   def runSoak(spark: SparkSession, sfDir: String, workDir: String,
-      srcFiles: Int = 4): Seq[String] = {
+      srcFiles: Int = 4,
+      stageTimer: (String, Double) => Unit = (_, _) => ()): Seq[String] = {
     import org.apache.spark.sql.streaming.Trigger
+    def timed[A](stage: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageTimer(stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
 
     // STAGE 0 — ingest hygiene front door over the documents table
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
@@ -267,7 +303,7 @@ object Jobs {
       }
       .option("checkpointLocation", s"$workDir/_chk_hygiene")
       .trigger(Trigger.AvailableNow()).start()
-    q0.awaitTermination()
+    timed("hygiene")(q0.awaitTermination())
     benchFps.unpersist()
     benchBloom.unpersist()
     benchGramFps.unpersist()
@@ -294,7 +330,7 @@ object Jobs {
       }
       .option("checkpointLocation", s"$workDir/_chk_dwd")
       .trigger(Trigger.AvailableNow()).start()
-    q1.awaitTermination()
+    timed("dwd_split")(q1.awaitTermination())
 
     // STAGE 2/3 — a DWS window job over one streamed DWD fact: file
     // stream in, streaming aggregate state across triggers, bucketed
@@ -318,7 +354,8 @@ object Jobs {
         }
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      timed(s"dws_${store.substring(store.lastIndexOf('_') + 1)}")(
+        q.awaitTermination())
       Option(q.lastProgress).toSeq
         .flatMap(_.stateOperators.toSeq)
         .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
@@ -348,7 +385,7 @@ object Jobs {
     }
 
     // TERMINAL STAGE — corpus → training batches on disk
-    runPackStage(spark, workDir)
+    timed("pack")(runPackStage(spark, workDir))
     kwMetrics ++ pageMetrics ++ errMetrics
   }
 

@@ -115,6 +115,52 @@ object Sinks {
     overwriteTouched(merged, touched, dir)
   }
 
+  /** K8 streaming tier: SCD Type-2 history maintenance — the VERSIONED
+    * sibling of [[upsert]] (which keeps only the latest row per key).
+    * Each micro-batch of changelog rows merges into a bucketed history
+    * store where every change is a [valid_from, valid_to) interval row;
+    * an interval that was current CLOSES when a later change for its key
+    * arrives (including across micro-batch boundaries).
+    *
+    * Idempotence comes from SET semantics, not ordering: the store
+    * carries the SOURCE rows (key, seq, ts, attrs), the merge unions the
+    * touched buckets' existing rows with the batch and collapses
+    * duplicates on (key, seq) — a replayed batch adds nothing — and the
+    * presentation columns (version, valid_from/valid_to, is_current) are
+    * RECOMPUTED per merge by the same partitioned window as the batch
+    * `k8_scd2_history` query. History is therefore always exactly the
+    * batch query over the union of all changelog rows seen so far, which
+    * is what StreamingSpec pins. Scale shape matches the other tiers:
+    * only touched buckets are read/rewritten, per-key work is bounded by
+    * that key's change count, and the window shuffle is on the key.
+    * `seqCol` must order a key's changes (globally unique per key);
+    * `tsCol` supplies the interval bounds.
+    */
+  def scd2Upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
+      seqCol: String, tsCol: String, dir: String, buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val srcCols = incoming.columns.toSeq
+    val inc = incoming.withColumn(BucketCol,
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+    val touched = touchedBuckets(inc)
+    val unioned = readTouched(spark, touched, dir) match {
+      case Some(ex) =>
+        ex.select((srcCols :+ BucketCol).map(col): _*).unionByName(inc)
+      case None => inc
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
+    val hist = unioned.dropDuplicates(keyCol, seqCol)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("__valid_to_ts", lead(col(tsCol), 1).over(w))
+      .withColumn("valid_from",
+        date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("valid_to",
+        date_format(col("__valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("is_current", col("__valid_to_ts").isNull)
+      .drop("__valid_to_ts")
+    overwriteTouched(hist, touched, dir)
+  }
+
   /** K6: dim MERGE — apply a put/delete changelog (op column: 'd' deletes,
     * anything else upserts) to a keyed dim table. Bucketed like `upsert`:
     * only the buckets the changelog touches are read or rewritten.

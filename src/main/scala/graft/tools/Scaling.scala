@@ -37,6 +37,7 @@ object Scaling {
     "corpus_quality_drift", "text_bpe_merges", "dedup_semantic_trained",
     "corpus_pack_manifest", "text_chunk_windows", "pipeline_chunked_corpus",
     "text_dsir_weights", "sample_importance_dsir", "sample_curriculum_order",
+    "text_bpe_train",
     "sim_knn_graph", "text_bm25_topk", "text_bigram_lm", "sim_pagerank",
     "sim_label_prop", "sim_pq_train", "sim_pq_ann_trained",
     "sim_hard_negatives", "sim_dim_stats", "text_collocations",
@@ -128,6 +129,75 @@ object Scaling {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       skewDemo(spark, rows = args.lift(2).map(_.toLong).getOrElse(20000000L))
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("soak")) {
+      // r9 verdict #7: the multi-stage streaming graph ITSELF under the
+      // scale lens — gates, signature-store compaction, pack carry — not
+      // just its per-operator batch twins. Reuses the k×-materialized
+      // table dir; reports per-stage stream times, store sizes and the
+      // signature store's compaction state.
+      val k = args.lift(2).map(_.toInt).getOrElse(16)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      // The soak gets its OWN scaled dir: the sweep dirs' documents are
+      // EXACT k× clones, and with 16 clone ids per text every residue
+      // mod 13 is hit — the benchmark-fp/13-gram gates then match every
+      // document via some clone and the soak admits ~nothing (observed
+      // twice: first with exact clones, then with suffix-tagged clones,
+      // whose 13-grams still collide). A real k× corpus is k× DISTINCT
+      // documents, so the soak docs interleave a per-replica tag into
+      // the text every 8 words: every 13-gram crosses a tag, replicas
+      // share no grams and no near-dup shingles, and the gate chain +
+      // signature store face the honest k× admitted load (bench members
+      // still self-match and drop, short clones still exact-dedup).
+      val dir = s"/tmp/graft_soak_${new java.io.File(base).getName}_${k}x"
+      Seq("documents", "events").foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists()) {
+          val df = scaled(spark, base, n, k)
+          val tagged = if (n == "documents") {
+            val rep = (col("doc_id") /
+              Tables.load(spark, base, n).count()).cast("long")
+            df.withColumn("text", regexp_replace(col("text"),
+              lit("((?:\\S+\\s+){8})"),
+              concat(lit("$1"), lit("r"), rep, lit("x "))))
+          } else df
+          tagged.write.mode("overwrite").parquet(out)
+        }
+      }
+      val work = java.nio.file.Files.createTempDirectory("soak_scale").toString
+      val t0 = System.nanoTime()
+      graft.streaming.Jobs.runSoak(spark, dir, work, srcFiles = 8,
+        stageTimer = (st, s) => println(f"[soak] k=$k stage=$st%-10s $s%8.3fs"))
+      println(f"[soak] k=$k total ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        else f.length()
+      Seq("sig_store", "packs", "store_kw", "store_page", "store_err",
+        "admitted").foreach { s =>
+        val f = new java.io.File(work, s)
+        if (f.exists()) println(f"[soak] k=$k store=$s%-10s " +
+          f"${du(f) / 1024.0 / 1024.0}%8.2f MiB")
+      }
+      val sig = new java.io.File(work, "sig_store")
+      val (gens, live) = Option(sig.listFiles()).map { fs =>
+        (fs.count(d => d.isDirectory && d.getName.startsWith("__gen=")),
+          fs.count(d => d.isDirectory &&
+            !new java.io.File(d, "_OBSOLETE").exists()))
+      }.getOrElse((0, 0))
+      println(s"[soak] k=$k sig_store generations=$gens live_dirs=$live")
+      val packs = new java.io.File(work, "packs")
+      // an all-rejected run leaves no data files — report 0, don't die
+      // on schema inference
+      if (packs.exists())
+        println(s"[soak] k=$k packs rows=" + (
+          try spark.read.parquet(packs.getPath).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }))
       spark.stop()
       return
     }

@@ -1287,4 +1287,77 @@ class StreamingSpec extends SparkSpec {
       assert(want.exists { case (_, (uu, ev)) => uu < ev })
     } finally q.stop()
   }
+
+  test("K8 streaming SCD2: intervals close across micro-batch " +
+      "boundaries; stream ≡ batch; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("scd2").toString
+    val chg = s"$base/changelog"
+    new java.io.File(chg).mkdirs()
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    // three disjoint slices by event_id HASH — deliberately NOT
+    // time-ordered: the merge is set-semantic (history recomputed from
+    // the union each batch), so arrival order must not matter
+    val slices = (0 until 3).map(i =>
+      ev.filter(pmod(hash(col("event_id")), lit(3)) === i))
+    val schema = ev.schema
+    val store = s"$base/store"
+    val pub = Seq("user_id", "version", "event_type", "value",
+      "valid_from", "valid_to", "is_current")
+    def storePub = graft.streaming.Sinks.readStore(spark, store)
+      .select(pub.map(col): _*)
+    def batchOver(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      df.filter(col("user_id").isNotNull)
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("vt", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("vt").isNull.as("is_current"))
+    }
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val q = graft.streaming.Jobs.runScd2HistoryStreaming(
+      spark, chg, schema, store, s"$base/chk")
+    try {
+      slices.head.coalesce(1).write.mode("append").parquet(chg)
+      q.processAllAvailable()
+      assert(same(storePub, batchOver(slices.head)),
+        "after batch 1 the store must equal the batch SCD2 over slice 1")
+      val openAfter1 = storePub.filter(col("is_current"))
+        .select(col("user_id"), col("version")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      slices.tail.foreach { s =>
+        s.coalesce(1).write.mode("append").parquet(chg)
+        q.processAllAvailable()
+      }
+      // stream ≡ batch: the store equals k8_scd2_history over the full table
+      assert(same(storePub,
+        graft.operators.Relational.queries("k8_scd2_history")(spark, sfDir)),
+        "final store must equal the batch k8_scd2_history")
+      // some interval that was CURRENT after batch 1 closed in a LATER
+      // micro-batch (same user_id+version now carries a valid_to)
+      val closedLater = storePub
+        .filter(!col("is_current") && col("valid_to").isNotNull)
+        .select(col("user_id"), col("version")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(openAfter1)
+      assert(closedLater.nonEmpty,
+        "at least one batch-1-current interval must close across a " +
+          "micro-batch boundary")
+      // replay of the final slice: set semantics make it a no-op
+      graft.streaming.Sinks.scd2Upsert(spark,
+        slices.last.filter(col("user_id").isNotNull), "user_id",
+        "event_id", "ts", store)
+      assert(same(storePub,
+        graft.operators.Relational.queries("k8_scd2_history")(spark, sfDir)),
+        "replaying a batch must not change the history")
+    } finally q.stop()
+  }
 }
