@@ -320,6 +320,56 @@ object TextAnalysis extends OpModule {
     // only the ≤ k·|langs| winners join back (broadcast) to recover their
     // text from one gram instance. verify-before-wide-payload, applied to
     // mining instead of dedup.
+    // Count-min-sketch heavy hitters — the missing member of the sketch
+    // family (HLL: approx_uv_hll; quantiles: q_quantiles_approx): the
+    // mergeable 4×256-cell CMS every streaming frequency monitor keeps,
+    // verified in-query against the exact counts. The sketch is
+    // DETERMINISTIC (md5 bucket hashing, the proven oracle device), so
+    // DuckDB re-derives the whole sketch and the gate is hash-exact —
+    // no tolerance verdict needed. Scale shape: two narrow passes over
+    // the token scan — (a) exact counting on the 8-byte fp key +
+    // TakeOrderedAndProject top-20 (the text_top_ngrams device), (b) a
+    // ×4 row-hash explode collapsing map-side into the FIXED 1024-cell
+    // sketch (the mergeable partial state a 1000-executor run reduces
+    // in one combine); estimates probe 80 cells via broadcast. The CMS
+    // guarantee (estimate ≥ exact, overestimate bounded by collisions)
+    // surfaces as an explicit column and is pinned in CmsSpec.
+    "text_heavy_hitters_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(explode(Text.bpeishTokens(col("text"))).as("tok"))
+      val withFp = toks.select(col("tok"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+      val counts = withFp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("exact_count"))
+      val w = Window.orderBy(col("exact_count").desc, col("fp").asc)
+      val winners = counts
+        .orderBy(col("exact_count").desc, col("fp").asc).limit(20)
+        .withColumn("rank", row_number().over(w))
+      val texts = withFp.join(broadcast(winners.select(col("fp"))), Seq("fp"))
+        .groupBy(col("fp")).agg(min(col("tok")).as("token"))
+      val cells = toks
+        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"),
+          (conv(substring(md5(concat(col("tok"), lit("_c"),
+            col("j").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 256).as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      val probes = winners.join(texts, Seq("fp"))
+        .select(col("rank"), col("token"), col("exact_count"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("b",
+          conv(substring(md5(concat(col("token"), lit("_c"),
+            col("j").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 256)
+      probes.join(broadcast(cells), Seq("j", "b"))
+        .groupBy(col("rank"), col("token"), col("exact_count"))
+        .agg(min(col("c")).as("cms_estimate"))
+        .select(col("rank"), col("token"), col("exact_count"),
+          col("cms_estimate"),
+          (col("cms_estimate") - col("exact_count")).as("cms_overestimate"))
+    }),
     "text_top_ngrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val grams = t(s, dir, "documents")
@@ -2731,6 +2781,42 @@ object TextAnalysis extends OpModule {
          |  md5(coalesce(k.clean, '')) AS clean_fp
          |FROM tk t LEFT JOIN kept k USING (doc_id)""".stripMargin
     },
+    // mirrors text_heavy_hitters_cms: the deterministic md5-bucketed
+    // 4×256 sketch re-derived cell by cell, probed for the exact top-20
+    "text_heavy_hitters_cms" ->
+      """WITH tl AS (
+        |  SELECT regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+        |  FROM documents),
+        |tok AS (SELECT unnest(t) AS tok FROM tl),
+        |fpt AS (SELECT tok,
+        |          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS fp
+        |        FROM tok),
+        |c AS (SELECT fp, count(*) AS exact_count FROM fpt GROUP BY 1),
+        |win AS (
+        |  SELECT fp, exact_count,
+        |    row_number() OVER (ORDER BY exact_count DESC, fp ASC) AS rank
+        |  FROM c ORDER BY exact_count DESC, fp ASC LIMIT 20),
+        |tx AS (SELECT f.fp, min(f.tok) AS token
+        |       FROM fpt f JOIN win USING (fp) GROUP BY 1),
+        |cells AS (
+        |  SELECT j.j,
+        |    ('0x' || substring(md5(tok || '_c' || j.j), 1, 15))::BIGINT
+        |      % 256 AS b,
+        |    count(*) AS c
+        |  FROM tok, (SELECT unnest(generate_series(0, 3)) AS j) j
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT w.rank, t.token, w.exact_count, j.j,
+        |    ('0x' || substring(md5(t.token || '_c' || j.j), 1, 15))::BIGINT
+        |      % 256 AS b
+        |  FROM win w JOIN tx t USING (fp),
+        |       (SELECT unnest(generate_series(0, 3)) AS j) j)
+        |SELECT p.rank, p.token, p.exact_count,
+        |  min(ce.c) AS cms_estimate,
+        |  min(ce.c) - p.exact_count AS cms_overestimate
+        |FROM probes p JOIN cells ce ON ce.j = p.j AND ce.b = p.b
+        |GROUP BY 1, 2, 3""".stripMargin,
     "text_top_ngrams" ->
       """WITH g AS (
         |  SELECT lang, gram,
