@@ -1109,6 +1109,43 @@ object Similarity extends OpModule {
         .filter(col("qrank") <= K * 4)
         .select(col("query_id"), col("neighbor_id"))
       rescoreTopK(s, dir, cand)
+    }),
+    // IVF + PQ — the last cell of the FAISS index matrix (IndexIVFPQ in
+    // its by_residual=false flavor: the coarse quantizer PRUNES lists,
+    // the product quantizer COMPRESSES what the surviving scan reads —
+    // 8 B of codeword ids per vector). Assignment and PQ encoding ride
+    // the same narrow pass (three 1-row broadcasts: centroids, scale,
+    // codebook); ADC ranks only pairs inside probed lists; the top-4K
+    // rescore exactly via the id-only join. All-integer up to one
+    // division, so every cut is bit-exact under the oracle.
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val withCodes = pqWithCodes(s, dir)
+      val cb = pqInitCbs(withCodes)
+      val encDf = withCodes.join(broadcast(cb), lit(true))
+        .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
+        .select(col("vec_id"), col("cbs"), col("enc"),
+          expr(pqReconN2Expr).as("rn2"))
+        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      val q = withCodes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+          expr(n2Expr).as("n2q"))
+      val probeQ = probes.select(col("query_id"), col("probe"))
+        .join(q, "query_id")
+      val scored = encDf
+        .select(col("vec_id").as("neighbor_id"), col("cluster"),
+          col("cbs"), col("enc"), col("rn2"))
+        .join(broadcast(probeQ), col("cluster") === col("probe") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(pqAdcExpr).as("qsim"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("neighbor_id").asc)
+      val cand = scored.withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= K * 4)
+        .select(col("query_id"), col("neighbor_id"))
+      rescoreTopK(s, dir, cand)
     }))
 
   /** DuckDB mirror of `ivf(16, _)`'s centroid assignment — the argmax is
@@ -1343,6 +1380,19 @@ object Similarity extends OpModule {
     // mirrors queriesSq: same double quantization arithmetic, same exact
     // integer prefilter, same cosine rescoring of the top-4K candidates
     "sim_sq_ann" -> oraSqAnnFull,
+    // mirrors sim_ivfpq_ann: the IVF assignment + probes CTEs prepended
+    // and the shared PQ ANN body's ADC constrained to probed lists
+    "sim_ivfpq_ann" ->
+      s"""WITH $oraIvfAssign,
+         |probes AS (SELECT vec_id AS query_id, cent_id AS probe FROM ranked
+         |           WHERE vec_id < 8 AND crank <= 4),
+         |$oraPqCodes,
+         |cb AS (SELECT vec_id AS k, dim, c FROM codes
+         |       WHERE vec_id < $PqK),
+         |${oraPqAnnBodyWith(
+        "JOIN assigned av ON av.vec_id = e.vec_id\n" +
+          "  JOIN probes p ON p.probe = av.cluster " +
+          "AND p.query_id = qc.vec_id")}""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1923,8 +1973,12 @@ object Similarity extends OpModule {
 
   /** The shared ANN tail over a codebook relation `cb(k, dim, c)`:
     * encode → reconstruction norms → ADC → top-4K → exact rescore.
-    * Mirror of [[pqAnnBody]]. */
-  private val oraPqAnnBody: String =
+    * Mirror of [[pqAnnBody]]. `adcJoins` lets the IVF+PQ composition
+    * constrain the ADC pair space to probed inverted lists (extra JOIN
+    * clauses against `assigned`/`probes`); empty for flat PQ. */
+  private val oraPqAnnBody: String = oraPqAnnBodyWith("")
+
+  private def oraPqAnnBodyWith(adcJoins: String): String =
     s"""dists AS (
        |  SELECT v.vec_id, b.k, v.dim // $PqD AS j,
        |    CAST(sum(CAST(v.c - b.c AS BIGINT) * (v.c - b.c)) AS BIGINT)
@@ -1952,6 +2006,7 @@ object Similarity extends OpModule {
        |  FROM enc e
        |  JOIN cb b ON b.k = e.k AND b.dim // $PqD = e.j
        |  JOIN codes qc ON qc.dim = b.dim
+       |  $adcJoins
        |  WHERE qc.vec_id < 8 AND qc.vec_id <> e.vec_id
        |  GROUP BY 1, 2),
        |qsims AS (
