@@ -335,40 +335,9 @@ object TextAnalysis extends OpModule {
     // guarantee (estimate ≥ exact, overestimate bounded by collisions)
     // surfaces as an explicit column and is pinned in CmsSpec.
     "text_heavy_hitters_cms" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = t(s, dir, "documents")
         .select(explode(Text.bpeishTokens(col("text"))).as("tok"))
-      val withFp = toks.select(col("tok"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10)
-          .cast("long").as("fp"))
-      val counts = withFp.groupBy(col("fp"))
-        .agg(count(lit(1)).as("exact_count"))
-      val w = Window.orderBy(col("exact_count").desc, col("fp").asc)
-      val winners = counts
-        .orderBy(col("exact_count").desc, col("fp").asc).limit(20)
-        .withColumn("rank", row_number().over(w))
-      val texts = withFp.join(broadcast(winners.select(col("fp"))), Seq("fp"))
-        .groupBy(col("fp")).agg(min(col("tok")).as("token"))
-      val cells = toks
-        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
-        .select(col("j"),
-          (conv(substring(md5(concat(col("tok"), lit("_c"),
-            col("j").cast("string"))), 1, 15), 16, 10)
-            .cast("long") % 256).as("b"))
-        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
-      val probes = winners.join(texts, Seq("fp"))
-        .select(col("rank"), col("token"), col("exact_count"),
-          explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("b",
-          conv(substring(md5(concat(col("token"), lit("_c"),
-            col("j").cast("string"))), 1, 15), 16, 10)
-            .cast("long") % 256)
-      probes.join(broadcast(cells), Seq("j", "b"))
-        .groupBy(col("rank"), col("token"), col("exact_count"))
-        .agg(min(col("c")).as("cms_estimate"))
-        .select(col("rank"), col("token"), col("exact_count"),
-          col("cms_estimate"),
-          (col("cms_estimate") - col("exact_count")).as("cms_overestimate"))
+      cmsReport(cmsCellsOf(toks), cmsExactOf(toks))
     }),
     "text_top_ngrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2525,6 +2494,60 @@ object TextAnalysis extends OpModule {
        |       ELSE 'test' END AS split
        |FROM (SELECT *, ${oraHashBucket("spl|")} AS b FROM d) d
        |WHERE d.fp NOT IN (SELECT fp FROM bench)""".stripMargin
+
+  /** CMS bucket for token `tokCol` in sketch row `j` — deterministic
+    * md5 arithmetic (the oracle device), 256 buckets per row. */
+  private def cmsBucket(tokCol: org.apache.spark.sql.Column,
+      j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(tokCol, lit("_c"), j.cast("string"))),
+      1, 15), 16, 10).cast("long") % 256
+
+  /** The 4×256 CMS cell relation (j, b, c) of a token stream — the
+    * MERGEABLE sketch state: cell-wise ADDITIVE, so per-batch
+    * contributions sum to the whole-corpus sketch (the streaming tier's
+    * contract). Map-side combine collapses each task to ≤1024 rows. */
+  private[graft] def cmsCellsOf(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("j"), cmsBucket(col("tok"), col("j")).as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Exact per-token counts keyed by the 8-byte fp (fp, exact_count,
+    * token) — the verification twin's state, also additive per batch
+    * (counts sum, min(token) is min-mergeable; partial aggregation
+    * moves one short string per fp per task, never per occurrence). */
+  private[graft] def cmsExactOf(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.select(col("tok"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("exact_count"),
+        min(col("tok")).as("token"))
+
+  /** The heavy-hitter report over a cell sketch + exact counts: exact
+    * top-20 (TakeOrderedAndProject, fp tie-break), each winner's CMS
+    * estimate = min over its 4 probed cells (broadcast join against the
+    * ≤1024-row sketch). Shared verbatim by the batch query and the
+    * streaming store reader, so stream ≡ batch is structural. */
+  private[graft] def cmsReport(cells: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("exact_count").desc, col("fp").asc)
+    val winners = exact
+      .orderBy(col("exact_count").desc, col("fp").asc).limit(20)
+      .withColumn("rank", row_number().over(w))
+    val probes = winners
+      .select(col("rank"), col("token"), col("exact_count"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("b", cmsBucket(col("token"), col("j")))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("rank"), col("token"), col("exact_count"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("rank"), col("token"), col("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("cms_overestimate"))
+  }
 
   /** Shared CTE chain for the BPE oracles: the bpeish token stream
     * (d/e0/t0) plus 3 count→pick→greedy-rewrite rounds (s/w/g/h/i/j/t/o

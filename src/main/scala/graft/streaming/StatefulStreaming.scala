@@ -920,6 +920,54 @@ object StatefulStreaming {
     graft.operators.TextAnalysis.bm25TopK(post, dfr, stats, k)
   }
 
+  /** Streaming CMS MAINTENANCE — the `text_heavy_hitters_cms` twin of
+    * [[bm25IngestBatch]]: each micro-batch writes its OWN 4×256-cell
+    * sketch contribution plus its exact per-fp count contribution under
+    * the per-`__batch=N` Overwrite discipline. A CMS is mergeable by
+    * plain cell-wise addition (so is the exact twin: counts sum,
+    * min(token) is min-mergeable), so summing contributions equals the
+    * whole-corpus sketch exactly — O(batch) work per trigger, bounded
+    * contribution size (≤1024 cells + the batch's vocabulary), replay
+    * after a failed commit rewrites the same dirs.
+    */
+  def cmsIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    import graft.core.Barrier.BarrierOps
+    val toks = batch
+      .select(explode(graft.functions.Text.bpeishTokens(col("text")))
+        .as("tok"))
+      .barrier() // read by the cell sketch AND the exact-count twin
+    graft.operators.TextAnalysis.cmsCellsOf(toks)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__cells/__batch=$batchId")
+    graft.operators.TextAnalysis.cmsExactOf(toks)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__counts/__batch=$batchId")
+  }
+
+  /** Heavy-hitter report off the maintained CMS store: cells and exact
+    * counts are sums of the per-batch contributions, and the report
+    * tail is the SAME `TextAnalysis.cmsReport` the batch query runs —
+    * after any ingest sequence over a corpus, the result is
+    * row-identical to `text_heavy_hitters_cms` on that corpus (pinned
+    * in StreamingSpec, incl. replay).
+    */
+  def cmsHeavyHittersFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cellSchema = StructType(Seq(StructField("j", IntegerType),
+      StructField("b", LongType), StructField("c", LongType)))
+    val cntSchema = StructType(Seq(StructField("fp", LongType),
+      StructField("exact_count", LongType),
+      StructField("token", StringType)))
+    val cells = storeRead(spark, s"$storeDir/__cells", cellSchema)
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    val exact = storeRead(spark, s"$storeDir/__counts", cntSchema)
+      .groupBy(col("fp")).agg(sum(col("exact_count")).as("exact_count"),
+        min(col("token")).as("token"))
+    graft.operators.TextAnalysis.cmsReport(cells, exact)
+  }
+
   /** Schema-pinned read of every `__batch=*` contribution under `root`;
     * a NEVER-INGESTED store (no dirs at all) is an empty relation, not a
     * PATH_NOT_FOUND error — searching/scoring before the first ingest is

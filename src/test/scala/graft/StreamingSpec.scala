@@ -1288,6 +1288,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CMS store: stream-maintained sketch ≡ batch heavy hitters, " +
+      "replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("cmsstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      // three hash-split batches — frequency counting is order-free, the
+      // per-batch contributions must sum to the corpus sketch regardless
+      val batches = (0 until 3).map(i =>
+        docs.filter(pmod(hash(col("doc_id")), lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.cmsIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq.sortBy(_._1)
+      val streamed = rows(
+        StatefulStreaming.cmsHeavyHittersFrom(spark, store))
+      val batchTwin = rows(graft.operators.TextAnalysis
+        .queries("text_heavy_hitters_cms")(spark, sfDir))
+      assert(streamed === batchTwin,
+        s"stream-maintained sketch drifted:\n$streamed\nvs\n$batchTwin")
+      // replay the middle batch after later commits
+      StatefulStreaming.cmsIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      assert(rows(StatefulStreaming.cmsHeavyHittersFrom(spark, store))
+        === batchTwin, "replay must not change the sketch")
+      // querying a never-ingested store is a clean empty result
+      val empty = java.nio.file.Files.createTempDirectory("cmsnever")
+        .toString
+      assert(StatefulStreaming.cmsHeavyHittersFrom(spark, empty)
+        .count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("K8 streaming SCD2: intervals close across micro-batch " +
       "boundaries; stream ≡ batch; replay idempotent") {
     import org.apache.spark.sql.functions._
