@@ -1119,34 +1119,58 @@ object Similarity extends OpModule {
     // rescore exactly via the id-only join. All-integer up to one
     // division, so every cut is bit-exact under the oracle.
     "sim_ivfpq_ann" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val (assigned, probes) = ivf(s, dir, 16, 4)
       val withCodes = pqWithCodes(s, dir)
-      val cb = pqInitCbs(withCodes)
-      val encDf = withCodes.join(broadcast(cb), lit(true))
-        .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
-        .select(col("vec_id"), col("cbs"), col("enc"),
-          expr(pqReconN2Expr).as("rn2"))
-        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
-      val q = withCodes.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
-          expr(n2Expr).as("n2q"))
-      val probeQ = probes.select(col("query_id"), col("probe"))
-        .join(q, "query_id")
-      val scored = encDf
-        .select(col("vec_id").as("neighbor_id"), col("cluster"),
-          col("cbs"), col("enc"), col("rn2"))
-        .join(broadcast(probeQ), col("cluster") === col("probe") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          expr(pqAdcExpr).as("qsim"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("qsim").desc, col("neighbor_id").asc)
-      val cand = scored.withColumn("qrank", row_number().over(wq))
-        .filter(col("qrank") <= K * 4)
-        .select(col("query_id"), col("neighbor_id"))
-      rescoreTopK(s, dir, cand)
+      ivfPqBody(s, dir, assigned, probes, withCodes, pqInitCbs(withCodes))
+    }),
+    // IVF+PQ with BOTH stages trained — the full published IndexIVFPQ
+    // training recipe: the coarse quantizer's centroids come from the
+    // 2-round Lloyd ladder (ivfTrained, as sim_ivf_ann_trained) and the
+    // product codebooks from the per-subspace Lloyd ladder (pqTrainCbs,
+    // as sim_pq_ann_trained); the ANN body is byte-identical to
+    // sim_ivfpq_ann. The oracle chains BOTH training ladders as CTEs —
+    // every assignment, mean, rounding and cut is hash-exact.
+    "sim_ivfpq_ann_trained" -> ((s, dir) => {
+      val (assigned, probes) = ivfTrained(s, dir, 16, 4, 2)
+      val withCodes = pqWithCodes(s, dir)
+      ivfPqBody(s, dir, assigned, probes, withCodes,
+        pqTrainCbs(withCodes, 2))
     }))
+
+  /** The shared IVF+PQ ANN tail: PQ-encode the corpus against codebook
+    * `cb`, ADC-rank inside probed inverted lists only, exact-rescore the
+    * top-4K. `assigned`/`probes` come from either the first-C or the
+    * trained coarse quantizer. */
+  private def ivfPqBody(s: org.apache.spark.sql.SparkSession, dir: String,
+      assigned: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame,
+      withCodes: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val encDf = withCodes.join(broadcast(cb), lit(true))
+      .select(col("vec_id"), col("cbs"), expr(pqEncExpr).as("enc"))
+      .select(col("vec_id"), col("cbs"), col("enc"),
+        expr(pqReconN2Expr).as("rn2"))
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    val q = withCodes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        expr(n2Expr).as("n2q"))
+    val probeQ = probes.select(col("query_id"), col("probe"))
+      .join(q, "query_id")
+    val scored = encDf
+      .select(col("vec_id").as("neighbor_id"), col("cluster"),
+        col("cbs"), col("enc"), col("rn2"))
+      .join(broadcast(probeQ), col("cluster") === col("probe") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(pqAdcExpr).as("qsim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= K * 4)
+      .select(col("query_id"), col("neighbor_id"))
+    rescoreTopK(s, dir, cand)
+  }
 
   /** DuckDB mirror of `ivf(16, _)`'s centroid assignment — the argmax is
     * re-expressed as row_number(csim DESC, cent_id ASC) = 1, semantically
@@ -1380,6 +1404,22 @@ object Similarity extends OpModule {
     // mirrors queriesSq: same double quantization arithmetic, same exact
     // integer prefilter, same cosine rescoring of the top-4K candidates
     "sim_sq_ann" -> oraSqAnnFull,
+    // mirrors sim_ivfpq_ann_trained: BOTH training ladders chained — the
+    // coarse quantizer's 2-round Lloyd (oraKmeansChain → af) and the PQ
+    // per-subspace Lloyd (oraPqTrainLadder → cb2) — feeding the shared
+    // probed-list-constrained ANN body
+    "sim_ivfpq_ann_trained" ->
+      s"""WITH $oraKmeansChain,
+         |assigned AS (SELECT vec_id, cid AS cluster FROM af WHERE rk = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS probe FROM af
+         |           WHERE vec_id < 8 AND rk <= 4),
+         |$oraPqCodes,
+         |${oraPqTrainLadder(2)}
+         |cb AS (SELECT k, dim, c FROM cb2),
+         |${oraPqAnnBodyWith(
+        "JOIN assigned av ON av.vec_id = e.vec_id\n" +
+          "  JOIN probes p ON p.probe = av.cluster " +
+          "AND p.query_id = qc.vec_id")}""".stripMargin,
     // mirrors sim_ivfpq_ann: the IVF assignment + probes CTEs prepended
     // and the shared PQ ANN body's ADC constrained to probed lists
     "sim_ivfpq_ann" ->
