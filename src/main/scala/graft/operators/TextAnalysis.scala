@@ -177,6 +177,69 @@ object TextAnalysis extends OpModule {
             .unionByName(qcFixture.toDF("doc_id", "text")))
         .select(col("doc_id"), col("n_feats"), col("score"), col("keep"))
     }),
+    // Threshold sweep for the quality gate — the dedup_threshold_sweep
+    // discipline applied to the classifier: score every doc ONCE
+    // (barrier), then every candidate threshold slices the same scored
+    // relation via a broadcast range join — choosing the gate threshold
+    // without re-running the classifier, with the kept-token budget
+    // impact alongside. NULL scores (featureless docs) fail every
+    // threshold via the same coalesce as the production keep rule.
+    "quality_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val scored = withClassifierScore(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_feats"), col("score"))
+        .barrier() // sliced once per threshold + the total rollup
+      val totals = scored.agg(count(lit(1)).as("n_docs"))
+      val ts = Seq(-500.0, -250.0, -100.0, 0.0, 100.0, 250.0, 500.0)
+        .toDF("threshold")
+      val kept = scored.join(broadcast(ts),
+          coalesce(col("score") >= col("threshold"), lit(false)))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_keep"), sum(col("n_feats")).as("kept_feats"))
+      ts.join(kept, Seq("threshold"), "left")
+        .join(broadcast(totals), lit(true))
+        .select(col("threshold"),
+          coalesce(col("n_keep"), lit(0L)).as("n_keep"),
+          coalesce(col("kept_feats"), lit(0L)).as("kept_feats"),
+          (coalesce(col("n_keep"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("keep_rate"))
+    }),
+    // Deterministic per-epoch shuffle — the loader's "shuffle each epoch
+    // differently" step as a REPRODUCIBLE relation: each (epoch, doc)
+    // gets an md5 shuffle key, and its epoch position is the key's
+    // global rank via the bucketed two-level prefix count (key-range
+    // buckets, a ≤nB-row offset window per epoch, per-bucket parallel
+    // row_number — no unpartitioned window over data; the pack-index
+    // device with count 1 per row). Any worker can materialize any
+    // epoch slice from (epoch, position) alone.
+    "sample_shuffle_epochs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nB = prefixBuckets(s)
+      val q = (1L << 60) / nB + 1L
+      val keyed = t(s, dir, "documents").select(col("doc_id"))
+        .select(explode(sequence(lit(0L), lit(1L))).as("epoch"),
+          col("doc_id"))
+        .select(col("epoch"), col("doc_id"),
+          conv(substring(md5(concat(lit("ep|"),
+            col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("shuffle_key"))
+        .withColumn("bucket", expr(s"shuffle_key div ${q}L"))
+        .barrier() // read by the bucket rollup AND the final ranking
+      val wb = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("prior", coalesce(sum(col("bc")).over(wb), lit(0L)))
+        .select(col("epoch"), col("bucket"), col("prior"))
+      keyed.join(broadcast(offsets), Seq("epoch", "bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("epoch"), col("bucket"))
+            .orderBy(col("shuffle_key"), col("doc_id"))))
+        .select(col("epoch"), col("doc_id"), col("shuffle_key"),
+          (col("prior") + col("rn") - 1).as("position"))
+    }),
     "text_langid" -> ((s, dir) => {
       import s.implicits._
       // CJK fixture rows (labeled zh) exercise the zh tier under the
@@ -2717,6 +2780,38 @@ object TextAnalysis extends OpModule {
         |  coalesce(score >= 0.0, false) AS keep
         |FROM sc""".stripMargin
     },
+    // mirrors quality_threshold_sweep: the shared classifier-score CTEs
+    // sliced per threshold; the same coalesce drops NULL-score docs
+    "quality_threshold_sweep" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |$oraQcScoreCtes,
+         |th AS (SELECT CAST(unnest([-500.0, -250.0, -100.0, 0.0, 100.0,
+         |                           250.0, 500.0]) AS DOUBLE) AS threshold),
+         |k AS (
+         |  SELECT t.threshold, count(*) AS n_keep,
+         |    CAST(sum(sc.n_feats) AS BIGINT) AS kept_feats
+         |  FROM sc, th t
+         |  WHERE coalesce(sc.score >= t.threshold, false)
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM sc)
+         |SELECT t.threshold, coalesce(k.n_keep, 0) AS n_keep,
+         |  coalesce(k.kept_feats, 0) AS kept_feats,
+         |  CAST(coalesce(k.n_keep, 0) AS DOUBLE)
+         |    / (SELECT CAST(n_docs AS DOUBLE) FROM n) AS keep_rate
+         |FROM th t LEFT JOIN k USING (threshold)""".stripMargin,
+    // mirrors sample_shuffle_epochs: the two-level bucketed rank equals
+    // a plain per-epoch row_number over the same (key, doc_id) order
+    "sample_shuffle_epochs" ->
+      """WITH e AS (SELECT unnest(generate_series(0, 1)) AS epoch),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    ('0x' || substring(md5('ep|' || e.epoch || ':' || d.doc_id),
+        |      1, 15))::BIGINT AS shuffle_key
+        |  FROM documents d, e)
+        |SELECT epoch, doc_id, shuffle_key,
+        |  row_number() OVER (PARTITION BY epoch
+        |    ORDER BY shuffle_key, doc_id) - 1 AS position
+        |FROM k""".stripMargin,
     // the HLL estimate is approximate by design; deterministic are the
     // exact counts, the diversity ratio, and the 5% verdict (mirroring
     // approx_uv_hll's oracle discipline)

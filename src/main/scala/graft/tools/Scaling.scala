@@ -39,6 +39,7 @@ object Scaling {
     "text_dsir_weights", "sample_importance_dsir", "sample_curriculum_order",
     "text_bpe_train", "text_bpe_apply", "text_heavy_hitters_cms",
     "sim_ivfpq_ann", "sim_ivfpq_ann_trained",
+    "quality_threshold_sweep", "sample_shuffle_epochs",
     "sim_knn_graph", "text_bm25_topk", "text_bigram_lm", "sim_pagerank",
     "sim_label_prop", "sim_pq_train", "sim_pq_ann_trained",
     "sim_hard_negatives", "sim_dim_stats", "text_collocations",
