@@ -596,7 +596,7 @@ object Similarity extends OpModule {
           count(lit(1)).as("n"))
     }),
     "sim_ivf_ann" -> ((s, dir) => {
-      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
       ivfTopK(assigned, probes)
     }),
     // IVF ANN over TRAINED coarse centroids — the deployment shape
@@ -606,7 +606,7 @@ object Similarity extends OpModule {
     // the trained family next to sim_pq_ann_trained and
     // dedup_semantic_trained.
     "sim_ivf_ann_trained" -> ((s, dir) => {
-      val (assigned, probes) = ivfTrained(s, dir, 16, 4, 2)
+      val (assigned, probes) = ivfTrained(s, dir, ivfC(s), 4, 2)
       ivfTopK(assigned, probes)
     }))
 
@@ -653,6 +653,20 @@ object Similarity extends OpModule {
     * C is a quality/scale knob, not output-invariant: the oracle gate
     * always runs at the default.
     */
+  /** Inverted-list count for the IVF ANN family — the [[semanticC]]
+    * contract: the fixture DEFAULT (16) is what every oracle pins;
+    * `spark.graft.ivfCentroids` lets a scale run supply C ≈ √N so
+    * expected list length stays √N and the probed-list candidate scan
+    * stays output-bounded as the corpus grows. Quality/scale knob (more
+    * lists at fixed nprobe searches a narrower fraction — the standard
+    * IVF recall/speed trade); the oracle gate always runs at the
+    * default. Applies to the ANN serving queries only — the k-means
+    * TRAINING primitives keep their pinned C (their oracles emit
+    * per-(cluster, dim) state, so C is part of their output contract).
+    */
+  private def ivfC(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.ivfCentroids").map(_.toInt).getOrElse(16)
+
   private def semanticC(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.getOption("spark.graft.semanticCentroids").map(_.toInt)
       .getOrElse(16)
@@ -1084,7 +1098,7 @@ object Similarity extends OpModule {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
       val aug = assigned.join(broadcast(sqScale(emb)), lit(true))
         .select(col("vec_id"), col("cluster"), expr(codesExpr).as("codes"))
         .select(col("vec_id"), col("cluster"), col("codes"),
@@ -1119,7 +1133,7 @@ object Similarity extends OpModule {
     // rescore exactly via the id-only join. All-integer up to one
     // division, so every cut is bit-exact under the oracle.
     "sim_ivfpq_ann" -> ((s, dir) => {
-      val (assigned, probes) = ivf(s, dir, 16, 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
       val withCodes = pqWithCodes(s, dir)
       ivfPqBody(s, dir, assigned, probes, withCodes, pqInitCbs(withCodes))
     }),
@@ -1131,7 +1145,7 @@ object Similarity extends OpModule {
     // sim_ivfpq_ann. The oracle chains BOTH training ladders as CTEs —
     // every assignment, mean, rounding and cut is hash-exact.
     "sim_ivfpq_ann_trained" -> ((s, dir) => {
-      val (assigned, probes) = ivfTrained(s, dir, 16, 4, 2)
+      val (assigned, probes) = ivfTrained(s, dir, ivfC(s), 4, 2)
       val withCodes = pqWithCodes(s, dir)
       ivfPqBody(s, dir, assigned, probes, withCodes,
         pqTrainCbs(withCodes, 2))

@@ -227,6 +227,10 @@ object Scaling {
     // occupancy (and so the candidate join) flat as the corpus scales
     sys.env.get("SPARK_GRAFT_KNN_BITS")
       .foreach(spark.conf.set("spark.graft.knnLshBits", _))
+    // IVF inverted-list count: C ≈ √N keeps expected list length √N so
+    // the probed-list scan stays output-bounded (oracle pins default 16)
+    sys.env.get("SPARK_GRAFT_IVF_C")
+      .foreach(spark.conf.set("spark.graft.ivfCentroids", _))
     spark.read.parquet(s"$base/lineitem.parquet").queryExecution.toRdd.count()
 
     factors.foreach { k =>
