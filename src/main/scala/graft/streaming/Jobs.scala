@@ -181,8 +181,9 @@ object Jobs {
     */
   def runScd2HistoryStreaming(spark: SparkSession, changelogDir: String,
       schema: org.apache.spark.sql.types.StructType, storeDir: String,
-      chkDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    spark.readStream.schema(schema)
+      chkDir: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changelogDir)
       .writeStream
@@ -194,7 +195,10 @@ object Jobs {
         ()
       }
       .option("checkpointLocation", chkDir)
-      .start()
+    (if (availableNow)
+      writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
   }
 
   /** End-to-end streaming soak of the reference DAG — the jobs CHAINED
@@ -331,6 +335,15 @@ object Jobs {
       .option("checkpointLocation", s"$workDir/_chk_dwd")
       .trigger(Trigger.AvailableNow()).start()
     timed("dwd_split")(q1.awaitTermination())
+
+    // STAGE 1.5 — the DIM layer's versioned dimension: SCD2 history
+    // maintenance off the same events stream (the reference's DIM app
+    // keeps current-state dims; the history tier is its auditable
+    // sibling). One micro-batch per source file, set-semantics merge —
+    // SoakSpec asserts the final store equals the batch k8 window.
+    val qScd2 = runScd2HistoryStreaming(spark, src, events.schema,
+      s"$workDir/scd2_store", s"$workDir/_chk_scd2", availableNow = true)
+    timed("scd2_dim")(qScd2.awaitTermination())
 
     // STAGE 2/3 — a DWS window job over one streamed DWD fact: file
     // stream in, streaming aggregate state across triggers, bucketed

@@ -83,6 +83,20 @@ class SoakSpec extends SparkSpec {
         s"streamed DWD fact $name differs from batch split")
     }
 
+    // STAGE 1.5: the streamed SCD2 dim history ≡ the batch k8 window
+    // over the same events
+    val scd2Got = Sinks.readStore(spark, s"$work/scd2_store")
+      .select("user_id", "version", "event_type", "value",
+        "valid_from", "valid_to", "is_current")
+    val scd2Twin = graft.operators.Relational
+      .queries("k8_scd2_history")(spark, sfDir)
+    assert(scd2Got.exceptAll(scd2Twin).count() === 0 &&
+      scd2Twin.exceptAll(scd2Got).count() === 0,
+      "streamed SCD2 history differs from the batch k8 window")
+    assert(scd2Got.filter(col("is_current")).count() ===
+      scd2Got.select("user_id").distinct().count(),
+      "exactly one current interval per key")
+
     // DWS page-view store ≡ batch aggregate over the batch splitter
     val pageTwin = batchSplits("page")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cur_date"),
