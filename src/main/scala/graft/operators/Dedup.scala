@@ -281,6 +281,86 @@ object Dedup extends OpModule {
           jaccard(col("toks_a"), col("toks_b")).as("jac"))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
+    }),
+    // Cross-source duplicate-flow matrix — the provenance report a
+    // multi-source ingest reads before weighting sources: which source
+    // PAIRS share near-duplicate content, and how intensely. Cells count
+    // verified near-dup pairs (the dedup_minhash_lsh relation) per
+    // canonically-ordered source pair, normalized to parts-per-million of
+    // the POSSIBLE pair count for that cell (n_x·n_y cross, C(n_x,2)
+    // within), so a small source copying half its content reads hotter
+    // than a giant crawl with incidental overlap. The ppm is a truncating
+    // integer DIV — exact in both engines. Scale shape: sources attach to
+    // the THIN pair relation by id join (document text never moves), the
+    // matrix is |sources|²-bounded, and the per-source totals broadcast.
+    "corpus_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      val totals = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val cells = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+      cells
+        .join(broadcast(totals.select(col("source").as("source_x"),
+          col("n_docs").as("nx"))), "source_x")
+        .join(broadcast(totals.select(col("source").as("source_y"),
+          col("n_docs").as("ny"))), "source_y")
+        .select(col("source_x"), col("source_y"), col("n_pairs"),
+          // a same-source cell implies nx >= 2, so the divisor is never 0
+          expr("CASE WHEN source_x = source_y THEN " +
+            "(n_pairs * 1000000) DIV ((nx * (nx - 1)) DIV 2) " +
+            "ELSE (n_pairs * 1000000) DIV (nx * ny) END").as("ppm_possible"))
+    }),
+    // Leakage-free train/val/test split — the assignment an eval pipeline
+    // must use: near-duplicates MUST land on the same side, or val scores
+    // measure memorization of train content. The unit of assignment is
+    // the transitive dup CLUSTER (the dedup_cc label), hashed 80/10/10
+    // with the same stable md5 device as sample_train_split — the split
+    // is a pure function of cluster id, reproducible across reruns and
+    // backfills, and every cluster member inherits one side by
+    // construction (zero cross-split pairs; spec-pinned). Scale: one CC
+    // fixpoint over the thin pair relation + a hash projection — no new
+    // shuffle beyond dedup_cc_clusters itself.
+    "sample_split_leakage_free" -> ((s, dir) => {
+      val bucket = hashBucket("lfs|", col("cluster_id"))
+      ccAllLabels(s, dir).select(col("doc_id"), col("cluster_id"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    }),
+    // The report that justifies the cluster-keyed split: assign the NAIVE
+    // per-doc split (sample_train_split's exact device) to both ends of
+    // every verified near-dup pair and count pairs per split-pair cell.
+    // Off-diagonal cells are LEAKAGE — val/test docs whose near-dup sits
+    // in train, exactly what contamination audits warn about; the
+    // leakage-free split zeroes them by construction. Same thin-relation
+    // shape as corpus_source_overlap.
+    "sample_split_leakage_report" -> ((s, dir) => {
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val bucket = hashBucket("spl|", col("doc_id"))
+      val splits = t(s, dir, "documents").select(col("doc_id"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("pa")),
+          "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("pb")),
+          "doc_b")
+        .select(least(col("pa"), col("pb")).as("split_x"),
+          greatest(col("pa"), col("pb")).as("split_y"))
+        .groupBy(col("split_x"), col("split_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("split_x"), col("split_y"), col("n_pairs"),
+          (col("split_x") =!= col("split_y")).as("is_leakage"))
     }))
 
   /** Banded MinHash signatures of `docs(doc_id, text, ...)`:
@@ -656,7 +736,60 @@ object Dedup extends OpModule {
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,
     "dedup_keep_canonical" ->
       s"""SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id NOT IN (SELECT doc_b FROM ($oraclesMinhash))""".stripMargin)
+         |WHERE d.doc_id NOT IN (SELECT doc_b FROM ($oraclesMinhash))""".stripMargin,
+    // verified pairs → source-pair cells → ppm of the possible pair count
+    // (integer // mirrors Spark's truncating DIV; operands non-negative)
+    "corpus_source_overlap" ->
+      s"""WITH pairs AS ($oraclesMinhash),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM documents GROUP BY 1),
+         |cells AS (
+         |  SELECT least(da.source, db.source) AS source_x,
+         |         greatest(da.source, db.source) AS source_y,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT c.source_x, c.source_y, c.n_pairs,
+         |  CAST(CASE WHEN c.source_x = c.source_y
+         |       THEN (c.n_pairs * 1000000) // ((tx.n * (tx.n - 1)) // 2)
+         |       ELSE (c.n_pairs * 1000000) // (tx.n * ty.n) END
+         |    AS BIGINT) AS ppm_possible
+         |FROM cells c
+         |JOIN tot tx ON tx.source = c.source_x
+         |JOIN tot ty ON ty.source = c.source_y""".stripMargin,
+    // the CC label oracle wrapped in the cluster-keyed md5 split device
+    "sample_split_leakage_free" ->
+      s"""WITH labels AS ($oraclesCc)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        ('0x' || substring(md5('lfs|' || cluster_id::VARCHAR),
+         |           1, 6))::BIGINT % 100 AS b
+         |      FROM labels)""".stripMargin,
+    "sample_split_leakage_report" ->
+      s"""WITH pairs AS ($oraclesMinhash),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ('0x' || substring(md5('spl|' || doc_id::VARCHAR),
+         |             1, 6))::BIGINT % 100 AS b
+         |        FROM documents)),
+         |cells AS (
+         |  SELECT least(sa.split, sb.split) AS split_x,
+         |         greatest(sa.split, sb.split) AS split_y,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs p
+         |  JOIN sp sa ON sa.doc_id = p.doc_a
+         |  JOIN sp sb ON sb.doc_id = p.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT split_x, split_y, n_pairs,
+         |  split_x <> split_y AS is_leakage
+         |FROM cells""".stripMargin)
 
   /** DuckDB mirror of the full minhash-LSH candidate-pair pipeline;
     * shared by dedup_minhash_lsh and dedup_keep_canonical.
@@ -680,6 +813,16 @@ object Dedup extends OpModule {
     * reaching a fixpoint — is a count + except on the tiny edge relation,
     * never a collect, and never an overflow-prone checksum.
     */
+  /** Deterministic percent bucket of an id column: first 6 hex chars of a
+    * salted md5 → BIGINT → mod 100. Bit-identical to the DuckDB inline
+    * `('0x' || substring(md5(...), 1, 6))::BIGINT % 100` in the split
+    * oracles above, and to TextAnalysis's device of the same name (kept
+    * module-local: both are private mirrors of one published trick).
+    */
+  private def hashBucket(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100
+
   private[graft] def ccLabelsFromEdges(pairs: org.apache.spark.sql.DataFrame,
       maxRounds: Int = 30)
       : (org.apache.spark.sql.DataFrame, Int) = {

@@ -44,7 +44,7 @@ object Similarity extends OpModule {
         emb.select(col("vec_id")).count()))
 
   def queries: Map[String, Q] =
-    baseQueries ++ queriesIvf ++ queriesSq ++ queriesKmeans
+    baseQueries ++ queriesIvf ++ queriesSq ++ queriesKmeans ++ queriesPca
 
   private val baseQueries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -1290,7 +1290,192 @@ object Similarity extends OpModule {
        |      FROM af WHERE rk = 1)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- PCA
+
+  /** Mean-centered integer embedding cells (vec_id, dim, c): values are
+    * rounded to milli-units, the per-dim mean is a SIGN-SYMMETRIC
+    * truncating division (CASE sign THEN a DIV n ELSE -((-a) DIV n)), so
+    * Spark's DIV (truncate toward zero) and DuckDB's // (floor) agree on
+    * every operand — the negative-operand extension of the DIV device the
+    * other fixed-point oracles use. Barriered: each power-iteration round
+    * reads it twice.
+    */
+  private[graft] def pcaCells(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cells = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000D) AS BIGINT)").as("xi"))
+    val means = cells.groupBy(col("dim"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        expr("CASE WHEN sx >= 0 THEN sx DIV n ELSE -((-sx) DIV n) END")
+          .as("m"))
+    cells.join(broadcast(means), "dim")
+      .select(col("vec_id"), col("dim"), (col("xi") - col("m")).as("c"))
+      .barrier()
+  }
+
+  /** One exact-integer power-iteration round: t = C·v (per-vector),
+    * infinity-norm rescale to milli-units, w = Cᵀ·t (per-dim), rescale
+    * again. Every rescale is the sign-symmetric DIV by the global
+    * max-abs (a 1-row broadcast), so the whole round is bit-exact under
+    * the oracle AND overflow-safe: |c| ≤ 2·10³ milli, rescaled factors ≤
+    * 10³, so |w| ≤ 2·10⁶·N — the ·1000 rescale multiply stays inside
+    * int64 past N = 10⁹ vectors. Scale shape: two thin joins (a d-row
+    * broadcast, then a vec_id co-shuffle with the N-row t relation) and
+    * two map-side-combinable aggregates (N-cell and d-cell); the
+    * embeddings themselves never re-enter after the cells derivation.
+    */
+  private def pcaRound(cells: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tRel = cells.join(broadcast(v), "dim")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("c") * col("v")).as("t"))
+    val mt = tRel.agg(greatest(max(abs(col("t"))), lit(1L)).as("mt"))
+    val tScaled = tRel.crossJoin(broadcast(mt))
+      .select(col("vec_id"),
+        expr("CASE WHEN t >= 0 THEN (t * 1000) DIV mt " +
+          "ELSE -(((-t) * 1000) DIV mt) END").as("ts"))
+    val w = cells.join(tScaled, "vec_id")
+      .groupBy(col("dim"))
+      .agg(sum(col("c") * col("ts")).as("w"))
+    val mw = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mw"))
+    w.crossJoin(broadcast(mw))
+      .select(col("dim"),
+        expr("CASE WHEN w >= 0 THEN (w * 1000) DIV mw " +
+          "ELSE -(((-w) * 1000) DIV mw) END").as("v"))
+  }
+
+  /** Top principal direction after `rounds` power-iteration rounds, as
+    * (dim, v) in milli-units with max-abs exactly 1000. Each round's
+    * 64-row output is barriered so round r+1 doesn't replay rounds 1..r.
+    * Exposed for the spec's Rayleigh-monotonicity check.
+    */
+  private[graft] def pcaV(s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int, cellsIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = cellsIn.getOrElse(pcaCells(s, dir))
+    val d = t(s, dir, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0) // 1-row probe
+    val v0 = s.range(d).select(col("id").as("dim"), lit(1000L).as("v"))
+    (1 to rounds).foldLeft(v0)((v, _) => pcaRound(cells, v).barrier())
+  }
+
+  private val PcaRounds = 3
+
+  private val queriesPca: Map[String, Q] = Map(
+    // Dimensionality reduction, the missing embedding-pipeline family:
+    // the corpus's top principal direction via 3 power-iteration rounds
+    // in EXACT integer arithmetic (milli-unit cells, sign-symmetric
+    // truncating DIV, infinity-norm rescaling — no sqrt, no float
+    // accumulation), so the DuckDB oracle re-derives the whole ladder
+    // bit-for-bit, the sim_kmeans_train treatment applied to PCA. The
+    // classic use: project onto the leading component(s) to curate (drift
+    // axes, coarse topic axes) or to cheapen downstream ANN.
+    "sim_pca_power" -> ((s, dir) =>
+      pcaV(s, dir, PcaRounds).select(col("dim"), col("v").as("v_milli"))),
+    // Per-vector projection onto the learned direction (micro-units:
+    // milli cells × milli component) — the 1-D curation axis. Thin
+    // shape: one d-row broadcast join + N-cell aggregate; labels attach
+    // by id, embeddings never move.
+    "sim_pca_project" -> ((s, dir) => {
+      val cells = pcaCells(s, dir)
+      val v = pcaV(s, dir, PcaRounds, Some(cells))
+      val proj = cells.join(broadcast(v), "dim")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("c") * col("v")).as("proj_micro"))
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(proj, "vec_id")
+    }),
+    // Variance-explained report — the 1-row decision readout ("is one
+    // axis enough?"): total centered sum-of-squares, the component's
+    // norm², the projection sum-of-squares (projections pre-scaled DIV
+    // 1000 so the squares stay in int64 at 10⁹ vectors), and their IEEE
+    // ratio (one double division at the boundary, same operands both
+    // engines). var_explained ≈ Σproj²/(‖v‖²·Σc²) ∈ (0, 1].
+    "sim_pca_variance" -> ((s, dir) => {
+      val cells = pcaCells(s, dir)
+      val v = pcaV(s, dir, PcaRounds, Some(cells))
+      val tss = cells.agg(sum(col("c") * col("c")).as("total_ss"))
+      val vns = v.agg(sum(col("v") * col("v")).as("v_norm_sq"))
+      val pss = cells.join(broadcast(v), "dim")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("c") * col("v")).as("proj"))
+        .select(expr("CASE WHEN proj >= 0 THEN proj DIV 1000 " +
+          "ELSE -((-proj) DIV 1000) END").as("p"))
+        .agg(sum(col("p") * col("p")).as("proj_ss"))
+      tss.crossJoin(vns).crossJoin(pss)
+        .select(col("total_ss"), col("v_norm_sq"), col("proj_ss"),
+          expr("(CAST(proj_ss AS DOUBLE) * 1000000.0D) / " +
+            "(CAST(v_norm_sq AS DOUBLE) * CAST(total_ss AS DOUBLE))")
+            .as("var_explained"))
+    }))
+
+  /** DuckDB mirror of [[pcaCells]] + [[pcaRound]] × 3: the chained-CTE
+    * ladder device (sim_kmeans_train / sim_pq_train) applied to power
+    * iteration. Sums cast back to BIGINT (DuckDB widens to HUGEINT);
+    * every division is the sign-symmetric // with non-negative operands.
+    */
+  private def oraPcaRound(r: Int): String = {
+    val prev = if (r == 1) "v0" else s"v${r - 1}"
+    s"""t$r AS (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS t
+       |        FROM cen JOIN $prev USING (dim) GROUP BY 1),
+       |mt$r AS (SELECT greatest(max(abs(t)), 1) AS mt FROM t$r),
+       |ts$r AS (SELECT vec_id, CASE WHEN t >= 0 THEN (t * 1000) // mt
+       |                  ELSE -(((-t) * 1000) // mt) END AS ts
+       |         FROM t$r, mt$r),
+       |w$r AS (SELECT dim, CAST(sum(c * ts) AS BIGINT) AS w
+       |        FROM cen JOIN ts$r USING (vec_id) GROUP BY 1),
+       |mw$r AS (SELECT greatest(max(abs(w)), 1) AS mw FROM w$r),
+       |v$r AS (SELECT dim, CASE WHEN w >= 0 THEN (w * 1000) // mw
+       |                 ELSE -(((-w) * 1000) // mw) END AS v
+       |        FROM w$r, mw$r)""".stripMargin
+  }
+
+  private lazy val oraPcaChain: String =
+    s"""cells AS (
+       |  SELECT vec_id, CAST(j - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT) AS xi
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings)),
+       |st AS (SELECT dim, CAST(sum(xi) AS BIGINT) AS sx,
+       |         CAST(count(*) AS BIGINT) AS n
+       |       FROM cells GROUP BY 1),
+       |cen AS (SELECT c.vec_id, c.dim,
+       |          c.xi - (CASE WHEN st.sx >= 0 THEN st.sx // st.n
+       |                       ELSE -((-st.sx) // st.n) END) AS c
+       |        FROM cells c JOIN st ON st.dim = c.dim),
+       |v0 AS (SELECT dim, CAST(1000 AS BIGINT) AS v FROM st),
+       |${(1 to PcaRounds).map(oraPcaRound).mkString(",\n")}""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sim_pca_power" ->
+      s"""WITH $oraPcaChain
+         |SELECT dim, CAST(v AS BIGINT) AS v_milli FROM v$PcaRounds""".stripMargin,
+    "sim_pca_project" ->
+      s"""WITH $oraPcaChain,
+         |pr AS (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS proj_micro
+         |       FROM cen JOIN v$PcaRounds USING (dim) GROUP BY 1)
+         |SELECT e.vec_id, e.label, p.proj_micro
+         |FROM embeddings e JOIN pr p USING (vec_id)""".stripMargin,
+    "sim_pca_variance" ->
+      s"""WITH $oraPcaChain,
+         |tss AS (SELECT CAST(sum(c * c) AS BIGINT) AS total_ss FROM cen),
+         |vns AS (SELECT CAST(sum(v * v) AS BIGINT) AS v_norm_sq
+         |        FROM v$PcaRounds),
+         |pss AS (
+         |  SELECT CAST(sum(p * p) AS BIGINT) AS proj_ss FROM (
+         |    SELECT CASE WHEN proj >= 0 THEN proj // 1000
+         |                ELSE -((-proj) // 1000) END AS p
+         |    FROM (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS proj
+         |          FROM cen JOIN v$PcaRounds USING (dim) GROUP BY 1)))
+         |SELECT t.total_ss, v.v_norm_sq, p.proj_ss,
+         |  (CAST(p.proj_ss AS DOUBLE) * 1000000.0) /
+         |    (CAST(v.v_norm_sq AS DOUBLE) * CAST(t.total_ss AS DOUBLE))
+         |    AS var_explained
+         |FROM tss t, vns v, pss p""".stripMargin,
     "sim_kmeans_train" -> oraKmeansTrain,
     // trained-assignment twin of the dedup_semantic oracle: the SAME
     // keep-first dedup, blocked by the cents2 (2-round-Lloyd) assignment

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the eval-hygiene split family: `sample_split_leakage_free` must
+  * put every verified near-dup pair on ONE side (the property that makes
+  * val scores honest), and the two matrix reports must conserve the pair
+  * relation they summarize.
+  */
+class LeakageSplitSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val pairCount = q("dedup_minhash_lsh").count()
+
+  test("leakage-free split: zero verified pairs straddle a split boundary") {
+    val splits = q("sample_split_leakage_free")
+      .select(col("doc_id"), col("split"))
+    val straddling = q("dedup_minhash_lsh")
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("pa")),
+        "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("pb")),
+        "doc_b")
+      .filter(col("pa") =!= col("pb"))
+    assert(straddling.isEmpty,
+      "cluster-keyed assignment means both ends of every near-dup pair " +
+        "hash to the same side — any straddler breaks eval hygiene")
+    assert(pairCount > 0,
+      "fixture must actually contain near-dup pairs or the test is vacuous")
+  }
+
+  test("leakage-free split covers every document exactly once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val s = q("sample_split_leakage_free")
+    assert(s.count() === docs)
+    assert(s.select(col("doc_id")).distinct().count() === docs)
+    assert(s.filter(!col("split").isin("train", "val", "test")).isEmpty)
+  }
+
+  test("naive-split leakage report conserves the pair relation") {
+    val rep = q("sample_split_leakage_report").collect()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum === pairCount,
+      "every verified pair lands in exactly one split-pair cell")
+    rep.foreach { r =>
+      assert(r.getAs[Boolean]("is_leakage") ===
+        (r.getAs[String]("split_x") != r.getAs[String]("split_y")))
+    }
+  }
+
+  test("source-overlap matrix conserves pairs; ppm within bounds") {
+    val rep = q("corpus_source_overlap").collect()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum === pairCount)
+    rep.foreach { r =>
+      val ppm = r.getAs[Long]("ppm_possible")
+      assert(ppm >= 0L && ppm <= 1000000L,
+        s"ppm of the possible pair count must be a fraction; got $ppm")
+      assert(r.getAs[String]("source_x") <= r.getAs[String]("source_y"),
+        "cells must be canonically ordered so both triangles collapse")
+    }
+  }
+}
