@@ -534,7 +534,7 @@ object Similarity extends OpModule {
     * argmax cosine with cent_id ASC tie-break, identical to
     * row_number(csim DESC, cid ASC) = 1. Shared by ivf and ivfsq.
     */
-  private val simsExpr = "transform(cents, c -> struct(" +
+  private[graft] val simsExpr = "transform(cents, c -> struct(" +
     "cosine_sim(embedding, c.cv) AS csim, -c.cid AS negid, c.cid AS cid))"
 
   private[graft] def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -1300,12 +1300,19 @@ object Similarity extends OpModule {
     * other fixed-point oracles use. Barriered: each power-iteration round
     * reads it twice.
     */
-  private[graft] def pcaCells(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val cells = t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+  /** Raw (uncentered) milli-unit integer cells of a (vec_id, embedding)
+    * relation — shared by [[pcaCells]] and the streaming sufficient-stats
+    * tier (StatefulStreaming.pcaStatsIngestBatch), so both paths quantize
+    * identically. */
+  private[graft] def rawMilliCells(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         expr("CAST(round(CAST(x AS DOUBLE) * 1000D) AS BIGINT)").as("xi"))
+
+  private[graft] def pcaCells(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cells = rawMilliCells(t(s, dir, "embeddings"))
     val means = cells.groupBy(col("dim"))
       .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
       .select(col("dim"),
@@ -1388,6 +1395,55 @@ object Similarity extends OpModule {
       t(s, dir, "embeddings").select(col("vec_id"), col("label"))
         .join(proj, "vec_id")
     }),
+    // Top-2 components via DEFLATION — the published method for the next
+    // component: subtract each cell's projection onto v₁ (a per-cell
+    // integer (proj·v₁ⱼ) DIV ‖v₁‖², sign-symmetric, so the deflated
+    // relation is exact and oracle-mirrorable), then run the same 3
+    // power-iteration rounds on the deflated cells. v₂ lands in the
+    // hyperplane ⊥ v₁ up to milli-unit truncation (near-orthogonality
+    // pinned in PcaSpec). Same thin shapes: the deflation pass is one
+    // vec_id co-shuffle (proj attach) + two broadcasts, then rounds as
+    // before. Output: (comp, dim, v_milli), 2·d rows.
+    "sim_pca_top2" -> ((s, dir) => {
+      val cells = pcaCells(s, dir)
+      val v1 = pcaV(s, dir, PcaRounds, Some(cells))
+      val vns = v1.agg(sum(col("v") * col("v")).as("vns"))
+      val proj = cells.join(broadcast(v1), "dim")
+        .groupBy(col("vec_id")).agg(sum(col("c") * col("v")).as("proj"))
+      val cells2 = cells
+        .join(proj, "vec_id")
+        .join(broadcast(v1.select(col("dim"), col("v").as("v1"))), "dim")
+        .crossJoin(broadcast(vns))
+        .select(col("vec_id"), col("dim"),
+          expr("c - (CASE WHEN proj * v1 >= 0 THEN (proj * v1) DIV vns " +
+            "ELSE -((-(proj * v1)) DIV vns) END)").as("c"))
+        .barrier()
+      val v2 = pcaV(s, dir, PcaRounds, Some(cells2))
+      v1.select(lit(1L).as("comp"), col("dim"), col("v").as("v_milli"))
+        .unionByName(v2.select(lit(2L).as("comp"), col("dim"),
+          col("v").as("v_milli")))
+    }),
+    // The centered d×d Gram matrix — PCA's MERGEABLE SUFFICIENT
+    // STATISTIC, and the 100 TB state story: raw Gram + per-dim sums are
+    // plain additive integers, so per-batch contributions sum to the
+    // corpus value exactly (the streaming tier maintains them; see
+    // StatefulStreaming.pcaStatsIngestBatch), and the centered matrix
+    // Gc = G_raw − m·sxᵀ − sx·mᵀ + n·m·mᵀ (truncated integer means) is
+    // BIT-IDENTICAL to Σ c·cᵀ over the centered cells — an algebraic
+    // identity because m is a per-dim constant. Batch shape: the one
+    // inherent d²-flow (cells self-join on vec_id, both sides one
+    // ReusedExchange) collapsing map-side into d² cells; output O(d²),
+    // corpus-size-independent.
+    "sim_pca_gram" -> ((s, dir) => {
+      val cells = pcaCells(s, dir)
+      val a = cells.select(col("vec_id"), col("dim").as("dim_a"),
+        col("c").as("ca"))
+      val b = cells.select(col("vec_id"), col("dim").as("dim_b"),
+        col("c").as("cb"))
+      a.join(b, "vec_id")
+        .groupBy(col("dim_a"), col("dim_b"))
+        .agg(sum(col("ca") * col("cb")).as("g"))
+    }),
     // Variance-explained report — the 1-row decision readout ("is one
     // axis enough?"): total centered sum-of-squares, the component's
     // norm², the projection sum-of-squares (projections pre-scaled DIV
@@ -1417,40 +1473,79 @@ object Similarity extends OpModule {
     * iteration. Sums cast back to BIGINT (DuckDB widens to HUGEINT);
     * every division is the sign-symmetric // with non-negative operands.
     */
-  private def oraPcaRound(r: Int): String = {
-    val prev = if (r == 1) "v0" else s"v${r - 1}"
-    s"""t$r AS (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS t
-       |        FROM cen JOIN $prev USING (dim) GROUP BY 1),
+  private def oraPcaRound(r: Int, src: String = "cen",
+      prev0: String = null): String = {
+    val prev = if (prev0 != null) prev0 else s"v${r - 1}"
+    s"""t$r AS MATERIALIZED (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS t
+       |        FROM $src JOIN $prev USING (dim) GROUP BY 1),
        |mt$r AS (SELECT greatest(max(abs(t)), 1) AS mt FROM t$r),
-       |ts$r AS (SELECT vec_id, CASE WHEN t >= 0 THEN (t * 1000) // mt
+       |ts$r AS MATERIALIZED (SELECT vec_id, CASE WHEN t >= 0 THEN (t * 1000) // mt
        |                  ELSE -(((-t) * 1000) // mt) END AS ts
        |         FROM t$r, mt$r),
-       |w$r AS (SELECT dim, CAST(sum(c * ts) AS BIGINT) AS w
-       |        FROM cen JOIN ts$r USING (vec_id) GROUP BY 1),
+       |w$r AS MATERIALIZED (SELECT dim, CAST(sum(c * ts) AS BIGINT) AS w
+       |        FROM $src JOIN ts$r USING (vec_id) GROUP BY 1),
        |mw$r AS (SELECT greatest(max(abs(w)), 1) AS mw FROM w$r),
-       |v$r AS (SELECT dim, CASE WHEN w >= 0 THEN (w * 1000) // mw
+       |v$r AS MATERIALIZED (SELECT dim, CASE WHEN w >= 0 THEN (w * 1000) // mw
        |                 ELSE -(((-w) * 1000) // mw) END AS v
        |        FROM w$r, mw$r)""".stripMargin
   }
 
-  private lazy val oraPcaChain: String =
-    s"""cells AS (
+  /** The cells → stats → centered-cells prefix (no iteration rounds) —
+    * shared with the Gram oracle. */
+  private lazy val oraPcaBase: String =
+    s"""cells AS MATERIALIZED (
        |  SELECT vec_id, CAST(j - 1 AS BIGINT) AS dim,
        |    CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT) AS xi
        |  FROM (SELECT vec_id, embedding,
        |          unnest(generate_series(1, len(embedding))) AS j
        |        FROM embeddings)),
-       |st AS (SELECT dim, CAST(sum(xi) AS BIGINT) AS sx,
+       |st AS MATERIALIZED (SELECT dim, CAST(sum(xi) AS BIGINT) AS sx,
        |         CAST(count(*) AS BIGINT) AS n
        |       FROM cells GROUP BY 1),
-       |cen AS (SELECT c.vec_id, c.dim,
+       |cen AS MATERIALIZED (SELECT c.vec_id, c.dim,
        |          c.xi - (CASE WHEN st.sx >= 0 THEN st.sx // st.n
        |                       ELSE -((-st.sx) // st.n) END) AS c
        |        FROM cells c JOIN st ON st.dim = c.dim),
-       |v0 AS (SELECT dim, CAST(1000 AS BIGINT) AS v FROM st),
-       |${(1 to PcaRounds).map(oraPcaRound).mkString(",\n")}""".stripMargin
+       |v0 AS MATERIALIZED (SELECT dim, CAST(1000 AS BIGINT) AS v FROM st)""".stripMargin
+
+  private lazy val oraPcaChain: String =
+    s"""$oraPcaBase,
+       |${(1 to PcaRounds).map(r => oraPcaRound(r)).mkString(",\n")}""".stripMargin
+
+  /** v₁ chain + integer deflation + a second 3-round ladder on the
+    * deflated cells (rounds 4–6 restart from the all-1000 v0). */
+  private lazy val oraPcaTop2Chain: String =
+    s"""$oraPcaChain,
+       |vns AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS vns
+       |        FROM v$PcaRounds),
+       |prj AS MATERIALIZED (SELECT vec_id, CAST(sum(c * v) AS BIGINT) AS proj
+       |        FROM cen JOIN v$PcaRounds USING (dim) GROUP BY 1),
+       |cen2 AS MATERIALIZED (
+       |  SELECT c.vec_id, c.dim,
+       |    c.c - (CASE WHEN p.proj * v.v >= 0
+       |               THEN (p.proj * v.v) // n.vns
+       |               ELSE -((-(p.proj * v.v)) // n.vns) END) AS c
+       |  FROM cen c
+       |  JOIN prj p USING (vec_id)
+       |  JOIN v$PcaRounds v USING (dim), vns n),
+       |${oraPcaRound(PcaRounds + 1, "cen2", "v0")},
+       |${oraPcaRound(PcaRounds + 2, "cen2")},
+       |${oraPcaRound(PcaRounds + 3, "cen2")}""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "sim_pca_gram" ->
+      s"""WITH $oraPcaBase
+         |SELECT a.dim AS dim_a, b.dim AS dim_b,
+         |  CAST(sum(a.c * b.c) AS BIGINT) AS g
+         |FROM cen a JOIN cen b USING (vec_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "sim_pca_top2" ->
+      s"""WITH $oraPcaTop2Chain
+         |SELECT CAST(1 AS BIGINT) AS comp, dim, CAST(v AS BIGINT) AS v_milli
+         |FROM v$PcaRounds
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), dim, CAST(v AS BIGINT)
+         |FROM v${2 * PcaRounds}""".stripMargin,
     "sim_pca_power" ->
       s"""WITH $oraPcaChain
          |SELECT dim, CAST(v AS BIGINT) AS v_milli FROM v$PcaRounds""".stripMargin,

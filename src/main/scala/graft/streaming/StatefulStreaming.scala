@@ -968,6 +968,169 @@ object StatefulStreaming {
     graft.operators.TextAnalysis.cmsReport(cells, exact)
   }
 
+  /** Streaming IVF INDEX MAINTENANCE — the FAISS train-then-add contract
+    * as the `sim_ivf_ann` twin of [[bm25IngestBatch]]: the coarse
+    * quantizer is the centroid prefix (vec_id < C, the exact set the
+    * batch query uses), which must be COMPLETE in the store before any
+    * add (require'd loudly — the deployment reality: quantizers are
+    * trained/frozen before serving); each micro-batch then assigns its
+    * OWN vectors against the frozen quantizer (the same shuffle-free
+    * 1-row-broadcast argmax plan as the batch query) and appends its
+    * inverted-list contribution under the per-`__batch=N` Overwrite
+    * discipline — O(batch) work regardless of index size, replay after a
+    * failed commit rewrites the same dir. Returns the batch's list
+    * contribution.
+    */
+  def ivfIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
+      c: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    batch.filter(col("vec_id") < c)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__cents/__batch=$batchId")
+    val cents = ivfCentsFrom(spark, storeDir)
+    val nCents = cents.count()
+    require(nCents == c,
+      s"IVF adds need the full $c-centroid quantizer in the store " +
+        s"(have $nCents) — train-then-add: the centroid prefix must " +
+        "arrive with the first batch")
+    val assigned = graft.operators.Similarity.assignTo(
+      batch.select(col("vec_id"), col("embedding")),
+      cents.select(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cv")))
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/lists/__batch=$batchId")
+    assigned
+  }
+
+  private def ivfCentsFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    storeRead(spark, s"$storeDir/__cents", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  /** Query the maintained IVF index: probes rank the frozen quantizer's
+    * centroids for each stored query vector (same `simsExpr` argmax as
+    * the batch plan), candidates come off the probed inverted lists
+    * only — never the whole index — and the scoring tail is the SAME
+    * `Similarity.ivfTopK` the batch query runs. After any ingest
+    * sequence over a corpus, results are row-identical to `sim_ivf_ann`
+    * on that corpus (pinned in StreamingSpec, incl. replay).
+    */
+  def ivfSearchFrom(spark: SparkSession, storeDir: String,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.plans.GraftFunctions.register(spark)
+    val assigned = storeRead(spark, s"$storeDir/lists", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cluster", IntegerType))))
+    val centArr = ivfCentsFrom(spark, storeDir)
+      .agg(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cv"))).as("cents"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(centArr), lit(true))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(expr("transform(slice(reverse(array_sort(" +
+          graft.operators.Similarity.simsExpr + s")), 1, $nProbe), " +
+          "p -> p.cid)")).as("probe"))
+    graft.operators.Similarity.ivfTopK(assigned, probes)
+  }
+
+  /** Streaming PCA SUFFICIENT-STATISTICS maintenance — the covariance
+    * analog of the additive-index tiers: PCA's whole state is (raw Gram
+    * G = Σ x·xᵀ, per-dim sums, count), all PLAIN ADDITIVE INTEGERS, so
+    * each micro-batch contributes a d²-cell Gram + d-row sums delta —
+    * O(d²) per trigger REGARDLESS of batch or corpus size, the textbook
+    * mergeable-statistic shape — and summing contributions equals the
+    * corpus recompute exactly. Per-`__batch=N` Overwrite = replay
+    * idempotent. Centered Gram then derives algebraically (see
+    * [[pcaGramFrom]]) bit-identically to the batch `sim_pca_gram`.
+    */
+  def pcaStatsIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    import graft.core.Barrier.BarrierOps
+    val cells = graft.operators.Similarity.rawMilliCells(
+      batch.select(col("vec_id"), col("embedding")))
+      .barrier() // read by the Gram self-join (×2) AND the sums rollup
+    val a = cells.select(col("vec_id"), col("dim").as("dim_a"),
+      col("xi").as("xa"))
+    val b = cells.select(col("vec_id"), col("dim").as("dim_b"),
+      col("xi").as("xb"))
+    a.join(b, "vec_id")
+      .groupBy(col("dim_a"), col("dim_b"))
+      .agg(sum(col("xa") * col("xb")).as("g_raw"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__gram/__batch=$batchId")
+    cells.groupBy(col("dim"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__sums/__batch=$batchId")
+  }
+
+  /** Centered Gram off the maintained store: contributions sum, means
+    * are the batch query's sign-symmetric truncated DIV, and centering
+    * is the algebraic identity Gc = G_raw − m·sxᵀ − sx·mᵀ + n·m·mᵀ —
+    * EXACTLY Σ c·cᵀ over truncated-centered cells (m is a per-dim
+    * constant), so after any ingest sequence the result is
+    * row-identical to `sim_pca_gram` on that corpus (pinned in
+    * StreamingSpec, incl. replay). O(d²) rows; never touches vectors.
+    */
+  def pcaGramFrom(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val gram = storeRead(spark, s"$storeDir/__gram", StructType(Seq(
+      StructField("dim_a", LongType), StructField("dim_b", LongType),
+      StructField("g_raw", LongType))))
+      .groupBy(col("dim_a"), col("dim_b"))
+      .agg(sum(col("g_raw")).as("g_raw"))
+    val sums = storeRead(spark, s"$storeDir/__sums", StructType(Seq(
+      StructField("dim", LongType), StructField("sx", LongType),
+      StructField("n", LongType))))
+      .groupBy(col("dim"))
+      .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n"))
+    val m = sums.select(col("dim"), col("sx"), col("n"),
+      expr("CASE WHEN sx >= 0 THEN sx DIV n ELSE -((-sx) DIV n) END")
+        .as("m"))
+    gram
+      .join(broadcast(m.select(col("dim").as("dim_a"),
+        col("sx").as("sxa"), col("m").as("ma"), col("n"))), "dim_a")
+      .join(broadcast(m.select(col("dim").as("dim_b"),
+        col("sx").as("sxb"), col("m").as("mb"))), "dim_b")
+      .select(col("dim_a"), col("dim_b"),
+        (col("g_raw") - col("ma") * col("sxb") - col("mb") * col("sxa")
+          + col("n") * col("ma") * col("mb")).as("g"))
+  }
+
+  /** Power iteration directly on a (dim_a, dim_b, g) Gram relation —
+    * the d²-sized tail that turns the maintained statistic into a
+    * component WITHOUT revisiting the corpus: w = Gc·v with the same
+    * sign-symmetric infinity-norm rescale as the batch ladder. Safe in
+    * int64 to N ≈ 3·10⁷ vectors at d = 64 (|w·1000| ≤ d·max|Gc|·10⁶);
+    * past that, pre-scale g (one DIV — the direction is scale-free).
+    */
+  def pcaPowerFromGram(gram: DataFrame, rounds: Int = 3): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val g = gram.barrier() // read once per round
+    var v = g.select(col("dim_a").as("dim")).distinct()
+      .select(col("dim"), lit(1000L).as("v"))
+    (1 to rounds).foreach { _ =>
+      val w = g.join(broadcast(v.select(col("dim").as("dim_b"), col("v"))),
+          "dim_b")
+        .groupBy(col("dim_a")).agg(sum(col("g") * col("v")).as("w"))
+      val mw = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("dim_a").as("dim"),
+          expr("CASE WHEN w >= 0 THEN (w * 1000) DIV mw " +
+            "ELSE -(((-w) * 1000) DIV mw) END").as("v"))
+        .barrier()
+    }
+    v
+  }
+
   /** Schema-pinned read of every `__batch=*` contribution under `root`;
     * a NEVER-INGESTED store (no dirs at all) is an empty relation, not a
     * PATH_NOT_FOUND error — searching/scoring before the first ingest is

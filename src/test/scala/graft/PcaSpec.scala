@@ -57,6 +57,26 @@ class PcaSpec extends SparkSpec {
         s"round-1 direction ($p1/$n1) — power iteration must not regress")
   }
 
+  test("deflation: second component is near-orthogonal to the first") {
+    val both = graft.SparkEntry.queries("sim_pca_top2")(spark, sfDir)
+      .collect()
+    val v1 = both.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val v2 = both.filter(_.getLong(0) == 2L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(v1.size === 64 && v2.size === 64)
+    assert(v2.values.map(math.abs).max === 1000L,
+      "the second ladder shares the infinity-norm rescale contract")
+    val dot = v1.keys.map(d => v1(d) * v2(d)).sum.toDouble
+    val n1 = math.sqrt(v1.values.map(v => v * v).sum.toDouble)
+    val n2 = math.sqrt(v2.values.map(v => v * v).sum.toDouble)
+    val cos = math.abs(dot / (n1 * n2))
+    assert(cos < 0.2,
+      s"deflation removes the v1 span up to milli truncation, so the " +
+        s"second direction must be near-orthogonal; |cos| = $cos")
+    assert(v1 !== v2, "deflation must not reproduce the first component")
+  }
+
   test("variance report: var_explained in (1/64, 1]") {
     val r = graft.SparkEntry.queries("sim_pca_variance")(spark, sfDir)
       .collect()(0)

@@ -636,6 +636,101 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("IVF ingest: stream-maintained index answers exactly like the " +
+      "batch query, replay-idempotent; adds before train refuse loudly") {
+    val store = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    try {
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        emb.filter(org.apache.spark.sql.functions.col("vec_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      // train-then-add: an add WITHOUT the centroid prefix must refuse
+      val bad = java.nio.file.Files.createTempDirectory("ivfbad").toString
+      intercept[IllegalArgumentException] {
+        StatefulStreaming.ivfIngestBatch(batches(2), bad, 0L)
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.ivfIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val streamed = top(StatefulStreaming.ivfSearchFrom(spark, store))
+      val batchTwin = top(graft.operators.Similarity
+        .queries("sim_ivf_ann")(spark, sfDir))
+      assert(streamed === batchTwin,
+        "stream-maintained inverted lists must answer row-identically " +
+          "to sim_ivf_ann over the same corpus")
+      // replay of the middle batch after later commits: Overwrite per
+      // __batch dir + fixed quantizer → identical lists, search unchanged
+      StatefulStreaming.ivfIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      val replayed = top(StatefulStreaming.ivfSearchFrom(spark, store))
+      assert(replayed === batchTwin, "replay must not change the index")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
+  test("PCA stats ingest: streamed sufficient statistics reproduce the " +
+      "batch Gram bit-for-bit, replay-idempotent; from-Gram component " +
+      "aligns with the batch ladder") {
+    val store = java.nio.file.Files.createTempDirectory("pcastore").toString
+    try {
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        emb.filter(org.apache.spark.sql.functions.col("vec_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.pcaStatsIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def cellsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val streamed = cellsOf(StatefulStreaming.pcaGramFrom(spark, store))
+      val batchG = cellsOf(graft.operators.Similarity
+        .queries("sim_pca_gram")(spark, sfDir))
+      assert(streamed === batchG,
+        "additive G_raw/sums + algebraic centering must equal the " +
+          "batch centered Gram EXACTLY — both are integer identities")
+      StatefulStreaming.pcaStatsIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      assert(cellsOf(StatefulStreaming.pcaGramFrom(spark, store)) === batchG,
+        "replay must not change the statistics")
+      // the d²-sized tail, exact contract: the SAME arithmetic over the
+      // streamed store and over the batch query's Gram must agree
+      // bit-for-bit (equal inputs were just proven, so this pins the
+      // tail's determinism end-to-end through the store)
+      def vecOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vg = vecOf(StatefulStreaming
+        .pcaPowerFromGram(StatefulStreaming.pcaGramFrom(spark, store)))
+      val vb = vecOf(StatefulStreaming.pcaPowerFromGram(
+        graft.operators.Similarity.queries("sim_pca_gram")(spark, sfDir)))
+      assert(vg === vb,
+        "from-Gram component must be identical on streamed vs batch Gram")
+      // directional sanity vs the batch cells-route ladder: one Gc
+      // application per round either way, but the cells route rescales
+      // the INTERMEDIATE t relation, so at 3 rounds on the tiny fixture
+      // the two partially-converged vectors agree in direction, not bits
+      val vp = vecOf(graft.operators.Similarity
+        .queries("sim_pca_power")(spark, sfDir))
+      val dot = vg.keys.map(d => vg(d) * vp(d)).sum.toDouble
+      val cos = math.abs(dot /
+        (math.sqrt(vg.values.map(v => v * v).sum.toDouble) *
+          math.sqrt(vp.values.map(v => v * v).sum.toDouble)))
+      assert(cos > 0.9,
+        s"Gram-route and cells-route power iteration must agree on the " +
+          s"leading direction; |cos| = $cos")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("BM25/bigram-LM stores: querying before the first ingest is a " +
       "clean empty result, not an error") {
     val empty = java.nio.file.Files.createTempDirectory("neverstore")
