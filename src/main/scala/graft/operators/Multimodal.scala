@@ -244,6 +244,67 @@ object Multimodal extends OpModule {
         .select(col("doc_id"),
           coalesce(col("m_lbl"), col("rep")).as("cluster_id"))
     }),
+    // Scene-cut detection over the decoded frame sequence — the temporal
+    // video op (shot segmentation for frame-dedup / clip extraction):
+    // consecutive DECODED frame values compare through one lag window
+    // PARTITIONED by doc (bounded by the per-doc frame count — never a
+    // global window), boundaries with |Δgray| ≥ 64 flag as cuts. The
+    // synthetic fill steps by 7 mod 256, so real cuts are exactly the
+    // wraparound boundaries — data-dependent, not vacuous. The oracle
+    // re-derives every frame value analytically; only a genuine
+    // multi-frame decode makes the Spark side agree. Narrow decode +
+    // one per-doc window — the 100 TB shape for per-asset sequences.
+    "mm_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"), col("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
+              .map { case ((_, _, px), i) => (r.doc_id, i.toLong, px) }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "px")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames.withColumn("prev_px", lag(col("px"), 1).over(w))
+        .filter(col("prev_px").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          abs(col("px") - col("prev_px")).as("delta"),
+          (abs(col("px") - col("prev_px")) >= 64).as("is_cut"))
+    }),
+    // Voice-activity detection over the DECODED PCM stream — the
+    // windowed-energy segmentation every audio-curation pass runs before
+    // transcription: 64-sample windows, integer mean-abs energy (one
+    // truncating DIV — bit-exact in the oracle), gate at 64 (the
+    // uniform-fill expectation, so windows flip by phase — the output
+    // is data-dependent in both directions). The samples come off a real
+    // JDK AudioSystem read (sign-normalized: WAV stores 8-bit unsigned),
+    // while the oracle re-derives each sample from the row alone — the
+    // gate passes only if the full PCM payload round-trips the codec.
+    // Narrow decode + map-side-combinable per-(doc, window) aggregate.
+    "mm_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"), col("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val pcm = decodeWavSamples(synthWav(r.doc_id, r.payload))
+            pcm.grouped(64).zipWithIndex.map { case (wnd, wi) =>
+              (r.doc_id, wi.toLong, wnd.length,
+                wnd.map(v => math.abs(v.toLong)).sum)
+            }
+          }
+        }
+        .toDF("doc_id", "win_idx", "n_samples", "sum_abs")
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          expr("sum_abs DIV n_samples").as("mean_abs"),
+          (expr("sum_abs DIV n_samples") >= 64).as("is_voiced"))
+    }),
     // audio modality, same contract as decode: a real WAV round-trips
     // through the JDK codec and the reported frame count / rate / channel
     // / duration columns come from the DECODED header, while the oracle
@@ -269,27 +330,80 @@ object Multimodal extends OpModule {
     * sibling of [[synthPng]].
     */
   def synthWav(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    // hand-rolled RIFF container, byte-identical to what the JDK
+    // WaveFileWriter produced (8-bit WAV stores samples UNSIGNED, i.e.
+    // signed ^ 0x80): `AudioSystem.write` serializes every call through
+    // the provider registry — measured 20k rows in 4.5 s single-thread
+    // and 3.3 s on THIRTY-TWO (1.4× from 32×: pure lock convoy), which
+    // made every audio op super-linear in the scale sweep. The fixture
+    // is synthesis, not the codec under test — DECODE stays on the real
+    // JDK reader, which still parses this container for real.
     val n = 500 + textBytes.length % 1000
-    val pcm = new Array[Byte](n)
+    val out = new Array[Byte](44 + n)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000); bb.putShort(1); bb.putShort(8)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n)
     var i = 0
-    while (i < n) { pcm(i) = ((docId + i * 7) % 256 - 128).toByte; i += 1 }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (i < n) {
+      val v = ((docId + i * 7) % 256 - 128).toByte // the signed sample
+      bb.put((v ^ 0x80).toByte)                    // WAV's unsigned form
+      i += 1
+    }
+    out
   }
+
+  /** The JDK WAV codec, resolved ONCE through the public SPI instead of
+    * per-call through `AudioSystem`'s synchronized registry (the same
+    * lock convoy as the writer — see [[synthWav]]). Same decoder class
+    * the registry would pick; the codec-proving contract is unchanged.
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try { r.getAudioInputStream(new ByteArrayInputStream(
+        synthWav(0L, Array.emptyByteArray))); found = r }
+      catch { case _: Exception => }
+    }
+    require(found != null, "no JDK AudioFileReader accepts WAV")
+    found
+  }
+
+  private def wavStream(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream =
+    wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
 
   /** REAL audio decode (JDK `AudioSystem`): WAV bytes in →
     * (sampleRate, frameLength, channels) out.
     */
   def decodeWav(bytes: Array[Byte]): (Int, Long, Int) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val ais = wavStream(bytes)
     val f = ais.getFormat
     (f.getSampleRate.toInt, ais.getFrameLength, f.getChannels)
+  }
+
+  /** REAL PCM payload decode: the full signed-8-bit sample stream off a
+    * JDK `AudioSystem` read. WAV stores 8-bit audio UNSIGNED (the JDK
+    * writer converts on encode), so samples normalize back to the signed
+    * values the fixture rendered — checked via the DECODED stream's
+    * encoding, not assumed.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Byte] = {
+    val ais = wavStream(bytes)
+    val unsigned = ais.getFormat.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = ais.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+    val raw = out.toByteArray
+    if (unsigned) raw.map(b => ((b & 0xff) - 128).toByte) else raw
   }
 
   /** 8x8 grid-sample average-hash of a decoded image: sample pixel
@@ -521,6 +635,46 @@ object Multimodal extends OpModule {
          |  CASE WHEN m.mn IS NULL OR d.doc_id < m.mn THEN d.doc_id
          |       ELSE m.mn END AS cluster_id
          |FROM documents d LEFT JOIN minr m ON m.doc_id = d.doc_id""".stripMargin,
+    // per-frame gray re-derived analytically (the mm_frame_sample
+    // formula), the lag comparison in plain SQL — a cut exists exactly
+    // where the +7 fill wraps mod 256
+    "mm_scene_cuts" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.frame_idx,
+        |    CAST(((doc_id * 31 + f.frame_idx * 7) % 256 + 256) % 256
+        |      AS INT) AS px
+        |  FROM documents,
+        |    UNNEST(generate_series(0, ((doc_id % 4) + 4) % 4))
+        |      AS f(frame_idx))
+        |SELECT doc_id, frame_idx, CAST(abs(px - prev_px) AS INT) AS delta,
+        |  abs(px - prev_px) >= 64 AS is_cut
+        |FROM (SELECT doc_id, frame_idx, px,
+        |        lag(px) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |          AS prev_px
+        |      FROM fr)
+        |WHERE prev_px IS NOT NULL""".stripMargin,
+    // every sample re-derived from the fixture formula (non-negative
+    // parquet doc_ids keep the Java remainder in [0, 255], so the signed
+    // value is (x % 256) - 128 exactly); windowed integer mean-abs with
+    // one truncating // mirroring Spark's DIV
+    "mm_audio_vad" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, i.i AS i,
+        |    abs(((doc_id + i.i * 7) % 256) - 128) AS a
+        |  FROM base, UNNEST(generate_series(0, n - 1)) AS i(i)),
+        |wins AS (
+        |  SELECT doc_id, i // 64 AS win_idx,
+        |    CAST(count(*) AS INT) AS n_samples,
+        |    CAST(sum(a) AS BIGINT) AS sum_abs
+        |  FROM smp GROUP BY 1, 2)
+        |SELECT doc_id, win_idx, n_samples,
+        |  CAST(sum_abs // n_samples AS BIGINT) AS mean_abs,
+        |  sum_abs // n_samples >= 64 AS is_voiced
+        |FROM wins""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id, 8000 AS sample_rate,
         |  CAST(500 + octet_length(encode(text)) % 1000 AS BIGINT) AS n_frames,

@@ -1347,6 +1347,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._3 === 0L), "exact pairs must exist")
   }
 
+  test("scene cuts / audio VAD: decoded-sequence analysis fires in both " +
+      "directions and matches a driver recompute") {
+    // scene cuts: non-cut boundaries step by exactly 7; cuts are the
+    // mod-256 wraparounds (|Δ| = 249) — both classes must exist
+    val cuts = graft.operators.Multimodal
+      .queries("mm_scene_cuts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(cuts.nonEmpty)
+    cuts.foreach { case (_, _, d, isCut) =>
+      assert(d == 7 || d == 249, s"fill steps by 7 mod 256; delta $d")
+      assert(isCut === (d >= 64))
+    }
+    assert(cuts.exists(_._4) && cuts.exists(!_._4),
+      "both cut and non-cut boundaries must exist or the gate is vacuous")
+    // VAD: recompute one doc's windows from the fixture formula
+    val vad = graft.operators.Multimodal
+      .queries("mm_audio_vad")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(vad.values.exists(_._3) && vad.values.exists(!_._3),
+      "both voiced and unvoiced windows must exist")
+    val docId = vad.keys.head._1
+    val text = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .select("text").collect()(0).getString(0)
+    val n = 500 + text.getBytes("UTF-8").length % 1000
+    val samples = (0 until n).map(i => math.abs((docId + i * 7) % 256 - 128))
+    samples.grouped(64).zipWithIndex.foreach { case (wnd, wi) =>
+      val (ns, ma, voiced) = vad((docId, wi.toLong))
+      assert(ns === wnd.length)
+      assert(ma === wnd.map(_.toLong).sum / wnd.length)
+      assert(voiced === (ma >= 64))
+    }
+  }
+
   test("phash clusters: labels equal a driver union-find over the " +
       "near-dup pairs") {
     val got = graft.operators.Multimodal
