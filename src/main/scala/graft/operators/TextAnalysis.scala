@@ -1480,7 +1480,107 @@ object TextAnalysis extends OpModule {
         when(bucket < 80, lit("train"))
           .when(bucket < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
+    }),
+    // WordPiece greedy longest-match-first segmentation — the published
+    // tokenizer-INFERENCE sibling of text_bpe_apply (BERT's MaxMatch):
+    // a frequency-ranked subword inventory (top-512 substrings of length
+    // ≤ 6, corpus-occurrence-weighted, plus every observed single char —
+    // the fallback that guarantees per-round progress), then each word
+    // segments by repeatedly taking the LONGEST inventory piece at the
+    // cursor. The whole loop runs over DISTINCT WORDS (vocab-sized —
+    // the corpus never enters the iteration), each round one broadcast
+    // join + a per-word top-1 (a substring at fixed (pos, len) is
+    // unique, so the longest match is deterministic with no tiebreak).
+    // Early-exits when every word is finished; the fixed-32-round oracle
+    // is identical because finished rows pass through unchanged. All
+    // arithmetic integer; `done` marks >32-piece words deterministically
+    // in both engines instead of refusing.
+    "text_wordpiece_segment" -> ((s, dir) =>
+      wordpieceSegments(s, dir)
+        .select(col("word"), col("np").as("n_pieces"), col("seg"),
+          (col("pos") > col("len")).as("done"))),
+    // The fertility report every tokenizer eval publishes: per-doc word
+    // and subword counts under the learned inventory. Docs join the
+    // DISTINCT-word segmentation by word — the corpus pays one explode +
+    // one thin join, never the segmentation loop.
+    "text_wordpiece_counts" -> ((s, dir) => {
+      val seg = wordpieceSegments(s, dir).select(col("word"), col("np"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
+        .join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_subwords"))
     }))
+
+  /** WordPiece machinery: inventory derivation + the greedy segmentation
+    * fixpoint over the distinct-word relation. Returns the final state
+    * (word, len, pos, np, seg) after ≤32 rounds. Mirrored CTE-for-CTE by
+    * `oraWordpieceChain`.
+    */
+  private[graft] def wordpieceSegments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = wordpieceWords(s, dir)
+      .barrier() // read by the gram inventory AND the loop's s0
+    val vocab = wordpieceVocab(words).barrier() // read every round
+    var state = words.select(col("word"), col("len"),
+      lit(1L).as("pos"), lit(0L).as("np"), lit("").as("seg")).barrier()
+    var round = 0
+    var active = true
+    while (active && round < WordpieceRounds) {
+      val done = state.filter(col("pos") > col("len"))
+      val undone = state.filter(col("pos") <= col("len"))
+      val w = Window.partitionBy(col("word")).orderBy(col("plen").desc)
+      val stepped = undone.join(broadcast(vocab),
+          expr("substring(word, CAST(pos AS INT), CAST(plen AS INT)) = piece"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("word"), col("len"),
+          (col("pos") + col("plen")).as("pos"),
+          (col("np") + 1).as("np"),
+          when(col("seg") === "", col("piece"))
+            .otherwise(concat(col("seg"), lit("|"), col("piece"))).as("seg"))
+      state = done.unionByName(stepped).barrier()
+      round += 1
+      active = !state.filter(col("pos") <= col("len")).isEmpty
+    }
+    state
+  }
+
+  /** The WordPiece inventory off a (word, wf, len) distinct-word
+    * relation: top-512 substrings (len ≤ 6) by corpus-occurrence weight
+    * (freq DESC, piece ASC tie-break) plus every observed single char —
+    * the progress-guaranteeing fallback. Exposed for the spec's true
+    * greedy-walk recompute. */
+  private[graft] def wordpieceVocab(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val grams = words
+      .select(col("word"), col("wf"), col("len"),
+        explode(sequence(lit(1L), col("len"))).as("pos"))
+      .select(col("word"), col("wf"), col("len"), col("pos"),
+        explode(sequence(lit(1L), lit(6L))).as("plen"))
+      .filter(col("pos") + col("plen") - 1 <= col("len"))
+      .select(expr("substring(word, CAST(pos AS INT), CAST(plen AS INT))")
+        .as("piece"), col("wf"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
+      .barrier() // read by the top-512 cut AND the single-char floor
+    val top = grams.orderBy(col("freq").desc, col("piece").asc).limit(512)
+    top
+      .unionByName(grams.filter(length(col("piece")) === 1))
+      .distinct() // chars already in the top cut collapse
+      .select(col("piece"), length(col("piece")).cast("long").as("plen"))
+  }
+
+  /** The distinct-word relation the WordPiece family iterates over. */
+  private[graft] def wordpieceWords(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Text.tokenize(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .withColumn("len", length(col("word")).cast("long"))
+
+  private val WordpieceRounds = 32
 
   /** BM25 query-term literals — one rare discriminative term (`dup`,
     * df ≈ 5% of docs by the generator's vocabulary) plus two common ones,
@@ -3768,5 +3868,69 @@ object TextAnalysis extends OpModule {
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, source, ${oraHashBucket("spl|")} AS b
-         |      FROM documents)""".stripMargin)
+         |      FROM documents)""".stripMargin,
+    "text_wordpiece_segment" ->
+      s"""WITH $oraWordpieceChain
+         |SELECT word, np AS n_pieces, seg, pos > len AS done
+         |FROM s$WordpieceRounds""".stripMargin,
+    "text_wordpiece_counts" ->
+      s"""WITH $oraWordpieceChain,
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s.np) AS BIGINT) AS n_subwords
+         |FROM tok t JOIN s$WordpieceRounds s USING (word)
+         |GROUP BY 1""".stripMargin)
+
+  /** One greedy round: finished rows pass through; active rows take the
+    * longest inventory piece at the cursor (unique per length, so the
+    * row_number cut has no ambiguity). Mirrors the Spark loop body. */
+  private def oraWordpieceRound(r: Int): String =
+    s"""s$r AS MATERIALIZED (
+       |  SELECT word, len, pos, np, seg FROM s${r - 1} WHERE pos > len
+       |  UNION ALL
+       |  SELECT word, len, pos + plen AS pos, np + 1 AS np,
+       |    CASE WHEN seg = '' THEN piece
+       |         ELSE seg || '|' || piece END AS seg
+       |  FROM (SELECT s.word, s.len, s.pos, s.np, s.seg, v.piece, v.plen,
+       |          row_number() OVER (PARTITION BY s.word
+       |            ORDER BY v.plen DESC) AS rn
+       |        FROM s${r - 1} s JOIN vocab v
+       |          ON substr(s.word, CAST(s.pos AS INT),
+       |               CAST(v.plen AS INT)) = v.piece
+       |        WHERE s.pos <= s.len)
+       |  WHERE rn = 1)""".stripMargin
+
+  private lazy val oraWordpieceChain: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wf,
+       |    CAST(length(word) AS BIGINT) AS len
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'),
+       |          x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |grams AS MATERIALIZED (
+       |  SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
+       |    CAST(sum(wf) AS BIGINT) AS freq
+       |  FROM w0,
+       |    unnest(generate_series(1, len)) AS p(pos),
+       |    unnest(generate_series(1, 6)) AS q(plen)
+       |  WHERE pos + plen - 1 <= len
+       |  GROUP BY 1),
+       |topg AS (SELECT piece, freq FROM grams
+       |         ORDER BY freq DESC, piece ASC LIMIT 512),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS BIGINT) AS plen FROM (
+       |    SELECT piece, freq FROM topg
+       |    UNION
+       |    SELECT piece, freq FROM grams WHERE length(piece) = 1)),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, len, CAST(1 AS BIGINT) AS pos,
+       |    CAST(0 AS BIGINT) AS np, '' AS seg
+       |  FROM w0),
+       |${(1 to WordpieceRounds).map(oraWordpieceRound).mkString(",\n")}""".stripMargin
 }

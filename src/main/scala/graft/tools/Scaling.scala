@@ -49,6 +49,7 @@ object Scaling {
     "pipeline_routed_corpus", "a1_slide_uu", "sim_recall_report_quantized", "text_oov_rate", "mm_phash_neardup", "mm_phash_clusters", "sim_ivf_ann_trained", "q_expectations_report", "sim_matryoshka_recall", "dedup_threshold_sweep", "k8_scd2_history", "q_running_total",
     "sim_pca_power", "sim_pca_project", "sim_pca_variance", "sim_pca_top2",
     "sim_pca_gram", "mm_scene_cuts", "mm_audio_vad",
+    "text_wordpiece_segment", "text_wordpiece_counts",
     "corpus_source_overlap", "sample_split_leakage_free",
     "sample_split_leakage_report")
 

@@ -1383,6 +1383,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece: segmentation reconstructs every word, greedy " +
+      "longest-match verified against a driver recompute") {
+    val seg = graft.operators.TextAnalysis
+      .queries("text_wordpiece_segment")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(seg.nonEmpty)
+    seg.foreach { case (word, np, s, done) =>
+      assert(done, s"fixture words must all finish within the round cap")
+      assert(s.split('|').mkString("") === word,
+        s"pieces must concatenate back to the word: $word vs $s")
+      assert(np === s.split('|').length.toLong)
+    }
+    assert(seg.exists(_._2 >= 2), "multi-piece words must exist")
+    assert(seg.exists(_._2 === 1L), "whole-word vocabulary hits must exist")
+    // greedy longest-match: collect the TRUE inventory and walk each
+    // word taking the longest matching piece — must match exactly
+    val vocab = graft.operators.TextAnalysis
+      .wordpieceVocab(graft.operators.TextAnalysis
+        .wordpieceWords(spark, sfDir))
+      .collect().map(_.getString(0)).toSet
+    seg.foreach { case (word, _, s, _) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var p = 0
+      while (p < word.length) {
+        val l = (math.min(6, word.length - p) to 1 by -1)
+          .find(k => vocab.contains(word.substring(p, p + k)))
+        assert(l.isDefined, "single-char floor guarantees a match")
+        out += word.substring(p, p + l.get); p += l.get
+      }
+      assert(out.mkString("|") === s,
+        s"greedy walk diverged for $word: ${out.mkString("|")} vs $s")
+    }
+    // fertility rollup conserves the corpus token count
+    val counts = graft.operators.TextAnalysis
+      .queries("text_wordpiece_counts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTok = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.tokenize(
+          org.apache.spark.sql.functions.col("text")))).count()
+    assert(counts.map(_._2).sum === nTok)
+    counts.foreach { case (_, t, sub) => assert(sub >= t) }
+  }
+
   test("phash clusters: labels equal a driver union-find over the " +
       "near-dup pairs") {
     val got = graft.operators.Multimodal
