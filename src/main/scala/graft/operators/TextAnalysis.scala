@@ -1519,10 +1519,20 @@ object TextAnalysis extends OpModule {
     */
   private[graft] def wordpieceSegments(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = wordpieceWords(s, dir)
       .barrier() // read by the gram inventory AND the loop's s0
-    val vocab = wordpieceVocab(words).barrier() // read every round
+    wordpieceLoop(words, wordpieceVocab(words).barrier())
+  }
+
+  /** The greedy loop over a (word, len, ...) relation and a (piece, plen)
+    * inventory — shared verbatim by the batch query and the streaming
+    * inventory-maintenance tier, so store-derived and batch-derived
+    * segmentations can only differ if their INPUTS differ. */
+  private[graft] def wordpieceLoop(words: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Barrier.BarrierOps
     var state = words.select(col("word"), col("len"),
       lit(1L).as("pos"), lit(0L).as("np"), lit("").as("seg")).barrier()
     var round = 0
@@ -1555,7 +1565,16 @@ object TextAnalysis extends OpModule {
   private[graft] def wordpieceVocab(words: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.core.Barrier.BarrierOps
-    val grams = words
+    wordpieceVocabFromGrams(wordpieceGrams(words)
+      .barrier()) // read by the top-512 cut AND the single-char floor
+  }
+
+  /** (piece, freq) gram weights of a (word, wf, len) relation — LINEAR
+    * in wf, which is what makes the inventory streaming-maintainable:
+    * per-batch contributions sum to the corpus value exactly. */
+  private[graft] def wordpieceGrams(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    words
       .select(col("word"), col("wf"), col("len"),
         explode(sequence(lit(1L), col("len"))).as("pos"))
       .select(col("word"), col("wf"), col("len"), col("pos"),
@@ -1564,7 +1583,12 @@ object TextAnalysis extends OpModule {
       .select(expr("substring(word, CAST(pos AS INT), CAST(plen AS INT))")
         .as("piece"), col("wf"))
       .groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
-      .barrier() // read by the top-512 cut AND the single-char floor
+
+  /** The top-512 + single-char-floor cut over a (piece, freq) relation
+    * (callers barrier the input — it feeds both branches). */
+  private[graft] def wordpieceVocabFromGrams(
+      grams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val top = grams.orderBy(col("freq").desc, col("piece").asc).limit(512)
     top
       .unionByName(grams.filter(length(col("piece")) === 1))

@@ -1131,6 +1131,56 @@ object StatefulStreaming {
     v
   }
 
+  /** Streaming WordPiece INVENTORY maintenance — the tokenizer-training
+    * member of the additive-statistic tiers: the gram weights behind the
+    * inventory are LINEAR in the per-word occurrence counts, so each
+    * micro-batch contributes its own (word, wf) and (piece, freq)
+    * rollups (O(batch) work, bounded by the batch's vocabulary) under
+    * the per-`__batch=N` Overwrite discipline. Summed contributions
+    * equal the corpus recompute exactly; the segmentation read runs the
+    * SAME cut + greedy loop as the batch query, so segment-from-store ≡
+    * `text_wordpiece_segment` after any ingest sequence (StreamingSpec,
+    * incl. replay). An inventory refresh CAN re-segment existing words —
+    * that is the honest semantics of frequency-ranked vocabularies; the
+    * store keeps statistics, not segmentations, so reads are always
+    * consistent with the current corpus.
+    */
+  def wordpieceIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    import graft.core.Barrier.BarrierOps
+    val words = batch
+      .select(explode(graft.functions.Text.tokenize(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .withColumn("len", length(col("word")).cast("long"))
+      .barrier() // read by the word write AND the gram contribution
+    words.select(col("word"), col("wf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__words/__batch=$batchId")
+    graft.operators.TextAnalysis.wordpieceGrams(words)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/__grams/__batch=$batchId")
+  }
+
+  /** Segmentation off the maintained statistics: summed gram
+    * contributions → the batch query's top-512+chars cut → the shared
+    * greedy loop over the summed distinct-word relation. */
+  def wordpieceSegmentsFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.Barrier.BarrierOps
+    val words = storeRead(spark, s"$storeDir/__words", StructType(Seq(
+      StructField("word", StringType), StructField("wf", LongType))))
+      .groupBy(col("word")).agg(sum(col("wf")).as("wf"))
+      .withColumn("len", length(col("word")).cast("long"))
+      .barrier()
+    val grams = storeRead(spark, s"$storeDir/__grams", StructType(Seq(
+      StructField("piece", StringType), StructField("freq", LongType))))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+      .barrier()
+    graft.operators.TextAnalysis.wordpieceLoop(words,
+      graft.operators.TextAnalysis.wordpieceVocabFromGrams(grams).barrier())
+  }
+
   /** Schema-pinned read of every `__batch=*` contribution under `root`;
     * a NEVER-INGESTED store (no dirs at all) is an empty relation, not a
     * PATH_NOT_FOUND error — searching/scoring before the first ingest is

@@ -731,6 +731,39 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("WordPiece ingest: stream-maintained inventory statistics segment " +
+      "exactly like the batch query, replay-idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("wpstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.wordpieceIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def segs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(3), r.getString(4))).toMap
+      val streamed = segs(StatefulStreaming
+        .wordpieceSegmentsFrom(spark, store))
+      val batchTwin = segs(graft.operators.TextAnalysis
+        .wordpieceSegments(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed === batchTwin,
+        "additive word/gram statistics must reproduce the batch " +
+          "inventory and with it the exact segmentations")
+      StatefulStreaming.wordpieceIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      assert(segs(StatefulStreaming.wordpieceSegmentsFrom(spark, store))
+        === batchTwin, "replay must not change the statistics")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("BM25/bigram-LM stores: querying before the first ingest is a " +
       "clean empty result, not an error") {
     val empty = java.nio.file.Files.createTempDirectory("neverstore")
