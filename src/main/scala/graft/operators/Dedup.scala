@@ -336,6 +336,53 @@ object Dedup extends OpModule {
           .when(bucket < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
     }),
+    // Method-agreement matrix — the calibration report read before
+    // trusting one near-dup tier over another: for each unordered pair
+    // of the four dedup families (exact-star, MinHash-verified, word
+    // n-gram, char n-gram), how many candidate pairs they share and how
+    // many each finds alone. Exact pairs use the STAR form (doc →
+    // group minimum, linear in docs — never the quadratic within-group
+    // expansion; the mm_phash_clusters lesson). Each family's pair
+    // relation is barriered ONCE (it feeds both the pair universe and
+    // its flag join); the matrix itself adds thin id-pair joins + six
+    // 1-row aggregates. NOTE the blocked exhaustive-jaccard inputs are
+    // the SAMPLE-SCALE tier by design (module doc) — a tier comparison
+    // runs on a sample, not the corpus, which is why this query is
+    // deliberately absent from the scale sweep.
+    "dedup_method_matrix" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val ex = fp.join(keep, "fp").filter(col("doc_id") > col("keep_id"))
+        .select(col("keep_id").as("doc_a"), col("doc_id").as("doc_b"))
+      val sets: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "exact" -> ex,
+        "minhash" -> queries("dedup_minhash_lsh")(s, dir),
+        "ngram" -> queries("dedup_ngram_jaccard")(s, dir),
+        "char_ngram" -> queries("dedup_char_ngram_jaccard")(s, dir))
+        .map { case (m, df) =>
+          m -> df.select(col("doc_a"), col("doc_b")).distinct().barrier() }
+      val allp = sets.map(_._2).reduce(_ unionByName _).distinct()
+      val flags = sets.foldLeft(allp) { case (acc, (m, df)) =>
+        acc.join(df.select(col("doc_a"), col("doc_b"),
+            lit(1L).as(s"f_$m")), Seq("doc_a", "doc_b"), "left")
+          .withColumn(s"f_$m", coalesce(col(s"f_$m"), lit(0L)))
+      }.barrier() // read by all six cells
+      val names = sets.map(_._1)
+      (for { i <- names.indices; j <- (i + 1) until names.length }
+        yield (names(i), names(j)))
+        .map { case (a, b) =>
+          flags.agg(
+            coalesce(sum(col(s"f_$a") * col(s"f_$b")), lit(0L))
+              .as("n_common"),
+            coalesce(sum(col(s"f_$a") * (lit(1L) - col(s"f_$b"))), lit(0L))
+              .as("n_only_a"),
+            coalesce(sum((lit(1L) - col(s"f_$a")) * col(s"f_$b")), lit(0L))
+              .as("n_only_b"))
+            .select(lit(a).as("method_a"), lit(b).as("method_b"),
+              col("n_common"), col("n_only_a"), col("n_only_b"))
+        }.reduce(_ unionByName _)
+    }),
     // The report that justifies the cluster-keyed split: assign the NAIVE
     // per-doc split (sample_train_split's exact device) to both ends of
     // every verified near-dup pair and count pairs per split-pair cell.
@@ -629,18 +676,29 @@ object Dedup extends OpModule {
       |  generate_series(1, greatest(length(norm) - 4, 1)),
       |  i -> substr(norm, i, 5)))""".stripMargin
 
+  private lazy val oraCharNgramPairs: String =
+    s"""WITH n AS (SELECT doc_id, source, n_chars,
+       |             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |           FROM documents),
+       |d AS (SELECT doc_id, source, n_chars, $oraCharGrams AS grams FROM n)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM d a JOIN d b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= 30
+       |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin
+
+  private lazy val oraNgramPairs: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars, $oraToks AS toks FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM d a JOIN d b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= 30
+       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "dedup_char_ngram_jaccard" ->
-      s"""WITH n AS (SELECT doc_id, source, n_chars,
-         |             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-         |           FROM documents),
-         |d AS (SELECT doc_id, source, n_chars, $oraCharGrams AS grams FROM n)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM d a JOIN d b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         | AND abs(a.n_chars - b.n_chars) <= 30
-         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin,
+    "dedup_char_ngram_jaccard" -> oraCharNgramPairs,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_ct
         |FROM documents GROUP BY 1""".stripMargin,
@@ -657,15 +715,52 @@ object Dedup extends OpModule {
         |      GROUP BY 1)
         |GROUP BY 1""".stripMargin
     },
-    "dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, source, n_chars, $oraToks AS toks FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM d a JOIN d b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         | AND abs(a.n_chars - b.n_chars) <= 30
-         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard" -> oraNgramPairs,
     "dedup_minhash_lsh" -> oraclesMinhash,
+    // the four families' pair CTEs (each its existing oracle, exact in
+    // star form), a flags relation, and the six agreement cells
+    "dedup_method_matrix" -> {
+      val combos = Seq("exact" -> "minhash", "exact" -> "ngram",
+        "exact" -> "char_ngram", "minhash" -> "ngram",
+        "minhash" -> "char_ngram", "ngram" -> "char_ngram")
+      val cells = combos.map { case (a, b) =>
+        s"""SELECT '$a' AS method_a, '$b' AS method_b,
+           |  COALESCE(CAST(sum(f_$a * f_$b) AS BIGINT), 0) AS n_common,
+           |  COALESCE(CAST(sum(f_$a * (1 - f_$b)) AS BIGINT), 0) AS n_only_a,
+           |  COALESCE(CAST(sum((1 - f_$a) * f_$b) AS BIGINT), 0) AS n_only_b
+           |FROM fl""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT g.keep_id AS doc_a, d.doc_id AS doc_b
+         |  FROM (SELECT md5(text) AS fp, doc_id FROM documents) d
+         |  JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+         |        FROM documents GROUP BY 1) g USING (fp)
+         |  WHERE d.doc_id > g.keep_id),
+         |mh AS MATERIALIZED ($oraclesMinhash),
+         |ng AS MATERIALIZED ($oraNgramPairs),
+         |cg AS MATERIALIZED ($oraCharNgramPairs),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM ex UNION
+         |  SELECT doc_a, doc_b FROM mh UNION
+         |  SELECT doc_a, doc_b FROM ng UNION
+         |  SELECT doc_a, doc_b FROM cg),
+         |fl AS MATERIALIZED (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CASE WHEN e.doc_a IS NULL THEN 0 ELSE 1 END AS f_exact,
+         |    CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END AS f_minhash,
+         |    CASE WHEN n.doc_a IS NULL THEN 0 ELSE 1 END AS f_ngram,
+         |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS f_char_ngram
+         |  FROM allp p
+         |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM ex) e
+         |    ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+         |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) m
+         |    ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+         |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM ng) n
+         |    ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
+         |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cg) c
+         |    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+         |$cells""".stripMargin
+    },
     // the unthresholded scored pairs sliced at each candidate threshold;
     // zero-pair thresholds still report via the left join
     "dedup_threshold_sweep" ->

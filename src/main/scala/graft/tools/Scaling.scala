@@ -50,6 +50,10 @@ object Scaling {
     "sim_pca_power", "sim_pca_project", "sim_pca_variance", "sim_pca_top2",
     "sim_pca_gram", "mm_scene_cuts", "mm_audio_vad",
     "text_wordpiece_segment", "text_wordpiece_counts",
+    // dedup_method_matrix deliberately absent: it composes the blocked
+    // exhaustive-jaccard families, which are the sample-scale
+    // calibration tier by design (see Dedup's module doc) — a tier
+    // comparison runs on a sample, not the corpus
     "corpus_source_overlap", "sample_split_leakage_free",
     "sample_split_leakage_report")
 

@@ -47,6 +47,24 @@ class LeakageSplitSpec extends SparkSpec {
     }
   }
 
+  test("method matrix: each cell decomposes its two families' pair counts") {
+    val m = q("dedup_method_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m.size === 6)
+    def pairs(name: String) =
+      q(name).select(col("doc_a"), col("doc_b")).distinct().count()
+    val nMh = pairs("dedup_minhash_lsh")
+    val nNg = pairs("dedup_ngram_jaccard")
+    val (c, oa, ob) = m(("minhash", "ngram"))
+    assert(c + oa === nMh,
+      "common + only_minhash must equal the minhash pair count")
+    assert(c + ob === nNg,
+      "common + only_ngram must equal the ngram pair count")
+    assert(m.values.exists(_._1 > 0L),
+      "the families must actually agree somewhere or the report is vacuous")
+  }
+
   test("source-overlap matrix conserves pairs; ppm within bounds") {
     val rep = q("corpus_source_overlap").collect()
     assert(rep.map(_.getAs[Long]("n_pairs")).sum === pairCount)
