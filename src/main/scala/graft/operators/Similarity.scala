@@ -1334,7 +1334,7 @@ object Similarity extends OpModule {
     * two map-side-combinable aggregates (N-cell and d-cell); the
     * embeddings themselves never re-enter after the cells derivation.
     */
-  private def pcaRound(cells: org.apache.spark.sql.DataFrame,
+  private[graft] def pcaRound(cells: org.apache.spark.sql.DataFrame,
       v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tRel = cells.join(broadcast(v), "dim")
       .groupBy(col("vec_id"))

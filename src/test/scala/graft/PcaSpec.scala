@@ -77,6 +77,32 @@ class PcaSpec extends SparkSpec {
     assert(v1 !== v2, "deflation must not reproduce the first component")
   }
 
+  test("plan shape (one pre-barrier round): no window, d-row/1-row " +
+      "relations broadcast, one vec_id co-shuffle") {
+    // the committed queries barrier each round (their final plan is a
+    // checkpoint scan), so pin the ROUND plan the loop actually runs
+    val v0 = spark.range(64).select(col("id").as("dim"),
+      org.apache.spark.sql.functions.lit(1000L).as("v"))
+    val plan = Similarity.pcaRound(cells, v0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the round is joins + aggregates — a window would mean a global " +
+        "sort slipped in")
+    assert(plan.contains("BroadcastExchange"),
+      "the d-row component and 1-row max-abs relations must broadcast")
+    // every data-sized exchange in the round rides the thin vec_id key
+    // (the t aggregate, the w-join's two sides, the rescale's input);
+    // the SinglePartition exchanges that also appear carry only the
+    // 1-row max-abs aggregate states
+    val vecExchanges = "hashpartitioning\\(vec_id".r
+      .findAllIn(plan).length
+    assert(vecExchanges >= 1 && vecExchanges <= 4,
+      s"the round's data exchanges all ride the thin vec_id key; got " +
+        s"$vecExchanges prints")
+    assert(!plan.contains("RoundRobinPartitioning"),
+      "no repartition-style unkeyed exchange may move the cells")
+  }
+
   test("variance report: var_explained in (1/64, 1]") {
     val r = graft.SparkEntry.queries("sim_pca_variance")(spark, sfDir)
       .collect()(0)
