@@ -255,25 +255,36 @@ object Multimodal extends OpModule {
     // multi-frame decode makes the Spark side agree. Narrow decode +
     // one per-doc window — the 100 TB shape for per-asset sequences.
     "mm_scene_cuts" -> ((s, dir) => {
-      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val frames = t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
-        .mapPartitions { it =>
-          it.flatMap { r =>
-            decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
-              .map { case ((_, _, px), i) => (r.doc_id, i.toLong, px) }
-          }
-        }
-        .toDF("doc_id", "frame_idx", "px")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      frames.withColumn("prev_px", lag(col("px"), 1).over(w))
+      decodedFrames(s, dir)
+        .withColumn("prev_px", lag(col("px"), 1).over(w))
         .filter(col("prev_px").isNotNull)
         .select(col("doc_id"), col("frame_idx"),
           abs(col("px") - col("prev_px")).as("delta"),
           (abs(col("px") - col("prev_px")) >= 64).as("is_cut"))
+    }),
+    // The shot TABLE — the consumer of the cut boundaries (clip
+    // extraction / per-shot sampling operates on segments, not cuts):
+    // each frame's segment id is the running count of cut boundaries at
+    // or before it (cut attaches to the LATER frame), one per-doc
+    // cumulative window over the bounded frame sequence, then a
+    // per-(doc, segment) rollup. Same narrow decode + per-doc window
+    // shape as the cuts.
+    "mm_scene_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val cut = decodedFrames(s, dir)
+        .withColumn("prev_px", lag(col("px"), 1).over(w))
+        .withColumn("is_cut",
+          when(col("prev_px").isNotNull &&
+            abs(col("px") - col("prev_px")) >= 64, 1L).otherwise(0L))
+      cut
+        .withColumn("segment_id", sum(col("is_cut"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("segment_id"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          count(lit(1)).as("n_frames"))
     }),
     // Voice-activity detection over the DECODED PCM stream — the
     // windowed-energy segmentation every audio-curation pass runs before
@@ -386,6 +397,25 @@ object Multimodal extends OpModule {
     val ais = wavStream(bytes)
     val f = ais.getFormat
     (f.getSampleRate.toInt, ais.getFrameLength, f.getChannels)
+  }
+
+  /** The decoded per-frame gray relation (doc_id, frame_idx, px) every
+    * temporal video op starts from — one narrow mapPartitions through
+    * the real multi-frame GIF decode. */
+  private def decodedFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[MmRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
+            .map { case ((_, _, px), i) => (r.doc_id, i.toLong, px) }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "px")
   }
 
   /** REAL PCM payload decode: the full signed-8-bit sample stream off a
@@ -653,6 +683,34 @@ object Multimodal extends OpModule {
         |          AS prev_px
         |      FROM fr)
         |WHERE prev_px IS NOT NULL""".stripMargin,
+    // the same frame CTE, cumulative cut count as the segment id, then
+    // the per-(doc, segment) rollup
+    "mm_scene_segments" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.frame_idx,
+        |    CAST(((doc_id * 31 + f.frame_idx * 7) % 256 + 256) % 256
+        |      AS INT) AS px
+        |  FROM documents,
+        |    UNNEST(generate_series(0, ((doc_id % 4) + 4) % 4))
+        |      AS f(frame_idx)),
+        |cuts AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN prev_px IS NOT NULL AND abs(px - prev_px) >= 64
+        |         THEN 1 ELSE 0 END AS is_cut
+        |  FROM (SELECT doc_id, frame_idx, px,
+        |          lag(px) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |            AS prev_px
+        |        FROM fr)),
+        |segs AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS segment_id
+        |  FROM cuts)
+        |SELECT doc_id, segment_id,
+        |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM segs GROUP BY 1, 2""".stripMargin,
     // every sample re-derived from the fixture formula (non-negative
     // parquet doc_ids keep the Java remainder in [0, 255], so the signed
     // value is (x % 256) - 128 exactly); windowed integer mean-abs with

@@ -1362,6 +1362,20 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(cuts.exists(_._4) && cuts.exists(!_._4),
       "both cut and non-cut boundaries must exist or the gate is vacuous")
+    // the shot table conserves the frame sequence: per doc, segment
+    // count = cuts + 1 and segment sizes sum to the frame count
+    val segs = graft.operators.Multimodal
+      .queries("mm_scene_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val cutsPerDoc = cuts.groupBy(_._1)
+      .view.mapValues(_.count(_._4).toLong).toMap
+    segs.groupBy(_._1).foreach { case (doc, ss) =>
+      assert(ss.length.toLong === cutsPerDoc.getOrElse(doc, 0L) + 1L,
+        s"doc $doc: segments must be cuts + 1")
+      assert(ss.map(_._3).sum ===
+        cuts.count(_._1 == doc).toLong + 1L,
+        s"doc $doc: segment sizes must sum to the frame count")
+    }
     // VAD: recompute one doc's windows from the fixture formula
     val vad = graft.operators.Multimodal
       .queries("mm_audio_vad")(spark, sfDir)
