@@ -537,6 +537,18 @@ object Similarity extends OpModule {
   private[graft] val simsExpr = "transform(cents, c -> struct(" +
     "cosine_sim(embedding, c.cv) AS csim, -c.cid AS negid, c.cid AS cid))"
 
+  /** The nProbe probe set for the query vectors (vec_id < 8) of a
+    * relation already joined to the 1-row broadcast `cents` array —
+    * shared by first-C IVF, trained IVF, and the streaming search tier
+    * so probe ranking cannot drift between them. */
+  private[graft] def probesOf(withC: org.apache.spark.sql.DataFrame,
+      nProbe: Int): org.apache.spark.sql.DataFrame =
+    withC.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(expr(
+          s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
+            " p -> p.cid)")).as("probe"))
+
   private[graft] def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
       cCentroids: Int, nProbe: Int) = {
     graft.plans.GraftFunctions.register(s)
@@ -548,12 +560,7 @@ object Similarity extends OpModule {
     val assigned = withC
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
-    val probes = withC.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(expr(
-          s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
-            " p -> p.cid)")).as("probe"))
-    (assigned, probes)
+    (assigned, probesOf(withC, nProbe))
   }
 
   def queriesIvf: Map[String, Q] = Map(
@@ -761,12 +768,7 @@ object Similarity extends OpModule {
     val assigned = withC
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
-    val probes = withC.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(expr(
-          s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
-            " p -> p.cid)")).as("probe"))
-    (assigned, probes)
+    (assigned, probesOf(withC, nProbe))
   }
 
   def queriesKmeans: Map[String, Q] = Map(

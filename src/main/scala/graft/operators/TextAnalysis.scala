@@ -1533,6 +1533,7 @@ object TextAnalysis extends OpModule {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.core.Barrier.BarrierOps
+    val nWords = words.count()
     var state = words.select(col("word"), col("len"),
       lit(1L).as("pos"), lit(0L).as("np"), lit("").as("seg")).barrier()
     var round = 0
@@ -1554,6 +1555,16 @@ object TextAnalysis extends OpModule {
       round += 1
       active = !state.filter(col("pos") <= col("len")).isEmpty
     }
+    // the stepped relation is an INNER join: a word whose character at
+    // the cursor is absent from the inventory would silently vanish.
+    // The batch derivation covers every observed char by construction;
+    // the loud check exists for the streaming store, where a partially
+    // committed batch (words written, grams not) could otherwise eat
+    // words with no error. Re-ingesting the batch repairs the store.
+    require(state.count() == nWords,
+      "wordpiece loop lost words — the inventory does not cover every " +
+        "observed character (partially-committed statistics store?); " +
+        "re-ingest the missing batch")
     state
   }
 

@@ -1031,13 +1031,10 @@ object StatefulStreaming {
     val centArr = ivfCentsFrom(spark, storeDir)
       .agg(collect_list(struct(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cv"))).as("cents"))
-    val probes = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding"))
-      .join(broadcast(centArr), lit(true))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(expr("transform(slice(reverse(array_sort(" +
-          graft.operators.Similarity.simsExpr + s")), 1, $nProbe), " +
-          "p -> p.cid)")).as("probe"))
+    // the SAME probesOf as the batch plans — probe ranking cannot drift
+    val probes = graft.operators.Similarity.probesOf(
+      assigned.select(col("vec_id"), col("embedding"))
+        .join(broadcast(centArr), lit(true)), nProbe)
     graft.operators.Similarity.ivfTopK(assigned, probes)
   }
 
@@ -1108,13 +1105,24 @@ object StatefulStreaming {
   /** Power iteration directly on a (dim_a, dim_b, g) Gram relation —
     * the d²-sized tail that turns the maintained statistic into a
     * component WITHOUT revisiting the corpus: w = Gc·v with the same
-    * sign-symmetric infinity-norm rescale as the batch ladder. Safe in
-    * int64 to N ≈ 3·10⁷ vectors at d = 64 (|w·1000| ≤ d·max|Gc|·10⁶);
-    * past that, pre-scale g (one DIV — the direction is scale-free).
+    * sign-symmetric infinity-norm rescale as the batch ladder. The Gram
+    * is first normalized to ≤ ~10³ by one divide-only (no multiply)
+    * sign-symmetric DIV of max|g|/1000, so the matvec stays inside
+    * int64 at ANY corpus size (|w·1000| ≤ d·10³·10³·10³ ≈ 6·10¹⁰ at
+    * d = 64) — without it, a variance-concentrated corpus of ~4·10⁴
+    * unit vectors could already wrap the sum. The direction is
+    * scale-free, so the normalization only truncates (~3 significant
+    * Gram digits kept — the same order as the milli-unit ladder).
     */
   def pcaPowerFromGram(gram: DataFrame, rounds: Int = 3): DataFrame = {
     import graft.core.Barrier.BarrierOps
-    val g = gram.barrier() // read once per round
+    val mgk = gram.agg(greatest(
+      expr("max(abs(g)) DIV 1000"), lit(1L)).as("mgk"))
+    val g = gram.crossJoin(broadcast(mgk))
+      .select(col("dim_a"), col("dim_b"),
+        expr("CASE WHEN g >= 0 THEN g DIV mgk " +
+          "ELSE -((-g) DIV mgk) END").as("g"))
+      .barrier() // read once per round
     var v = g.select(col("dim_a").as("dim")).distinct()
       .select(col("dim"), lit(1000L).as("v"))
     (1 to rounds).foreach { _ =>

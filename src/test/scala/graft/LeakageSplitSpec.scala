@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * val scores honest), and the two matrix reports must conserve the pair
   * relation they summarize.
   */
-class LeakageSplitSpec extends SparkSpec {
+class LeakageSplitSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the CC fixpoint and the method matrix barrier several relations on
+  // the JVM-wide session — release once at suite end
+  override def afterAll(): Unit = graft.core.Barrier.releaseAll(spark)
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 

@@ -11,7 +11,15 @@ import graft.operators.Similarity
   * property of power iteration (the Rayleigh quotient is non-decreasing
   * in the round count).
   */
-class PcaSpec extends SparkSpec {
+class PcaSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the shared `cells` barrier lives for the whole suite (releasing
+  // between tests would kill the lineage-truncated checkpoint the lazy
+  // val still references); release once when the suite ends so the
+  // blocks don't pin the JVM-wide session's block manager for the rest
+  // of `sbt test`
+  override def afterAll(): Unit = graft.core.Barrier.releaseAll(spark)
 
   private lazy val cells = Similarity.pcaCells(spark, sfDir)
 
