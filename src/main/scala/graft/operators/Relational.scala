@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import graft.core.Barrier.BarrierOps
 
 /** Relational core: scans, joins, aggregations over the TPC-H-ish fixtures.
   *
@@ -22,6 +23,47 @@ import org.apache.spark.sql.functions._
 object Relational extends OpModule {
 
   def queries: Map[String, Q] = Map(
+    // Per-key skew detector — the decision input for j8_salted_join /
+    // AQE skew handling: for each fact join key, exact per-key-count
+    // percentiles and the hot-key ratio, all from the COUNT-OF-COUNTS
+    // relation (one map-side-combined groupBy per key, then a second
+    // tiny aggregate over the few hundred DISTINCT count values — the
+    // only window runs on that bounded relation, never the data; the
+    // q_quantiles_approx histogram-rank-selection device applied to key
+    // cardinality). pXX = smallest count with cumulative key coverage ≥
+    // ceil(q·n_keys); hot_ratio_ppm = max/mean in ppm via one integer
+    // DIV — a reading ≫ 1e6 says one key floods a reducer and the join
+    // needs salting/AQE-skew before it needs more executors.
+    "q_skew_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def report(rel: String, key: String,
+          df: org.apache.spark.sql.DataFrame) = {
+        val dist = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("nk"))
+        val w = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // bounded unpartitioned window: rows = distinct per-key counts
+        val cum = dist.withColumn("cum", sum(col("nk")).over(w)).barrier()
+        val tot = cum.agg(sum(col("nk")).as("n_keys"),
+          sum(col("c") * col("nk")).as("n_rows"),
+          max(col("c")).as("max_per_key"))
+        def pct(q: Int) = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") >=
+            expr(s"(n_keys * $q + 99) DIV 100"))
+          .agg(min(col("c")).as(s"p$q"))
+        tot.crossJoin(broadcast(pct(50)))
+          .crossJoin(broadcast(pct(90)))
+          .crossJoin(broadcast(pct(99)))
+          .select(lit(rel).as("relation"), lit(key).as("key"),
+            col("n_rows"), col("n_keys"), col("max_per_key"),
+            col("p50"), col("p90"), col("p99"),
+            expr("(max_per_key * n_keys * 1000000) DIV n_rows")
+              .as("hot_ratio_ppm"))
+      }
+      report("lineitem", "l_orderkey", t(s, dir, "lineitem"))
+        .unionByName(report("events", "user_id", t(s, dir, "events")))
+    }),
     // TPC-H Q1-style pricing summary: the headline scan+agg.
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -444,7 +486,41 @@ object Relational extends OpModule {
         max(when(col("q") === "p95", col("l_extendedprice"))).as("p95x"))
   }
 
+  /** One relation's skew-report row: count-of-counts, cumulative key
+    * coverage, ceil-rank percentile picks — integer-exact both engines. */
+  private def oraSkew(rel: String, key: String): String =
+    s"""SELECT '$rel' AS relation, '$key' AS key,
+       |  t.n_rows, t.n_keys, t.max_per_key,
+       |  (SELECT CAST(min(c) AS BIGINT) FROM m_$rel m, t_$rel tt
+       |   WHERE m.cum >= (tt.n_keys * 50 + 99) // 100) AS p50,
+       |  (SELECT CAST(min(c) AS BIGINT) FROM m_$rel m, t_$rel tt
+       |   WHERE m.cum >= (tt.n_keys * 90 + 99) // 100) AS p90,
+       |  (SELECT CAST(min(c) AS BIGINT) FROM m_$rel m, t_$rel tt
+       |   WHERE m.cum >= (tt.n_keys * 99 + 99) // 100) AS p99,
+       |  CAST((t.max_per_key * t.n_keys * 1000000) // t.n_rows AS BIGINT)
+       |    AS hot_ratio_ppm
+       |FROM t_$rel t""".stripMargin
+
+  private def oraSkewCtes(rel: String, key: String): String =
+    s"""c_$rel AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c
+       |           FROM $rel GROUP BY 1),
+       |d_$rel AS (SELECT c, CAST(count(*) AS BIGINT) AS nk
+       |           FROM c_$rel GROUP BY 1),
+       |m_$rel AS (SELECT c, nk,
+       |             CAST(sum(nk) OVER (ORDER BY c) AS BIGINT) AS cum
+       |           FROM d_$rel),
+       |t_$rel AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+       |             CAST(sum(c * nk) AS BIGINT) AS n_rows,
+       |             CAST(max(c) AS BIGINT) AS max_per_key
+       |           FROM d_$rel)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_skew_report" ->
+      s"""WITH ${oraSkewCtes("lineitem", "l_orderkey")},
+         |${oraSkewCtes("events", "user_id")}
+         |${oraSkew("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${oraSkew("events", "user_id")}""".stripMargin,
     // ordering happens on the DECIMAL sum inside the subquery (ordering the
     // VARCHAR form would sort lexically and disagree with Spark's decimal
     // sort); the oracle's VARCHAR intermediate reproduces Spark's direct

@@ -49,7 +49,7 @@ object Scaling {
     "pipeline_routed_corpus", "a1_slide_uu", "sim_recall_report_quantized", "text_oov_rate", "mm_phash_neardup", "mm_phash_clusters", "sim_ivf_ann_trained", "q_expectations_report", "sim_matryoshka_recall", "dedup_threshold_sweep", "k8_scd2_history", "q_running_total",
     "sim_pca_power", "sim_pca_project", "sim_pca_variance", "sim_pca_top2",
     "sim_pca_gram", "mm_scene_cuts", "mm_scene_segments", "mm_audio_vad",
-    "text_wordpiece_segment", "text_wordpiece_counts",
+    "text_wordpiece_segment", "text_wordpiece_counts", "q_skew_report",
     // dedup_method_matrix deliberately absent: it composes the blocked
     // exhaustive-jaccard families, which are the sample-scale
     // calibration tier by design (see Dedup's module doc) — a tier

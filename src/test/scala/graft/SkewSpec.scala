@@ -117,6 +117,26 @@ class SkewSpec extends SparkSpec {
       .contains("__salt"), "probe must fall back to the plain plan")
   }
 
+  test("skew report: percentiles and hot ratio match a driver recompute") {
+    val rep = graft.SparkEntry.queries("q_skew_report")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(rep.keySet === Set("lineitem", "events"))
+    val counts = graft.core.Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id")).count()
+      .collect().map(_.getLong(1)).sorted
+    val (nRows, nKeys, mx, p50, p90, p99, ratio) = rep("events")
+    assert(nKeys === counts.length.toLong)
+    assert(nRows === counts.sum)
+    assert(mx === counts.last)
+    def pct(q: Int) = counts((nKeys * q + 99).toInt / 100 - 1)
+    assert((p50, p90, p99) === ((pct(50), pct(90), pct(99))),
+      "ceil-rank percentile over the sorted per-key counts")
+    assert(ratio === mx * nKeys * 1000000L / nRows)
+    assert(ratio >= 1000000L, "max/mean is at least 1 by definition")
+  }
+
   test("salted count-distinct equals direct count-distinct") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val direct = ev.groupBy(col("event_type"))
