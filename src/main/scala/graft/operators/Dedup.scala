@@ -314,10 +314,16 @@ object Dedup extends OpModule {
         .join(broadcast(totals.select(col("source").as("source_y"),
           col("n_docs").as("ny"))), "source_y")
         .select(col("source_x"), col("source_y"), col("n_pairs"),
-          // a same-source cell implies nx >= 2, so the divisor is never 0
+          // a same-source cell implies nx >= 2, so the divisor is never 0.
+          // SEQUENTIAL division, never a product divisor: ⌊⌊a/x⌋/y⌋ =
+          // ⌊a/(x·y)⌋ for positive ints, so the values are bit-identical
+          // to the nx*ny form while the intermediate stays ≤ max(nx, ny)
+          // — nx*ny overflows int64 once both sources exceed ~3e9 docs,
+          // inside the 100 TB envelope (ADVICE r10). Within-source,
+          // nx*(nx-1) is even, so ⌊a/(nx(nx-1)/2)⌋ = ⌊⌊2a/nx⌋/(nx-1)⌋.
           expr("CASE WHEN source_x = source_y THEN " +
-            "(n_pairs * 1000000) DIV ((nx * (nx - 1)) DIV 2) " +
-            "ELSE (n_pairs * 1000000) DIV (nx * ny) END").as("ppm_possible"))
+            "(n_pairs * 2000000) DIV nx DIV (nx - 1) " +
+            "ELSE (n_pairs * 1000000) DIV nx DIV ny END").as("ppm_possible"))
     }),
     // Leakage-free train/val/test split — the assignment an eval pipeline
     // must use: near-duplicates MUST land on the same side, or val scores
@@ -833,7 +839,8 @@ object Dedup extends OpModule {
       s"""SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM ($oraclesMinhash))""".stripMargin,
     // verified pairs → source-pair cells → ppm of the possible pair count
-    // (integer // mirrors Spark's truncating DIV; operands non-negative)
+    // (integer // mirrors Spark's truncating DIV; operands non-negative;
+    // sequential // mirrors the engine's overflow-safe nested floor-div)
     "corpus_source_overlap" ->
       s"""WITH pairs AS ($oraclesMinhash),
          |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
@@ -848,8 +855,8 @@ object Dedup extends OpModule {
          |  GROUP BY 1, 2)
          |SELECT c.source_x, c.source_y, c.n_pairs,
          |  CAST(CASE WHEN c.source_x = c.source_y
-         |       THEN (c.n_pairs * 1000000) // ((tx.n * (tx.n - 1)) // 2)
-         |       ELSE (c.n_pairs * 1000000) // (tx.n * ty.n) END
+         |       THEN (c.n_pairs * 2000000) // tx.n // (tx.n - 1)
+         |       ELSE (c.n_pairs * 1000000) // tx.n // ty.n END
          |    AS BIGINT) AS ppm_possible
          |FROM cells c
          |JOIN tot tx ON tx.source = c.source_x

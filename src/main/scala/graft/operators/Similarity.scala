@@ -35,11 +35,22 @@ object Similarity extends OpModule {
     * the derivation lands on the oracle-pinned widths, so the DuckDB
     * gate (whose `oraLshSigs` CTE runs the same integer search over
     * `generate_series`) pins the derived path itself, at every SF.
+    *
+    * The legacy `spark.graft.knnLshBits` conf (set by Scaling's
+    * SPARK_GRAFT_KNN_BITS sweep knob) is honored ONLY when
+    * `knnFamily = true` — i.e. only by the kNN-graph family it was
+    * introduced for. `sim_lsh_ann` / `dedup_embedding_lsh` oracles
+    * derive the width unconditionally from count(*), so letting the
+    * knob reach them would fail a gated run that happens to set the
+    * env var (ADVICE r10).
     */
   private[graft] def lshBits(s: org.apache.spark.sql.SparkSession,
-      emb: org.apache.spark.sql.DataFrame): Int =
+      emb: org.apache.spark.sql.DataFrame,
+      knnFamily: Boolean = false): Int =
     s.conf.getOption("spark.graft.lshBits")
-      .orElse(s.conf.getOption("spark.graft.knnLshBits")).map(_.toInt)
+      .orElse(if (knnFamily) s.conf.getOption("spark.graft.knnLshBits")
+              else None)
+      .map(_.toInt)
       .getOrElse(Vectors.occupancyBits(
         emb.select(col("vec_id")).count()))
 
@@ -489,7 +500,7 @@ object Similarity extends OpModule {
     // PRUNES candidates — recall at the derived width is ≥ recall at
     // any wider width (pinned by KnnWidthSpec).
     val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding",
-      lshBits(s, emb), 4)
+      lshBits(s, emb, knnFamily = true), 4)
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withSigs = emb.select(col("vec_id"), col("embedding"))
       .join(sigs, "vec_id")
@@ -1449,7 +1460,10 @@ object Similarity extends OpModule {
     // Variance-explained report — the 1-row decision readout ("is one
     // axis enough?"): total centered sum-of-squares, the component's
     // norm², the projection sum-of-squares (projections pre-scaled DIV
-    // 1000 so the squares stay in int64 at 10⁹ vectors), and their IEEE
+    // 1000; worst case |proj DIV 1000| ≈ 1.28e5, so Σp² ≈ N·1.64e10 —
+    // inside int64 to N ≈ 5×10⁸ vectors worst-case, NOT 10⁹; past that,
+    // pre-scale DIV 10⁴ instead, trading 1 digit of ratio precision —
+    // ADVICE r10 corrected the original 10⁹ claim), and their IEEE
     // ratio (one double division at the boundary, same operands both
     // engines). var_explained ≈ Σproj²/(‖v‖²·Σc²) ∈ (0, 1].
     "sim_pca_variance" -> ((s, dir) => {
@@ -2413,7 +2427,11 @@ object Similarity extends OpModule {
 
   private val oraLshSigs: String =
     """nb AS (
-      |  SELECT min(b) AS nb
+      |  -- coalesce mirrors occupancyBits' 24-bit cap: past n > 8*2^24
+      |  -- min(b) is NULL and an uncapped filter would silently empty
+      |  -- the signature relation while the engine keeps signing at 24
+      |  -- bits (ADVICE r10)
+      |  SELECT coalesce(min(b), 24) AS nb
       |  FROM (SELECT unnest(generate_series(6, 24)) AS b),
       |       (SELECT count(*) AS n FROM embeddings)
       |  WHERE n <= 8 * (CAST(1 AS BIGINT) << b)),

@@ -46,6 +46,22 @@ object TextAnalysis extends OpModule {
         .limit(1)
         .select(col("tok").as("wa"), col("nxt").as("wb"), col("pair_count"))
         .barrier() // 1 row; read by the rewrite AND the report row
+      // Degenerate-corpus guard (ADVICE r10): with zero adjacent pairs
+      // (every doc < 2 tokens) `winner` is EMPTY, and the cross join
+      // below would annihilate the whole token stream — bpe_apply would
+      // then report 0 tokens everywhere instead of passing the unmerged
+      // stream through. The DuckDB oracle degrades identically, so the
+      // gate can't catch it. The 1-row relation is already barriered,
+      // so the emptiness probe is a cheap local scan; on empty, carry
+      // `toks` forward unchanged and let the report row (a join against
+      // empty `winner`) stay naturally empty.
+      if (winner.isEmpty) {
+        winner.join(nBefore, lit(true))
+          .select(lit(r).as("round"),
+            concat(col("wa"), lit(" "), col("wb")).as("pair"),
+            col("pair_count"), lit(0L).as("n_merges"),
+            col("tokens_before").as("tokens_after"))
+      } else {
       val wCum = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wIsl = Window.partitionBy(col("doc_id"), col("grp"))
@@ -81,6 +97,7 @@ object TextAnalysis extends OpModule {
           col("tokens_after"))
       toks = next
       row
+      }
     }
     (rounds.reduce(_ unionByName _), toks)
   }

@@ -81,4 +81,25 @@ class BpePropertySpec extends SparkSpec {
         s"doc $id final token count diverged from the naive model")
     }
   }
+
+  test("pairless corpus: tokens pass through unmerged, no report rows") {
+    // ADVICE r10: every doc has < 2 tokens, so round 1 has ZERO adjacent
+    // pairs and the winner relation is empty. Pre-guard, the rewrite's
+    // cross join annihilated the whole token stream (tokens_bpe = 0
+    // everywhere) — and the DuckDB oracle degraded identically, so only
+    // a model-based spec can pin the pass-through.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_empty").toString
+    Seq((1L, "solo"), (2L, ""), (3L, "one"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val train = graft.operators.TextAnalysis
+      .queries("text_bpe_train")(spark, dir).collect()
+    assert(train.isEmpty, "a pairless corpus must emit no merge rows")
+    val applied = graft.operators.TextAnalysis
+      .queries("text_bpe_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(applied === Map(1L -> 1L, 2L -> 0L, 3L -> 1L),
+      "tokens must pass through unmerged when no pair exists")
+  }
 }
