@@ -102,6 +102,15 @@ object Bench {
     catch { case _: Throwable => Double.NaN }
 
   def main(args: Array[String]): Unit = {
+    // `Bench compare <commit> [pairs]` — the paired A/B/A protocol
+    // (BenchCompare): round-over-round perf claims come from interleaved
+    // same-session deltas, not from comparing two separately-hosted
+    // medians. The no-arg driver path below is unchanged.
+    if (args.headOption.contains("compare")) {
+      require(args.length >= 2, "usage: Bench compare <commit> [pairs]")
+      BenchCompare.run(args(1), args.lift(2).map(_.toInt))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local()
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
