@@ -129,13 +129,19 @@ object TextAnalysis extends OpModule {
         .groupBy(col("keyword")).agg(count(lit(1)).as("keyword_count"))
     }),
     "text_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).as("char_len"),
-        Text.wsTokenCount(col("text")).as("ws_tokens"),
-        Text.bpeishTokenCount(col("text")).as("bpe_tokens"),
-        Text.stopwordRatio(col("text")).as("stopword_ratio"),
-        Text.punctRatio(col("text")).as("punct_ratio"))
+      // ALL five features in ONE codepoint walk — the native text_stats
+      // expression (plans/TextStats.scala) replaces four per-feature regex
+      // passes; values are bit-identical (TextStatsSpec pins it against
+      // the composed-builtin columns) so the oracle is unchanged. The
+      // struct is aliased once and field-expanded in a second projection;
+      // CollapseProject keeps the non-cheap multi-referenced struct alias
+      // as its own project, so the walk runs once per row.
+      graft.plans.GraftFunctions.register(s) // no-op under the extensions conf
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("text_stats(text)").as("st"))
+        .select(col("doc_id"), col("st.char_len"), col("st.ws_tokens"),
+          col("st.bpe_tokens"), col("st.stopword_ratio"),
+          col("st.punct_ratio"))
     }),
     // the pipeline form of quality scoring: gate documents on combined
     // thresholds (the filter a pretraining corpus actually applies)
@@ -1527,6 +1533,30 @@ object TextAnalysis extends OpModule {
         .join(seg, "word")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_subwords"))
+    }),
+    // Unigram-LM (SentencePiece) training — see the machinery Scaladoc
+    // above unigramScore for the algorithm, the exact-integer qlog
+    // likelihood device, and the scale shape (corpus scanned once; the
+    // EM/Viterbi loop is vocab-sized). Output: the trained inventory
+    // with counts and quantized log-weights.
+    "text_unigram_train" -> ((s, dir) =>
+      unigramScore(unigramModel(s, dir)._2)
+        .select(col("piece"), col("plen"), col("c").as("cnt"),
+          col("wq").as("weight_q"))),
+    // Viterbi segmentation of every distinct word under the trained
+    // model (the tokenizer-inference sibling; words longer than the DP
+    // horizon pass through as one uncovered piece).
+    "text_unigram_segment" -> ((s, dir) => {
+      val (words, model) = unigramModel(s, dir)
+      val vit = unigramViterbi(words, unigramScore(model))
+        .filter(col("pos") === col("len"))
+        .select(col("word"), col("wf"), col("np").as("n_pieces"),
+          col("seg"), col("sc").as("score_q"), lit(true).as("covered"))
+      val long = words.filter(col("len") > UnigramMaxPos)
+        .select(col("word"), col("wf"), lit(1L).as("n_pieces"),
+          col("word").as("seg"), lit(0L).as("score_q"),
+          lit(false).as("covered"))
+      vit.unionByName(long)
     }))
 
   /** WordPiece machinery: inventory derivation + the greedy segmentation
@@ -1633,6 +1663,143 @@ object TextAnalysis extends OpModule {
       .withColumn("len", length(col("word")).cast("long"))
 
   private val WordpieceRounds = 32
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer training — the third
+  // published subword family next to BPE (merge rules, text_bpe_train)
+  // and WordPiece (greedy longest-match, text_wordpiece_segment): pieces
+  // carry PROBABILITIES and a word's segmentation is the Viterbi-best
+  // product of piece probabilities (Kudo 2018, arXiv:1804.10959).
+  // Training is hard-EM (Viterbi-EM): seed a large candidate inventory
+  // from substring statistics, then alternate (E) Viterbi-segmenting the
+  // distinct-word relation under the current model with (M) re-estimating
+  // piece counts from the segmentations, pruning the inventory on a
+  // 512→384→256 schedule. Single chars are never pruned — the coverage
+  // floor, the same role as WordPiece's char fallback.
+  //
+  // Exactness device: likelihoods live in 1/16-of-a-bit integer units.
+  // qlog(x) = 16·msb(x) + (x − 2^msb)·16 DIV 2^msb is the floor of a
+  // piecewise-linear log2 — monotone, pure-integer, and bit-identical in
+  // Spark and DuckDB (msb = length(bin(x)) − 1 in both engines; log/exp
+  // would NOT round-trip identically). A piece's Viterbi weight is
+  // wq = qlog(count) − qlog(total) ≤ 0, so maximizing the summed weight
+  // maximizes the quantized log-likelihood with the normalization
+  // penalty applied INSIDE the DP comparison — the sim_pagerank
+  // micro-unit fixed-point device applied to language modeling.
+  //
+  // Scale shape: the corpus is scanned exactly ONCE (the distinct-word
+  // groupBy in wordpieceWords, map-side combined); every EM/DP round
+  // iterates VOCAB-sized relations only — 3 Viterbi passes ×
+  // UnigramMaxPos rounds of one broadcast join + a per-word top-1
+  // (WindowGroupLimit) over ≤ len+1 rows per word. At 100 TB the loop
+  // cost is unchanged; only the single corpus scan grows. Words longer
+  // than the DP horizon pass through as one uncovered piece (the
+  // published long-word escape hatch — BERT does the same at 100 chars).
+  // ---------------------------------------------------------------------
+  private[graft] val UnigramMaxPos = 16
+  private val UnigramSeed = 512
+  private val UnigramPruneSchedule = Seq(384, 256)
+
+  /** Quantized log2 in 1/16-bit units over a positive BIGINT column
+    * (SQL-expression form; counts are ≥ 1 by construction). */
+  private def qlogSql(c: String): String =
+    s"(16 * (length(bin($c)) - 1) + (($c - shiftleft(CAST(1 AS BIGINT), " +
+      s"length(bin($c)) - 1)) * 16) DIV shiftleft(CAST(1 AS BIGINT), " +
+      s"length(bin($c)) - 1))"
+
+  /** Scores a (piece, c) model: attaches plen and the Viterbi weight
+    * wq = qlog(c) − qlog(Σc). The total is a 1-row broadcast scalar. */
+  private[graft] def unigramScore(model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val mb = model.barrier() // read by the total AND the per-piece weights
+    val tot = mb.agg(sum(col("c")).cast("long").as("tc"))
+    mb.crossJoin(broadcast(tot)) // 1-row scalar: the broadcast-scalar idiom
+      .select(col("piece"), length(col("piece")).cast("long").as("plen"),
+        col("c"),
+        expr(s"CAST(${qlogSql("c")} - ${qlogSql("tc")} AS BIGINT)").as("wq"))
+  }
+
+  /** Viterbi DP over the distinct-word relation under a scored model:
+    * round r finalizes the best path reaching position r (pieces are ≤ 6
+    * chars, so candidates only come from positions r−6..r−1 — already
+    * final). Ties break by fewer pieces then seg ASC: total and
+    * engine-identical. Returns all finalized (word, pos) states; the
+    * full segmentation is the pos = len slice. */
+  private[graft] def unigramViterbi(words: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Barrier.BarrierOps
+    val sv = scored.barrier() // read by every DP round
+    var dp = words.filter(col("len") <= UnigramMaxPos)
+      .select(col("word"), col("len"), col("wf"), lit(0L).as("pos"),
+        lit(0L).as("sc"), lit(0L).as("np"), lit("").as("seg")).barrier()
+    for (r <- 1 to UnigramMaxPos) {
+      val byWord = Window.partitionBy(col("word"))
+        .orderBy(col("sc").desc, col("np").asc, col("seg").asc)
+      val stepped = dp
+        .filter(col("pos") < col("len") && col("pos") < lit(r.toLong) &&
+          col("pos") >= lit((r - 6).toLong))
+        .join(broadcast(sv),
+          expr(s"pos + plen = $r AND substring(word, CAST(pos + 1 AS INT), " +
+            "CAST(plen AS INT)) = piece"))
+        .select(col("word"), col("len"), col("wf"),
+          (col("pos") + col("plen")).as("pos"),
+          (col("sc") + col("wq")).as("sc"),
+          (col("np") + lit(1L)).as("np"),
+          when(col("seg") === "", col("piece"))
+            .otherwise(concat(col("seg"), lit("|"), col("piece"))).as("seg"))
+        .withColumn("rn", row_number().over(byWord))
+        .filter(col("rn") === 1).drop("rn")
+      dp = dp.unionByName(stepped).barrier()
+    }
+    dp
+  }
+
+  /** M-step + prune: corpus-weighted usage counts of the pieces the
+    * Viterbi segmentations actually used, cut to the top-`keep`, with
+    * every observed single char kept at a count floor of 1 (used chars
+    * keep their true usage count) — so the next round's model always
+    * covers every word. */
+  private[graft] def unigramRecount(vit: org.apache.spark.sql.DataFrame,
+      chars: org.apache.spark.sql.DataFrame, keep: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val usage = vit.filter(col("pos") === col("len"))
+      .select(col("wf"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("c"))
+      .barrier() // read by the top cut AND the char floor
+    val top = usage.orderBy(col("c").desc, col("piece").asc).limit(keep)
+    val floor = chars.join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(1L)).as("c"))
+    top.unionByName(floor).distinct() // a top char re-floors identically
+  }
+
+  /** The trained unigram model: seed (top-512 substrings + single chars,
+    * substring-occurrence weighted) then the hard-EM prune schedule.
+    * Returns (distinct words, final (piece, c) model). */
+  private[graft] def unigramModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import graft.core.Barrier.BarrierOps
+    val words = wordpieceWords(s, dir)
+      .barrier() // read by the gram seed AND every Viterbi pass
+    val grams = wordpieceGrams(words)
+      .barrier() // read by the seed cut AND the char floor
+    val chars = grams.filter(length(col("piece")) === 1)
+      .select(col("piece")).barrier()
+    var model: org.apache.spark.sql.DataFrame = grams
+      .orderBy(col("freq").desc, col("piece").asc).limit(UnigramSeed)
+      .select(col("piece"), col("freq").as("c"))
+      .unionByName(grams.filter(length(col("piece")) === 1)
+        .select(col("piece"), col("freq").as("c")))
+      .distinct()
+    for (keep <- UnigramPruneSchedule)
+      model = unigramRecount(unigramViterbi(words, unigramScore(model)),
+        chars, keep)
+    (words, model)
+  }
 
   /** BM25 query-term literals — one rare discriminative term (`dup`,
     * df ≈ 5% of docs by the generator's vocabulary) plus two common ones,
@@ -3935,7 +4102,20 @@ object TextAnalysis extends OpModule {
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(s.np) AS BIGINT) AS n_subwords
          |FROM tok t JOIN s$WordpieceRounds s USING (word)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "text_unigram_train" ->
+      s"""WITH $oraUnigramChain
+         |SELECT piece, plen, c AS cnt, wq AS weight_q
+         |FROM sm${UnigramPruneSchedule.length}""".stripMargin,
+    "text_unigram_segment" ->
+      s"""WITH $oraUnigramChain
+         |SELECT word, wf, np AS n_pieces, seg, sc AS score_q,
+         |  TRUE AS covered
+         |FROM d${UnigramPruneSchedule.length}_$UnigramMaxPos WHERE pos = len
+         |UNION ALL
+         |SELECT word, wf, CAST(1 AS BIGINT) AS n_pieces, word AS seg,
+         |  CAST(0 AS BIGINT) AS score_q, FALSE AS covered
+         |FROM w0 WHERE len > $UnigramMaxPos""".stripMargin)
 
   /** One greedy round: finished rows pass through; active rows take the
     * longest inventory piece at the cursor (unique per length, so the
@@ -3985,4 +4165,100 @@ object TextAnalysis extends OpModule {
        |    CAST(0 AS BIGINT) AS np, '' AS seg
        |  FROM w0),
        |${(1 to WordpieceRounds).map(oraWordpieceRound).mkString(",\n")}""".stripMargin
+
+  /** DuckDB mirror of qlogSql (`<<`/`//` mirror shiftleft/DIV —
+    * operands are non-negative, so floor and truncation agree). */
+  private def oraQlog(c: String): String =
+    s"(16 * (length(bin($c)) - 1) + (($c - (CAST(1 AS BIGINT) << " +
+      s"(length(bin($c)) - 1))) * 16) // (CAST(1 AS BIGINT) << " +
+      s"(length(bin($c)) - 1)))"
+
+  /** One Viterbi DP round of pass k: position r's best path per word
+    * (candidates extend the already-final positions r−6..r−1). Mirrors
+    * the unigramViterbi loop body CTE-for-CTE. */
+  private def oraUnigramDp(k: Int, r: Int): String =
+    s"""d${k}_$r AS MATERIALIZED (
+       |  SELECT word, len, wf, pos, sc, np, seg FROM d${k}_${r - 1}
+       |  UNION ALL
+       |  SELECT word, len, wf, pos, sc, np, seg FROM (
+       |    SELECT s.word, s.len, s.wf, s.pos + v.plen AS pos,
+       |      s.sc + v.wq AS sc, s.np + 1 AS np,
+       |      CASE WHEN s.seg = '' THEN v.piece
+       |           ELSE s.seg || '|' || v.piece END AS seg,
+       |      row_number() OVER (PARTITION BY s.word
+       |        ORDER BY s.sc + v.wq DESC, s.np + 1 ASC,
+       |          CASE WHEN s.seg = '' THEN v.piece
+       |               ELSE s.seg || '|' || v.piece END ASC) AS rn
+       |    FROM d${k}_${r - 1} s JOIN sm$k v
+       |      ON s.pos + v.plen = $r
+       |     AND substr(s.word, CAST(s.pos + 1 AS INT),
+       |           CAST(v.plen AS INT)) = v.piece
+       |    WHERE s.pos < s.len)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One hard-EM pass: score model k, Viterbi-segment under it, then
+    * (unless it's the final scoring-only pass) recount + prune to the
+    * schedule's keep width with the single-char floor. */
+  private def oraUnigramPass(k: Int, keep: Option[Int]): String = {
+    val score =
+      s"""sm$k AS MATERIALIZED (
+         |  SELECT piece, CAST(length(piece) AS BIGINT) AS plen, c,
+         |    CAST(${oraQlog("c")} - ${oraQlog("tc")} AS BIGINT) AS wq
+         |  FROM m$k, (SELECT CAST(sum(c) AS BIGINT) AS tc FROM m$k))""".stripMargin
+    val dp0 =
+      s"""d${k}_0 AS MATERIALIZED (
+         |  SELECT word, len, wf, CAST(0 AS BIGINT) AS pos,
+         |    CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS np, '' AS seg
+         |  FROM w0 WHERE len <= $UnigramMaxPos)""".stripMargin
+    val rounds = (1 to UnigramMaxPos).map(oraUnigramDp(k, _))
+    val next = keep.map { kp =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wf) AS BIGINT) AS c FROM (
+         |    SELECT wf, unnest(string_split(seg, '|')) AS piece
+         |    FROM d${k}_$UnigramMaxPos WHERE pos = len)
+         |  GROUP BY 1),
+         |m${k + 1} AS MATERIALIZED (
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM (SELECT piece, c FROM u$k
+         |      ORDER BY c DESC, piece ASC LIMIT $kp)
+         |    UNION
+         |    SELECT ch.piece, COALESCE(u.c, CAST(1 AS BIGINT)) AS c
+         |    FROM chars ch LEFT JOIN u$k u USING (piece)))""".stripMargin
+    }
+    (Seq(score, dp0) ++ rounds ++ next.toSeq).mkString(",\n")
+  }
+
+  /** The shared unigram-LM chain: substring seed, then the hard-EM prune
+    * schedule (512→384→256), then the final scored model + Viterbi pass.
+    * Reuses the WordPiece w0/grams statistics CTEs verbatim. */
+  private lazy val oraUnigramChain: String = {
+    val passes = UnigramPruneSchedule.zipWithIndex
+      .map { case (kp, k) => oraUnigramPass(k, Some(kp)) } :+
+      oraUnigramPass(UnigramPruneSchedule.length, None)
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wf,
+       |    CAST(length(word) AS BIGINT) AS len
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9]+'),
+       |          x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |grams AS MATERIALIZED (
+       |  SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
+       |    CAST(sum(wf) AS BIGINT) AS freq
+       |  FROM w0,
+       |    unnest(generate_series(1, len)) AS p(pos),
+       |    unnest(generate_series(1, 6)) AS q(plen)
+       |  WHERE pos + plen - 1 <= len
+       |  GROUP BY 1),
+       |chars AS MATERIALIZED (
+       |  SELECT piece FROM grams WHERE length(piece) = 1),
+       |m0 AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT piece, freq AS c FROM (SELECT piece, freq FROM grams
+       |      ORDER BY freq DESC, piece ASC LIMIT $UnigramSeed)
+       |    UNION
+       |    SELECT piece, freq AS c FROM grams WHERE length(piece) = 1)),
+       |${passes.mkString(",\n")}""".stripMargin
+  }
 }

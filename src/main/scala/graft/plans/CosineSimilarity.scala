@@ -95,6 +95,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))),
+    // one-walk text-quality feature struct (see TextStats scaladoc)
+    (FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (children: Seq[Expression]) => TextStats(children.head)),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder
