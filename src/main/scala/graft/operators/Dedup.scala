@@ -584,20 +584,32 @@ object Dedup extends OpModule {
     * corpus itself is never touched.
     */
   def greedyDroppedDocs(pairs: org.apache.spark.sql.DataFrame,
-      preDropped: Option[org.apache.spark.sql.DataFrame] = None)
+      preDropped: Option[org.apache.spark.sql.DataFrame] = None,
+      timer: (String, Double) => Unit = (_, _) => ())
       : org.apache.spark.sql.DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    var dropped = preDropped.map(_.select(col("doc_id")).distinct().barrier())
-      .getOrElse(Seq.empty[Long].toDF("doc_id"))
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timer(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    // this barrier is the STORE-PROBE execution point (the vs-store join
+    // lineage lands here); the next one executes the in-batch verified
+    // pair relation — the two costs the streaming phase report must
+    // separate, which is why the timer hooks live in this function
+    var dropped = phase("store_probe")(
+      preDropped.map(_.select(col("doc_id")).distinct().barrier())
+        .getOrElse(Seq.empty[Long].toDF("doc_id")))
     // pairs with a pre-dropped endpoint are inert: a dropped doc_a can't
     // drop its doc_b, and a dropped doc_b needs no further cause
-    var remaining = (preDropped match {
+    var remaining = phase("pairs")((preDropped match {
       case Some(_) => pairs
         .join(dropped.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(dropped.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
       case None => pairs
-    }).barrier()
+    }).barrier())
     // Round cap: each round resolves at least one link of every remaining
     // dup CHAIN, so rounds needed ≈ half the longest alternating chain in
     // ONE batch — the default 64 covers chains past 120 links, far beyond
@@ -614,8 +626,8 @@ object Dedup extends OpModule {
     // one isEmpty action per round, reused by the loop guard AND the
     // post-loop check (re-running the action would add a Spark job per
     // batch on the always-taken settled path)
-    var settled = remaining.isEmpty
-    while (!settled && rounds < maxRounds) {
+    var settled = phase("greedy_probe")(remaining.isEmpty)
+    while (!settled && rounds < maxRounds) phase(s"greedy_r$rounds") {
       // doc_a values that are nobody's doc_b among remaining pairs are
       // decided-admitted; their partners drop this round. Non-empty while
       // pairs remain (the minimum undecided endpoint only appears as

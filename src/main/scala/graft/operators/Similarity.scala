@@ -553,15 +553,15 @@ object Similarity extends OpModule {
     * shared by first-C IVF, trained IVF, and the streaming search tier
     * so probe ranking cannot drift between them. */
   private[graft] def probesOf(withC: org.apache.spark.sql.DataFrame,
-      nProbe: Int): org.apache.spark.sql.DataFrame =
-    withC.filter(col("vec_id") < 8)
+      nProbe: Int, qCount: Int = 8): org.apache.spark.sql.DataFrame =
+    withC.filter(col("vec_id") < qCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(expr(
           s"transform(slice(reverse(array_sort($simsExpr)), 1, $nProbe)," +
             " p -> p.cid)")).as("probe"))
 
   private[graft] def ivf(s: org.apache.spark.sql.SparkSession, dir: String,
-      cCentroids: Int, nProbe: Int) = {
+      cCentroids: Int, nProbe: Int, qCount: Int = 8) = {
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
     val centArr = emb.filter(col("vec_id") < cCentroids)
@@ -571,7 +571,17 @@ object Similarity extends OpModule {
     val assigned = withC
       .select(col("vec_id"), col("embedding"),
         expr(s"array_max($simsExpr).cid").as("cluster"))
-    (assigned, probesOf(withC, nProbe))
+    (assigned, probesOf(withC, nProbe, qCount))
+  }
+
+  /** Serving entry for the query-volume sweep (tools/Scaling ivfsweep):
+    * build the index at `c` lists and serve a `qCount`-query panel —
+    * same code path as sim_ivf_ann, panel width and list count
+    * parameterized. */
+  private[graft] def ivfServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: Int, qCount: Int): org.apache.spark.sql.DataFrame = {
+    val (assigned, probes) = ivf(s, dir, c, 4, qCount)
+    ivfTopK(assigned, probes)
   }
 
   def queriesIvf: Map[String, Q] = Map(
@@ -614,7 +624,7 @@ object Similarity extends OpModule {
           count(lit(1)).as("n"))
     }),
     "sim_ivf_ann" -> ((s, dir) => {
-      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s, t(s, dir, "embeddings").count()), 4)
       ivfTopK(assigned, probes)
     }),
     // IVF ANN over TRAINED coarse centroids — the deployment shape
@@ -624,7 +634,7 @@ object Similarity extends OpModule {
     // the trained family next to sim_pq_ann_trained and
     // dedup_semantic_trained.
     "sim_ivf_ann_trained" -> ((s, dir) => {
-      val (assigned, probes) = ivfTrained(s, dir, ivfC(s), 4, 2)
+      val (assigned, probes) = ivfTrained(s, dir, ivfC(s, t(s, dir, "embeddings").count()), 4, 2)
       ivfTopK(assigned, probes)
     }))
 
@@ -682,8 +692,44 @@ object Similarity extends OpModule {
     * TRAINING primitives keep their pinned C (their oracles emit
     * per-(cluster, dim) state, so C is part of their output contract).
     */
-  private def ivfC(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.getOption("spark.graft.ivfCentroids").map(_.toInt).getOrElse(16)
+  private[graft] def isqrt(x: Long): Long = {
+    var r = math.sqrt(x.toDouble).toLong
+    while (r > 0 && r * r > x) r -= 1
+    while ((r + 1) * (r + 1) <= x) r += 1
+    r
+  }
+
+  /** Load-and-data-derived IVF list count — the occupancyBits discipline
+    * applied to the IVF knob (r10 verdict #4). Balancing the per-build
+    * assignment cost N·C against the serving candidate-scan cost
+    * Q·nprobe·N/C gives C* = √(Q·nprobe) — N cancels, so the crossover
+    * is a QUERY-VOLUME property, which is exactly what the measured
+    * 8-query fixture panel showed (C ≈ √N slower) and the 1k-panel
+    * sweep shows flipping (SCALING.md). Clamped to [16, √N]: the floor
+    * is the fixture default every oracle pins (Q=8, nprobe=4 → √32 ≈ 5
+    * → 16, so the oracle gate IS the derived gate), the √N ceiling is
+    * the published IVF geometry — expected list length stays ≥ √N, so
+    * assignment never dominates the build. Deterministic integer math.
+    */
+  private[graft] def ivfDerivedC(n: => Long, q: Long, nProbe: Int): Int = {
+    val cStar = isqrt(q * nProbe)
+    if (cStar <= 16) 16
+    else math.max(16L, math.min(cStar, isqrt(n))).toInt
+  }
+
+  /** List count for the serving queries: explicit override
+    * (spark.graft.ivfCentroids) wins; otherwise derived from the
+    * expected per-build query volume (spark.graft.ivfQueryVolume,
+    * default = the fixture panel's 8 — which derives the pinned 16, so
+    * gated runs never move). `n` is only forced when the volume is
+    * large enough that √(Q·nprobe) clears the floor. */
+  private def ivfC(s: org.apache.spark.sql.SparkSession,
+      n: => Long): Int =
+    s.conf.getOption("spark.graft.ivfCentroids").map(_.toInt).getOrElse {
+      val q = s.conf.getOption("spark.graft.ivfQueryVolume")
+        .map(_.toLong).getOrElse(8L)
+      ivfDerivedC(n, q, 4)
+    }
 
   private def semanticC(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.getOption("spark.graft.semanticCentroids").map(_.toInt)
@@ -1111,7 +1157,7 @@ object Similarity extends OpModule {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s, t(s, dir, "embeddings").count()), 4)
       val aug = assigned.join(broadcast(sqScale(emb)), lit(true))
         .select(col("vec_id"), col("cluster"), expr(codesExpr).as("codes"))
         .select(col("vec_id"), col("cluster"), col("codes"),
@@ -1146,7 +1192,7 @@ object Similarity extends OpModule {
     // rescore exactly via the id-only join. All-integer up to one
     // division, so every cut is bit-exact under the oracle.
     "sim_ivfpq_ann" -> ((s, dir) => {
-      val (assigned, probes) = ivf(s, dir, ivfC(s), 4)
+      val (assigned, probes) = ivf(s, dir, ivfC(s, t(s, dir, "embeddings").count()), 4)
       val withCodes = pqWithCodes(s, dir)
       ivfPqBody(s, dir, assigned, probes, withCodes, pqInitCbs(withCodes))
     }),
@@ -1158,7 +1204,7 @@ object Similarity extends OpModule {
     // sim_ivfpq_ann. The oracle chains BOTH training ladders as CTEs —
     // every assignment, mean, rounding and cut is hash-exact.
     "sim_ivfpq_ann_trained" -> ((s, dir) => {
-      val (assigned, probes) = ivfTrained(s, dir, ivfC(s), 4, 2)
+      val (assigned, probes) = ivfTrained(s, dir, ivfC(s, t(s, dir, "embeddings").count()), 4, 2)
       val withCodes = pqWithCodes(s, dir)
       ivfPqBody(s, dir, assigned, probes, withCodes,
         pqTrainCbs(withCodes, 2))

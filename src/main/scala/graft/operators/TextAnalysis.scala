@@ -2147,6 +2147,31 @@ object TextAnalysis extends OpModule {
     * without adding an exchange.
     */
   private[graft] def withClassifierScore(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // ONE-walk native expression (plans/ClassifierStats.scala) — the
+    // interpreted token-array + bigram-array + aggregate() HOF form this
+    // replaces cost ~15 s of every ~19 s soak hygiene micro-batch;
+    // values are bit-identical (ClassifierStatsSpec) so every dependent
+    // oracle (text_quality_classifier, quality_threshold_sweep) and the
+    // streaming gate parity specs are unchanged.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val st = ColumnBridge.column(
+      graft.plans.ClassifierStats(ColumnBridge.expression(col("text"))))
+    docs
+      .withColumn("__cs", st)
+      .withColumn("n_feats", col("__cs.n_feats"))
+      .withColumn("score",
+        when(col("n_feats") === 0L, lit(null).cast("double"))
+          .otherwise(col("__cs.wsum").cast("double") /
+            col("n_feats").cast("double")))
+      .withColumn("keep", coalesce(col("score") >= 0.0, lit(false)))
+      .drop("__cs")
+  }
+
+  /** The HOF/builtin form of [[withClassifierScore]], kept ONLY as the
+    * equivalence reference for ClassifierStatsSpec (it is the executable
+    * specification the native expression must match bit-for-bit). */
+  private[graft] def withClassifierScoreHof(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("__toks", Text.tokenize(col("text")))

@@ -99,6 +99,10 @@ object GraftFunctions {
     (FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (children: Seq[Expression]) => TextStats(children.head)),
+    // one-walk hashed-classifier struct (see ClassifierStats scaladoc)
+    (FunctionIdentifier("classifier_stats"),
+      new ExpressionInfo(classOf[ClassifierStats].getName, "classifier_stats"),
+      (children: Seq[Expression]) => ClassifierStats(children.head)),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder

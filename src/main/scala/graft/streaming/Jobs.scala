@@ -277,18 +277,40 @@ object Jobs {
       .option("maxFilesPerTrigger", 1).parquet(s"$docSrc/c*")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // classifier tier first: a stateless narrow filter costs nothing
-        // and shrinks what the decontamination joins and the signature
-        // store ever see
-        val gated = StatefulStreaming.ngramGateBatch(
-          StatefulStreaming.contaminationGateBloom(
-            StatefulStreaming.classifierGateBatch(batch.toDF()),
-            benchFps, benchBloom),
-          benchGramFps)
+        val tb0 = System.nanoTime()
+        import graft.core.Barrier.BarrierOps
+        def phase[A](name: String)(bdy: => A): A = {
+          val t0 = System.nanoTime()
+          val r = bdy
+          stageTimer(s"hyg.$id.$name", (System.nanoTime() - t0) / 1e9)
+          r
+        }
+        // classifier tier first: a stateless narrow filter shrinks what
+        // the decontamination joins and the signature store ever see.
+        // Each tier is barriered HERE, not just at the ingest function:
+        // bloomSplit's clean/candidate branches both re-execute their
+        // input lineage, and the classifier is an interpreted
+        // aggregate() HOF — un-barriered, the 4× soak measured ~15 s of
+        // per-batch gate time hidden in DataFrame construction (double
+        // classifier execution), invisible to the ingest-side timers.
+        val cls = phase("gate_classifier")(
+          StatefulStreaming.classifierGateBatch(batch.toDF()).barrier())
+        val bld = phase("gate_bloom")(
+          StatefulStreaming.contaminationGateBloom(cls, benchFps, benchBloom)
+            .barrier())
+        val gated = StatefulStreaming.ngramGateBatch(bld, benchGramFps)
+        // per-phase, per-batch timers ride the stage timer under
+        // "hyg.<batch>.<phase>" keys: the aggregate hygiene number alone
+        // can't say whether gates (batch-linear) or the store probe
+        // (store-size-shaped) dominate, and the r10 16x soak reading was
+        // misread for exactly that reason
         val admitted = StatefulStreaming.nearDupIngestBatch(gated,
-          sigStore, id, compactThreshold = 2)
+          sigStore, id, compactThreshold = 2,
+          timer = (ph, s) => stageTimer(s"hyg.$id.$ph", s))
+        val tw0 = System.nanoTime()
         admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$admittedDir/batch_$id")
+        stageTimer(s"hyg.$id.admit_write", (System.nanoTime() - tw0) / 1e9)
         // the admitted micro-batch appends to the pack index AND
         // materializes the packs it completes, WITHOUT any global
         // recompute — the streaming tiers of the terminal pack stage
@@ -300,14 +322,30 @@ object Jobs {
         val admittedBatch = spark.read.schema(admitted.schema)
           .parquet(s"$admittedDir/batch_$id")
           .select(col("doc_id"), col("text"))
+        val tp0 = System.nanoTime()
         StatefulStreaming.packIngestBatch(admittedBatch,
           s"$workDir/pack_stream", id)
+        stageTimer(s"hyg.$id.pack", (System.nanoTime() - tp0) / 1e9)
         graft.core.Barrier.releaseAll(spark)
+        stageTimer(s"hyg.$id.body", (System.nanoTime() - tb0) / 1e9)
         ()
       }
       .option("checkpointLocation", s"$workDir/_chk_hygiene")
       .trigger(Trigger.AvailableNow()).start()
     timed("hygiene")(q0.awaitTermination())
+    // the engine's own per-batch breakdown: anything the body timers
+    // miss (source planning, offset/commit log writes, trigger overhead)
+    // shows up here as the gap between durationMs.addBatch and the
+    // body's own reading
+    q0.recentProgress.foreach { p =>
+      val dm = p.durationMs
+      stageTimer(s"hyg.${p.batchId}.eng_addBatch",
+        dm.getOrDefault("addBatch", 0L) / 1e3)
+      stageTimer(s"hyg.${p.batchId}.eng_other",
+        (dm.values().asInstanceOf[java.util.Collection[java.lang.Long]]
+          .toArray.map(_.asInstanceOf[java.lang.Long].longValue()).sum -
+          dm.getOrDefault("addBatch", 0L)) / 1e3)
+    }
     benchFps.unpersist()
     benchBloom.unpersist()
     benchGramFps.unpersist()

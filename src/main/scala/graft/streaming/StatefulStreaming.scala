@@ -443,11 +443,21 @@ object StatefulStreaming {
   }
 
   def nearDupIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
-      buckets: Int = 16, compactThreshold: Int = 16): DataFrame = {
+      buckets: Int = 16, compactThreshold: Int = 16,
+      timer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import graft.core.Barrier.BarrierOps
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timer(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val spark = batch.sparkSession
-    val b = batch.barrier() // read by the signature pass AND the anti-join
-    val sigs = graft.operators.Dedup.bandedSigs(b).barrier()
+    // the barriers are this function's EAGER points: timing each one
+    // attributes the real work (the first executes the caller's whole
+    // gate lineage; "probe" executes the store read + both drop joins)
+    val b = phase("gates")(batch.barrier()) // read by sig pass AND anti-join
+    val sigs = phase("sigs")(graft.operators.Dedup.bandedSigs(b).barrier())
     // Prior batches' admitted signatures. The store is one directory PER
     // micro-batch (`__batch=<id>`, written with Overwrite below) and the
     // current batch's own directory is EXCLUDED from the read — so a
@@ -551,16 +561,19 @@ object StatefulStreaming {
     // either tier never blocks a later in-batch doc (see Scaladoc)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = graft.operators.Dedup.verifiedPairs(sigs, nPart)
-    val dropped = graft.operators.Dedup.greedyDroppedDocs(pairs, vsStore)
-    val admitted = b.join(dropped, Seq("doc_id"), "left_anti").barrier()
+    val dropped = graft.operators.Dedup.greedyDroppedDocs(pairs, vsStore,
+      timer = timer)
+    val admitted = phase("probe")(
+      b.join(dropped, Seq("doc_id"), "left_anti").barrier())
     // persist the admitted signatures under this batch's directory
     // (Overwrite: a replay rewrites the same dir), partitioned by the
     // signature-hash bucket the vs-store join keys on
-    sigs.join(admitted.select(col("doc_id")), "doc_id")
-      .select(col("doc_id"), col("band"), col("sig"), col("toks"),
-        bucketOf.as("__bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("__bucket").parquet(s"$storeDir/__batch=$batchId")
+    phase("sig_write")(
+      sigs.join(admitted.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("band"), col("sig"), col("toks"),
+          bucketOf.as("__bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(s"$storeDir/__batch=$batchId"))
     // COMPACTION (see Scaladoc): fold the prior batch dirs + old
     // generations into one new bucketed generation, THEN tombstone the
     // inputs — deletion waits for the next batch because the admitted
@@ -571,7 +584,7 @@ object StatefulStreaming {
     // to the drop joins, and the (doc_id, band) dedupe collapses them at
     // the next fold. The current batch's dir is never an input: replay
     // must keep excluding it.
-    if (batchDirs.length > compactThreshold) {
+    if (batchDirs.length > compactThreshold) phase("compact") {
       val nextGen = genDirs.map(_.getName.stripPrefix("__gen=").toLong)
         .foldLeft(0L)(math.max) + 1
       seen.foreach { sn => // None = all inputs empty: tombstone only

@@ -183,7 +183,14 @@ object Scaling {
       }
       val work = java.nio.file.Files.createTempDirectory("soak_scale").toString
       val t0 = System.nanoTime()
-      graft.streaming.Jobs.runSoak(spark, dir, work, srcFiles = 8,
+      // optional 4th arg: source-file count = micro-batch count. The
+      // default 8 keeps the historical protocol (batch size grows with
+      // k); passing 8*k holds BATCH SIZE constant while the store grows
+      // across 8*k batches — the reading that separates batch-linear
+      // work (gates) from store-size-shaped work (the probe), which the
+      // aggregate stage number conflates.
+      val srcFiles = args.lift(3).map(_.toInt).getOrElse(8)
+      graft.streaming.Jobs.runSoak(spark, dir, work, srcFiles = srcFiles,
         stageTimer = (st, s) => println(f"[soak] k=$k stage=$st%-10s $s%8.3fs"))
       println(f"[soak] k=$k total ${(System.nanoTime() - t0) / 1e9}%8.3fs")
       def du(f: java.io.File): Long =
@@ -209,6 +216,44 @@ object Scaling {
         println(s"[soak] k=$k packs rows=" + (
           try spark.read.parquet(packs.getPath).count()
           catch { case _: org.apache.spark.sql.AnalysisException => 0L }))
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("ivfsweep")) {
+      // r10 verdict #4: the query-volume crossover measurement behind
+      // ivfDerivedC. The 8-query fixture panel showed C ≈ √N SLOWER
+      // (assignment FLOPs buy a candidate reduction nobody consumes);
+      // the cost model says the crossover is at Q·nprobe ≈ C² — so a
+      // 1k-query panel at the same corpus must flip the sign. Prints a
+      // (Q × C) grid of end-to-end build+serve times, best-of-2.
+      val k = args.lift(2).map(_.toInt).getOrElse(64)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      Seq("embeddings").foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val sqrtN = graft.operators.Similarity.isqrt(n).toInt
+      for (q <- Seq(8, 1000); c <- Seq(16, sqrtN).distinct) {
+        val derived = graft.operators.Similarity.ivfDerivedC(n, q, 4)
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.ivfServe(spark, dir, c, q)
+            .queryExecution.toRdd.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          graft.core.Barrier.releaseAll(spark)
+          t
+        }
+        println(f"[ivfsweep] n=$n q=$q%-5d c=$c%-4d derivedC=$derived%-4d " +
+          f"${times.min}%7.3fs")
+      }
       spark.stop()
       return
     }
