@@ -55,7 +55,9 @@ object Scaling {
     // calibration tier by design (see Dedup's module doc) — a tier
     // comparison runs on a sample, not the corpus
     "corpus_source_overlap", "sample_split_leakage_free",
-    "sample_split_leakage_report")
+    "sample_split_leakage_report",
+    "text_unigram_train", "text_unigram_segment", "sim_pca_topk",
+    "mm_audio_features")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
