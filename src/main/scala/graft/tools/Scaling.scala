@@ -243,18 +243,21 @@ object Scaling {
       }
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val sqrtN = graft.operators.Similarity.isqrt(n).toInt
-      for (q <- Seq(8, 1000); c <- Seq(16, sqrtN).distinct) {
+      for (q <- Seq(8, 1000, 4000)) {
         val derived = graft.operators.Similarity.ivfDerivedC(n, q, 4)
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          graft.operators.Similarity.ivfServe(spark, dir, c, q)
-            .queryExecution.toRdd.count()
-          val t = (System.nanoTime() - t0) / 1e9
-          graft.core.Barrier.releaseAll(spark)
-          t
+        for (c <- Seq(16, derived, sqrtN).distinct) {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.Similarity.ivfServe(spark, dir, c, q)
+              .queryExecution.toRdd.count()
+            val t = (System.nanoTime() - t0) / 1e9
+            graft.core.Barrier.releaseAll(spark)
+            t
+          }
+          val mark = if (c == derived) " <- derived" else ""
+          println(f"[ivfsweep] n=$n q=$q%-5d c=$c%-4d derivedC=$derived%-4d " +
+            f"${times.min}%7.3fs$mark")
         }
-        println(f"[ivfsweep] n=$n q=$q%-5d c=$c%-4d derivedC=$derived%-4d " +
-          f"${times.min}%7.3fs")
       }
       spark.stop()
       return
