@@ -1455,12 +1455,40 @@ object Similarity extends OpModule {
       col("c").as("cb"))
     val g = a.join(b, "vec_id").groupBy(col("dim_a"), col("dim_b"))
       .agg(sum(col("ca") * col("cb")).as("g"))
-      .barrier() // read by the scale probe AND the rescale
-    val gsc = g.agg(greatest(expr("max(abs(g)) DIV 1000000"), lit(1L))
+    pcaScaleGram(g)
+  }
+
+  /** The global DIV-10⁶ rescale of a centered (dim_a, dim_b, g) Gram —
+    * the entry point shared by the batch query (cells-derived Gram) and
+    * the streaming tier (store-maintained Gram, pcaGramFrom): both feed
+    * the SAME ladder, so stream-maintained and batch top-k components
+    * can only differ if their Grams differ — and Gram parity is already
+    * pinned (StreamingSpec). */
+  private[graft] def pcaScaleGram(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val gb = g.barrier() // read by the scale probe AND the rescale
+    val gsc = gb.agg(greatest(expr("max(abs(g)) DIV 1000000"), lit(1L))
       .as("gsc"))
-    g.crossJoin(broadcast(gsc))
+    gb.crossJoin(broadcast(gsc))
       .select(col("dim_a"), col("dim_b"), expr(sdivSql("g", "gsc")).as("g"))
       .barrier() // read by every round and every deflation
+  }
+
+  /** The k-component deflation ladder over a SCALED Gram — shared by
+    * sim_pca_topk and the streaming-store twin. */
+  private[graft] def pcaTopkFrom(gsIn: org.apache.spark.sql.DataFrame,
+      d: Int, s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val v0 = s.range(d).select(col("id").as("dim"), lit(1000L).as("v"))
+    var gs = gsIn
+    (1 to PcaTopK).map { k =>
+      val v = (1 to PcaRounds)
+        .foldLeft(v0)((vv, _) => gramRound(gs, vv).barrier())
+      if (k < PcaTopK) gs = gramDeflate(gs, v)
+      v.select(lit(k.toLong).as("comp"), col("dim"), col("v").as("v_milli"))
+    }.reduce(_ unionByName _)
   }
 
   /** One power-iteration round ON THE GRAM: w = Gs·v then the same
@@ -1613,17 +1641,9 @@ object Similarity extends OpModule {
     // pcaGramScaled's bound audit); PcaSpec pins pairwise
     // near-orthogonality and Rayleigh variance-ordering.
     "sim_pca_topk" -> ((s, dir) => {
-      import graft.core.Barrier.BarrierOps
       val d = t(s, dir, "embeddings")
         .select(size(col("embedding"))).head.getInt(0) // 1-row probe
-      val v0 = s.range(d).select(col("id").as("dim"), lit(1000L).as("v"))
-      var gs = pcaGramScaled(s, dir)
-      (1 to PcaTopK).map { k =>
-        val v = (1 to PcaRounds)
-          .foldLeft(v0)((vv, _) => gramRound(gs, vv).barrier())
-        if (k < PcaTopK) gs = gramDeflate(gs, v)
-        v.select(lit(k.toLong).as("comp"), col("dim"), col("v").as("v_milli"))
-      }.reduce(_ unionByName _)
+      pcaTopkFrom(pcaGramScaled(s, dir), d, s)
     }))
 
   /** DuckDB mirror of [[pcaCells]] + [[pcaRound]] × 3: the chained-CTE

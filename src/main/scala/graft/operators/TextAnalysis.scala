@@ -1787,6 +1787,19 @@ object TextAnalysis extends OpModule {
       .barrier() // read by the gram seed AND every Viterbi pass
     val grams = wordpieceGrams(words)
       .barrier() // read by the seed cut AND the char floor
+    (words, unigramModelFrom(words, grams))
+  }
+
+  /** The EM chain off explicit (word, wf, len) + (piece, freq) relations
+    * — shared VERBATIM by the batch query and the streaming statistics
+    * tier (StatefulStreaming.unigramSegmentsFrom reads both relations
+    * from the same additive store the WordPiece tier maintains), so
+    * store-derived and batch-derived models can only differ if their
+    * input STATISTICS differ. Callers barrier both inputs. */
+  private[graft] def unigramModelFrom(words: org.apache.spark.sql.DataFrame,
+      grams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Barrier.BarrierOps
     val chars = grams.filter(length(col("piece")) === 1)
       .select(col("piece")).barrier()
     var model: org.apache.spark.sql.DataFrame = grams
@@ -1798,7 +1811,7 @@ object TextAnalysis extends OpModule {
     for (keep <- UnigramPruneSchedule)
       model = unigramRecount(unigramViterbi(words, unigramScore(model)),
         chars, keep)
-    (words, model)
+    model
   }
 
   /** BM25 query-term literals — one rare discriminative term (`dup`,

@@ -1202,6 +1202,33 @@ object StatefulStreaming {
       graft.operators.TextAnalysis.wordpieceVocabFromGrams(grams).barrier())
   }
 
+  /** Unigram-LM segmentation off the SAME maintained statistics store as
+    * [[wordpieceSegmentsFrom]] — the unigram chain consumes exactly the
+    * two additive relations the WordPiece tier already maintains
+    * ((word, wf) counts and (piece, freq) substring weights), so one
+    * store serves both tokenizer families. The EM/Viterbi chain is the
+    * batch query's own code (TextAnalysis.unigramModelFrom /
+    * unigramViterbi), so stream-maintained and batch segmentations can
+    * only differ if the summed statistics differ (parity + replay pinned
+    * in StreamingSpec alongside the WordPiece twin). */
+  def unigramSegmentsFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.Barrier.BarrierOps
+    val words = storeRead(spark, s"$storeDir/__words", StructType(Seq(
+      StructField("word", StringType), StructField("wf", LongType))))
+      .groupBy(col("word")).agg(sum(col("wf")).as("wf"))
+      .withColumn("len", length(col("word")).cast("long"))
+      .barrier()
+    val grams = storeRead(spark, s"$storeDir/__grams", StructType(Seq(
+      StructField("piece", StringType), StructField("freq", LongType))))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+      .barrier()
+    val model = graft.operators.TextAnalysis.unigramModelFrom(words, grams)
+    graft.operators.TextAnalysis.unigramViterbi(words,
+      graft.operators.TextAnalysis.unigramScore(model))
+  }
+
   /** Schema-pinned read of every `__batch=*` contribution under `root`;
     * a NEVER-INGESTED store (no dirs at all) is an empty relation, not a
     * PATH_NOT_FOUND error — searching/scoring before the first ingest is

@@ -728,6 +728,24 @@ class StreamingSpec extends SparkSpec {
       assert(cos > 0.9,
         s"Gram-route and cells-route power iteration must agree on the " +
           s"leading direction; |cos| = $cos")
+      // sim_pca_topk runs entirely on the Gram, so the maintained store
+      // gives it a streaming tier FOR FREE: the same scale+deflation
+      // ladder over the store-derived Gram must reproduce the batch
+      // query bit-for-bit (Gram parity was proven above; this pins the
+      // whole k-component tail through the store)
+      val d = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+      def topkOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val tkStream = topkOf(graft.operators.Similarity.pcaTopkFrom(
+        graft.operators.Similarity.pcaScaleGram(
+          StatefulStreaming.pcaGramFrom(spark, store)), d, spark))
+      val tkBatch = topkOf(graft.operators.Similarity
+        .queries("sim_pca_topk")(spark, sfDir))
+      assert(tkStream === tkBatch,
+        "top-k components from the maintained Gram store must equal the " +
+          "batch query exactly")
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
@@ -761,6 +779,24 @@ class StreamingSpec extends SparkSpec {
       graft.core.Barrier.releaseAll(spark)
       assert(segs(StatefulStreaming.wordpieceSegmentsFrom(spark, store))
         === batchTwin, "replay must not change the statistics")
+      // the unigram-LM family consumes the SAME two additive relations,
+      // so this one store serves both tokenizer tiers: the full hard-EM
+      // chain over the store statistics must reproduce the batch
+      // query's Viterbi segmentations exactly
+      def usegs(df: org.apache.spark.sql.DataFrame) = df
+        .filter(org.apache.spark.sql.functions.col("pos") ===
+          org.apache.spark.sql.functions.col("len"))
+        .select("word", "np", "seg", "sc").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      val uStream = usegs(StatefulStreaming.unigramSegmentsFrom(spark, store))
+      graft.core.Barrier.releaseAll(spark)
+      val (uw, um) = graft.operators.TextAnalysis.unigramModel(spark, sfDir)
+      val uBatch = usegs(graft.operators.TextAnalysis.unigramViterbi(uw,
+        graft.operators.TextAnalysis.unigramScore(um)))
+      assert(uStream === uBatch,
+        "unigram hard-EM over the maintained statistics must equal the " +
+          "batch chain exactly")
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
