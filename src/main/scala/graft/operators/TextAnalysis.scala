@@ -157,6 +157,72 @@ object TextAnalysis extends OpModule {
     // punctuation. Every metric is a ratio of exact integers (one IEEE
     // division each), so the oracle is bit-exact; the pass column is the
     // conjunction a pipeline filters on. One narrow pass, no shuffle.
+    // Per-doc REPETITION battery — the other half of the published
+    // Gopher quality rules (Rae et al. Appendix A: repetition filters):
+    // duplicate-word fraction, the most-frequent word-2-gram's character
+    // coverage, and the character coverage of all duplicated 5-grams.
+    // The fixture corpus is flat word streams (no lines/sentences), so
+    // the word-n-gram tier is the substantive one; the line/paragraph
+    // siblings would be identically zero here. Coverage numerators count
+    // overlapping occurrences (the standard approximation — the exact
+    // positional-union variant needs per-position state; both engines
+    // compute the SAME approximation and the ratio is capped at 1).
+    // Exact integer counts; one IEEE division per metric. Scale shape:
+    // two explodes + map-side-combinable (doc_id, gram) aggregates, a
+    // per-doc WindowGroupLimit top-1, thin doc_id joins back — nothing
+    // wider than the tokenize pass. Planted edge docs (-81..-83): heavy
+    // repetition, a single token (no 2-grams), an empty text.
+    "text_repetition_report" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fixture = Seq(
+        (-81L, "spam spam spam spam spam ham"),
+        (-82L, "one"),
+        (-83L, "")).toDF("doc_id", "text")
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixture)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(array_join(col("toks"), " ")).cast("long").as("tchars"))
+        .barrier() // read by the word, 2-gram and 5-gram passes
+      val words = toks
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nw"), count(lit(1)).as("ndw"))
+      def grams(n: Int) = toks.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      val top2 = grams(2)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("g").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cnt").as("top2_cnt"),
+          (col("cnt") * length(col("g"))).cast("long").as("top2_chars"))
+      val dup5 = grams(5).filter(col("cnt") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * length(col("g"))).as("dup5_chars"))
+      toks.select(col("doc_id"), col("n_tokens"), col("tchars"))
+        .join(words, Seq("doc_id"), "left")
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise((col("nw") - col("ndw")).cast("double") /
+              col("nw").cast("double")).as("dup_word_frac"),
+          coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(least(lit(1.0),
+              coalesce(col("top2_chars"), lit(0L)).cast("double") /
+                col("tchars").cast("double"))).as("top2_char_frac"),
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(least(lit(1.0),
+              coalesce(col("dup5_chars"), lit(0L)).cast("double") /
+                col("tchars").cast("double"))).as("dup5_char_frac"))
+    }),
     "text_gopher_rules" -> ((s, dir) => {
       val words = split(trim(col("text")), "\\s+")
       val nw = size(words).cast("long")
@@ -3102,6 +3168,63 @@ object TextAnalysis extends OpModule {
          |       ELSE 'other' END AS pred_lang
          |FROM docs""".stripMargin
     },
+    "text_repetition_report" ->
+      s"""WITH fx AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (CAST(-81 AS BIGINT), 'spam spam spam spam spam ham'),
+         |    (CAST(-82 AS BIGINT), 'one'),
+         |    (CAST(-83 AS BIGINT), '')) v(doc_id, text)),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> x <> '') AS toks
+         |  FROM fx),
+         |base AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS tchars
+         |  FROM tok),
+         |words AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+         |    CAST(count(*) AS BIGINT) AS ndw
+         |  FROM (SELECT doc_id, w, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+         |  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2) GROUP BY 1, 2),
+         |top2 AS (SELECT doc_id, cnt AS top2_cnt,
+         |    CAST(cnt * length(g) AS BIGINT) AS top2_chars
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY cnt DESC, g ASC) AS rn FROM g2)
+         |  WHERE rn = 1),
+         |g5 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+         |  FROM tok, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+         |  WHERE len(toks) >= 5) GROUP BY 1, 2),
+         |dup5 AS (SELECT doc_id,
+         |    CAST(sum(cnt * length(g)) AS BIGINT) AS dup5_chars
+         |  FROM g5 WHERE cnt >= 2 GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |       ELSE CAST(w.nw - w.ndw AS DOUBLE) / CAST(w.nw AS DOUBLE)
+         |       END AS dup_word_frac,
+         |  COALESCE(t2.top2_cnt, 0) AS top2_cnt,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |       ELSE least(1.0, CAST(COALESCE(t2.top2_chars, 0) AS DOUBLE)
+         |                       / CAST(b.tchars AS DOUBLE)) END
+         |    AS top2_char_frac,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |       ELSE least(1.0, CAST(COALESCE(d5.dup5_chars, 0) AS DOUBLE)
+         |                       / CAST(b.tchars AS DOUBLE)) END
+         |    AS dup5_char_frac
+         |FROM base b
+         |LEFT JOIN words w USING (doc_id)
+         |LEFT JOIN top2 t2 USING (doc_id)
+         |LEFT JOIN dup5 d5 USING (doc_id)""".stripMargin,
     "text_gopher_rules" ->
       """SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
