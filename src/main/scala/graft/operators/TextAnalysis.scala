@@ -1609,6 +1609,42 @@ object TextAnalysis extends OpModule {
       unigramScore(unigramModel(s, dir)._2)
         .select(col("piece"), col("plen"), col("c").as("cnt"),
           col("wq").as("weight_q"))),
+    // Tokenizer-family comparison — the fertility report every tokenizer
+    // paper publishes, computed for BOTH trained families on the SAME
+    // distinct-word relation (one corpus scan feeds both): inventory
+    // size, corpus word count, subword count (corpus-weighted over
+    // distinct words), and fertility = subwords/word. BPE is excluded by
+    // design: it tokenizes a different basis (the bpeish regex stream,
+    // punctuation included), so its fertility is not comparable on this
+    // axis — text_bpe_train reports its own per-round compression.
+    "text_tokenizer_eval" -> ((s, dir) => {
+      val words = wordpieceWords(s, dir)
+        .barrier() // one scan feeds both families + the word total
+      val grams = wordpieceGrams(words).barrier()
+      val nw = words.agg(sum(col("wf")).as("n_words"))
+        .barrier() // read by both output rows
+      val wpVocab = wordpieceVocabFromGrams(grams).barrier()
+      val wpSub = wordpieceLoop(words, wpVocab)
+        .join(words.select(col("word"), col("wf")), "word")
+        .agg(sum(col("wf") * col("np")).as("n_subwords"))
+      val wpV = wpVocab.agg(count(lit(1)).as("vocab_size"))
+      val um = unigramModelFrom(words, grams).barrier()
+      val uSub = unigramViterbi(words, unigramScore(um))
+        .filter(col("pos") === col("len"))
+        .select(col("wf"), col("np"))
+        .unionByName(words.filter(col("len") > UnigramMaxPos)
+          .select(col("wf"), lit(1L).as("np")))
+        .agg(sum(col("wf") * col("np")).as("n_subwords"))
+      val uV = um.agg(count(lit(1)).as("vocab_size"))
+      def row(name: String, v: org.apache.spark.sql.DataFrame,
+          sub: org.apache.spark.sql.DataFrame) =
+        v.crossJoin(sub).crossJoin(nw) // three 1-row scalars
+          .select(lit(name).as("tokenizer"), col("vocab_size"),
+            col("n_words"), col("n_subwords"),
+            (col("n_subwords").cast("double") /
+              col("n_words").cast("double")).as("fertility"))
+      row("wordpiece", wpV, wpSub).unionByName(row("unigram", uV, uSub))
+    }),
     // Viterbi segmentation of every distinct word under the trained
     // model (the tokenizer-inference sibling; words longer than the DP
     // horizon pass through as one uncovered piece).
@@ -4268,6 +4304,31 @@ object TextAnalysis extends OpModule {
       s"""WITH $oraUnigramChain
          |SELECT piece, plen, c AS cnt, wq AS weight_q
          |FROM sm${UnigramPruneSchedule.length}""".stripMargin,
+    "text_tokenizer_eval" ->
+      s"""WITH $oraWordStats,
+         |$oraWordpieceTail,
+         |$oraUnigramTail,
+         |nw AS (SELECT CAST(sum(wf) AS BIGINT) AS n_words FROM w0),
+         |wps AS (SELECT CAST(sum(w.wf * s.np) AS BIGINT) AS n_subwords
+         |        FROM s$WordpieceRounds s JOIN w0 w USING (word)),
+         |wpv AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM vocab),
+         |uns AS (SELECT CAST(sum(x) AS BIGINT) AS n_subwords FROM (
+         |   SELECT wf * np AS x
+         |   FROM d${UnigramPruneSchedule.length}_$UnigramMaxPos
+         |   WHERE pos = len
+         |   UNION ALL
+         |   SELECT wf * 1 FROM w0 WHERE len > $UnigramMaxPos)),
+         |unv AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size
+         |        FROM m${UnigramPruneSchedule.length})
+         |SELECT 'wordpiece' AS tokenizer, wpv.vocab_size, nw.n_words,
+         |  wps.n_subwords,
+         |  CAST(wps.n_subwords AS DOUBLE) / CAST(nw.n_words AS DOUBLE)
+         |    AS fertility
+         |FROM nw, wps, wpv
+         |UNION ALL
+         |SELECT 'unigram', unv.vocab_size, nw.n_words, uns.n_subwords,
+         |  CAST(uns.n_subwords AS DOUBLE) / CAST(nw.n_words AS DOUBLE)
+         |FROM nw, uns, unv""".stripMargin,
     "text_unigram_segment" ->
       s"""WITH $oraUnigramChain
          |SELECT word, wf, np AS n_pieces, seg, sc AS score_q,
@@ -4297,7 +4358,10 @@ object TextAnalysis extends OpModule {
        |        WHERE s.pos <= s.len)
        |  WHERE rn = 1)""".stripMargin
 
-  private lazy val oraWordpieceChain: String =
+  /** The shared word/substring statistics prefix — one definition, so a
+    * query composing BOTH tokenizer families (text_tokenizer_eval) can
+    * build a single WITH without duplicate CTE names. */
+  private lazy val oraWordStats: String =
     s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wf,
        |    CAST(length(word) AS BIGINT) AS len
@@ -4313,8 +4377,12 @@ object TextAnalysis extends OpModule {
        |    unnest(generate_series(1, len)) AS p(pos),
        |    unnest(generate_series(1, 6)) AS q(plen)
        |  WHERE pos + plen - 1 <= len
-       |  GROUP BY 1),
-       |topg AS (SELECT piece, freq FROM grams
+       |  GROUP BY 1)""".stripMargin
+
+  /** WordPiece-specific CTEs (inventory cut + greedy loop) on top of
+    * [[oraWordStats]]. */
+  private lazy val oraWordpieceTail: String =
+    s"""topg AS (SELECT piece, freq FROM grams
        |         ORDER BY freq DESC, piece ASC LIMIT 512),
        |vocab AS MATERIALIZED (
        |  SELECT piece, CAST(length(piece) AS BIGINT) AS plen FROM (
@@ -4326,6 +4394,9 @@ object TextAnalysis extends OpModule {
        |    CAST(0 AS BIGINT) AS np, '' AS seg
        |  FROM w0),
        |${(1 to WordpieceRounds).map(oraWordpieceRound).mkString(",\n")}""".stripMargin
+
+  private lazy val oraWordpieceChain: String =
+    s"$oraWordStats,\n$oraWordpieceTail"
 
   /** DuckDB mirror of qlogSql (`<<`/`//` mirror shiftleft/DIV —
     * operands are non-negative, so floor and truncation agree). */
@@ -4392,27 +4463,12 @@ object TextAnalysis extends OpModule {
   /** The shared unigram-LM chain: substring seed, then the hard-EM prune
     * schedule (512→384→256), then the final scored model + Viterbi pass.
     * Reuses the WordPiece w0/grams statistics CTEs verbatim. */
-  private lazy val oraUnigramChain: String = {
+  /** Unigram-specific CTEs (seed + EM passes) on top of [[oraWordStats]]. */
+  private lazy val oraUnigramTail: String = {
     val passes = UnigramPruneSchedule.zipWithIndex
       .map { case (kp, k) => oraUnigramPass(k, Some(kp)) } :+
       oraUnigramPass(UnigramPruneSchedule.length, None)
-    s"""w0 AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS wf,
-       |    CAST(length(word) AS BIGINT) AS len
-       |  FROM (SELECT unnest(list_filter(
-       |          string_split_regex(lower(text), '[^a-z0-9]+'),
-       |          x -> x <> '')) AS word
-       |        FROM documents)
-       |  GROUP BY 1),
-       |grams AS MATERIALIZED (
-       |  SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
-       |    CAST(sum(wf) AS BIGINT) AS freq
-       |  FROM w0,
-       |    unnest(generate_series(1, len)) AS p(pos),
-       |    unnest(generate_series(1, 6)) AS q(plen)
-       |  WHERE pos + plen - 1 <= len
-       |  GROUP BY 1),
-       |chars AS MATERIALIZED (
+    s"""chars AS MATERIALIZED (
        |  SELECT piece FROM grams WHERE length(piece) = 1),
        |m0 AS MATERIALIZED (
        |  SELECT piece, c FROM (
@@ -4422,4 +4478,7 @@ object TextAnalysis extends OpModule {
        |    SELECT piece, freq AS c FROM grams WHERE length(piece) = 1)),
        |${passes.mkString(",\n")}""".stripMargin
   }
+
+  private lazy val oraUnigramChain: String =
+    s"$oraWordStats,\n$oraUnigramTail"
 }
