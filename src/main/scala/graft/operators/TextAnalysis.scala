@@ -1609,6 +1609,21 @@ object TextAnalysis extends OpModule {
       unigramScore(unigramModel(s, dir)._2)
         .select(col("piece"), col("plen"), col("c").as("cnt"),
           col("wq").as("weight_q"))),
+    // Per-doc fertility under the trained unigram model — the
+    // text_wordpiece_counts sibling: docs pay one explode + one thin
+    // join against the DISTINCT-word segmentation, never the EM loop.
+    "text_unigram_counts" -> ((s, dir) => {
+      val (words, model) = unigramModel(s, dir)
+      val seg = unigramViterbi(words, unigramScore(model))
+        .filter(col("pos") === col("len")).select(col("word"), col("np"))
+        .unionByName(words.filter(col("len") > UnigramMaxPos)
+          .select(col("word"), lit(1L).as("np")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
+        .join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_subwords"))
+    }),
     // Tokenizer-family comparison — the fertility report every tokenizer
     // paper publishes, computed for BOTH trained families on the SAME
     // distinct-word relation (one corpus scan feeds both): inventory
@@ -4304,6 +4319,24 @@ object TextAnalysis extends OpModule {
       s"""WITH $oraUnigramChain
          |SELECT piece, plen, c AS cnt, wq AS weight_q
          |FROM sm${UnigramPruneSchedule.length}""".stripMargin,
+    "text_unigram_counts" ->
+      s"""WITH $oraUnigramChain,
+         |useg AS (
+         |  SELECT word, np
+         |  FROM d${UnigramPruneSchedule.length}_$UnigramMaxPos
+         |  WHERE pos = len
+         |  UNION ALL
+         |  SELECT word, CAST(1 AS BIGINT) AS np FROM w0
+         |  WHERE len > $UnigramMaxPos),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s.np) AS BIGINT) AS n_subwords
+         |FROM tok t JOIN useg s USING (word)
+         |GROUP BY 1""".stripMargin,
     "text_tokenizer_eval" ->
       s"""WITH $oraWordStats,
          |$oraWordpieceTail,
