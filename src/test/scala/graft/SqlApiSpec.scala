@@ -9,6 +9,22 @@ import graft.core.SqlCatalog
   */
 class SqlApiSpec extends SparkSpec {
 
+  test("SQL-text forms of the native one-walk expressions equal the " +
+      "Column forms") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("sql_docs")
+    val sqlDf = spark.sql(
+      """SELECT doc_id, text_stats(text) AS ts, classifier_stats(text) AS cs
+        |FROM sql_docs""".stripMargin)
+    val colDf = docs.select(col("doc_id"),
+      expr("text_stats(text)").as("ts"),
+      expr("classifier_stats(text)").as("cs"))
+    assert(sqlDf.exceptAll(colDf).count() === 0 &&
+      colDf.exceptAll(sqlDf).count() === 0)
+  }
+
   test("SQL-text form of the cart-add filter equals the DataFrame form") {
     val sqlDf = SqlCatalog.sql(spark, sfDir,
       """SELECT o_orderkey AS id,
