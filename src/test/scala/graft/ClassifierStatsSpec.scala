@@ -41,6 +41,26 @@ class ClassifierStatsSpec extends SparkSpec {
       .toDF("text"))
   }
 
+  test("bit-identical on a seeded random unicode fuzz corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(882288)
+    val alphabet = ("abz09" + " \t\n" + ".,-_" + "яз中" + "K" + "𝄞")
+      .toCharArray
+    def randStr(): String = {
+      val n = rnd.nextInt(50)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        if (Character.isHighSurrogate(c)) { sb.append("𝄞"); () }
+        else if (!Character.isLowSurrogate(c)) { sb.append(c); () }
+        i += 1
+      }
+      sb.toString
+    }
+    assertSame((1 to 400).map(_ => randStr()).toDF("text"))
+  }
+
   test("the walk evaluates once per row in the classifier query shape") {
     val q = SparkEntry.queries("text_quality_classifier")(spark, sfDir)
     val plan = q.queryExecution.optimizedPlan.toString

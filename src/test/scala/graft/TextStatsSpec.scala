@@ -62,6 +62,31 @@ class TextStatsSpec extends SparkSpec {
     assertSame(edges.toDF("text"))
   }
 
+  test("bit-identical on a seeded random unicode fuzz corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(771177)
+    // alphabet spans every class the walk branches on: ASCII
+    // letters/digits, every \s char, punct, cyrillic, CJK, combining
+    // accents, the Kelvin sign (lowercases into a-z), and a surrogate
+    // pair (one code point, two UTF-16 units)
+    val alphabet = ("abcXYZ019" + " \t\n\f\r" + ".,!#-_" +
+      "жЩя" + "中文" + "éÀ́" + "K" + "𝄞").toCharArray
+    def randStr(): String = {
+      val n = rnd.nextInt(60)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // keep surrogate halves paired: emit both or re-roll
+        if (Character.isHighSurrogate(c)) { sb.append("𝄞"); () }
+        else if (!Character.isLowSurrogate(c)) { sb.append(c); () }
+        i += 1
+      }
+      sb.toString
+    }
+    assertSame((1 to 400).map(_ => randStr()).toDF("text"))
+  }
+
   test("the walk evaluates once per row in the text_quality shape") {
     val q = SparkEntry.queries("text_quality")(spark, sfDir)
     val plan = q.queryExecution.optimizedPlan.toString
