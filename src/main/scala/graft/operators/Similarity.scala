@@ -1081,7 +1081,74 @@ object Similarity extends OpModule {
     rescoreTopK(s, dir, cand)
   }
 
+  /** Packs 32 sign bits of the int8 `codes` array (codes[half*32+1 ..
+    * half*32+32], bit j set when the code is > 0) into one BIGINT word —
+    * exact integers, so a DuckDB `sum(1 << (dim % 32))` mirror is
+    * bit-identical. Codes sliced past the array end zip to NULL; the
+    * null-guard keeps short tail words valid for any dimension count.
+    */
+  private def packWordExpr(half: Int): String =
+    s"""aggregate(zip_with(slice(codes, ${half * 32 + 1}, 32),
+       |    sequence(0, 31),
+       |    (c, j) -> CASE WHEN c IS NOT NULL AND c > 0
+       |              THEN shiftleft(CAST(1 AS BIGINT), j)
+       |              ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+
   def queriesSq: Map[String, Q] = Map(
+    // Binary quantization — the 1-bit cell of the quantization matrix
+    // (SQ keeps 8 bits/dim, PQ ~1 B/subspace; this keeps ONE bit/dim):
+    // each vector collapses to sign bits of its int8 codes packed into
+    // 64-bit words (16 B/vector at d=64 — 16x less than float32), the
+    // candidate rank is pure popcount Hamming distance on those words
+    // (`bit_count(q ^ n)` — two codegen'd integer ops per word, no
+    // per-dim loop at query time), and the top-4K survivors rescore
+    // with exact cosine via the id-only join. Everything before the
+    // rescore is integer-exact, so the Hamming cut is bit-stable under
+    // the DuckDB oracle. Scale shape: the corpus pass is ONE narrow
+    // scan (codes + pack against the 1-row scale broadcast, barriered);
+    // scoring streams 2 longs/vector against the 8-row query broadcast
+    // — the cheapest possible first-pass scan of the whole ANN family,
+    // and the published shape (Qdrant/Milvus binary quantization,
+    // FAISS IndexBinaryFlat) for a 100 TB first-cut filter.
+    "sim_hamming_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      // word count derives from the data (one limit-1 probe), so any
+      // embedding width packs fully — a fixed 2-word layout would
+      // silently truncate dims >= 64 on a wider corpus
+      val dims = emb.select(size(col("embedding")).as("n"))
+        .filter(col("n") > 0).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      val nWords = (dims + 31) / 32
+      val wordCols = (0 until nWords).map(h =>
+        expr(packWordExpr(h)).as(s"w$h"))
+      val withWords = emb.join(broadcast(sqScale(emb)), lit(true))
+        .select(col("vec_id"), expr(codesExpr).as("codes"))
+        .select(col("vec_id") +: wordCols: _*)
+        .barrier() // query and corpus sides both read the packed words
+      val q = withWords.filter(col("vec_id") < 8).select(
+        col("vec_id").as("query_id") +:
+          (0 until nWords).map(h => col(s"w$h").as(s"qw$h")): _*)
+      val hamExpr = (0 until nWords)
+        .map(h => s"bit_count(qw$h ^ w$h)").mkString(" + ")
+      val scored = withWords
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(hamExpr).cast("bigint").as("ham"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("ham").asc, col("neighbor_id").asc)
+      // 8x overscan (vs 4x for SQ/PQ): the published binary-quantization
+      // discipline — 1-bit codes are the coarsest rank, but candidates
+      // cost 2 longs each, so a wider rescore set is nearly free and
+      // buys back the recall the sign bits lose
+      val cand = scored.withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= K * 8)
+        .select(col("query_id"), col("neighbor_id"))
+      rescoreTopK(s, dir, cand)
+    }),
     // Product quantization — the remaining member of the FAISS family
     // (SQ compresses per-dim, IVF prunes lists, IVF+SQ composes; PQ
     // compresses per-SUBSPACE): each vector is encoded as 8 codeword ids
@@ -1930,6 +1997,44 @@ object Similarity extends OpModule {
     // mirrors queriesSq: same double quantization arithmetic, same exact
     // integer prefilter, same cosine rescoring of the top-4K candidates
     "sim_sq_ann" -> oraSqAnnFull,
+    // mirrors sim_hamming_ann: same int8 codes (oraPqCodes), sign bits
+    // packed per 32-dim word via integer shifts, popcount-Hamming rank
+    // (xor + bit_count — both exact on BIGINT in both engines), then
+    // the shared top-4K exact-cosine rescore
+    "sim_hamming_ann" ->
+      s"""WITH $oraPqCodes,
+         |words AS (
+         |  SELECT vec_id, dim // 32 AS w,
+         |    CAST(sum(CASE WHEN c > 0
+         |        THEN (CAST(1 AS BIGINT) << (dim % 32))
+         |        ELSE 0 END) AS BIGINT) AS wd
+         |  FROM codes GROUP BY 1, 2),
+         |hams AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(sum(bit_count(xor(q.wd, n.wd))) AS BIGINT) AS ham
+         |  FROM words q JOIN words n ON q.w = n.w
+         |    AND q.vec_id < 8 AND q.vec_id <> n.vec_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ham ASC, neighbor_id ASC) AS qrank
+         |    FROM hams)
+         |  WHERE qrank <= ${K * 8}),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     // mirrors sim_ivfpq_ann_trained: BOTH training ladders chained — the
     // coarse quantizer's 2-round Lloyd (oraKmeansChain → af) and the PQ
     // per-subspace Lloyd (oraPqTrainLadder → cb2) — feeding the shared

@@ -292,6 +292,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "8-bit codes + 4x-overscan rescore must recover most true neighbors")
   }
 
+  test("Hamming (binary-quantized) ANN recall vs brute force at sf0.001") {
+    // 1-bit sign codes (64 dims -> two BIGINT words, 16x compression)
+    // ranked by popcount Hamming: the coarsest quantization tier, but
+    // the 4x-overscan exact rescore must still recover a usable share
+    // of the true top-k — binary quantization is the first-pass filter,
+    // not a recall cliff
+    val brute = graft.operators.Similarity
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham = graft.operators.Similarity
+      .queries("sim_hamming_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ham.nonEmpty, "Hamming ANN must return candidates")
+    assert(ham.forall { case (q, n) => q != n })
+    val recall = ham.count(brute.contains).toDouble / brute.size
+    info(f"Hamming recall@5 = $recall%.2f (sign bits, 8x overscan, exact rescore)")
+    assert(recall >= 0.3,
+      "sign bits + 4x-overscan rescore must keep real neighbor signal")
+  }
+
   test("PQ ANN recall vs brute force at sf0.001") {
     // 8-byte PQ codes (32x compression) + ADC ranking + 4x-overscan
     // exact rescore: lossier than SQ by design, but the reconstruction
