@@ -2072,6 +2072,51 @@ object TextAnalysis extends OpModule {
       val tb = train.agg(count(lit(1)).as("tb"))
       bigramLmScore(bigrams, cb, cw1, cw2, tb)
     }),
+    // CCNet-style perplexity bucketing — the published head/middle/tail
+    // split: score every doc by the trained bigram LM (the text_bigram_lm
+    // model verbatim — one train split, same interpolated micro-unit
+    // arithmetic), then cut each LANGUAGE's score distribution at its
+    // 1/3 and 2/3 quantiles: bottom third = tail (highest perplexity),
+    // top third = head. The quantiles come from a BOUNDED histogram, not
+    // a corpus sort: per-doc scores are integers in [0, 1e6], so the
+    // (lang, score) rollup has ≤ |langs|·1e6 cells at ANY corpus size —
+    // the cumulative window and the cut search run over that histogram,
+    // and the corpus itself only ever feeds partial-aggregating counts
+    // and one broadcast-cuts join. This is exactly how CCNet avoids
+    // sorting Common Crawl: quantile CUTOFFS first, then a comparison
+    // pass. Everything integer → hash-exact under the oracle.
+    "text_perplexity_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bigrams = bigramsOf(docs)
+        .barrier() // feeds the train counts AND the scoring join
+      val train = lmTrainSplit(bigrams)
+        .barrier() // three count rollups read it
+      val cb = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cw1 = train.groupBy(col("w1")).agg(count(lit(1)).as("cu1"))
+      val cw2 = train.groupBy(col("w2")).agg(count(lit(1)).as("cu2"))
+      val tb = train.agg(count(lit(1)).as("tb"))
+      val scored = bigramLmScore(bigrams, cb, cw1, cw2, tb)
+        .select(col("doc_id"), expr("lm_micro_sum DIV n_bigrams").as("sc"))
+      val withLang = scored
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .barrier() // read by the histogram AND the assignment pass
+      val hist = withLang.groupBy(col("lang"), col("sc"))
+        .agg(count(lit(1)).as("cnt"))
+      val wl = Window.partitionBy(col("lang")).orderBy(col("sc").asc)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wl))
+      val ntot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      val cuts = cum.join(ntot, "lang")
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("sc"))).as("c_lo"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("sc"))).as("c_hi"))
+      withLang.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("sc").as("lm_avg_micro"),
+          when(col("sc") <= col("c_lo"), lit("tail"))
+            .when(col("sc") <= col("c_hi"), lit("middle"))
+            .otherwise(lit("head")).as("bucket"))
+    }),
     // Collocation extraction — the top-20 adjacent word pairs by LIFT
     // (observed/expected co-occurrence: cb·T / (cu1·cu2), the
     // transcendental-free twin of PMI — identical ranking since log is
@@ -2177,6 +2222,72 @@ object TextAnalysis extends OpModule {
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |    CAST(sum(p_micro) AS BIGINT) AS lm_micro_sum
          |  FROM scored GROUP BY 1)""".stripMargin,
+    // mirrors text_perplexity_buckets: the text_bigram_lm CTE chain up
+    // to per-doc integer mean score, then the bounded (lang, sc)
+    // histogram, ascending cumulative window, tercile-cut min-search,
+    // and the comparison-pass bucket assignment
+    "text_perplexity_buckets" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM d),
+         |train AS (
+         |  SELECT * FROM bg
+         |  WHERE ${oraHashBucket("lm|")} < 50),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM train
+         |       GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu1 FROM train
+         |        GROUP BY 1),
+         |cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS cu2 FROM train
+         |        GROUP BY 1),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM train),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    (3 * (CASE WHEN cb.cb IS NULL OR cw1.cu1 IS NULL THEN 0
+         |          ELSE (1000000 * cb.cb) // cw1.cu1 END)
+         |     + (CASE WHEN cw2.cu2 IS NULL THEN 0
+         |        ELSE (1000000 * cw2.cu2) // tb.tb END)) // 4 AS p_micro
+         |  FROM bg
+         |  LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+         |  LEFT JOIN cw1 ON cw1.w1 = bg.w1
+         |  LEFT JOIN cw2 ON cw2.w2 = bg.w2
+         |  CROSS JOIN tb),
+         |ds AS (
+         |  SELECT doc_id,
+         |    CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS sc
+         |  FROM scored GROUP BY 1),
+         |dl AS (
+         |  SELECT ds.doc_id, dc.lang, ds.sc
+         |  FROM ds JOIN documents dc USING (doc_id)),
+         |hist AS (
+         |  SELECT lang, sc, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dl GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, sc,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY sc ASC)
+         |      AS BIGINT) AS cum
+         |  FROM hist),
+         |ntot AS (
+         |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM hist GROUP BY 1),
+         |cuts AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum * 3 >= n THEN sc END) AS c_lo,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN sc END) AS c_hi
+         |  FROM cum JOIN ntot USING (lang) GROUP BY 1)
+         |SELECT dl.doc_id, dl.lang, dl.sc AS lm_avg_micro,
+         |  CASE WHEN dl.sc <= c_lo THEN 'tail'
+         |       WHEN dl.sc <= c_hi THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM dl JOIN cuts USING (lang)""".stripMargin,
     // full-corpus bigram counts (no split), lift's two integer DIVs in
     // the SAME order as the Spark expr
     "text_collocations" ->

@@ -1112,6 +1112,38 @@ class OperatorsSpec extends SparkSpec {
     assert(bigrams.size > bigrams.count(b => bucket(b._1) < 50))
   }
 
+  test("perplexity buckets: per-lang terciles are ordered, exhaustive, " +
+      "and roughly balanced") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_perplexity_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    assert(rows.nonEmpty)
+    // same doc population as the LM scorer (every >=2-token doc, once)
+    val lm = graft.operators.TextAnalysis
+      .queries("text_bigram_lm")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === lm)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byB.keySet.subsetOf(Set("head", "middle", "tail")))
+      // value-quantile monotonicity: tail < middle < head score ranges
+      for (t <- byB.get("tail"); m <- byB.get("middle"))
+        assert(t.max < m.min, s"$lang: tail/middle overlap")
+      for (m <- byB.get("middle"); h <- byB.get("head"))
+        assert(m.max < h.min, s"$lang: middle/head overlap")
+      // cuts at the 1/3 and 2/3 quantiles keep buckets within a loose
+      // balance band at this near-unique-score fixture
+      if (rs.length >= 30)
+        Seq("head", "middle", "tail").foreach { b =>
+          val frac = byB.getOrElse(b, Array[Long]()).length.toDouble / rs.length
+          assert(frac > 0.2 && frac < 0.47,
+            f"$lang/$b tercile off balance: $frac%.2f")
+        }
+    }
+  }
+
   test("code detect: planted classes split correctly; score is the " +
       "integer evidence formula") {
     val rows = graft.operators.TextAnalysis
