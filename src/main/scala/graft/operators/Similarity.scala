@@ -24,6 +24,20 @@ import graft.core.Barrier.BarrierOps
 object Similarity extends OpModule {
 
   private val K = 5
+  /** Minimum surviving degree for [[queries sim_kcore]]'s peel. k=2
+    * (the cycle core: peeling strips tree-like periphery) — k=3 on a
+    * K=5 kNN graph sits at the core-collapse threshold, where LSH
+    * candidate recall decides between a 60% core and an empty one;
+    * the 2-core is robustly non-degenerate across candidate quality. */
+  private val KcoreK = 2
+  /** Peel-round cap for sim_kcore. The ORACLE unrolls exactly this many
+    * rounds and the ENGINE refuses (loudly) to pass the cap, so on any
+    * corpus the engine accepts, the unrolled oracle has provably reached
+    * the same fixpoint (peeling is idempotent past convergence). 2-core
+    * peeling strips pendant CHAINS one node per round, so rounds grow
+    * with the longest pendant path, not log N — sf0.1 already needs 11;
+    * 24 carries comfortable margin and stays a trivial CTE chain. */
+  private val KcoreRounds = 24
 
   /** Signature width for EVERY hyperplane-LSH consumer (`sim_lsh_ann`,
     * `dedup_embedding_lsh`, the whole kNN-graph family): an explicit conf
@@ -219,6 +233,51 @@ object Similarity extends OpModule {
           col("cluster_id").as("m_lbl")), Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("m_lbl"), col("vec_id")).as("component_id"))
+    }),
+    // k-core decomposition of the kNN graph — the density filter next to
+    // components/triangles/PageRank: iteratively peel nodes with fewer
+    // than k surviving neighbors until fixpoint; what remains (the
+    // 2-core here) is the corpus's densely-interconnected backbone —
+    // embedding-curation uses it to separate redundant/clustered mass
+    // (candidates for aggressive dedup or downsampling) from sparse
+    // tree-like frontier vectors. Scale shape: the loop touches ONLY the thin
+    // symmetric (x, y) edge relation (≤ 2kN rows, barriered once) joined
+    // per round against the shrinking survivor set — embeddings never
+    // re-enter after graph construction; each round is two hash joins +
+    // one map-side-combined degree count, exactly the Pregel-free
+    // distributed k-core recipe. Convergence is data-dependent, so the
+    // loop runs to FIXPOINT with a loud round cap (the dedup_cc
+    // discipline) and the oracle unrolls exactly the cap's rounds —
+    // see KcoreRounds for why that makes the two provably agree.
+    "sim_kcore" -> ((s, dir) => {
+      val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
+        .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
+      val edges = ke
+        .union(ke.select(col("y").as("x"), col("x").as("y")))
+        .distinct().barrier() // read by every peel round
+      def degreesOver(surv: org.apache.spark.sql.DataFrame) =
+        edges.join(surv, "x")
+          .join(surv.withColumnRenamed("x", "y"), "y")
+          .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      var surv = edges.select(col("x")).distinct().barrier()
+      var n = surv.count()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < KcoreRounds) {
+        val next = degreesOver(surv)
+          .filter(col("c") >= KcoreK).select(col("x")).barrier()
+        val m = next.count()
+        converged = m == n
+        surv = next; n = m; rounds += 1
+      }
+      require(converged, s"k-core peeling did not converge in $rounds " +
+        "rounds — raise the cap deliberately, don't truncate silently")
+      val coreDeg = degreesOver(surv)
+        .withColumnRenamed("x", "vec_id")
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(coreDeg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c").isNotNull.as("in_core"),
+          coalesce(col("c"), lit(0L)).as("core_degree"))
     }),
     // PageRank over the kNN graph — centrality of each vector in the
     // embedding space (prototypicality ranking: high-rank vectors sit in
@@ -879,6 +938,57 @@ object Similarity extends OpModule {
         .filter(col("outlier_rank") <= 8)
         .select(col("cluster").cast("long").as("cluster"),
           col("outlier_rank"), col("vec_id"))
+    }),
+    // Cluster-quality report over the TRAINED k-means — the model-ops
+    // pass a curation pipeline runs before trusting a clustering for
+    // semantic dedup or IVF blocking: per cluster, size, mean and
+    // worst-case cohesion (cosine to own centroid, micro units), and
+    // separation (nearest OTHER centroid + its centroid-centroid
+    // cosine — high separation cosine = the two clusters blur).
+    // Degenerate clusters surface as n NULL (empty — centroid kept by
+    // the Lloyd coalesce but owns no members) or sep_micro ≈ 1e6
+    // (duplicate centroids). Scale shape: the corpus is touched ONCE by
+    // the same narrow broadcast-argmax pass as sim_ivf_ann — the
+    // embedding is dropped before the exchange, so only (cluster,
+    // cm) int pairs feed the map-side-combined cohesion rollup; the
+    // separation matrix is C² rows (256 here) of centroid pairs, and
+    // the report is C rows. Everything after round(·1e6) is exact
+    // integers, so the oracle pins the full train→assign→report chain.
+    "sim_kmeans_quality" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val cents = kmeansTrain(s, dir, 16, 2)
+        .barrier() // assignment + both sides of the separation matrix
+      val centArr = cents
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val thin = t(s, dir, "embeddings")
+        .join(broadcast(centArr), lit(true))
+        .select(expr(s"array_max($simsExpr)").as("b"))
+        .select(col("b.cid").cast("long").as("cluster"),
+          expr("CAST(round(b.csim * 1000000D) AS BIGINT)").as("cm"))
+      val coh = thin.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("cm")).as("coh_sum"),
+          min(col("cm")).as("coh_min_micro"))
+      val a = cents.select(col("cid").as("acid"), col("cv").as("ca"))
+      val b = cents.select(col("cid").as("ocid"), col("cv").as("cb"))
+      val sep = a.join(broadcast(b), col("acid") =!= col("ocid"))
+        .select(col("acid"), col("ocid"),
+          expr("CAST(round(cosine_sim(ca, cb) * 1000000D) AS BIGINT)")
+            .as("sm"))
+        .groupBy(col("acid"))
+        .agg(max(struct(col("sm"), (-col("ocid")).as("negid"),
+          col("ocid"))).as("m"))
+        .select(col("acid").cast("long").as("cluster"),
+          col("m.ocid").cast("long").as("nn_cid"),
+          col("m.sm").as("sep_micro"))
+      cents.select(col("cid").cast("long").as("cluster"))
+        .join(coh, Seq("cluster"), "left")
+        .join(broadcast(sep), Seq("cluster"), "left")
+        .select(col("cluster"), col("n"),
+          // sign-symmetric DIV (the pcaCells device): Spark truncates
+          // toward zero, DuckDB floors — they differ on a negative sum
+          expr("CASE WHEN coh_sum >= 0 THEN coh_sum DIV n " +
+            "ELSE -((-coh_sum) DIV n) END").as("coh_mean_micro"),
+          col("coh_min_micro"), col("nn_cid"), col("sep_micro"))
     }))
 
   /** Scalar-quantized (int8) ANN — the compressed-scan tier of the ANN
@@ -1871,6 +1981,47 @@ object Similarity extends OpModule {
          |    AS var_explained
          |FROM tss t, vns v, pss p""".stripMargin,
     "sim_kmeans_train" -> oraKmeansTrain,
+    // mirrors sim_kmeans_quality: the shared training ladder, then the
+    // winning-centroid cosine re-derived per member (af carries rank,
+    // not the value), micro-rounded; cohesion rollup, C² separation
+    // matrix with the argmax as row_number(sm DESC, ocid ASC) = 1, and
+    // the C-row report keyed on the trained centroid set. cf is
+    // MATERIALIZED: cents2 is referenced four more times here and each
+    // plain-CTE inline re-runs the whole 2-round Lloyd ladder
+    "sim_kmeans_quality" ->
+      s"""WITH $oraKmeansChain,
+         |cf AS MATERIALIZED (SELECT cid, cv FROM cents2),
+         |thin AS (
+         |  SELECT a.cid AS cluster,
+         |    CAST(round(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]),
+         |      CAST(c.cv AS DOUBLE[])) * 1000000) AS BIGINT) AS cm
+         |  FROM af a JOIN cf c ON c.cid = a.cid
+         |  WHERE a.rk = 1),
+         |coh AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cm) AS BIGINT) AS coh_sum,
+         |    CAST(min(cm) AS BIGINT) AS coh_min_micro
+         |  FROM thin GROUP BY 1),
+         |sepall AS (
+         |  SELECT a.cid AS acid, b.cid AS ocid,
+         |    CAST(round(list_cosine_similarity(
+         |      CAST(a.cv AS DOUBLE[]),
+         |      CAST(b.cv AS DOUBLE[])) * 1000000) AS BIGINT) AS sm
+         |  FROM cf a JOIN cf b ON a.cid <> b.cid),
+         |sep AS (
+         |  SELECT acid AS cluster, ocid AS nn_cid, sm AS sep_micro FROM (
+         |    SELECT acid, ocid, sm, row_number() OVER (PARTITION BY acid
+         |      ORDER BY sm DESC, ocid ASC) AS rk FROM sepall)
+         |  WHERE rk = 1)
+         |SELECT CAST(c2.cid AS BIGINT) AS cluster, coh.n,
+         |  CASE WHEN coh.coh_sum >= 0 THEN coh.coh_sum // coh.n
+         |       ELSE -((-coh.coh_sum) // coh.n) END AS coh_mean_micro,
+         |  coh.coh_min_micro, CAST(s.nn_cid AS BIGINT) AS nn_cid,
+         |  s.sep_micro
+         |FROM cf c2
+         |LEFT JOIN coh ON coh.cluster = c2.cid
+         |LEFT JOIN sep s ON s.cluster = c2.cid""".stripMargin,
     // trained-assignment twin of the dedup_semantic oracle: the SAME
     // keep-first dedup, blocked by the cents2 (2-round-Lloyd) assignment
     // from the shared training ladder
@@ -2389,6 +2540,62 @@ object Similarity extends OpModule {
          |LEFT JOIN pern p ON p.v = e.vec_id""".stripMargin,
     // τ-pruned kNN edges → transitive closure → min-id component labels
     // (the dedup_cc oracle pattern over the graph relation)
+    // mirrors sim_kcore: the shared kNN-edge CTE chain, then the peel
+    // UNROLLED to the engine's round cap (the engine refuses corpora
+    // needing more, and peeling is idempotent past fixpoint, so the
+    // unrolled tail rounds change nothing on any accepted corpus)
+    "sim_kcore" -> {
+      // each s{i-1} is referenced TWICE by d{i} — plain CTEs would
+      // inline per reference and double the plan every round (2^24 by
+      // the cap); MATERIALIZED keeps each round a constant-size step
+      val peel = (1 to KcoreRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.x, CAST(count(*) AS BIGINT) AS c FROM edges e
+           |  JOIN s${i - 1} a ON a.x = e.x
+           |  JOIN s${i - 1} b ON b.x = e.y
+           |  GROUP BY 1),
+           |s$i AS MATERIALIZED (SELECT x FROM d$i WHERE c >= $KcoreK)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K AND sim >= 0.3),
+         |-- MATERIALIZED: the peel rounds reference edges ~22 times;
+         |-- DuckDB inlines plain CTEs per reference, which would re-run
+         |-- the whole LSH chain each time (and exhaust file handles
+         |-- re-opening the parquet)
+         |edges AS MATERIALIZED (
+         |  SELECT vec_id AS x, neighbor_id AS y FROM ke
+         |  UNION
+         |  SELECT neighbor_id, vec_id FROM ke),
+         |s0 AS MATERIALIZED (SELECT DISTINCT x FROM edges),
+         |$peel,
+         |dfin AS (
+         |  SELECT e.x, CAST(count(*) AS BIGINT) AS c FROM edges e
+         |  JOIN s${KcoreRounds} a ON a.x = e.x
+         |  JOIN s${KcoreRounds} b ON b.x = e.y
+         |  GROUP BY 1)
+         |SELECT emb.vec_id, dfin.c IS NOT NULL AS in_core,
+         |  coalesce(dfin.c, 0) AS core_degree
+         |FROM embeddings emb LEFT JOIN dfin ON dfin.x = emb.vec_id"""
+        .stripMargin
+    },
     "sim_graph_components" ->
       s"""WITH RECURSIVE $oraLshSigs,
          |cand AS (

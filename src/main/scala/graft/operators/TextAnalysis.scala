@@ -2144,6 +2144,47 @@ object TextAnalysis extends OpModule {
         .orderBy(col("lift_micro").desc, col("w1").asc, col("w2").asc)
         .limit(20)
         .select(col("w1"), col("w2"), col("cb"), col("lift_micro"))
+    }),
+    // TextRank keyword extraction (Mihalcea & Tarau 2004) — the graph
+    // sibling of the frequency/lift rankers above: words vote for the
+    // words they co-occur with, and centrality in the co-occurrence
+    // graph (not raw count) ranks the keywords. Graph: distinct
+    // adjacent-pair edges, symmetrized; rank: 2 damped power-iteration
+    // rounds in exact micro-unit integers — the sim_pagerank device
+    // verbatim, so engine and oracle agree bit-for-bit. Scale shape:
+    // the corpus is touched ONCE (the narrow bigramsOf explode feeding
+    // a distinct on (w1,w2)); everything after — edges, degrees, both
+    // rank rounds — iterates the vocab²-bounded pair relation, and the
+    // top-50 cut is a TakeOrderedAndProject, so no corpus-sized rows
+    // ever ride a ranking shuffle. At 100 TB the pair relation grows
+    // with the VOCABULARY, not the data.
+    "text_textrank_keywords" -> ((s, dir) => {
+      val pairs = bigramsOf(t(s, dir, "documents"))
+        .filter(col("w1") =!= col("w2"))
+        .select(col("w1").as("src"), col("w2").as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().barrier() // degrees + both rank rounds read it
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val e = edges.join(deg, "src").barrier() // read by both rounds
+      val nodes = edges.select(col("src").as("w")).distinct()
+        .barrier() // r0 and both rounds' left joins
+      def round(r: org.apache.spark.sql.DataFrame) = {
+        val contrib = e
+          .join(r.withColumnRenamed("w", "src"), "src")
+          .select(col("dst"), expr("pr DIV od").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        nodes
+          .join(contrib.withColumnRenamed("dst", "w"), Seq("w"), "left")
+          .select(col("w"),
+            expr("150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+              .as("pr"))
+      }
+      val r0 = nodes.select(col("w"), lit(1000000L).as("pr"))
+      round(round(r0))
+        .orderBy(col("pr").desc, col("w").asc).limit(50)
+        .select(col("w").as("word"), col("pr").as("rank_micro"))
     }))
 
   /** DuckDB mirrors of [[irQueries]] — same tokenization CTEs as the
@@ -2314,7 +2355,50 @@ object TextAnalysis extends OpModule {
          |FROM cb JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN tb
          |WHERE cb >= 5
          |ORDER BY lift_micro DESC, w1 ASC, w2 ASC
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+    // mirrors text_textrank_keywords: the shared tokenize/zip CTEs, the
+    // symmetrized distinct pair graph, then the sim_pagerank round
+    // mirror (150000 + 85·s // 100) unrolled twice. edges/e/nodes are
+    // MATERIALIZED: each is referenced by several round CTEs and DuckDB
+    // inlines plain CTEs per reference
+    "text_textrank_keywords" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM d),
+         |pairs AS (
+         |  SELECT DISTINCT w1 AS src, w2 AS dst FROM bg WHERE w1 <> w2),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION
+         |  SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges
+         |        GROUP BY 1),
+         |e AS MATERIALIZED (
+         |  SELECT edges.src, edges.dst, deg.od
+         |  FROM edges JOIN deg USING (src)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS w FROM edges),
+         |r1 AS MATERIALIZED (
+         |  SELECT n.w, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst, CAST(sum(1000000 // od) AS BIGINT) AS s
+         |    FROM e GROUP BY 1) c ON c.dst = n.w),
+         |r2 AS (
+         |  SELECT n.w, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(r1.pr // e.od) AS BIGINT) AS s
+         |    FROM e JOIN r1 ON r1.w = e.src GROUP BY 1) c
+         |  ON c.dst = n.w)
+         |SELECT w AS word, CAST(pr AS BIGINT) AS rank_micro FROM r2
+         |ORDER BY pr DESC, w ASC
+         |LIMIT 50""".stripMargin)
 
   /** Mixed-script fixture rows (negative ids, disjoint from generated data)
     * exercising: han+latin mix, digit runs, a single-char han span, and a

@@ -57,7 +57,8 @@ object Scaling {
     "corpus_source_overlap", "sample_split_leakage_free",
     "sample_split_leakage_report",
     "text_unigram_train", "text_unigram_segment", "sim_pca_topk",
-    "mm_audio_features")
+    "mm_audio_features", "sim_kcore", "text_textrank_keywords",
+    "sim_kmeans_quality")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

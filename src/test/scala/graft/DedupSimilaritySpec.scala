@@ -274,6 +274,97 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sizes.exists(_._2 >= 2), "no multi-member component — inert")
   }
 
+  test("k-core: membership and degrees equal an exact driver peel; " +
+      "fixpoint reached well under the shared round cap") {
+    val got = graft.operators.Similarity
+      .queries("sim_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    // driver recompute: symmetric tau-pruned kNN edges, then peel < 2
+    val ke = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .filter(col("sim") >= 0.3)
+      .select(col("vec_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (ke ++ ke.map(_.swap)).distinct
+    var surv = edges.map(_._1).toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = edges.filter(e => surv(e._1) && surv(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = surv.filter(x => deg.getOrElse(x, 0) >= 2)
+      done = next == surv
+      if (!done) { surv = next; rounds += 1 }
+    }
+    assert(rounds <= 20,
+      s"fixture peel took $rounds rounds — eating the margin under the " +
+        "24-round engine cap / oracle unroll")
+    val degF = edges.filter(e => surv(e._1) && surv(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = got.keySet.map(id =>
+      id -> (surv(id), degF.getOrElse(id, 0L))).toMap
+    assert(got === want, "k-core membership/degree drift vs exact peel")
+    // the peel did real work and left real structure
+    assert(surv.nonEmpty, "2-core empty — fixture inert")
+    assert(got.values.exists(!_._1), "nothing peeled — filter inert")
+    assert(surv.forall(x => degF(x) >= 2))
+  }
+
+  test("kmeans quality report: cohesion and separation match a driver " +
+      "recompute over the trained centroids") {
+    val got = graft.operators.Similarity
+      .queries("sim_kmeans_quality")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2),
+          r.getLong(3))),
+        r.getLong(4), r.getLong(5))).toMap
+    val cents = graft.operators.Similarity.kmeansTrain(spark, sfDir, 16, 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    def divT(a: Long, b: Long): Long = // truncating DIV, both signs
+      if (a >= 0) a / b else -((-a) / b)
+    val assigned = emb.map { case (v, e) =>
+      val best = cents.toSeq.map { case (c, cv) =>
+        (cos(e, cv), -c, c) }.max
+      (v, best._3, math.round(best._1 * 1e6))
+    }
+    assert(got.keySet === cents.keySet.map(_.toLong), "report not C rows")
+    assert(assigned.length === emb.length)
+    val byCluster = assigned.groupBy(_._2)
+    cents.keys.foreach { c =>
+      val (cohGot, nnGot, sepGot) = got(c.toLong)
+      byCluster.get(c) match {
+        case Some(ms) =>
+          val cms = ms.map(_._3)
+          assert(cohGot === Some((cms.length.toLong,
+            divT(cms.sum, cms.length), cms.min)), s"cohesion at $c")
+        case None => assert(cohGot.isEmpty, s"phantom members at $c")
+      }
+      val (_, _, nn) = cents.toSeq.filter(_._1 != c).map { case (o, cv) =>
+        (math.round(cos(cents(c), cv) * 1e6), -o, o) }.max
+      assert(nnGot === nn.toLong && sepGot === cents.toSeq
+        .filter(_._1 != c).map { case (o, cv) =>
+          (math.round(cos(cents(c), cv) * 1e6), -o, o) }.max._1,
+        s"separation at $c")
+    }
+    // non-degenerate: separation spread exists and cohesion ordered
+    assert(got.values.map(_._3).toSet.size > 1, "all separations equal")
+    got.values.foreach { case (coh, _, _) =>
+      coh.foreach { case (_, mean, mn) => assert(mn <= mean) } }
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the

@@ -1642,4 +1642,34 @@ class OperatorsSpec extends SparkSpec {
     want.foreach { case (k, v) =>
       assert(got(k) === v, s"running total drift at $k") }
   }
+
+  test("textrank keywords: two integer rounds over the co-occurrence " +
+      "graph match a driver recompute; top-50 cut ordered") {
+    val got = graft.operators.TextAnalysis
+      .queries("text_textrank_keywords")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // independent peel from the SAME pair relation (the tokenize/zip
+    // chain is oracle-pinned by the bigram-LM/collocation family)
+    val bg = graft.operators.TextAnalysis.bigramsOf(
+      graft.core.Tables.load(spark, sfDir, "documents"))
+      .filter(col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = (bg ++ bg.map(_.swap)).distinct
+    val nodes = edges.map(_._1).distinct
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def round(r: Map[String, Long]): Map[String, Long] = {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      nodes.map(w =>
+        w -> (150000L + 85L * sums.getOrElse(w, 0L) / 100L)).toMap
+    }
+    val r0 = nodes.map(_ -> 1000000L).toMap
+    val want = round(round(r0)).toSeq
+      .sortBy { case (w, pr) => (-pr, w) }.take(50)
+    assert(got.toSeq === want)
+    // centrality is non-degenerate: ranks spread, floor respected
+    assert(got.map(_._2).toSet.size > 1, "all ranks equal — inert")
+    assert(got.forall(_._2 >= 150000L), "below the damping floor")
+  }
 }
