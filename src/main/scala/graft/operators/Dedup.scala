@@ -414,6 +414,19 @@ object Dedup extends OpModule {
         .agg(count(lit(1)).as("n_pairs"))
         .select(col("split_x"), col("split_y"), col("n_pairs"),
           (col("split_x") =!= col("split_y")).as("is_leakage"))
+    }),
+    // Leakage-free k-fold cross-validation assignment — the k-way
+    // generalization of sample_split_leakage_free: fold membership is a
+    // pure function of the transitive dup CLUSTER id (bucket % 5), so
+    // near-duplicates can never straddle a fold boundary and every
+    // rotation's held-out fold is honest; the same stable md5 device
+    // keeps the assignment reproducible across reruns and backfills.
+    // Scale: identical to the 3-way split — one CC fixpoint over the
+    // thin pair relation plus a hash projection, no new shuffle.
+    "sample_kfold" -> ((s, dir) => {
+      val fold = hashBucket("kf|", col("cluster_id")) % 5
+      ccAllLabels(s, dir).select(col("doc_id"), col("cluster_id"),
+        fold.as("fold"))
     }))
 
   /** Banded MinHash signatures of `docs(doc_id, text, ...)`:
@@ -883,6 +896,13 @@ object Dedup extends OpModule {
          |        ('0x' || substring(md5('lfs|' || cluster_id::VARCHAR),
          |           1, 6))::BIGINT % 100 AS b
          |      FROM labels)""".stripMargin,
+    // the same CC label oracle under the cluster-keyed fold device
+    "sample_kfold" ->
+      s"""WITH labels AS ($oraclesCc)
+         |SELECT doc_id, cluster_id,
+         |  (('0x' || substring(md5('kf|' || cluster_id::VARCHAR),
+         |      1, 6))::BIGINT % 100) % 5 AS fold
+         |FROM labels""".stripMargin,
     "sample_split_leakage_report" ->
       s"""WITH pairs AS ($oraclesMinhash),
          |sp AS (

@@ -380,6 +380,42 @@ object TextAnalysis extends OpModule {
           (abs(col("approx_distinct") - col("distinct_grams")).cast("double") /
             col("distinct_grams") <= 0.05).as("within_tol"))
     }),
+    // Per-document n-gram NOVELTY under ingestion order (doc_id) — the
+    // data-freshness metric a crawl-curation pipeline reads per
+    // snapshot: what fraction of a doc's distinct 8-grams had never
+    // appeared in any earlier doc? Template/boilerplate mass scores
+    // near 0 (its grams are old), genuinely new content near 1e6 —
+    // the per-doc complement of text_ngram_diversity's corpus-level
+    // ratio, and the prioritization signal for dedup/downsampling.
+    // Shape: the corpus explodes ONCE to thin distinct (doc_id, 8-byte
+    // gfp) rows (barriered — feeds the first-seen rollup AND the
+    // join-back); first-seen is a map-side-combined min; the join-back
+    // and the per-doc rollup ride the same gfp/doc_id hash keys. No
+    // window, no sort — "earlier" is resolved by min(doc_id), not an
+    // ordering pass. Docs under 8 tokens have no grams and are
+    // (documentedly) absent. Counts + one truncating DIV → hash-exact.
+    "corpus_ngram_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10)
+            .cast("long").as("gfp"))
+        .distinct()
+        .barrier() // first-seen rollup AND the per-doc join-back
+      val first = grams.groupBy(col("gfp"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "gfp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), lit(1L))
+            .otherwise(lit(0L))).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 1000000) DIV n_grams").as("novelty_ppm"))
+    }),
     // Exact-substring dedup (the published remove-repeated-passages op,
     // at token-8-gram granularity): any token whose position is covered
     // by an 8-gram occurring MORE THAN ONCE corpus-wide (across docs or
@@ -3558,6 +3594,29 @@ object TextAnalysis extends OpModule {
         |    AS diversity,
         |  true AS within_tol
         |FROM g GROUP BY 1""".stripMargin,
+    // mirrors corpus_ngram_novelty: the diversity oracle's gram CTE
+    // keyed by doc, distinct per doc, min(doc_id) first-seen, join-back
+    "corpus_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(0, len(toks) - 7),
+        |            i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(lower(text),
+        |                  '[^a-z0-9]+'), x -> x <> '') AS toks
+        |              FROM documents)
+        |        WHERE len(toks) >= 8)),
+        |fs AS (SELECT gfp, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  (CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |     AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM g JOIN fs USING (gfp)
+        |GROUP BY 1""".stripMargin,
     "corpus_health_report" -> {
       val values = healthFixture.map { case (id, src, lg, nc, txt) =>
         s"($id, '$src', '$lg', $nc, '$txt')" }.mkString(", ")

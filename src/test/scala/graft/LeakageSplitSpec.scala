@@ -42,6 +42,34 @@ class LeakageSplitSpec extends SparkSpec
     assert(s.filter(!col("split").isin("train", "val", "test")).isEmpty)
   }
 
+  test("k-fold assignment: zero verified pairs straddle a fold; every " +
+      "doc in exactly one of 5 used folds, consistent with the 3-way split") {
+    val folds = q("sample_kfold")
+    val byDoc = folds.select(col("doc_id"), col("fold"))
+    val straddling = q("dedup_minhash_lsh")
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("fold").as("fa")),
+        "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("fold").as("fb")),
+        "doc_b")
+      .filter(col("fa") =!= col("fb"))
+    assert(straddling.isEmpty,
+      "fold is a pure function of the dup cluster — a straddler means a " +
+        "rotation trains on near-dups of its held-out fold")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(folds.count() === docs)
+    assert(folds.select(col("doc_id")).distinct().count() === docs)
+    val used = folds.select(col("fold")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(used.sameElements(0L to 4L),
+      s"all 5 folds must be populated, got ${used.mkString(",")}")
+    // same cluster relation as the 3-way split: cluster ids must agree
+    val threeWay = q("sample_split_leakage_free")
+      .select(col("doc_id"), col("cluster_id").as("c3"))
+    assert(folds.join(threeWay, "doc_id")
+      .filter(col("cluster_id") =!= col("c3")).isEmpty,
+      "both splits must key off the identical CC labeling")
+  }
+
   test("naive-split leakage report conserves the pair relation") {
     val rep = q("sample_split_leakage_report").collect()
     assert(rep.map(_.getAs[Long]("n_pairs")).sum === pairCount,

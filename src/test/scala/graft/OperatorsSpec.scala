@@ -1672,4 +1672,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).toSet.size > 1, "all ranks equal — inert")
     assert(got.forall(_._2 >= 150000L), "below the damping floor")
   }
+
+  test("ngram novelty: first-seen attribution matches a driver recompute; " +
+      "the earliest doc is fully novel") {
+    val got = graft.operators.TextAnalysis
+      .queries("corpus_ngram_novelty")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokenize(col("text"))
+        .as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.length >= 8)
+    val perDoc = toks.map { case (id, ts) =>
+      id -> ts.sliding(8).map(_.mkString(" ")).toSet }.toMap
+    val firstSeen = perDoc.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = perDoc.map { case (id, gs) =>
+      val novel = gs.count(g => firstSeen(g) == id).toLong
+      id -> (gs.size.toLong, novel, novel * 1000000L / gs.size)
+    }
+    assert(got === want, "novelty drift vs exact first-seen recompute")
+    // the earliest doc with grams introduces every one of its grams
+    val firstDoc = perDoc.keys.min
+    assert(got(firstDoc)._3 === 1000000L)
+    // and duplication actually exists: someone repeats earlier grams
+    assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
+  }
 }
