@@ -394,28 +394,8 @@ object TextAnalysis extends OpModule {
     // window, no sort — "earlier" is resolved by min(doc_id), not an
     // ordering pass. Docs under 8 tokens have no grams and are
     // (documentedly) absent. Counts + one truncating DIV → hash-exact.
-    "corpus_ngram_novelty" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks) - 8), " +
-            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("gram")), 1, 15), 16, 10)
-            .cast("long").as("gfp"))
-        .distinct()
-        .barrier() // first-seen rollup AND the per-doc join-back
-      val first = grams.groupBy(col("gfp"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      grams.join(first, "gfp")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), lit(1L))
-            .otherwise(lit(0L))).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          expr("(n_novel * 1000000) DIV n_grams").as("novelty_ppm"))
-    }),
+    "corpus_ngram_novelty" -> ((s, dir) =>
+      noveltyReport(docGramsOf(t(s, dir, "documents")))),
     // Exact-substring dedup (the published remove-repeated-passages op,
     // at token-8-gram granularity): any token whose position is covered
     // by an 8-gram occurring MORE THAN ONCE corpus-wide (across docs or
@@ -1985,6 +1965,40 @@ object TextAnalysis extends OpModule {
           "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Distinct per-doc 8-gram fingerprints of a (doc_id, text) relation —
+    * thin (doc_id, 60-bit gfp) rows, the decontamination family's md5
+    * device. Shared by the `corpus_ngram_novelty` batch query and the
+    * streaming first-seen tier so both paths shingle identically. */
+  private[graft] def docGramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8), " +
+          "i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("gfp"))
+      .distinct()
+
+  /** The novelty tail over a distinct (doc_id, gfp) relation: first-seen
+    * = min(doc_id) per gram, per-doc novel-fraction rollup. Shared by
+    * the batch query and the streaming store reader so the attribution
+    * arithmetic cannot drift between them. */
+  private[graft] def noveltyReport(grams0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = grams0.barrier() // first-seen rollup AND the join-back
+    val first = grams.groupBy(col("gfp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gfp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) DIV n_grams").as("novelty_ppm"))
+  }
 
   /** The bigram-LM train membership — a stable function of doc_id, so
     * streaming reprocessing and the batch query select the same docs. */

@@ -981,6 +981,38 @@ object StatefulStreaming {
     graft.operators.TextAnalysis.cmsReport(cells, exact)
   }
 
+  /** Streaming n-gram FIRST-SEEN maintenance — the freshness analog of
+    * the additive-index tiers: each micro-batch contributes its OWN
+    * distinct (doc_id, gfp) 8-gram rows (the exact `docGramsOf` device
+    * the batch query shingles with) under the per-`__batch=N` Overwrite
+    * discipline — O(batch) work regardless of store size, replay after
+    * a failed commit rewrites the same dir. First-seen is min(doc_id),
+    * a MERGEABLE statistic over the union of contributions, so the
+    * report read equals the corpus recompute exactly.
+    */
+  def noveltyIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit =
+    graft.operators.TextAnalysis.docGramsOf(batch)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/grams/__batch=$batchId")
+
+  /** Novelty report off the maintained gram store: batches partition
+    * the corpus by doc, so the union of per-batch distinct rows IS the
+    * corpus's distinct (doc_id, gfp) relation, and the report tail is
+    * the SAME `TextAnalysis.noveltyReport` the batch query runs — after
+    * any ingest sequence over a corpus, the result is row-identical to
+    * `corpus_ngram_novelty` on that corpus (pinned in StreamingSpec,
+    * incl. replay).
+    */
+  def noveltyReportFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.operators.TextAnalysis.noveltyReport(
+      storeRead(spark, s"$storeDir/grams", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("gfp", LongType)))))
+  }
+
   /** Streaming IVF INDEX MAINTENANCE — the FAISS train-then-add contract
     * as the `sim_ivf_ann` twin of [[bm25IngestBatch]]: the coarse
     * quantizer is the centroid prefix (vec_id < C, the exact set the

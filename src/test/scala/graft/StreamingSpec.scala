@@ -1489,6 +1489,44 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("novelty store: stream-maintained first-seen ≡ batch report over " +
+      "out-of-order batches, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("novstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      // hash-split batches arrive in NON-doc_id order — first-seen is
+      // min(doc_id), a mergeable statistic, so attribution must not
+      // depend on which batch a doc rode in on
+      val batches = (0 until 3).map(i =>
+        docs.filter(pmod(hash(col("doc_id")), lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.noveltyIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val batchTwin = rows(graft.operators.TextAnalysis
+        .queries("corpus_ngram_novelty")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(rows(StatefulStreaming.noveltyReportFrom(spark, store))
+        === batchTwin, "stream-maintained first-seen drifted from batch")
+      graft.core.Barrier.releaseAll(spark)
+      // replay the middle batch after later commits
+      StatefulStreaming.noveltyIngestBatch(batches(1), store, 1L)
+      assert(rows(StatefulStreaming.noveltyReportFrom(spark, store))
+        === batchTwin, "replay must not change the report")
+      graft.core.Barrier.releaseAll(spark)
+      // querying a never-ingested store is a clean empty result
+      val empty = java.nio.file.Files.createTempDirectory("novnever")
+        .toString
+      assert(StatefulStreaming.noveltyReportFrom(spark, empty)
+        .count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("K8 streaming SCD2: intervals close across micro-batch " +
       "boundaries; stream ≡ batch; replay idempotent") {
     import org.apache.spark.sql.functions._
