@@ -38,6 +38,10 @@ object Similarity extends OpModule {
     * with the longest pendant path, not log N — sf0.1 already needs 11;
     * 24 carries comfortable margin and stays a trivial CTE chain. */
   private val KcoreRounds = 24
+  /** Exemplar count for sample_kcenter_diverse — constant rounds, each a
+    * full (narrow) corpus pass, so k is a report size, not a scale knob;
+    * the oracle unrolls exactly this many pick/update pairs. */
+  private val KcenterPicks = 8
 
   /** Signature width for EVERY hyperplane-LSH consumer (`sim_lsh_ann`,
     * `dedup_embedding_lsh`, the whole kNN-graph family): an explicit conf
@@ -989,6 +993,51 @@ object Similarity extends OpModule {
           expr("CASE WHEN coh_sum >= 0 THEN coh_sum DIV n " +
             "ELSE -((-coh_sum) DIV n) END").as("coh_mean_micro"),
           col("coh_min_micro"), col("nn_cid"), col("sep_micro"))
+    }),
+    // Greedy k-center diverse-exemplar selection (Gonzalez's farthest-
+    // point traversal, the published coreset/diversity-sampling recipe
+    // with the 2-approximation guarantee): seed with the smallest id,
+    // then 7 times pick the vector LEAST similar to every already-chosen
+    // exemplar — the subset a curation pipeline uses to cover the
+    // embedding space with few examples, the opposite end of
+    // sim_centroid_outliers' prototypicality ranking. gap_micro is the
+    // picked vector's max-cosine-to-chosen at pick time (how redundant
+    // the most-novel remaining vector already was — rising gap = space
+    // exhausted); pick 1's gap is the -2e6 sentinel (nothing chosen
+    // yet). Already-picked vectors self-score 1.0 and never re-win, so
+    // no removal pass exists. Scale shape: the greedy is INHERENTLY one
+    // pass per pick — each round is a narrow 1-row-broadcast cosine
+    // update of the barriered (vec_id, embedding, sim) state plus a
+    // 1-row struct-min aggregate; no exchange of corpus rows anywhere
+    // in the loop, and k is a constant. Doubles appear only inside the
+    // same bit-stable cosine/argmin devices every ANN oracle pins;
+    // emitted values are micro-rounded integers.
+    "sample_kcenter_diverse" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      var st = emb.select(col("vec_id"), col("embedding"),
+        lit(-2.0d).as("sim")).barrier()
+      var picks: Seq[org.apache.spark.sql.DataFrame] = Nil
+      for (k <- 1 to KcenterPicks) {
+        val p = st.agg(min(struct(col("sim"), col("vec_id"))).as("p"))
+          .select(lit(k.toLong).as("pick_order"),
+            col("p.vec_id").as("vec_id"),
+            expr("CAST(round(p.sim * 1000000D) AS BIGINT)").as("gap_micro"))
+          .barrier() // read by the output union AND the center join
+        picks :+= p
+        if (k < KcenterPicks) {
+          val cEmb = p.select(col("vec_id"))
+            .join(emb.select(col("vec_id"), col("embedding").as("cv")),
+              "vec_id")
+            .select(col("cv"))
+          st = st.join(broadcast(cEmb), lit(true))
+            .select(col("vec_id"), col("embedding"),
+              greatest(col("sim"), expr("cosine_sim(embedding, cv)"))
+                .as("sim"))
+            .barrier()
+        }
+      }
+      picks.reduce(_ unionByName _)
     }))
 
   /** Scalar-quantized (int8) ANN — the compressed-scan tier of the ANN
@@ -2022,6 +2071,44 @@ object Similarity extends OpModule {
          |FROM cf c2
          |LEFT JOIN coh ON coh.cluster = c2.cid
          |LEFT JOIN sep s ON s.cluster = c2.cid""".stripMargin,
+    // mirrors sample_kcenter_diverse: the greedy unrolled to exactly
+    // KcenterPicks pick/update pairs — each round's pick is the
+    // (sim ASC, vec_id ASC) LIMIT 1 twin of the engine's struct-min,
+    // each update joins the 1-row picked embedding onto the running
+    // state. Every st/p CTE is MATERIALIZED (each is referenced twice:
+    // the next pick and the next update — per-reference inlining would
+    // double the plan per round)
+    "sample_kcenter_diverse" -> {
+      val rounds = (1 to KcenterPicks).map { k =>
+        val pick =
+          s"""p$k AS MATERIALIZED (
+             |  SELECT vec_id, sim FROM st${k - 1}
+             |  ORDER BY sim ASC, vec_id ASC LIMIT 1)""".stripMargin
+        val update = if (k < KcenterPicks)
+          s""",
+             |st$k AS MATERIALIZED (
+             |  SELECT t.vec_id,
+             |    greatest(t.sim, list_cosine_similarity(
+             |      CAST(te.embedding AS DOUBLE[]),
+             |      CAST(ce.embedding AS DOUBLE[]))) AS sim
+             |  FROM st${k - 1} t
+             |  JOIN embeddings te ON te.vec_id = t.vec_id
+             |  CROSS JOIN (SELECT e.embedding FROM p$k
+             |              JOIN embeddings e USING (vec_id)) ce)"""
+            .stripMargin
+        else ""
+        pick + update
+      }.mkString(",\n")
+      val out = (1 to KcenterPicks).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS pick_order, vec_id,
+           |  CAST(round(sim * 1000000) AS BIGINT) AS gap_micro
+           |FROM p$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH st0 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(-2.0 AS DOUBLE) AS sim FROM embeddings),
+         |$rounds
+         |$out""".stripMargin
+    },
     // trained-assignment twin of the dedup_semantic oracle: the SAME
     // keep-first dedup, blocked by the cents2 (2-round-Lloyd) assignment
     // from the shared training ladder

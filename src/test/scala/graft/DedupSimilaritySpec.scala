@@ -365,6 +365,48 @@ class DedupSimilaritySpec extends SparkSpec {
       coh.foreach { case (_, mean, mn) => assert(mn <= mean) } }
   }
 
+  test("k-center diverse picks: greedy farthest-point traversal matches " +
+      "a driver recompute; coverage gap monotone") {
+    val got = graft.operators.Similarity
+      .queries("sample_kcenter_diverse")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    var sim = emb.map { case (id, _) => id -> -2.0 }.toMap
+    val byId = emb.toMap
+    val want = (1 to 8).map { k =>
+      val (pid, ps) = sim.toSeq.minBy { case (id, sv) => (sv, id) }
+      sim = sim.map { case (id, sv) =>
+        id -> math.max(sv, cos(byId(id), byId(pid))) }
+      (k.toLong, pid, math.round(ps * 1e6))
+    }
+    assert(got === want, "greedy traversal drift vs exact recompute")
+    // structure: all picks distinct; pick-1 gap is the sentinel; from
+    // pick 2 on, each farthest remaining point is at least as covered
+    // as the previous one (Gonzalez's monotone coverage radius)
+    assert(got.map(_._2).distinct.length === 8)
+    assert(got.head._3 === -2000000L)
+    got.drop(1).toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._3 >= a._3, s"coverage gap regressed: $a -> $b")
+      case _ => ()
+    }
+    // and the picks are genuinely spread: the last gap is well under
+    // self-similarity
+    assert(got.last._3 < 1000000L)
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the
