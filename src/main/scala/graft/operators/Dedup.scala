@@ -282,6 +282,56 @@ object Dedup extends OpModule {
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
     }),
+    // Exact all-pairs Jaccard join via PREFIX FILTERING — the published
+    // deterministic complement to MinHash LSH (Bayardo/Ma/Srikant
+    // "Scaling Up All Pairs Similarity Search" WWW'07; Xiao et al.
+    // PPJoin): order each doc's char-5-gram set globally by (df ASC,
+    // gram ASC) and index only the first n - ceil(τ·n) + 1 rarest grams
+    // — two docs with Jaccard ≥ τ MUST share a prefix gram (pigeonhole
+    // over the ≤ n-⌈τn⌉ grams either side can miss), so candidates meet
+    // through a rare-gram key and the result is EXACT, no probabilistic
+    // recall loss and no blocking heuristic. τ = 4/5 throughout, kept in
+    // integers: prefix bound r ≤ n - ((4n+4) DIV 5) + 1, size
+    // feasibility 5·n_b ≥ 4·n_a ∧ 5·n_a ≥ 4·n_b, verification
+    // 9·|∩| ≥ 4·(n_a+n_b) ⇔ jac ≥ 0.8 — every comparison bit-exact in
+    // both engines. The join runs over DISTINCT gram sets (exact dedup
+    // folded into the join — the precondition the literature assumes),
+    // with PPJoin's positional filter on top and membership expansion
+    // back to doc pairs at the end, so candidate/verification work is
+    // bounded by distinct content and only the output grows on a
+    // clone-heavy corpus (see prefixFilterRels). Scale shape: the
+    // set-level shingle relation exchanges twice (df agg on gram —
+    // map-side combined; rank window per set); the candidate join moves
+    // only PREFIX rows (~(1-τ)·|set| per set); verification joins thin
+    // candidate ids back to the barriered gram-array roster. The oracle
+    // is the EXHAUSTIVE semantic definition via gram co-occurrence — it
+    // proves the whole device lossless, not merely self-consistent.
+    // (Even on this fixture's dense 31-word vocab the filters cut
+    // 124,750 possible pairs to ~23k candidates; Zipf shingle universes
+    // prune orders of magnitude harder.)
+    "dedup_prefix_filter" -> ((s, dir) =>
+      prefixFilterRels(s, dir).pairs),
+    // The audit twin: one row of pipeline-stage cardinalities (possible
+    // pairs → prefix rows → candidates → verified pairs) so the prune
+    // factor is a checked RESULT, not a claim. Five 1-row aggregates
+    // crossJoined (the broadcast-scalar idiom); its oracle mirrors the
+    // ALGORITHM (rank ties pinned by (df ASC, gram ASC)), so the prefix
+    // bound arithmetic itself sits under the gate.
+    "dedup_prefix_filter_stats" -> ((s, dir) => {
+      val r = prefixFilterRels(s, dir)
+      val nd = r.d.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          expr("n_docs * (n_docs - 1) DIV 2").as("n_possible"))
+      val ns = r.sets.agg(count(lit(1)).as("n_sets"),
+        sum(col("n")).as("n_shingle_rows"))
+      val np = r.pref.agg(count(lit(1)).as("n_prefix_rows"))
+      val nc = r.cand.agg(count(lit(1)).as("n_candidates"))
+      val nv = r.pairs.agg(count(lit(1)).as("n_pairs"))
+      nd.crossJoin(ns).crossJoin(np).crossJoin(nc).crossJoin(nv)
+        .select(col("n_docs"), col("n_possible"), col("n_sets"),
+          col("n_shingle_rows"), col("n_prefix_rows"), col("n_candidates"),
+          col("n_pairs"))
+    }),
     // Cross-source duplicate-flow matrix — the provenance report a
     // multi-source ingest reads before weighting sources: which source
     // PAIRS share near-duplicate content, and how intensely. Cells count
@@ -505,6 +555,109 @@ object Dedup extends OpModule {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** The relations of the prefix-filtering exact similarity join (doc
+    * roster, distinct-set roster, prefix index, set-level candidates,
+    * doc-level verified pairs) — shared by `dedup_prefix_filter` and its
+    * stats twin. τ = 4/5, all bounds in exact integers (see the query
+    * doc for the algebra).
+    *
+    * The join runs at the DISTINCT-GRAM-SET level: docs are first
+    * grouped by a fingerprint of their sorted gram array (exact dedup
+    * INSIDE the join — the precondition the AllPairs/PPJoin literature
+    * assumes and production pipelines enforce), so candidate and
+    * verification work is bounded by distinct content, never by clone
+    * multiplicity; identical-set doc pairs fall out of group membership
+    * (jac = 1 by definition), and verified set pairs expand back to doc
+    * pairs through two thin membership joins — output-bound, the only
+    * stage that grows when a corpus is dominated by exact duplicates.
+    * Candidates additionally pass PPJoin's POSITIONAL filter: for the
+    * first shared prefix gram (the min-rank witness — no shared gram can
+    * precede it in EITHER set, both are sorted by the same global
+    * order), overlap ≤ 1 + min(n_a − r_a, n_b − r_b); prune when even
+    * that bound misses 9·ub ≥ 4·(n_a+n_b).
+    */
+  private case class PrefixFilterRels(d: org.apache.spark.sql.DataFrame,
+      sets: org.apache.spark.sql.DataFrame,
+      pref: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame)
+
+  private def prefixFilterRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): PrefixFilterRels = {
+    // two-step select: charShingles requires a materialized attribute
+    // (HOF lambdas would re-normalize per shingle index)
+    val normed = t(s, dir, "documents")
+      .select(col("doc_id"), Text.normalize(col("text")).as("norm"))
+    val d = normed
+      .select(col("doc_id"), Text.charShingles(col("norm"), 5).as("grams"))
+      // set fingerprint: md5 of the sorted gram array — the md5 value is
+      // engine-internal (only the GROUPING must agree with the oracle,
+      // and exact string equality does)
+      .withColumn("fp", md5(concat_ws("\u0001", array_sort(col("grams")))))
+      .barrier() // read by: the set rollup, the membership projections
+    val sets = d.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("set_id"), count(lit(1)).as("m"),
+        // any member's array carries the set — order differences are
+        // irrelevant to explode and array_intersect
+        first(col("grams")).as("grams"))
+      .withColumn("n", size(col("grams")).cast("long"))
+      .barrier() // read by: shingle explode, both verify sides, expansion
+    val ssh = sets.select(col("set_id"), explode(col("grams")).as("g"))
+    val dfr = ssh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("set_id")).orderBy(col("df").asc, col("g").asc)
+    // rank every gram by global rarity, keep the first n - ceil(4n/5) + 1
+    // per set: a missed match would need > n - ⌈τn⌉ disjoint grams on one
+    // side — impossible at jac ≥ τ (the prefix-filter pigeonhole)
+    val pref = ssh.join(dfr, "g")
+      .select(col("set_id"), col("g"), row_number().over(w).as("r"))
+      .join(sets.select(col("set_id"), col("n")), "set_id")
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+      .select(col("set_id"), col("g"), col("n"), col("r").cast("long").as("r"))
+      .barrier() // both sides of the candidate self-join
+    val cand = pref
+      .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
+        col("r").as("ra"))
+      .join(pref.select(col("set_id").as("sb"), col("g"),
+        col("n").as("n_b"), col("r").as("rb")), Seq("g"))
+      .filter(col("sa") < col("sb") &&
+        col("n_b") * 5 >= col("n_a") * 4 && col("n_a") * 5 >= col("n_b") * 4)
+      .groupBy(col("sa"), col("sb"))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        min(col("ra")).as("ra"), min(col("rb")).as("rb"))
+      .filter((lit(1L) + least(col("n_a") - col("ra"),
+        col("n_b") - col("rb"))) * 9 >= (col("n_a") + col("n_b")) * 4)
+      .barrier() // verification join + the stats count
+    val verified = cand
+      .join(sets.select(col("set_id").as("sa"), col("grams").as("g_a")),
+        "sa")
+      .join(sets.select(col("set_id").as("sb"), col("grams").as("g_b")),
+        "sb")
+      .filter(size(array_intersect(col("g_a"), col("g_b"))).cast("long") * 9
+        >= (col("n_a") + col("n_b")) * 4)
+      .select(col("sa"), col("sb"))
+    // expansion back to doc pairs: identical-set pairs from membership
+    // alone, cross-set pairs through two thin joins on the verified
+    // set-pair relation — both output-bound
+    val members = d.select(col("fp"), col("doc_id"))
+    val sameSet = members.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(members.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val setDocs = d.select(col("fp"), col("doc_id"))
+      .join(sets.select(col("fp"), col("set_id")), "fp")
+      .select(col("set_id"), col("doc_id"))
+    val crossSet = verified
+      .join(setDocs.select(col("set_id").as("sa"), col("doc_id").as("da")),
+        "sa")
+      .join(setDocs.select(col("set_id").as("sb"), col("doc_id").as("db")),
+        "sb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    PrefixFilterRels(d, sets, pref, cand,
+      sameSet.unionByName(crossSet))
+  }
 
   /** Verified near-dup pairs (doc_a < doc_b, word-set Jaccard >= thr)
     * from a [[bandedSigs]] relation. The band self-join is THIN —
@@ -747,6 +900,76 @@ object Dedup extends OpModule {
         |GROUP BY 1""".stripMargin
     },
     "dedup_ngram_jaccard" -> oraNgramPairs,
+    // the EXHAUSTIVE semantic definition (all pairs with char-5-gram
+    // Jaccard ≥ 4/5, found via gram co-occurrence — a pair sharing zero
+    // grams can't reach τ > 0), deliberately blind to the engine's
+    // prefix device: a green row proves prefix filtering LOSSLESS
+    "dedup_prefix_filter" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |d AS MATERIALIZED (SELECT doc_id, $oraCharGrams AS grams FROM n),
+         |sh AS MATERIALIZED (SELECT doc_id, unnest(grams) AS g FROM d),
+         |sz AS MATERIALIZED (SELECT doc_id, len(grams) AS n FROM d),
+         |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT ix.da AS doc_a, ix.db AS doc_b
+         |FROM ix JOIN sz sa ON sa.doc_id = ix.da
+         |        JOIN sz sb ON sb.doc_id = ix.db
+         |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors the ALGORITHM stage by stage — the distinct-set grouping,
+    // the (df ASC, gram ASC) rank ties, the integer prefix bound, size
+    // feasibility, the positional min-rank-witness prune, integer
+    // verification, and the membership expansion arithmetic — so the
+    // stats row checks the device itself
+    "dedup_prefix_filter_stats" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |d0 AS MATERIALIZED (SELECT doc_id, $oraCharGrams AS grams FROM n),
+         |dm AS MATERIALIZED (SELECT doc_id, grams,
+         |  md5(array_to_string(list_sort(grams), chr(1))) AS fp FROM d0),
+         |sets AS MATERIALIZED (SELECT fp, min(doc_id) AS set_id,
+         |  count(*) AS m, any_value(grams) AS grams,
+         |  CAST(len(any_value(grams)) AS BIGINT) AS n
+         |  FROM dm GROUP BY 1),
+         |ssh AS MATERIALIZED (SELECT set_id, unnest(grams) AS g FROM sets),
+         |dfr AS (SELECT g, count(*) AS df FROM ssh GROUP BY 1),
+         |rk AS (SELECT ssh.set_id, ssh.g, row_number() OVER
+         |         (PARTITION BY ssh.set_id ORDER BY dfr.df ASC, ssh.g ASC)
+         |         AS r
+         |       FROM ssh JOIN dfr USING (g)),
+         |pref AS MATERIALIZED (
+         |  SELECT rk.set_id, rk.g, sets.n, CAST(rk.r AS BIGINT) AS r
+         |  FROM rk JOIN sets USING (set_id)
+         |  WHERE rk.r <= sets.n - ((4 * sets.n + 4) // 5) + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT sa, sb, n_a, n_b FROM (
+         |    SELECT a.set_id AS sa, b.set_id AS sb,
+         |      min(a.n) AS n_a, min(b.n) AS n_b,
+         |      min(a.r) AS ra, min(b.r) AS rb
+         |    FROM pref a JOIN pref b ON a.g = b.g AND a.set_id < b.set_id
+         |     AND 5 * b.n >= 4 * a.n AND 5 * a.n >= 4 * b.n
+         |    GROUP BY 1, 2)
+         |  WHERE 9 * (1 + least(n_a - ra, n_b - rb)) >= 4 * (n_a + n_b)),
+         |ver AS MATERIALIZED (SELECT c.sa, c.sb FROM cand c
+         |  JOIN sets s1 ON s1.set_id = c.sa
+         |  JOIN sets s2 ON s2.set_id = c.sb
+         |  WHERE 9 * len(list_intersect(s1.grams, s2.grams))
+         |        >= 4 * (c.n_a + c.n_b))
+         |SELECT (SELECT count(*) FROM d0) AS n_docs,
+         |  (SELECT count(*) FROM d0) * ((SELECT count(*) FROM d0) - 1) // 2
+         |    AS n_possible,
+         |  (SELECT count(*) FROM sets) AS n_sets,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM sets) AS n_shingle_rows,
+         |  (SELECT count(*) FROM pref) AS n_prefix_rows,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |     FROM sets) +
+         |  (SELECT CAST(coalesce(sum(ma.m * mb.m), 0) AS BIGINT) FROM ver
+         |     JOIN sets ma ON ma.set_id = ver.sa
+         |     JOIN sets mb ON mb.set_id = ver.sb) AS n_pairs""".stripMargin,
     "dedup_minhash_lsh" -> oraclesMinhash,
     // the four families' pair CTEs (each its existing oracle, exact in
     // star form), a flags relation, and the six agreement cells

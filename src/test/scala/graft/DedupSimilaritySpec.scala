@@ -407,6 +407,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.last._3 < 1000000L)
   }
 
+  test("prefix-filter exact join: lossless vs an exhaustive driver " +
+      "recompute; stats stages consistent; planted dups found") {
+    def shingles(text: String): Set[String] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      if (norm.length < 5) Set(norm)
+      else (0 to norm.length - 5).map(i => norm.substring(i, i + 5)).toSet
+    }
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size
+      if 9L * inter >= 4L * (sa.size + sb.size)
+    } yield (ia, ib)).toSet
+    val got = graft.operators.Dedup.queries("dedup_prefix_filter")(
+      spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "prefix filtering lost or invented a pair")
+    val st = graft.operators.Dedup.queries("dedup_prefix_filter_stats")(
+      spark, sfDir).collect().head
+    val (nDocs, nPoss, nSets, nSh, nPref, nCand, nPairs) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3),
+        st.getLong(4), st.getLong(5), st.getLong(6))
+    assert(nPairs === want.size.toLong)
+    assert(nDocs === docs.length.toLong)
+    assert(nPoss === nDocs * (nDocs - 1) / 2)
+    assert(nSets <= nDocs)
+    // the prune is real on both axes: the index holds a strict subset of
+    // the set-level shingle rows, and set-level candidates fit under the
+    // set pair ceiling while still covering every true pair
+    assert(nPref < nSh)
+    assert(nCand <= nSets * (nSets - 1) / 2)
+    // planted: exact dups (0,1) share all grams; 2 is 0 plus a suffix
+    val planted = graft.operators.Dedup.queries("dedup_prefix_filter")(
+      spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(planted.contains((0L, 1L)))
+    // the two unrelated docs (4, 5) never pair with anything
+    assert(!planted.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the
