@@ -22,6 +22,13 @@ import graft.core.Barrier.BarrierOps
   */
 object Dedup extends OpModule {
 
+  /** Bottom-k sketch width for `corpus_overlap_kmv` — the standard
+    * accuracy knob: relative error ~ 1/√(k−2) ≈ 13%. A constant report
+    * size, not a scale knob (the sketch is what makes the pairwise
+    * stage corpus-size-independent).
+    */
+  private val KmvK = 64
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -375,6 +382,60 @@ object Dedup extends OpModule {
             "(n_pairs * 2000000) DIV nx DIV (nx - 1) " +
             "ELSE (n_pairs * 1000000) DIV nx DIV ny END").as("ppm_possible"))
     }),
+    // KMV (bottom-k) sketch estimate of cross-source content overlap —
+    // the published scale path (Beyer et al. "On Synopses for
+    // Distinct-Value Estimation", SIGMOD'07; Cohen & Kaplan's bottom-k
+    // sketches) for the question corpus_source_overlap answers exactly:
+    // how much 8-token-gram content do two ingest sources share? Each
+    // source keeps only its k=64 SMALLEST gram hashes (md5-derived
+    // 60-bit uniform longs — deterministic, so the whole report is
+    // hash-exact under the oracle); distinct-count estimate
+    // (k-1)·2^56 DIV v56(kth), union estimate from the merged bottom-k,
+    // and Jaccard from the shared fraction INSIDE the merged sketch
+    // (ρ = |S_k(X∪Y) ∩ S_X ∩ S_Y| / k). Exact twins sit beside every
+    // estimate — the CMS/HLL in-query verification pattern. Scale
+    // shape: the sketch side reduces each source to 64 longs before
+    // anything pairwise happens (per-source rank ≤ k compiles to
+    // WindowGroupLimit: top-k taken per partition BEFORE the
+    // exchange), so the pairwise stage is |sources|²·k-bounded no
+    // matter the corpus; only the exact twin touches the full
+    // (source, gfp) relation — at 100 TB you'd drop the twin and keep
+    // the sketch. int64-safe while the per-pair union estimate stays
+    // below ~1.4e17 distinct grams (beyond any real corpus).
+    "corpus_overlap_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val items = TextAnalysis.docGramsOf(
+        docs.select(col("doc_id"), col("text")))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("gfp")).distinct()
+        .barrier() // read by: sketch derivation, exact twin (2 sides)
+      val srcs = docs.select(col("source")).distinct()
+      val est = kmvEstimatesOf(kmvSketchOf(items), srcs)
+      // exact twins: per-source distinct counts broadcast; pairwise
+      // intersections through the gfp hash key (gram strings never move)
+      val exD = items.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_items"))
+      val exI = items.select(col("source").as("source_x"), col("gfp"))
+        .join(items.select(col("source").as("source_y"), col("gfp")),
+          Seq("gfp"))
+        .filter(col("source_x") < col("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(broadcast(exD.select(col("source").as("source_x"),
+          col("n_items").as("nx"))), "source_x")
+        .join(broadcast(exD.select(col("source").as("source_y"),
+          col("n_items").as("ny"))), "source_y")
+        .join(exI, Seq("source_x", "source_y"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .select(col("source_x"), col("source_y"),
+          col("nx"), col("ny"), col("est_nx"), col("est_ny"),
+          (col("nx") + col("ny") - col("exact_inter")).as("exact_union"),
+          col("est_union"), col("exact_inter"), col("est_inter"),
+          expr("(exact_inter * 1000000) DIV (nx + ny - exact_inter)")
+            .as("exact_jac_ppm"),
+          col("est_jac_ppm"))
+    }),
     // Leakage-free train/val/test split — the assignment an eval pipeline
     // must use: near-duplicates MUST land on the same side, or val scores
     // measure memorization of train content. The unit of assignment is
@@ -555,6 +616,87 @@ object Dedup extends OpModule {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Bottom-k sketch of a distinct (source, gfp) item relation: the k
+    * smallest hashes per source. Rank ≤ k over a per-source window
+    * compiles to WindowGroupLimit — the cut happens per partition
+    * BEFORE the exchange. Shared by the `corpus_overlap_kmv` batch
+    * query and the streaming maintenance tier (bottom-k is MERGEABLE:
+    * bottom-k of a union is contained in the union of bottom-ks, so
+    * per-batch contributions reduce to the corpus sketch exactly).
+    */
+  private[graft] def kmvSketchOf(items: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("gfp"))
+    items
+      .withColumn("r", row_number().over(wS))
+      .filter(col("r") <= KmvK)
+      .select(col("source"), col("gfp"))
+  }
+
+  /** The KMV estimate tail over an already-bottom-k'ed sketch relation
+    * plus the source list: per-source cardinalities, merged-sketch
+    * union estimates, shared-fraction Jaccard — one row per source
+    * pair, every value an exact integer. Batch and streaming paths
+    * MUST run this same code (StreamingSpec pins their parity).
+    */
+  private[graft] def kmvEstimatesOf(sk0: org.apache.spark.sql.DataFrame,
+      srcs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = KmvK
+    val two56 = 72057594037927936L // 2^56
+    val sk = sk0.barrier() // per-source stats + both merged-union sides
+    // per-source cardinality estimate: exact below k (the sketch IS the
+    // set), else the KMV estimator on the kth smallest value (gfp DIV 16
+    // maps the 60-bit hash onto 56 bits so (k-1)·2^56 stays inside int64)
+    val estD = expr(s"CASE WHEN n_sk < $k THEN n_sk ELSE " +
+      s"(${k - 1} * $two56) DIV greatest((kth DIV 16), 1) END")
+    val perSrc = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sk"), max(col("gfp")).as("kth"))
+      .select(col("source"), estD.as("est_distinct"))
+    val scaffold = srcs.select(col("source").as("source_x"))
+      .join(broadcast(srcs.select(col("source").as("source_y"))),
+        col("source_x") < col("source_y"))
+      .barrier() // read by: merged-union x/y sides, the output spine
+    val uni = scaffold
+      .join(sk.select(col("source").as("source_x"), col("gfp")),
+        "source_x")
+      .select(col("source_x"), col("source_y"), col("gfp"))
+      .unionByName(scaffold
+        .join(sk.select(col("source").as("source_y"), col("gfp")),
+          "source_y")
+        .select(col("source_x"), col("source_y"), col("gfp")))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source_x"), col("source_y")).orderBy(col("gfp"))
+    val mk = uni
+      .groupBy(col("source_x"), col("source_y"), col("gfp"))
+      .agg(count(lit(1)).as("occ")) // 2 ⇔ the hash sits in BOTH sketches
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= k)
+    val pairEst = mk.groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_mk"), max(col("gfp")).as("kth"),
+        sum(when(col("occ") === 2, 1L).otherwise(0L)).as("n_shared_sk"))
+      .select(col("source_x"), col("source_y"), col("n_shared_sk"),
+        expr(s"CASE WHEN n_mk < $k THEN n_mk ELSE " +
+          s"(${k - 1} * $two56) DIV greatest((kth DIV 16), 1) END")
+          .as("est_union"),
+        col("n_mk"))
+      .select(col("source_x"), col("source_y"), col("est_union"),
+        expr("(n_shared_sk * 1000000) DIV greatest(n_mk, 1)")
+          .as("est_jac_ppm"),
+        expr("(est_union * n_shared_sk) DIV greatest(n_mk, 1)")
+          .as("est_inter"))
+    scaffold
+      .join(pairEst, Seq("source_x", "source_y"), "left")
+      .join(broadcast(perSrc.select(col("source").as("source_x"),
+        col("est_distinct").as("est_nx"))), "source_x")
+      .join(broadcast(perSrc.select(col("source").as("source_y"),
+        col("est_distinct").as("est_ny"))), "source_y")
+      .select(col("source_x"), col("source_y"), col("est_nx"),
+        col("est_ny"), col("est_union"), col("est_jac_ppm"),
+        col("est_inter"))
+  }
 
   /** The relations of the prefix-filtering exact similarity join (doc
     * roster, distinct-set roster, prefix index, set-level candidates,
@@ -918,6 +1060,87 @@ object Dedup extends OpModule {
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
          |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors the KMV pipeline end to end: the doc-gram CTE (the
+    // corpus_ngram_novelty device keyed by source), bottom-64 per
+    // source, the (k-1)·2^56 DIV v56 estimator, merged-sketch union +
+    // shared-fraction Jaccard, and the exact twins — every value an
+    // integer, so the whole report is hash-exact
+    "corpus_overlap_kmv" ->
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+        |  FROM (SELECT source,
+        |          unnest(list_transform(range(0, len(toks) - 7),
+        |            i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        |        FROM (SELECT source,
+        |                list_filter(string_split_regex(lower(text),
+        |                  '[^a-z0-9]+'), x -> x <> '') AS toks
+        |              FROM documents)
+        |        WHERE len(toks) >= 8)),
+        |sk AS MATERIALIZED (
+        |  SELECT source, gfp FROM (
+        |    SELECT source, gfp,
+        |      row_number() OVER (PARTITION BY source ORDER BY gfp) AS r
+        |    FROM it) WHERE r <= 64),
+        |ps AS (SELECT source,
+        |    CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE (63 * 72057594037927936)
+        |           // greatest(max(gfp) // 16, 1) END AS BIGINT)
+        |      AS est_distinct
+        |  FROM sk GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |sc AS MATERIALIZED (SELECT a.source AS source_x, b.source AS source_y
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |uni AS (
+        |  SELECT sc.source_x, sc.source_y, sk.gfp
+        |  FROM sc JOIN sk ON sk.source = sc.source_x
+        |  UNION ALL
+        |  SELECT sc.source_x, sc.source_y, sk.gfp
+        |  FROM sc JOIN sk ON sk.source = sc.source_y),
+        |mk AS MATERIALIZED (
+        |  SELECT source_x, source_y, gfp, occ FROM (
+        |    SELECT source_x, source_y, gfp, occ, row_number() OVER
+        |      (PARTITION BY source_x, source_y ORDER BY gfp) AS r
+        |    FROM (SELECT source_x, source_y, gfp, count(*) AS occ
+        |          FROM uni GROUP BY 1, 2, 3))
+        |  WHERE r <= 64),
+        |pe AS (SELECT source_x, source_y,
+        |    CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE (63 * 72057594037927936)
+        |           // greatest(max(gfp) // 16, 1) END AS BIGINT)
+        |      AS est_union,
+        |    count(*) AS n_mk,
+        |    CAST(sum(CASE WHEN occ = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared_sk
+        |  FROM mk GROUP BY 1, 2),
+        |pe2 AS (SELECT source_x, source_y, est_union,
+        |    CAST((n_shared_sk * 1000000) // greatest(n_mk, 1) AS BIGINT)
+        |      AS est_jac_ppm,
+        |    CAST((est_union * n_shared_sk) // greatest(n_mk, 1) AS BIGINT)
+        |      AS est_inter
+        |  FROM pe),
+        |ed AS (SELECT source, count(*) AS n_items FROM it GROUP BY 1),
+        |ei AS (SELECT a.source AS source_x, b.source AS source_y,
+        |    count(*) AS exact_inter
+        |  FROM it a JOIN it b ON a.gfp = b.gfp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sc.source_x, sc.source_y,
+        |  dx.n_items AS nx, dy.n_items AS ny,
+        |  px.est_distinct AS est_nx, py.est_distinct AS est_ny,
+        |  dx.n_items + dy.n_items - coalesce(ei.exact_inter, 0)
+        |    AS exact_union,
+        |  pe2.est_union,
+        |  coalesce(ei.exact_inter, 0) AS exact_inter, pe2.est_inter,
+        |  CAST((coalesce(ei.exact_inter, 0) * 1000000)
+        |    // (dx.n_items + dy.n_items - coalesce(ei.exact_inter, 0))
+        |    AS BIGINT) AS exact_jac_ppm,
+        |  pe2.est_jac_ppm
+        |FROM sc JOIN ed dx ON dx.source = sc.source_x
+        |        JOIN ed dy ON dy.source = sc.source_y
+        |        LEFT JOIN ei USING (source_x, source_y)
+        |        LEFT JOIN pe2 USING (source_x, source_y)
+        |        JOIN ps px ON px.source = sc.source_x
+        |        JOIN ps py ON py.source = sc.source_y""".stripMargin,
     // mirrors the ALGORITHM stage by stage — the distinct-set grouping,
     // the (df ASC, gram ASC) rank ties, the integer prefix bound, size
     // feasibility, the positional min-rank-witness prune, integer

@@ -996,6 +996,45 @@ object StatefulStreaming {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/grams/__batch=$batchId")
 
+  /** Streaming KMV (bottom-k) sketch maintenance — the tier that shows
+    * WHY a 100 TB overlap report is a sketch problem: each micro-batch
+    * contributes only its OWN per-source bottom-k gram hashes (≤ k rows
+    * per source per batch — the store grows with batches·sources·k, not
+    * with the corpus) under the per-`__batch=N` Overwrite discipline.
+    * Bottom-k is MERGEABLE (bottom-k of a union ⊆ union of bottom-ks),
+    * so re-ranking the unioned contributions reproduces the corpus
+    * sketch EXACTLY — the estimate columns equal the batch query's
+    * bit-for-bit (pinned in StreamingSpec, incl. replay).
+    */
+  def kmvIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val items = graft.operators.TextAnalysis.docGramsOf(
+      batch.select(col("doc_id"), col("text")))
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("gfp")).distinct()
+    graft.operators.Dedup.kmvSketchOf(items)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/sk/__batch=$batchId")
+  }
+
+  /** Overlap estimates off the maintained sketch store: distinct-union
+    * the per-batch bottom-k contributions (the same gram can ride in on
+    * many batches), re-rank to the corpus bottom-k, and run the SAME
+    * `Dedup.kmvEstimatesOf` tail as the batch query — the exact twins
+    * are deliberately absent (keeping them would mean keeping the full
+    * gram relation, the thing the sketch exists to avoid).
+    */
+  def kmvEstimatesFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val merged = storeRead(spark, s"$storeDir/sk", StructType(Seq(
+      StructField("source", StringType), StructField("gfp", LongType))))
+      .distinct()
+    graft.operators.Dedup.kmvEstimatesOf(
+      graft.operators.Dedup.kmvSketchOf(merged),
+      merged.select(col("source")).distinct())
+  }
+
   /** Novelty report off the maintained gram store: batches partition
     * the corpus by doc, so the union of per-batch distinct rows IS the
     * corpus's distinct (doc_id, gfp) relation, and the report tail is

@@ -448,6 +448,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!planted.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("KMV overlap sketch: no false-positive sharing, unsaturated " +
+      "sketches exact, saturated estimates within 2x") {
+    val rows = graft.operators.Dedup.queries("corpus_overlap_kmv")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nx, estNx, exactInter, estJac) =
+        (r.getLong(2), r.getLong(4), r.getLong(8), r.getLong(11))
+      // a shared sketch hash IS a shared gram — bottom-k can under-count
+      // overlap but never invent it
+      if (estJac > 0) assert(exactInter > 0,
+        s"sketch claimed overlap where none exists: $r")
+      // below k the sketch is the whole set: estimator must be exact
+      if (nx < 64) assert(estNx === nx)
+      // saturated: the (k-1)/U_k estimator stays within a generous 2x
+      // of truth (theoretical rel. err ~ 1/sqrt(62) ~ 13%)
+      else assert(estNx >= nx / 2 && estNx <= nx * 2,
+        s"cardinality estimate off >2x: est=$estNx exact=$nx")
+    }
+  }
+
   test("SQ ANN recall vs brute force at sf0.001") {
     // int8 quantization keeps enough signal that re-scoring the top-4K
     // integer-score candidates recovers most of the true top-k — the

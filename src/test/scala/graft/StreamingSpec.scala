@@ -1527,6 +1527,53 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("KMV sketch store: stream-maintained bottom-k estimates ≡ batch " +
+      "query estimates over hash-split batches, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("kmvstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text", "source")
+      // hash-split batches: sources and grams interleave arbitrarily —
+      // bottom-k merge must not care which batch a gram rode in on
+      val batches = (0 until 3).map(i =>
+        docs.filter(pmod(hash(col("doc_id")), lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.kmvIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      // the batch query's estimate columns, in the tier's projection
+      val batchTwin = rows(graft.operators.Dedup
+        .queries("corpus_overlap_kmv")(spark, sfDir)
+        .select("source_x", "source_y", "est_nx", "est_ny", "est_union",
+          "est_jac_ppm", "est_inter"))
+      graft.core.Barrier.releaseAll(spark)
+      assert(rows(StatefulStreaming.kmvEstimatesFrom(spark, store))
+        === batchTwin, "stream-maintained sketch drifted from batch")
+      graft.core.Barrier.releaseAll(spark)
+      // replay the middle batch after later commits
+      StatefulStreaming.kmvIngestBatch(batches(1), store, 1L)
+      assert(rows(StatefulStreaming.kmvEstimatesFrom(spark, store))
+        === batchTwin, "replay must not change the estimates")
+      graft.core.Barrier.releaseAll(spark)
+      // the store stays sketch-sized: ≤ k rows per (source, batch)
+      val perBatch = spark.read.parquet(s"$store/sk")
+        .groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect().head.getLong(0)
+      assert(perBatch <= 3 * 64L,
+        "sketch store grew beyond batches x k rows per source")
+      // querying a never-ingested store is a clean empty result
+      val empty = java.nio.file.Files.createTempDirectory("kmvnever")
+        .toString
+      assert(StatefulStreaming.kmvEstimatesFrom(spark, empty)
+        .count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("K8 streaming SCD2: intervals close across micro-batch " +
       "boundaries; stream ≡ batch; replay idempotent") {
     import org.apache.spark.sql.functions._
