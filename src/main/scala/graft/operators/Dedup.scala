@@ -29,6 +29,12 @@ object Dedup extends OpModule {
     */
   private val KmvK = 64
 
+  /** Current shard count for `corpus_shard_plan` — the report also
+    * scores the (ShardCount+1)-th shard to measure the HRW movement
+    * property. A deployment constant, not a scale knob.
+    */
+  private val ShardCount = 8
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -436,6 +442,96 @@ object Dedup extends OpModule {
             .as("exact_jac_ppm"),
           col("est_jac_ppm"))
     }),
+    // Blocking-quality report — the record-linkage evaluation (Christen,
+    // "Data Matching"; Bilenko et al.) every blocked dedup pipeline owes
+    // its threshold choices to: grade the minhash-LSH BLOCKING stage
+    // (the distinct band-bucket candidate relation, before any verify)
+    // against the EXHAUSTIVE truth (all pairs with word-set Jaccard ≥
+    // 0.6 — the same predicate the verify step applies). Reduction
+    // ratio = how much of the quadratic pair space blocking avoided;
+    // pairs completeness = the recall the buckets preserve (what LSH's
+    // probabilistic guarantee is ABOUT); pairs quality = candidate
+    // precision. NOTE the truth side is exhaustive BY DESIGN — a
+    // blocking evaluation runs on a labeled sample in every published
+    // pipeline, never the corpus, so like dedup_method_matrix this is
+    // the sample-scale tier and deliberately absent from the scale
+    // sweep. rr_ppm is 1e6 − cand·1e6 DIV possible (sequential, no
+    // possible·1e6 product — that overflows int64 past ~3e6 docs).
+    "dedup_blocking_quality" -> ((s, dir) => {
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = t(s, dir, "documents")
+      val cand = candidatePairs(thinSigs(docs), nPart)
+        .barrier() // the tp join + its own count
+      val tk = docs.select(col("doc_id"),
+          explode(Text.tokenizeDistinct(col("text"))).as("tok"))
+        .barrier() // both co-occurrence sides + the size rollup
+      val sz = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .barrier() // both size sides
+      val truth = tk.select(col("doc_id").as("doc_a"), col("tok"))
+        .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        // the EXACT predicate verifiedPairs applies (double form, so the
+        // truth relation and the verify stage can never disagree)
+        .filter(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double") >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+        .barrier() // the tp join + its own count
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+        .select(expr("n_docs * (n_docs - 1) DIV 2").as("n_possible"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val tp = cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_true_candidates"))
+      nd.crossJoin(nt).crossJoin(nc).crossJoin(tp)
+        .select(col("n_possible"), col("n_true"), col("n_candidates"),
+          col("n_true_candidates"),
+          expr("1000000 - ((n_candidates * 1000000) DIV n_possible)")
+            .as("rr_ppm"),
+          expr("(n_true_candidates * 1000000) DIV greatest(n_true, 1)")
+            .as("pc_ppm"),
+          expr("(n_true_candidates * 1000000) DIV " +
+            "greatest(n_candidates, 1)").as("pq_ppm"))
+    }),
+    // Rendezvous (highest-random-weight) shard plan — the published
+    // reshard discipline (Thaler & Ravishankar, HRW hashing) a 100 TB
+    // store lives by: each doc goes to the shard with the highest
+    // md5-derived weight for (shard, doc), so adding a shard moves
+    // ONLY the docs the new shard wins — an expected 1/(S+1) of the
+    // corpus, each moving TO the new shard, nothing shuffling between
+    // survivors (the property that makes rebalancing affordable; mod-S
+    // hashing would move (S)/(S+1) of everything). One row per current
+    // shard: doc/byte balance plus how many of its docs the S+1-th
+    // shard would claim. One narrow codegen'd pass (the 8-struct
+    // array_max is per-row arithmetic) into one map-side-combined
+    // rollup — nothing here exchanges more than S rows per partition.
+    // All weights are 60-bit md5 integers: bit-exact in both engines,
+    // ties impossible in practice and broken (w, shard)-lexicographic.
+    "corpus_shard_plan" -> ((s, dir) => {
+      val nS = ShardCount
+      def score(sh: Int) = expr("CAST(conv(substring(md5(concat(" +
+        s"'shard|', '$sh', '|', CAST(doc_id AS STRING))), 1, 15), " +
+        "16, 10) AS BIGINT)")
+      val scores = array((0 until nS).map(sh =>
+        struct(score(sh).as("w"), lit(sh.toLong).as("shard"))): _*)
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .select(col("n_chars"), array_max(scores).as("m"),
+          score(nS).as("w_new"))
+        .select(col("n_chars"), col("m.shard").as("shard"),
+          (col("w_new") > col("m.w")).as("moves"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("moves"), 1L).otherwise(0L)).as("n_moved"))
+        .select(col("shard"), col("n_docs"), col("sum_chars"),
+          col("n_moved"),
+          expr("(n_moved * 1000000) DIV n_docs").as("moved_ppm"))
+    }),
     // Leakage-free train/val/test split — the assignment an eval pipeline
     // must use: near-duplicates MUST land on the same side, or val scores
     // measure memorization of train content. The unit of assignment is
@@ -810,17 +906,28 @@ object Dedup extends OpModule {
     * token volume moves once per verify side instead of riding the banded
     * shuffle 3x (measured −31% at 16x).
     */
-  def verifiedPairs(sigs: org.apache.spark.sql.DataFrame, nPart: Int,
-      thr: Double = 0.6): org.apache.spark.sql.DataFrame = {
+  /** The BLOCKING stage alone — distinct candidate pairs meeting through
+    * a shared (band, sig) bucket, before any verification. Extracted so
+    * `dedup_blocking_quality` can grade exactly the relation
+    * [[verifiedPairs]] verifies (same repartition → same ReusedExchange
+    * shape).
+    */
+  def candidatePairs(sigs: org.apache.spark.sql.DataFrame,
+      nPart: Int): org.apache.spark.sql.DataFrame = {
     val banded = sigs.select(col("doc_id"), col("band"), col("sig"))
       .repartition(nPart, col("band"), col("sig"))
-    val cand = banded.select(col("band").as("band_a"),
+    banded.select(col("band").as("band_a"),
         col("sig").as("sig_a"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band").as("band_b"),
           col("sig").as("sig_b"), col("doc_id").as("doc_b")),
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  def verifiedPairs(sigs: org.apache.spark.sql.DataFrame, nPart: Int,
+      thr: Double = 0.6): org.apache.spark.sql.DataFrame = {
+    val cand = candidatePairs(sigs, nPart)
     val toks = sigs.filter(col("band") === 0)
       .select(col("doc_id"), col("toks"))
     cand
@@ -1060,6 +1167,75 @@ object Dedup extends OpModule {
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
          |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors the blocking evaluation: the banded-candidate CTEs are the
+    // minhash oracle's own (same signatures, same bucket join), truth is
+    // the exhaustive token-co-occurrence Jaccard at the verify predicate
+    "dedup_blocking_quality" ->
+      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+         |           FROM documents),
+         |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(${oraMinhash(0)}::VARCHAR || '_' || ${oraMinhash(1)}::VARCHAR) AS s0,
+         |  md5(${oraMinhash(2)}::VARCHAR || '_' || ${oraMinhash(3)}::VARCHAR) AS s1,
+         |  md5(${oraMinhash(4)}::VARCHAR || '_' || ${oraMinhash(5)}::VARCHAR) AS s2 FROM d2),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+         |  UNION ALL SELECT doc_id, 1, s1 FROM sigs
+         |  UNION ALL SELECT doc_id, 2, s2 FROM sigs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |sz AS MATERIALIZED (SELECT doc_id, len(toks) AS n FROM d),
+         |truth AS MATERIALIZED (
+         |  SELECT i.doc_a, i.doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |    FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM documents)
+         |    * ((SELECT count(*) FROM documents) - 1) // 2 AS n_possible,
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+         |    AS n_true_candidates)
+         |SELECT CAST(n_possible AS BIGINT) AS n_possible,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+         |  CAST(1000000 - ((n_candidates * 1000000) // n_possible)
+         |    AS BIGINT) AS rr_ppm,
+         |  CAST((n_true_candidates * 1000000) // greatest(n_true, 1)
+         |    AS BIGINT) AS pc_ppm,
+         |  CAST((n_true_candidates * 1000000) // greatest(n_candidates, 1)
+         |    AS BIGINT) AS pq_ppm
+         |FROM agg""".stripMargin,
+    // mirrors the HRW plan: per-(doc, shard) md5 weights, argmax via
+    // (w DESC, s DESC) row_number (the struct-max tiebreak), the 9th
+    // shard's claim, and the per-shard rollup
+    "corpus_shard_plan" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars, s,
+        |    ('0x' || substring(md5('shard|' || CAST(s AS VARCHAR) || '|'
+        |       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS w
+        |  FROM documents, range(9) t(s)),
+        |a AS (SELECT doc_id, n_chars, s AS shard, w FROM (
+        |    SELECT doc_id, n_chars, s, w, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS r
+        |    FROM sc WHERE s < 8) WHERE r = 1),
+        |n9 AS (SELECT doc_id, w AS w_new FROM sc WHERE s = 8)
+        |SELECT a.shard, count(*) AS n_docs,
+        |  CAST(sum(a.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN n9.w_new > a.w THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  (CAST(sum(CASE WHEN n9.w_new > a.w THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS moved_ppm
+        |FROM a JOIN n9 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     // mirrors the KMV pipeline end to end: the doc-gram CTE (the
     // corpus_ngram_novelty device keyed by source), bottom-64 per
     // source, the (k-1)·2^56 DIV v56 estimator, merged-sketch union +

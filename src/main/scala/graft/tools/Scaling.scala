@@ -59,7 +59,8 @@ object Scaling {
     "text_unigram_train", "text_unigram_segment", "sim_pca_topk",
     "mm_audio_features", "sim_kcore", "text_textrank_keywords",
     "sim_kmeans_quality", "sample_kfold", "corpus_ngram_novelty",
-    "sample_kcenter_diverse", "dedup_prefix_filter", "corpus_overlap_kmv")
+    "sample_kcenter_diverse", "dedup_prefix_filter", "corpus_overlap_kmv",
+    "corpus_shard_plan")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -1699,4 +1699,66 @@ class OperatorsSpec extends SparkSpec {
     // and duplication actually exists: someone repeats earlier grams
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
+
+  test("blocking quality: candidates ∩ truth IS the verified pair set; " +
+      "metrics bounded") {
+    val row = graft.operators.Dedup.queries("dedup_blocking_quality")(
+      spark, sfDir).collect().head
+    val (nPoss, nTrue, nCand, nTp, rr, pc, pq) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    // the internal-consistency identity: blocking ∩ truth uses the SAME
+    // predicate the verify stage applies, so the true candidates are
+    // exactly dedup_minhash_lsh's verified output
+    val verified = graft.operators.Dedup.queries("dedup_minhash_lsh")(
+      spark, sfDir).count()
+    assert(nTp === verified,
+      "true-candidate count drifted from the verified pair relation")
+    assert(nTp <= math.min(nTrue, nCand))
+    assert(nCand <= nPoss)
+    Seq(rr, pc, pq).foreach(v => assert(v >= 0 && v <= 1000000L))
+    // blocking must actually block: the candidate space is a sliver of
+    // the quadratic pair space
+    assert(rr > 900000L, s"reduction ratio $rr — blocking barely pruned")
+  }
+
+  test("HRW shard plan: driver recompute; every moved doc's 9-shard " +
+      "argmax IS the new shard (the minimal-movement property)") {
+    def w(sh: Int, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard|$sh|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val assign = docs.map { case (id, nc) =>
+      val shard = (0 until 8).maxBy(sh => (w(sh, id), sh))
+      (id, nc, shard.toLong, w(8, id) > w(shard, id))
+    }
+    val want = assign.groupBy(_._3).map { case (sh, rows) =>
+      val moved = rows.count(_._4).toLong
+      sh -> (rows.length.toLong, rows.map(_._2).sum, moved,
+        moved * 1000000L / rows.length)
+    }
+    val got = graft.operators.Dedup.queries("corpus_shard_plan")(
+      spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === want, "shard plan drift vs exact HRW recompute")
+    // conservation: every doc lands exactly once
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+    // the HRW guarantee: a doc that moves under S+1 moves TO shard S+1 —
+    // its 9-shard argmax is the new shard, never a reshuffle among
+    // survivors
+    assign.filter(_._4).foreach { case (id, _, _, _) =>
+      assert((0 until 9).maxBy(sh => (w(sh, id), sh)) === 8,
+        s"doc $id moved somewhere other than the new shard")
+    }
+    // and movement is the 1/(S+1) minority, not a mod-hash avalanche
+    val movedTotal = assign.count(_._4)
+    assert(movedTotal < docs.length / 3,
+      s"HRW moved $movedTotal of ${docs.length} — far beyond 1/(S+1)")
+  }
 }
