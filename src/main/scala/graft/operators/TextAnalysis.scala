@@ -396,6 +396,73 @@ object TextAnalysis extends OpModule {
     // (documentedly) absent. Counts + one truncating DIV → hash-exact.
     "corpus_ngram_novelty" -> ((s, dir) =>
       noveltyReport(docGramsOf(t(s, dir, "documents")))),
+    // Heaps'-law type-token curve in exact integers — the vocabulary
+    // growth report a tokenizer-vocab decision reads: how many distinct
+    // types exist after the first 2^j ingested docs, at WORD and
+    // 8-token-GRAM granularity (words saturate — the fixture's closed
+    // vocab plateaus instantly — while gram types keep growing; the
+    // contrast IS the report). Checkpoints live in doc_id-prefix space
+    // (ids are the ingest order), so no global sort exists anywhere:
+    // each type reduces to (first_doc = min doc_id, one map-side-
+    // combined agg), first_doc buckets by its binary LENGTH (pure
+    // integer, no log2 doubles), and the cumulative sum runs over the
+    // ≤64-row bucket relation — the q_skew_report bounded-window
+    // device. checkpoint = 2^(j+1)-1: every id in buckets ≤ j is
+    // strictly below it.
+    "corpus_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .barrier() // read by both granularity tiers
+      def curve(first: org.apache.spark.sql.DataFrame, kind: String) = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("j"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        first
+          .select(expr("length(bin(first_doc + 1)) - 1").as("j"))
+          .groupBy(col("j")).agg(count(lit(1)).as("vocab_new"))
+          .select(lit(kind).as("kind"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(j + 1 AS INT)) - 1")
+              .as("checkpoint_docs"),
+            col("vocab_new"), sum(col("vocab_new")).over(w).as("vocab_cum"))
+      }
+      val words = docs
+        .select(col("doc_id"),
+          explode(Text.tokenizeDistinct(col("text"))).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      val grams = docGramsOf(docs)
+        .groupBy(col("gfp")).agg(min(col("doc_id")).as("first_doc"))
+      curve(words, "word").unionByName(curve(grams, "gram8"))
+    }),
+    // Leave-one-source-out ablation from ADDITIVE sufficient statistics
+    // — the data-valuation surrogate (the additive special case of
+    // leave-one-out influence) a multi-source ingest reads before
+    // weighting: for each source, the quality-gate pass rate and mean
+    // length of the corpus WITHOUT it, next to its own. The expensive
+    // per-doc predicate runs ONCE over the corpus; every LOO value is
+    // total-minus-contribution arithmetic on the |sources|-row rollup —
+    // no per-source rescan, which is the entire point at 100 TB.
+    // delta_ppm > 0 ⇒ the source lifts the corpus pass rate.
+    "corpus_source_ablation" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          when(qualityPred, 1L).otherwise(0L).as("pass"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
+          sum(col("n_chars")).as("sum_chars"))
+        .barrier() // the per-source rows AND the 1-row total
+      val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+        sum(col("n_pass")).as("t_pass"), sum(col("sum_chars")).as("t_chars"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          expr("(n_pass * 1000000) DIV n_docs").as("pass_ppm"),
+          expr("((t_pass - n_pass) * 1000000) DIV " +
+            "greatest(t_docs - n_docs, 1)").as("loo_pass_ppm"),
+          expr("(n_pass * 1000000) DIV n_docs - " +
+            "((t_pass - n_pass) * 1000000) DIV greatest(t_docs - n_docs, 1)")
+            .as("delta_ppm"),
+          expr("sum_chars DIV n_docs").as("mean_chars"),
+          expr("(t_chars - sum_chars) DIV greatest(t_docs - n_docs, 1)")
+            .as("loo_mean_chars"))
+    }),
     // Exact-substring dedup (the published remove-repeated-passages op,
     // at token-8-gram granularity): any token whose position is covered
     // by an 8-gram occurring MORE THAN ONCE corpus-wide (across docs or
@@ -3631,6 +3698,70 @@ object TextAnalysis extends OpModule {
         |    AS novelty_ppm
         |FROM g JOIN fs USING (gfp)
         |GROUP BY 1""".stripMargin,
+    // mirrors corpus_vocab_growth: first-seen per type, binary-length
+    // buckets, cumulative window over the tiny bucket relation
+    "corpus_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |wf AS (SELECT t, min(doc_id) AS first_doc FROM (
+        |    SELECT DISTINCT doc_id, unnest(toks) AS t FROM toks)
+        |  GROUP BY 1),
+        |gf AS (SELECT gfp, min(doc_id) AS first_doc FROM (
+        |    SELECT DISTINCT doc_id,
+        |      ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gfp
+        |    FROM (SELECT doc_id,
+        |            unnest(list_transform(range(0, len(toks) - 7),
+        |              i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        |          FROM toks WHERE len(toks) >= 8))
+        |  GROUP BY 1),
+        |wc AS (SELECT length(bin(first_doc + 1)) - 1 AS j,
+        |         count(*) AS vocab_new FROM wf GROUP BY 1),
+        |gc AS (SELECT length(bin(first_doc + 1)) - 1 AS j,
+        |         count(*) AS vocab_new FROM gf GROUP BY 1)
+        |SELECT 'word' AS kind, (CAST(1 AS BIGINT) << (j + 1)) - 1
+        |    AS checkpoint_docs, vocab_new,
+        |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT) AS vocab_cum
+        |FROM wc
+        |UNION ALL
+        |SELECT 'gram8', (CAST(1 AS BIGINT) << (j + 1)) - 1, vocab_new,
+        |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT)
+        |FROM gc""".stripMargin,
+    // mirrors corpus_source_ablation: the text_quality_filter gate as a
+    // per-doc flag, per-source additive rollup, LOO arithmetic
+    "corpus_source_ablation" ->
+      s"""WITH f AS (SELECT source, n_chars,
+         |    CASE WHEN CAST(length(text) AS INT) >= 100
+         |      AND len(string_split_regex(trim(text), '\\s+')) >= 20
+         |      AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter(toks,
+         |             x -> list_contains($stop, x))) AS DOUBLE)
+         |             / CAST(len(toks) AS DOUBLE) END) >= 0.05
+         |      AND (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(text) - length(regexp_replace(text,
+         |             '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) END) <= 0.2
+         |      THEN 1 ELSE 0 END AS pass
+         |  FROM (SELECT *, list_filter(string_split_regex(lower(text),
+         |          '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         |    CAST(sum(n_pass) AS BIGINT) AS t_pass,
+         |    CAST(sum(sum_chars) AS BIGINT) AS t_chars FROM per)
+         |SELECT source, n_docs, n_pass,
+         |  (n_pass * 1000000) // n_docs AS pass_ppm,
+         |  ((t_pass - n_pass) * 1000000) // greatest(t_docs - n_docs, 1)
+         |    AS loo_pass_ppm,
+         |  (n_pass * 1000000) // n_docs -
+         |    ((t_pass - n_pass) * 1000000) // greatest(t_docs - n_docs, 1)
+         |    AS delta_ppm,
+         |  sum_chars // n_docs AS mean_chars,
+         |  (t_chars - sum_chars) // greatest(t_docs - n_docs, 1)
+         |    AS loo_mean_chars
+         |FROM per, tot""".stripMargin,
     "corpus_health_report" -> {
       val values = healthFixture.map { case (id, src, lg, nc, txt) =>
         s"($id, '$src', '$lg', $nc, '$txt')" }.mkString(", ")

@@ -1700,6 +1700,63 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("vocab growth: cumulative counts match first-seen recompute; " +
+      "word tier saturates, gram tier keeps growing") {
+    val got = graft.operators.TextAnalysis.queries("corpus_vocab_growth")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    // word tier: distinct-token first-seen, bucketed by binary length
+    val firstSeen = docs.flatMap { case (id, toks) =>
+      toks.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (_, v) => v.map(_._2).min }
+    val wantWord = firstSeen.groupBy(id =>
+        java.lang.Long.toBinaryString(id + 1).length - 1)
+      .map { case (j, ids) => ((1L << (j + 1)) - 1) -> ids.size.toLong }
+    val gotWord = got.filter(_._1 == "word")
+      .map(r => r._2 -> r._3).toMap
+    assert(gotWord === wantWord, "word-tier buckets drift from recompute")
+    // cumulative is monotone and ends at the full distinct type count
+    Seq("word", "gram8").foreach { kind =>
+      val rows = got.filter(_._1 == kind).sortBy(_._2)
+      assert(rows.nonEmpty)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._4 && b._2 > a._2)
+        case _ => ()
+      }
+      assert(rows.last._4 === rows.map(_._3).sum)
+    }
+    val wordTotal = got.filter(_._1 == "word").map(_._3).sum
+    assert(wordTotal === firstSeen.size.toLong)
+    // the Heaps contrast this report exists to show: the closed word
+    // vocabulary plateaus while gram types keep arriving in the last
+    // checkpoint bucket
+    val gramRows = got.filter(_._1 == "gram8").sortBy(_._2)
+    assert(gramRows.last._3 > 0)
+  }
+
+  test("source ablation: additive conservation and delta-sign " +
+      "consistency; report is non-inert") {
+    val rows = graft.operators.TextAnalysis.queries(
+      "corpus_source_ablation")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum === n, "docs lost in the rollup")
+    val tPass = rows.map(_._3).sum
+    val tDocs = rows.map(_._2).sum
+    rows.foreach { case (src, nd, np, ppm, loo, delta) =>
+      assert(ppm === np * 1000000L / nd)
+      // the LOO value really is total-minus-contribution
+      assert(loo === (tPass - np) * 1000000L / math.max(tDocs - nd, 1L),
+        s"LOO drift for $src")
+      assert(delta === ppm - loo)
+    }
+  }
+
   test("blocking quality: candidates ∩ truth IS the verified pair set; " +
       "metrics bounded") {
     val row = graft.operators.Dedup.queries("dedup_blocking_quality")(
