@@ -42,6 +42,11 @@ object Similarity extends OpModule {
     * full (narrow) corpus pass, so k is a report size, not a scale knob;
     * the oracle unrolls exactly this many pick/update pairs. */
   private val KcenterPicks = 8
+  /** Beam geometry for `sim_graph_search` — serving constants (HNSW's
+    * ef/level-0 analog), not scale knobs: walk cost is rounds × beam ×
+    * graph degree regardless of corpus size. */
+  private val BeamWidth = 8
+  private val BeamRounds = 4
 
   /** Signature width for EVERY hyperplane-LSH consumer (`sim_lsh_ann`,
     * `dedup_embedding_lsh`, the whole kNN-graph family): an explicit conf
@@ -253,6 +258,63 @@ object Similarity extends OpModule {
     // loop runs to FIXPOINT with a loud round cap (the dedup_cc
     // discipline) and the oracle unrolls exactly the cap's rounds —
     // see KcoreRounds for why that makes the two provably agree.
+    // Greedy beam search OVER the kNN graph — the serving pattern of
+    // graph-based ANN (the layer-0 walk of HNSW/NSW, Malkov & Yashunin):
+    // start every query at a fixed entry point (the graph's minimum
+    // vec_id — the single-entry discipline), then BeamRounds times
+    // expand the beam's neighbors, score them against the query, and
+    // keep the BeamWidth best of (frontier ∪ new) — monotone improving,
+    // so a stalled beam is a converged beam. Final answer = top-10 of
+    // everything visited (self hits excluded, the sim_lsh_ann
+    // convention). Scale shape: after the shared kNN-graph build, every
+    // round touches only (8 queries × beam) thin rows joined to the
+    // k-bounded edge relation — the corpus is never rescanned; scoring
+    // joins the ≤ 8·beam·k candidate ids to the embedding roster and
+    // broadcasts the 8-row query panel. Rounds and beam are constants:
+    // the walk's cost is independent of corpus size once the graph
+    // exists, which is the entire point of graph ANN at serving time.
+    "sim_graph_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
+        .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
+      val edges = ke
+        .union(ke.select(col("y").as("x"), col("x").as("y")))
+        .distinct().barrier() // read by every beam round
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .barrier() // broadcast into every round's scoring join
+      def score(fr: org.apache.spark.sql.DataFrame) = fr
+        .join(emb.select(col("vec_id").as("v"), col("embedding").as("nv")),
+          "v")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("v"),
+          expr("cosine_sim(qv, nv)").as("s"))
+      val entry = edges.agg(min(col("x")).as("v"))
+      var frontier = score(queries.select(col("query_id"))
+        .crossJoin(broadcast(entry))).barrier()
+      var visited = frontier
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("v").asc)
+      for (_ <- 1 to BeamRounds) {
+        val scored = score(frontier
+          .select(col("query_id"), col("v").as("x"))
+          .join(edges, "x")
+          .select(col("query_id"), col("y").as("v")).distinct())
+        visited = visited.unionByName(scored).distinct()
+          .barrier() // accumulates; the next union and the final rank
+        frontier = frontier.unionByName(scored).distinct()
+          .withColumn("rk", row_number().over(wb))
+          .filter(col("rk") <= BeamWidth)
+          .select(col("query_id"), col("v"), col("s"))
+          .barrier() // next round reads it twice (union + neighbors)
+      }
+      visited.filter(col("query_id") =!= col("v"))
+        .withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("v").as("neighbor_id"), col("rank"))
+    }),
     "sim_kcore" -> ((s, dir) => {
       val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
         .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
@@ -2631,6 +2693,71 @@ object Similarity extends OpModule {
     // UNROLLED to the engine's round cap (the engine refuses corpora
     // needing more, and peeling is idempotent past fixpoint, so the
     // unrolled tail rounds change nothing on any accepted corpus)
+    // mirrors sim_graph_search: the kcore oracle's edge CTEs, then the
+    // beam unrolled to BeamRounds pick/expand pairs. Every f/v CTE is
+    // MATERIALIZED (each is referenced twice: the next round's union
+    // and its neighbor expansion / the final rank)
+    "sim_graph_search" -> {
+      val rounds = (1 to BeamRounds).map { i =>
+        s"""n$i AS (
+           |  SELECT DISTINCT f.query_id, ed.y AS v
+           |  FROM f${i - 1} f JOIN edges ed ON ed.x = f.v),
+           |s$i AS MATERIALIZED (
+           |  SELECT n.query_id, n.v,
+           |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+           |      CAST(emb.embedding AS DOUBLE[])) AS s
+           |  FROM n$i n JOIN q ON q.query_id = n.query_id
+           |  JOIN embeddings emb ON emb.vec_id = n.v),
+           |v$i AS MATERIALIZED (
+           |  SELECT * FROM v${i - 1} UNION SELECT * FROM s$i),
+           |f$i AS MATERIALIZED (
+           |  SELECT query_id, v, s FROM (
+           |    SELECT query_id, v, s, row_number() OVER
+           |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rk
+           |    FROM (SELECT * FROM f${i - 1} UNION SELECT * FROM s$i))
+           |  WHERE rk <= $BeamWidth)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K AND sim >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_id AS x, neighbor_id AS y FROM ke
+         |  UNION
+         |  SELECT neighbor_id, vec_id FROM ke),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |entry AS (SELECT min(x) AS v FROM edges),
+         |f0 AS MATERIALIZED (
+         |  SELECT q.query_id, e.v,
+         |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |      CAST(emb.embedding AS DOUBLE[])) AS s
+         |  FROM q CROSS JOIN entry e
+         |  JOIN embeddings emb ON emb.vec_id = e.v),
+         |v0 AS MATERIALIZED (SELECT * FROM f0),
+         |$rounds
+         |SELECT query_id, v AS neighbor_id, rank FROM (
+         |  SELECT query_id, v, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rank
+         |  FROM v$BeamRounds WHERE query_id <> v)
+         |WHERE rank <= 10""".stripMargin
+    },
     "sim_kcore" -> {
       // each s{i-1} is referenced TWICE by d{i} — plain CTEs would
       // inline per reference and double the plan every round (2^24 by

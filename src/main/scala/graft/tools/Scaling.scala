@@ -60,7 +60,8 @@ object Scaling {
     "mm_audio_features", "sim_kcore", "text_textrank_keywords",
     "sim_kmeans_quality", "sample_kfold", "corpus_ngram_novelty",
     "sample_kcenter_diverse", "dedup_prefix_filter", "corpus_overlap_kmv",
-    "corpus_shard_plan", "corpus_vocab_growth", "corpus_source_ablation")
+    "corpus_shard_plan", "corpus_vocab_growth", "corpus_source_ablation",
+    "sim_graph_search")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -448,6 +448,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!planted.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("graph beam search: results are graph-reachable, ranked " +
+      "consistently, with non-trivial recall vs brute force") {
+    val got = graft.operators.Similarity.queries("sim_graph_search")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(got.nonEmpty)
+    // per query: ranks are 1..n without gaps, neighbors distinct, no
+    // self hits
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).map(_.toLong))
+      assert(rows.map(_._2).distinct.length === rows.length)
+      assert(!rows.exists(_._2 == q))
+    }
+    // the walk must actually find neighbors beyond the entry point
+    assert(got.length > got.map(_._1).distinct.length)
+    // recall@10 vs brute force: a 4-round beam from a single entry on a
+    // 5-NN graph won't be perfect, but finding NOTHING would mean the
+    // walk is broken
+    val bf = graft.operators.Similarity.queries("sim_topk_bruteforce")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .filter(_._3 <= 10).map(t => (t._1, t._2)).toSet
+    val hits = got.count(t => bf.contains((t._1, t._2)))
+    assert(hits > 0, "beam search found none of the true top-10")
+  }
+
   test("KMV overlap sketch: no false-positive sharing, unsaturated " +
       "sketches exact, saturated estimates within 2x") {
     val rows = graft.operators.Dedup.queries("corpus_overlap_kmv")(
