@@ -432,6 +432,47 @@ object TextAnalysis extends OpModule {
         .groupBy(col("gfp")).agg(min(col("doc_id")).as("first_doc"))
       curve(words, "word").unionByName(curve(grams, "gram8"))
     }),
+    // AMS second frequency moment (F2) sketch — Alon, Matias & Szegedy's
+    // tug-of-war estimator, with the EXACT F2 beside it (the CMS/HLL
+    // twin pattern). F2 = Σ_t cf_t² over corpus token counts is exactly
+    // the row count of a self-join on the token key — the quantity that
+    // decides whether a co-occurrence/blocking join is affordable
+    // (q_skew_report's cousin, one number for the whole key space). The
+    // sketch needs ONE additive pass: 16 counters X_j = Σ_occurrences
+    // s_j(token), signs s_j = ±1 from an md5 bit (deterministic → the
+    // whole report is hash-exact under the oracle); estimate =
+    // median-of-4 of mean-of-4 of X_j². Exact twin costs the vocab-sized
+    // groupBy the sketch avoids — at 100 TB you keep the 16 integers.
+    // int64-safe while |X_j| < 3·10⁹ (X is a ±1 walk over occurrences,
+    // magnitude ~√F2); past that, pre-scale counts DIV 10³.
+    "text_f2_moment" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(explode(Text.tokenize(col("text"))).as("tok"))
+        .barrier() // the 16-counter pass AND the exact-twin rollup
+      def sign(j: Int) = when(substring(md5(concat(lit(s"ams$j|"),
+        col("tok"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1L).otherwise(-1L)
+      val xs = occ.agg(count(lit(1)).as("n_occurrences"),
+        (0 until 16).map(j => sum(sign(j)).as(s"x$j")): _*)
+      val exact = occ.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("cf") * col("cf")).as("f2_exact"))
+      val means = (0 until 4).map(g => expr(
+        (4 * g until 4 * g + 4).map(j => s"x$j * x$j").mkString("(", " + ", ")")
+          + " DIV 4").as(s"m$g"))
+      xs.crossJoin(exact)
+        .select((col("n_occurrences") +: col("n_distinct") +:
+          col("f2_exact") +: means): _*)
+        // median of 4 = mean of the middle two = (sum − max − min) / 2
+        .select(col("n_occurrences"), col("n_distinct"), col("f2_exact"),
+          expr("(m0 + m1 + m2 + m3 " +
+            "- greatest(m0, m1, m2, m3) - least(m0, m1, m2, m3)) DIV 2")
+            .as("f2_est"))
+        .select(col("n_occurrences"), col("n_distinct"), col("f2_exact"),
+          col("f2_est"),
+          expr("(abs(f2_est - f2_exact) * 1000000) DIV f2_exact")
+            .as("rel_err_ppm"))
+    }),
     // Leave-one-source-out ablation from ADDITIVE sufficient statistics
     // — the data-valuation surrogate (the additive special case of
     // leave-one-out influence) a multi-source ingest reads before
@@ -3727,6 +3768,37 @@ object TextAnalysis extends OpModule {
         |SELECT 'gram8', (CAST(1 AS BIGINT) << (j + 1)) - 1, vocab_new,
         |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT)
         |FROM gc""".stripMargin,
+    // mirrors text_f2_moment: the 16 tug-of-war counters, mean-of-4 /
+    // median-of-4, and the exact twin — integer-identical
+    "text_f2_moment" -> {
+      val hi = "('0','1','2','3','4','5','6','7')"
+      val xcols = (0 until 16).map(j =>
+        s"""CAST(sum(CASE WHEN substr(md5('ams$j|' || tok), 1, 1)
+           |    IN $hi THEN 1 ELSE -1 END) AS BIGINT) AS x$j""".stripMargin)
+        .mkString(",\n")
+      val mcols = (0 until 4).map(g =>
+        (4 * g until 4 * g + 4).map(j => s"x$j * x$j")
+          .mkString(s"(", " + ", s") // 4 AS m$g")).mkString(",\n")
+      s"""WITH occ AS MATERIALIZED (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text),
+         |    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+         |xs AS (SELECT CAST(count(*) AS BIGINT) AS n_occurrences,
+         |$xcols
+         |  FROM occ),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(cf * cf) AS BIGINT) AS f2_exact
+         |  FROM (SELECT tok, count(*) AS cf FROM occ GROUP BY 1)),
+         |m AS (SELECT n_occurrences, n_distinct, f2_exact,
+         |$mcols
+         |  FROM xs, ex),
+         |e AS (SELECT n_occurrences, n_distinct, f2_exact,
+         |    (m0 + m1 + m2 + m3 - greatest(m0, m1, m2, m3)
+         |     - least(m0, m1, m2, m3)) // 2 AS f2_est
+         |  FROM m)
+         |SELECT n_occurrences, n_distinct, f2_exact, f2_est,
+         |  (abs(f2_est - f2_exact) * 1000000) // f2_exact AS rel_err_ppm
+         |FROM e""".stripMargin
+    },
     // mirrors corpus_source_ablation: the text_quality_filter gate as a
     // per-doc flag, per-source additive rollup, LOO arithmetic
     "corpus_source_ablation" ->

@@ -1700,6 +1700,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("AMS F2 sketch: exact twin matches a driver recompute; counter " +
+      "parity; estimate within the tug-of-war envelope") {
+    val r = graft.operators.TextAnalysis.queries("text_f2_moment")(
+      spark, sfDir).collect().head
+    val (nOcc, nDist, f2, est, err) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty))
+    val cf = toks.groupBy(identity).map { case (_, v) => v.length.toLong }
+    assert(nOcc === toks.length.toLong)
+    assert(nDist === cf.size.toLong)
+    assert(f2 === cf.map(c => c * c).sum, "exact F2 drift vs recompute")
+    // Cauchy–Schwarz floor: Σcf² ≥ (Σcf)²/|vocab|
+    assert(f2 >= nOcc * nOcc / math.max(nDist, 1))
+    assert(est >= 0)
+    assert(err === math.abs(est - f2) * 1000000L / f2)
+    // the estimator is unbiased with bounded variance: a 16-counter
+    // median-of-means staying within 2x of truth is the loose envelope
+    assert(est >= f2 / 2 && est <= f2 * 2,
+      s"F2 estimate $est vs exact $f2 — outside 2x")
+  }
+
   test("vocab growth: cumulative counts match first-seen recompute; " +
       "word tier saturates, gram tier keeps growing") {
     val got = graft.operators.TextAnalysis.queries("corpus_vocab_growth")(
