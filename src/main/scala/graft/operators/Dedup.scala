@@ -498,6 +498,70 @@ object Dedup extends OpModule {
           expr("(n_true_candidates * 1000000) DIV " +
             "greatest(n_candidates, 1)").as("pq_ppm"))
     }),
+    // Z-ORDER layout vs ingest-order layout, graded by the only metric
+    // that matters at 100 TB: file-level min/max DATA SKIPPING (the
+    // published multi-dimensional clustering discipline — Morton-curve
+    // interleaving — behind every "Z-ORDER BY" implementation; Orenstein
+    // & Merrett's original z-curve indexing). Both dimensions bucket to
+    // 8 bits (length DIV 4 clamped; an md5 source bucket), their bits
+    // interleave into a 16-bit z-value, and the corpus is cut into 32
+    // equal files under each layout (the ntile global sort IS the
+    // layout write — a one-time range-partitioned cost, not a query
+    // cost). A panel of (source = s AND length range) predicates then
+    // counts the files whose per-file min/max CANNOT contain a match
+    // on either dimension. Ingest order correlates with neither
+    // dimension, so its min/max ranges are near-full and skip ~nothing;
+    // the z-layout clusters both at once — the report measures exactly
+    // the scan-pruning a layout buys. All values integers; ntile ties
+    // broken by doc_id, so both engines cut identical files.
+    "corpus_zorder_skipping" -> ((s, dir) => {
+      val nFiles = 32
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("least(n_chars DIV 4, 255)").as("d1"),
+          expr("CAST(conv(substring(md5(concat('zb|', source)), 1, 2), " +
+            "16, 10) AS BIGINT)").as("d2"),
+          col("n_chars"))
+        .withColumn("z", expr((0 until 8).map(b =>
+          s"(shiftleft(shiftright(d1, $b) & 1, ${2 * b + 1}) | " +
+            s"shiftleft(shiftright(d2, $b) & 1, ${2 * b}))")
+          .mkString("(", " + ", ")")))
+        .barrier() // both layout sorts read it
+      def fileStats(orderCols: Seq[org.apache.spark.sql.Column],
+          layout: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(orderCols: _*)
+        docs.withColumn("f", ntile(nFiles).over(w))
+          .groupBy(col("f"))
+          .agg(min(col("n_chars")).as("min_c"), max(col("n_chars")).as("max_c"),
+            min(col("d2")).as("min_b"), max(col("d2")).as("max_b"))
+          .select(lit(layout).as("layout"), col("f"), col("min_c"),
+            col("max_c"), col("min_b"), col("max_b"))
+      }
+      val stats = fileStats(Seq(col("doc_id")), "ingest_order")
+        .unionByName(fileStats(Seq(col("z"), col("doc_id")), "zorder"))
+        .barrier() // joined against the panel + counted
+      // predicate panel: every source × four length quartile ranges
+      import s.implicits._
+      val rangesDf = Seq((0L, 149L), (150L, 299L), (300L, 449L),
+        (450L, 100000L)).toDF("lo", "hi")
+      val panel = t(s, dir, "documents").select(col("source")).distinct()
+        .select(
+          expr("CAST(conv(substring(md5(concat('zb|', source)), 1, 2), " +
+            "16, 10) AS BIGINT)").as("qb"))
+        .crossJoin(rangesDf)
+        .barrier() // one row per (source, range) — 80 rows broadcast
+      stats.join(broadcast(panel), lit(true))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_file_predicate_pairs"),
+          sum(when(col("qb") < col("min_b") || col("qb") > col("max_b") ||
+            col("hi") < col("min_c") || col("lo") > col("max_c"), 1L)
+            .otherwise(0L)).as("n_skipped"))
+        .select(col("layout"), col("n_file_predicate_pairs"),
+          col("n_skipped"),
+          expr("(n_skipped * 1000000) DIV n_file_predicate_pairs")
+            .as("skip_ppm"))
+    }),
     // Rendezvous (highest-random-weight) shard plan — the published
     // reshard discipline (Thaler & Ravishankar, HRW hashing) a 100 TB
     // store lives by: each doc goes to the shard with the highest
@@ -755,11 +819,13 @@ object Dedup extends OpModule {
       .join(broadcast(srcs.select(col("source").as("source_y"))),
         col("source_x") < col("source_y"))
       .barrier() // read by: merged-union x/y sides, the output spine
-    val uni = scaffold
+    // the |sources|²-row scaffold BROADCASTS onto the sketch sides —
+    // without the hint the no-AQE plan sort-merges a 190-row relation
+    val uni = broadcast(scaffold)
       .join(sk.select(col("source").as("source_x"), col("gfp")),
         "source_x")
       .select(col("source_x"), col("source_y"), col("gfp"))
-      .unionByName(scaffold
+      .unionByName(broadcast(scaffold)
         .join(sk.select(col("source").as("source_y"), col("gfp")),
           "source_y")
         .select(col("source_x"), col("source_y"), col("gfp")))
@@ -1214,6 +1280,44 @@ object Dedup extends OpModule {
          |  CAST((n_true_candidates * 1000000) // greatest(n_candidates, 1)
          |    AS BIGINT) AS pq_ppm
          |FROM agg""".stripMargin,
+    // mirrors the z-order skipping report: same 8-bit buckets, same
+    // Morton interleave, same ntile cuts (ties broken by doc_id), same
+    // panel and min/max skip rule
+    "corpus_zorder_skipping" -> {
+      val inter = (0 until 8).map(b =>
+        s"((((d1 >> $b) & 1) << ${2 * b + 1}) | (((d2 >> $b) & 1) << ${2 * b}))")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, least(n_chars // 4, 255) AS d1,
+         |    ('0x' || substring(md5('zb|' || source), 1, 2))::BIGINT AS d2,
+         |    n_chars
+         |  FROM documents),
+         |z AS MATERIALIZED (SELECT *, $inter AS z FROM d),
+         |fi AS MATERIALIZED (
+         |  SELECT 'ingest_order' AS layout,
+         |    ntile(32) OVER (ORDER BY doc_id) AS f, n_chars, d2 FROM z
+         |  UNION ALL
+         |  SELECT 'zorder', ntile(32) OVER (ORDER BY z, doc_id), n_chars,
+         |    d2 FROM z),
+         |st AS MATERIALIZED (
+         |  SELECT layout, f, min(n_chars) AS min_c, max(n_chars) AS max_c,
+         |    min(d2) AS min_b, max(d2) AS max_b
+         |  FROM fi GROUP BY 1, 2),
+         |pan AS MATERIALIZED (
+         |  SELECT ('0x' || substring(md5('zb|' || source), 1, 2))::BIGINT
+         |      AS qb, lo, hi
+         |  FROM (SELECT DISTINCT source FROM documents),
+         |       (VALUES (0, 149), (150, 299), (300, 449), (450, 100000))
+         |         r(lo, hi))
+         |SELECT layout, CAST(count(*) AS BIGINT)
+         |    AS n_file_predicate_pairs,
+         |  CAST(sum(CASE WHEN qb < min_b OR qb > max_b OR hi < min_c
+         |    OR lo > max_c THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |  (CAST(sum(CASE WHEN qb < min_b OR qb > max_b OR hi < min_c
+         |    OR lo > max_c THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS skip_ppm
+         |FROM st, pan GROUP BY 1""".stripMargin
+    },
     // mirrors the HRW plan: per-(doc, shard) md5 weights, argmax via
     // (w DESC, s DESC) row_number (the struct-max tiebreak), the 9th
     // shard's claim, and the per-shard rollup

@@ -1803,6 +1803,65 @@ class OperatorsSpec extends SparkSpec {
     assert(rr > 900000L, s"reduction ratio $rr — blocking barely pruned")
   }
 
+  test("z-order skipping: full driver recompute of both layouts; " +
+      "min/max pruning is sound; z-layout skips more") {
+    def md5b(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(2), 16)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = docs.map { case (id, src, nc) =>
+      val d1 = math.min(nc / 4, 255L)
+      val d2 = md5b(s"zb|$src")
+      val z = (0 until 8).map(b =>
+        (((d1 >> b) & 1) << (2 * b + 1)) | (((d2 >> b) & 1) << (2 * b)))
+        .sum
+      (id, nc, d2, z)
+    }
+    def ntile(n: Int, sorted: Seq[(Long, Long, Long, Long)]) = {
+      val sz = sorted.length / n; val rem = sorted.length % n
+      sorted.zipWithIndex.map { case (r, i) =>
+        // ntile: first `rem` tiles get sz+1 rows
+        val f = if (i < rem * (sz + 1)) i / (sz + 1)
+        else rem + (i - rem * (sz + 1)) / math.max(sz, 1)
+        (f, r)
+      }.groupBy(_._1).values.map(_.map(_._2))
+    }
+    val ranges = Seq((0L, 149L), (150L, 299L), (300L, 449L),
+      (450L, 100000L))
+    // one predicate per SOURCE (bucket collisions keep their own rows —
+    // the panel is source-keyed, the bucket is just its pruning proxy)
+    val panel = for {
+      src <- docs.map(_._2).distinct.toSeq
+      (lo, hi) <- ranges
+    } yield (md5b(s"zb|$src"), lo, hi)
+    def skipped(sorted: Seq[(Long, Long, Long, Long)]): Long =
+      (for {
+        file <- ntile(32, sorted).toSeq
+        (minC, maxC) = (file.map(_._2).min, file.map(_._2).max)
+        (minB, maxB) = (file.map(_._3).min, file.map(_._3).max)
+        (qb, lo, hi) <- panel
+      } yield {
+        val skip = qb < minB || qb > maxB || hi < minC || lo > maxC
+        // SOUNDNESS: a skipped (file, predicate) can contain no match
+        if (skip) assert(!file.exists(r =>
+          r._3 == qb && r._2 >= lo && r._2 <= hi),
+          "min/max pruning skipped a file containing a match")
+        if (skip) 1L else 0L
+      }).sum
+    val wantIngest = skipped(rows.sortBy(_._1).toSeq)
+    val wantZ = skipped(rows.sortBy(r => (r._4, r._1)).toSeq)
+    val got = graft.operators.Dedup.queries("corpus_zorder_skipping")(
+      spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("ingest_order")._2 === wantIngest, "ingest-layout drift")
+    assert(got("zorder")._2 === wantZ, "z-layout drift")
+    assert(got("zorder")._2 > got("ingest_order")._2,
+      "z-order must buy MORE skipping than ingest order")
+  }
+
   test("HRW shard plan: driver recompute; every moved doc's 9-shard " +
       "argmax IS the new shard (the minimal-movement property)") {
     def w(sh: Int, id: Long): Long = {
