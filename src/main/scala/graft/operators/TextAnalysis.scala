@@ -432,6 +432,56 @@ object TextAnalysis extends OpModule {
         .groupBy(col("gfp")).agg(min(col("doc_id")).as("first_doc"))
       curve(words, "word").unionByName(curve(grams, "gram8"))
     }),
+    // Fagin's THRESHOLD ALGORITHM certificate — the classical top-k
+    // result (Fagin, Lotem & Naor, "Optimal Aggregation Algorithms for
+    // Middleware"): when each attribute has its own descending index,
+    // the global top-k under a monotone aggregate is CERTIFIED after
+    // reading only a prefix of each list — any unseen object scores at
+    // most T = Σ (p-th value per list), so once the k-th best seen
+    // clears T, no full-table sort is needed. This report walks a
+    // prefix-depth ladder (p = 8/32/128) over three integer attributes
+    // (chars, whitespace tokens, distinct tokens; aggregate = sum) and
+    // emits per depth: candidate count, threshold, k-th seen score, and
+    // the certificate bit. Scale shape: each prefix is
+    // orderBy-desc-limit(p) — TakeOrderedAndProject, the per-partition
+    // top-p primitive, never a global sort; candidates (≤ 3p ids)
+    // re-join the score roster thinly; every other relation is ≤ p
+    // rows. At 100 TB this is the difference between three index scans
+    // of depth p and a full-table sort.
+    "q_topk_ta" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val k = 10
+      val scores = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("text_stats(text)").as("st"), col("text"))
+        .select(col("doc_id"), col("n_chars").as("s1"),
+          col("st.ws_tokens").cast("long").as("s2"),
+          size(Text.tokenizeDistinct(col("text"))).cast("long").as("s3"))
+        .barrier() // three prefix scans + the candidate join
+      val attrs = Seq("s1", "s2", "s3")
+      Seq(8, 32, 128).map { p =>
+        val prefixes = attrs.map(a =>
+          scores.orderBy(col(a).desc, col("doc_id").asc).limit(p)
+            .select(col("doc_id"), col(a)).barrier()) // ids + t_i read
+        val tVals = prefixes.zip(attrs).map { case (pre, a) =>
+          pre.agg(min(col(a)).as(s"t_$a")) }
+        val cand = prefixes.map(_.select(col("doc_id")))
+          .reduce(_ unionByName _).distinct()
+          .join(scores, "doc_id")
+          .select(col("doc_id"),
+            (col("s1") + col("s2") + col("s3")).as("total"))
+        val kth = cand.orderBy(col("total").desc, col("doc_id").asc)
+          .limit(k).agg(min(col("total")).as("kth_seen"),
+            count(lit(1)).as("k_found"))
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val thr = col("t_s1") + col("t_s2") + col("t_s3")
+        tVals.reduce(_ crossJoin _).crossJoin(nc).crossJoin(kth)
+          .select(lit(p.toLong).as("prefix_depth"), col("n_candidates"),
+            thr.as("threshold"), col("kth_seen"),
+            (col("k_found") === k && col("kth_seen") >= thr)
+              .as("certified"))
+      }.reduce(_ unionByName _)
+    }),
     // AMS second frequency moment (F2) sketch — Alon, Matias & Szegedy's
     // tug-of-war estimator, with the EXACT F2 beside it (the CMS/HLL
     // twin pattern). F2 = Σ_t cf_t² over corpus token counts is exactly
@@ -3768,6 +3818,52 @@ object TextAnalysis extends OpModule {
         |SELECT 'gram8', (CAST(1 AS BIGINT) << (j + 1)) - 1, vocab_new,
         |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT)
         |FROM gc""".stripMargin,
+    // mirrors q_topk_ta: same three integer attributes, same
+    // ORDER-BY-LIMIT prefixes, same threshold and certificate algebra
+    "q_topk_ta" -> {
+      val per = Seq(8, 32, 128).map { p =>
+        (1 to 3).map(i =>
+          s"""pre${p}_$i AS MATERIALIZED (
+             |  SELECT doc_id, s$i FROM sc
+             |  ORDER BY s$i DESC, doc_id ASC LIMIT $p)""".stripMargin)
+          .mkString(",\n") + ",\n" +
+          s"""cand$p AS MATERIALIZED (
+             |  SELECT c.doc_id, sc.s1 + sc.s2 + sc.s3 AS total
+             |  FROM (SELECT doc_id FROM pre${p}_1 UNION
+             |        SELECT doc_id FROM pre${p}_2 UNION
+             |        SELECT doc_id FROM pre${p}_3) c
+             |  JOIN sc USING (doc_id)),
+             |kth$p AS (SELECT min(total) AS kth_seen,
+             |    CAST(count(*) AS BIGINT) AS k_found FROM
+             |  (SELECT total FROM cand$p
+             |   ORDER BY total DESC, doc_id ASC LIMIT 10)),
+             |t$p AS (SELECT (SELECT min(s1) FROM pre${p}_1)
+             |  + (SELECT min(s2) FROM pre${p}_2)
+             |  + (SELECT min(s3) FROM pre${p}_3) AS threshold)"""
+            .stripMargin
+      }.mkString(",\n")
+      val outs = Seq(8, 32, 128).map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS prefix_depth,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand$p)
+           |    AS n_candidates,
+           |  (SELECT threshold FROM t$p) AS threshold,
+           |  (SELECT kth_seen FROM kth$p) AS kth_seen,
+           |  (SELECT k_found FROM kth$p) = 10
+           |    AND (SELECT kth_seen FROM kth$p)
+           |        >= (SELECT threshold FROM t$p) AS certified"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT doc_id, n_chars AS s1,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS s2,
+         |    CAST(len(list_distinct(list_filter(string_split_regex(
+         |      lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT)
+         |      AS s3
+         |  FROM documents),
+         |$per
+         |$outs""".stripMargin
+    },
     // mirrors text_f2_moment: the 16 tug-of-war counters, mean-of-4 /
     // median-of-4, and the exact twin — integer-identical
     "text_f2_moment" -> {

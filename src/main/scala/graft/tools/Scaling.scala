@@ -61,7 +61,8 @@ object Scaling {
     "sim_kmeans_quality", "sample_kfold", "corpus_ngram_novelty",
     "sample_kcenter_diverse", "dedup_prefix_filter", "corpus_overlap_kmv",
     "corpus_shard_plan", "corpus_vocab_growth", "corpus_source_ablation",
-    "sim_graph_search", "text_f2_moment", "corpus_zorder_skipping")
+    "sim_graph_search", "text_f2_moment", "corpus_zorder_skipping",
+    "q_topk_ta")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -1700,6 +1700,47 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("threshold-algorithm certificate: ladder matches a driver " +
+      "recompute; a certified depth's candidates contain the TRUE " +
+      "top-10") {
+    val got = graft.operators.TextAnalysis.queries("q_topk_ta")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .collect().map { r =>
+        val text = r.getString(2)
+        val s2 = text.trim.split("\\s+").length.toLong
+        val s3 = text.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).distinct.length.toLong
+        (r.getLong(0), r.getLong(1), s2, s3)
+      }
+    val trueTop = docs.map(d => (d._1, d._2 + d._3 + d._4))
+      .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    got.foreach { case (p, nCand, thr, kth, cert) =>
+      val pi = p.toInt
+      val pre1 = docs.sortBy(d => (-d._2, d._1)).take(pi)
+      val pre2 = docs.sortBy(d => (-d._3, d._1)).take(pi)
+      val pre3 = docs.sortBy(d => (-d._4, d._1)).take(pi)
+      val candIds = (pre1 ++ pre2 ++ pre3).map(_._1).distinct
+      val byId = docs.map(d => d._1 -> (d._2 + d._3 + d._4)).toMap
+      val candTop = candIds.map(id => (id, byId(id)))
+        .sortBy(t => (-t._2, t._1)).take(10)
+      assert(nCand === candIds.length.toLong)
+      assert(thr === pre1.map(_._2).min + pre2.map(_._3).min +
+        pre3.map(_._4).min)
+      assert(kth === candTop.map(_._2).min)
+      assert(cert === (candTop.length == 10 && kth >= thr))
+      // Fagin's guarantee, checked empirically: a certified prefix's
+      // candidate top-10 IS the full-scan top-10
+      if (cert) assert(candTop.map(_._1).toSet === trueTop,
+        s"certified depth $p missed a true top-10 member")
+    }
+    // the ladder must certify somewhere, or the report is inert
+    assert(got.exists(_._5), "no depth certified — ladder inert")
+  }
+
   test("AMS F2 sketch: exact twin matches a driver recompute; counter " +
       "parity; estimate within the tug-of-war envelope") {
     val r = graft.operators.TextAnalysis.queries("text_f2_moment")(
