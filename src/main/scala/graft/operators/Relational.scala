@@ -34,6 +34,69 @@ object Relational extends OpModule {
     // ceil(q·n_keys); hot_ratio_ppm = max/mean in ppm via one integer
     // DIV — a reading ≫ 1e6 says one key floods a reducer and the join
     // needs salting/AQE-skew before it needs more executors.
+    // Join-cardinality estimation the way an optimizer does it — the
+    // System-R/Selinger MCV-histogram device every cost-based planner
+    // still runs on: per side, the 32 most-common key values keep their
+    // EXACT counts and the tail is assumed uniform over its distinct
+    // keys; the estimate is MCV×MCV exact hits + MCV-vs-tail cross
+    // terms + tail×tail under the containment assumption. The EXACT
+    // join size sits beside it (Σ cA·cB over the count relations — the
+    // join never materializes). err_ppm is the report: how far the
+    // statistics the planner would carry are from truth, per FK join.
+    // Scale shape: each side reduces to a key-count relation (map-side
+    // combined); MCVs are TakeOrderedAndProject(32); everything after
+    // is 32-row or 1-row relations crossJoined. The exact twin's
+    // count-join is key-keyed, output-bounded — never the row join.
+    "q_join_card_estimate" -> ((s, dir) => {
+      def one(name: String, ta: String, ka: String, tb: String,
+          kb: String): org.apache.spark.sql.DataFrame = {
+        val ca = t(s, dir, ta).groupBy(col(ka).as("k"))
+          .agg(count(lit(1)).as("c")).barrier()
+        val cb = t(s, dir, tb).groupBy(col(kb).as("k"))
+          .agg(count(lit(1)).as("c")).barrier()
+        val ma = ca.orderBy(col("c").desc, col("k").asc).limit(32)
+          .barrier()
+        val mb = cb.orderBy(col("c").desc, col("k").asc).limit(32)
+          .barrier()
+        val tot = ca.agg(sum(col("c")).as("rows_a"),
+            count(lit(1)).as("nd_a"))
+          .crossJoin(cb.agg(sum(col("c")).as("rows_b"),
+            count(lit(1)).as("nd_b")))
+          .crossJoin(ma.agg(coalesce(sum(col("c")), lit(0L)).as("mrows_a"),
+            count(lit(1)).as("mnd_a")))
+          .crossJoin(mb.agg(coalesce(sum(col("c")), lit(0L)).as("mrows_b"),
+            count(lit(1)).as("mnd_b")))
+          .crossJoin(ma.select(col("k"), col("c").as("ca"))
+            .join(mb.select(col("k"), col("c").as("cb")), "k")
+            .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("mcv_hit"),
+              coalesce(sum(col("ca")), lit(0L)).as("ca_common"),
+              coalesce(sum(col("cb")), lit(0L)).as("cb_common")))
+          .crossJoin(ca.select(col("k"), col("c").as("xa"))
+            .join(cb.select(col("k"), col("c").as("xb")), "k")
+            .agg(coalesce(sum(col("xa") * col("xb")), lit(0L))
+              .as("exact_rows")))
+        tot.select(lit(name).as("join_name"), col("rows_a"), col("rows_b"),
+            col("nd_a"), col("nd_b"), col("exact_rows"),
+            expr("mcv_hit" +
+              " + (mrows_a - ca_common) * ((rows_b - mrows_b)" +
+              "     DIV greatest(nd_b - mnd_b, 1))" +
+              " + (mrows_b - cb_common) * ((rows_a - mrows_a)" +
+              "     DIV greatest(nd_a - mnd_a, 1))" +
+              " + ((rows_a - mrows_a) * (rows_b - mrows_b))" +
+              "     DIV greatest(greatest(nd_a - mnd_a, nd_b - mnd_b), 1)")
+              .as("est_rows"))
+          .select(col("join_name"), col("rows_a"), col("rows_b"),
+            col("nd_a"), col("nd_b"), col("est_rows"), col("exact_rows"),
+            expr("(abs(est_rows - exact_rows) * 1000000)" +
+              " DIV greatest(exact_rows, 1)").as("err_ppm"))
+      }
+      one("orders_lineitem", "orders", "o_orderkey", "lineitem",
+        "l_orderkey")
+        .unionByName(one("part_lineitem", "part", "p_partkey",
+          "lineitem", "l_partkey"))
+        .unionByName(one("customer_orders", "customer", "c_custkey",
+          "orders", "o_custkey"))
+    }),
     "q_skew_report" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       def report(rel: String, key: String,
@@ -514,7 +577,62 @@ object Relational extends OpModule {
        |             CAST(max(c) AS BIGINT) AS max_per_key
        |           FROM d_$rel)""".stripMargin
 
+  // mirrors q_join_card_estimate for one FK join — unique CTE prefix
+  // per join so the three blocks can UNION ALL in one statement
+  private def oraJoinCard(i: Int, name: String, ta: String, ka: String,
+      tb: String, kb: String): String =
+    s"""SELECT '$name' AS join_name, rows_a, rows_b, nd_a, nd_b,
+       |  est_rows, exact_rows,
+       |  (abs(est_rows - exact_rows) * 1000000)
+       |    // greatest(exact_rows, 1) AS err_ppm
+       |FROM (
+       |  SELECT *,
+       |    mcv_hit
+       |    + (mrows_a - ca_common)
+       |        * ((rows_b - mrows_b) // greatest(nd_b - mnd_b, 1))
+       |    + (mrows_b - cb_common)
+       |        * ((rows_a - mrows_a) // greatest(nd_a - mnd_a, 1))
+       |    + ((rows_a - mrows_a) * (rows_b - mrows_b))
+       |        // greatest(greatest(nd_a - mnd_a, nd_b - mnd_b), 1)
+       |      AS est_rows
+       |  FROM (
+       |    WITH ca$i AS MATERIALIZED (
+       |      SELECT $ka AS k, count(*) AS c FROM $ta GROUP BY 1),
+       |    cb$i AS MATERIALIZED (
+       |      SELECT $kb AS k, count(*) AS c FROM $tb GROUP BY 1),
+       |    ma$i AS MATERIALIZED (
+       |      SELECT k, c FROM ca$i ORDER BY c DESC, k ASC LIMIT 32),
+       |    mb$i AS MATERIALIZED (
+       |      SELECT k, c FROM cb$i ORDER BY c DESC, k ASC LIMIT 32)
+       |    SELECT
+       |      (SELECT CAST(sum(c) AS BIGINT) FROM ca$i) AS rows_a,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM ca$i) AS nd_a,
+       |      (SELECT CAST(sum(c) AS BIGINT) FROM cb$i) AS rows_b,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM cb$i) AS nd_b,
+       |      (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ma$i)
+       |        AS mrows_a,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM ma$i) AS mnd_a,
+       |      (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM mb$i)
+       |        AS mrows_b,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM mb$i) AS mnd_b,
+       |      (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+       |       FROM ma$i a JOIN mb$i b USING (k)) AS mcv_hit,
+       |      (SELECT CAST(coalesce(sum(a.c), 0) AS BIGINT)
+       |       FROM ma$i a JOIN mb$i b USING (k)) AS ca_common,
+       |      (SELECT CAST(coalesce(sum(b.c), 0) AS BIGINT)
+       |       FROM ma$i a JOIN mb$i b USING (k)) AS cb_common,
+       |      (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+       |       FROM ca$i a JOIN cb$i b USING (k)) AS exact_rows))"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_join_card_estimate" -> Seq(
+      oraJoinCard(1, "orders_lineitem", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      oraJoinCard(2, "part_lineitem", "part", "p_partkey",
+        "lineitem", "l_partkey"),
+      oraJoinCard(3, "customer_orders", "customer", "c_custkey",
+        "orders", "o_custkey")).mkString("\nUNION ALL\n"),
     "q_skew_report" ->
       s"""WITH ${oraSkewCtes("lineitem", "l_orderkey")},
          |${oraSkewCtes("events", "user_id")}

@@ -1700,6 +1700,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("join cardinality estimate: exact twin equals the materialized " +
+      "join count; estimate lands within the histogram envelope") {
+    val got = graft.operators.Relational.queries("q_join_card_estimate")(
+      spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    def joinCount(ta: String, ka: String, tb: String, kb: String) =
+      graft.core.Tables.load(spark, sfDir, ta)
+        .join(graft.core.Tables.load(spark, sfDir, tb),
+          col(ka) === col(kb)).count()
+    val truths = Map(
+      "orders_lineitem" -> joinCount("orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      "part_lineitem" -> joinCount("part", "p_partkey",
+        "lineitem", "l_partkey"),
+      "customer_orders" -> joinCount("customer", "c_custkey",
+        "orders", "o_custkey"))
+    truths.foreach { case (name, truth) =>
+      val (est, exact, err) = got(name)
+      // Σ cA·cB over the count relations IS the join size
+      assert(exact === truth, s"$name exact twin drift vs real join")
+      assert(err === math.abs(est - exact) * 1000000L /
+        math.max(exact, 1L))
+      // MCV + uniform-tail on FK data: generous 3x envelope
+      assert(est >= exact / 3 && est <= exact * 3,
+        s"$name estimate $est vs exact $exact — outside 3x")
+    }
+  }
+
   test("threshold-algorithm certificate: ladder matches a driver " +
       "recompute; a certified depth's candidates contain the TRUE " +
       "top-10") {
