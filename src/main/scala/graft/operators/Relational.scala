@@ -34,6 +34,50 @@ object Relational extends OpModule {
     // ceil(q·n_keys); hot_ratio_ppm = max/mean in ppm via one integer
     // DIV — a reading ≫ 1e6 says one key floods a reducer and the join
     // needs salting/AQE-skew before it needs more executors.
+    // BLOOM SEMI-JOIN reduction — the classical distributed-join
+    // technique (Bloomjoin; Mackert & Lohman's semi-join reduction, the
+    // device behind Spark's own runtime row-group filters): the
+    // selective dim side (part, p_size ≥ 46 — ~10%) compresses to a
+    // ~4 KB bloom bitmap (the decontamination gate's md5 device — k=4
+    // probes, m=2^15, construction and probe share one SQL fragment so
+    // false negatives are impossible), the fact side pre-filters
+    // against the broadcast bitmap BEFORE the join, and the report
+    // measures what the reduction bought: rows pruned, bloom false
+    // passes, and the identity n_join_rows = n_true_join (no-bloom
+    // ground truth) that proves the reduction lossless. At 100 TB this
+    // is the difference between shuffling the whole fact table into a
+    // join and shuffling ~the matching tenth: prune_ppm IS the shuffle
+    // saved.
+    "j9_bloom_semijoin" -> ((s, dir) => {
+      val dimSel = t(s, dir, "part").filter(col("p_size") >= 46)
+        .select(col("p_partkey")).barrier() // bitmap + truth + join side
+      val bitmap = TextAnalysis.bloomBitmapFromFps(
+        dimSel.select(md5(col("p_partkey").cast("string")).as("fp")))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), " +
+            "1, 15), 16, 10) AS BIGINT)").as("fpl"))
+        .barrier() // counted, probed, and ground-truth joined
+      val pass = fact.join(broadcast(bitmap), lit(true))
+        .filter(expr(TextAnalysis.bloomMightContain))
+        .select(col("l_partkey"))
+        .barrier() // counted + joined
+      val nf = fact.agg(count(lit(1)).as("n_fact"))
+      val ndim = dimSel.agg(count(lit(1)).as("n_dim_selected"))
+      val np = pass.agg(count(lit(1)).as("n_pass_bloom"))
+      val nj = pass.join(dimSel.select(col("p_partkey").as("l_partkey")),
+        "l_partkey").agg(count(lit(1)).as("n_join_rows"))
+      val ntj = fact.select(col("l_partkey"))
+        .join(dimSel.select(col("p_partkey").as("l_partkey")),
+          "l_partkey").agg(count(lit(1)).as("n_true_join"))
+      nf.crossJoin(ndim).crossJoin(np).crossJoin(nj).crossJoin(ntj)
+        .select(col("n_fact"), col("n_dim_selected"), col("n_pass_bloom"),
+          col("n_join_rows"), col("n_true_join"),
+          expr("((n_fact - n_pass_bloom) * 1000000) DIV n_fact")
+            .as("prune_ppm"),
+          expr("((n_pass_bloom - n_join_rows) * 1000000)" +
+            " DIV greatest(n_pass_bloom, 1)").as("false_pass_ppm"))
+    }),
     // Join-cardinality estimation the way an optimizer does it — the
     // System-R/Selinger MCV-histogram device every cost-based planner
     // still runs on: per side, the 32 most-common key values keep their
@@ -625,7 +669,51 @@ object Relational extends OpModule {
        |       FROM ca$i a JOIN cb$i b USING (k)) AS exact_rows))"""
       .stripMargin
 
+  // mirrors j9_bloom_semijoin: bloom membership restated
+  // set-theoretically — a key passes iff ALL k of its md5 bit positions
+  // are set by some dim key, which is exactly what the bitmap probe
+  // computes (bit set ⇔ some dim key set it)
+  private def oraBloomSemijoin: String = {
+    def pos(i: Int) =
+      s"(('0x' || substring(md5('bf$i|' || CAST(fpl AS VARCHAR)), 1, 6))" +
+        s"::BIGINT % 32768)"
+    val passPred = (0 until 4).map(i =>
+      s"${pos(i)} IN (SELECT p FROM pos)").mkString("\n    AND ")
+    s"""WITH dim AS MATERIALIZED (
+       |  SELECT p_partkey,
+       |    ('0x' || substring(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+       |      ::BIGINT AS fpl
+       |  FROM part WHERE p_size >= 46),
+       |pos AS MATERIALIZED (
+       |  SELECT DISTINCT unnest([${(0 until 4).map(pos).mkString(", ")}])
+       |    AS p
+       |  FROM dim),
+       |fact AS MATERIALIZED (
+       |  SELECT l_partkey,
+       |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+       |      ::BIGINT AS fpl
+       |  FROM lineitem),
+       |pass AS MATERIALIZED (
+       |  SELECT l_partkey FROM fact
+       |  WHERE $passPred),
+       |agg AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fact) AS n_fact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_selected,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_pass_bloom,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pass
+       |   JOIN dim ON dim.p_partkey = pass.l_partkey) AS n_join_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fact
+       |   JOIN dim ON dim.p_partkey = fact.l_partkey) AS n_true_join)
+       |SELECT n_fact, n_dim_selected, n_pass_bloom, n_join_rows,
+       |  n_true_join,
+       |  ((n_fact - n_pass_bloom) * 1000000) // n_fact AS prune_ppm,
+       |  ((n_pass_bloom - n_join_rows) * 1000000)
+       |    // greatest(n_pass_bloom, 1) AS false_pass_ppm
+       |FROM agg""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "j9_bloom_semijoin" -> oraBloomSemijoin,
     "q_join_card_estimate" -> Seq(
       oraJoinCard(1, "orders_lineitem", "orders", "o_orderkey",
         "lineitem", "l_orderkey"),

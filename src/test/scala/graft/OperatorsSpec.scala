@@ -1700,6 +1700,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("bloom semi-join: reduction is lossless (no false negatives), " +
+      "prune real, counts match a real join") {
+    val r = graft.operators.Relational.queries("j9_bloom_semijoin")(
+      spark, sfDir).collect().head
+    val (nFact, nDim, nPass, nJoin, nTrue, prune, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    // the whole point: pre-filtering through the bloom loses nothing
+    assert(nJoin === nTrue, "bloom dropped a joining row")
+    val truth = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.core.Tables.load(spark, sfDir, "part")
+        .filter(col("p_size") >= 46),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(nTrue === truth)
+    assert(nPass >= nJoin && nPass <= nFact)
+    assert(fp === (nPass - nJoin) * 1000000L / math.max(nPass, 1L))
+    assert(prune === (nFact - nPass) * 1000000L / nFact)
+    // a ~10%-selective dim must prune the majority of the fact side
+    assert(prune > 500000L, s"prune_ppm $prune — reduction inert")
+  }
+
   test("join cardinality estimate: exact twin equals the materialized " +
       "join count; estimate lands within the histogram envelope") {
     val got = graft.operators.Relational.queries("q_join_card_estimate")(
