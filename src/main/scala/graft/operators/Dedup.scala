@@ -442,6 +442,65 @@ object Dedup extends OpModule {
             .as("exact_jac_ppm"),
           col("est_jac_ppm"))
     }),
+    // LSH S-CURVE calibration — the measurement behind every (bands,
+    // rows) choice in the MinHash literature: theory says a pair at
+    // Jaccard s becomes a candidate with P = 1 − (1 − s^r)^b (the
+    // S-curve; r=2, b=3 here), and this report checks the DEPLOYED
+    // pipeline against it: all same-token pairs bucketed by EXACT
+    // integer Jaccard decile ((10·|∩|) DIV |∪|, no float boundary), per
+    // decile the measured fraction that actually landed in a band
+    // bucket, beside the theoretical curve at the decile midpoint
+    // (explicit IEEE multiplications, no pow — both engines round
+    // identically, then one micro round). Where the measured column
+    // hugs the theory, the hash family grades the axis it is hashing;
+    // where it sags — as it does dramatically at the fixture — the
+    // signatures hash a DIFFERENT set than the axis grades (here:
+    // word-8-gram shingles vs word sets; high word-set overlap in a
+    // different word ORDER shares no shingles), which is the per-decile
+    // form of dedup_blocking_quality's PC finding and exactly the
+    // mismatch an S-curve audit exists to expose before anyone trusts
+    // the (b, r) recall math. Like dedup_blocking_quality the truth side is
+    // exhaustive BY DESIGN — calibration runs on a labeled sample —
+    // so this is the sample-scale tier, absent from the sweep.
+    "dedup_lsh_scurve" -> ((s, dir) => {
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = t(s, dir, "documents")
+      val cand = candidatePairs(thinSigs(docs), nPart)
+        .withColumn("hit", lit(1L))
+      val tk = docs.select(col("doc_id"),
+          explode(Text.tokenizeDistinct(col("text"))).as("tok"))
+        .barrier() // both co-occurrence sides + the size rollup
+      val sz = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .barrier() // two sides
+      tk.select(col("doc_id").as("doc_a"), col("tok"))
+        .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("least((inter * 10) DIV (n_a + n_b - inter), 9)")
+            .as("decile"))
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("decile"), col("n_pairs"), col("n_hit"),
+          expr("(n_hit * 1000000) DIV n_pairs").as("hit_ppm"),
+          // midpoint s = (decile + 0.5)/10; P = 1 − (1−s²)³ via explicit
+          // multiplications (pow is not correctly rounded cross-engine)
+          expr("CAST(round((1.0D - " +
+            "(1.0D - ((CAST(decile AS DOUBLE) + 0.5D) / 10.0D) * " +
+            "((CAST(decile AS DOUBLE) + 0.5D) / 10.0D)) * " +
+            "(1.0D - ((CAST(decile AS DOUBLE) + 0.5D) / 10.0D) * " +
+            "((CAST(decile AS DOUBLE) + 0.5D) / 10.0D)) * " +
+            "(1.0D - ((CAST(decile AS DOUBLE) + 0.5D) / 10.0D) * " +
+            "((CAST(decile AS DOUBLE) + 0.5D) / 10.0D))" +
+            ") * 1000000D) AS BIGINT)").as("theory_ppm"))
+    }),
     // Blocking-quality report — the record-linkage evaluation (Christen,
     // "Data Matching"; Bilenko et al.) every blocked dedup pipeline owes
     // its threshold choices to: grade the minhash-LSH BLOCKING stage
@@ -1233,6 +1292,54 @@ object Dedup extends OpModule {
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
          |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors the S-curve report: banded candidates (the minhash
+    // oracle's own CTEs), exhaustive integer-decile truth, measured-vs-
+    // theory columns with the same explicit-multiplication IEEE chain
+    "dedup_lsh_scurve" ->
+      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+         |           FROM documents),
+         |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(${oraMinhash(0)}::VARCHAR || '_' || ${oraMinhash(1)}::VARCHAR) AS s0,
+         |  md5(${oraMinhash(2)}::VARCHAR || '_' || ${oraMinhash(3)}::VARCHAR) AS s1,
+         |  md5(${oraMinhash(4)}::VARCHAR || '_' || ${oraMinhash(5)}::VARCHAR) AS s2 FROM d2),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+         |  UNION ALL SELECT doc_id, 1, s1 FROM sigs
+         |  UNION ALL SELECT doc_id, 2, s2 FROM sigs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |sz AS MATERIALIZED (SELECT doc_id, len(toks) AS n FROM d),
+         |pairs AS MATERIALIZED (
+         |  SELECT i.doc_a, i.doc_b,
+         |    least((i.inter * 10) // (sa.n + sb.n - i.inter), 9) AS decile
+         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          count(*) AS inter
+         |        FROM tk a JOIN tk b ON a.tok = b.tok
+         |          AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b),
+         |g AS (SELECT p.decile, count(*) AS n_pairs,
+         |    CAST(coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |  FROM pairs p LEFT JOIN cand c
+         |    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+         |  GROUP BY 1)
+         |SELECT decile, n_pairs, n_hit,
+         |  (n_hit * 1000000) // n_pairs AS hit_ppm,
+         |  CAST(round((1.0 -
+         |    (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0) *
+         |           ((CAST(decile AS DOUBLE) + 0.5) / 10.0)) *
+         |    (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0) *
+         |           ((CAST(decile AS DOUBLE) + 0.5) / 10.0)) *
+         |    (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0) *
+         |           ((CAST(decile AS DOUBLE) + 0.5) / 10.0))
+         |  ) * 1000000) AS BIGINT) AS theory_ppm
+         |FROM g""".stripMargin,
     // mirrors the blocking evaluation: the banded-candidate CTEs are the
     // minhash oracle's own (same signatures, same bucket join), truth is
     // the exhaustive token-co-occurrence Jaccard at the verify predicate

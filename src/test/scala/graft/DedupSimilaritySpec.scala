@@ -474,6 +474,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits > 0, "beam search found none of the true top-10")
   }
 
+  test("LSH S-curve: decile histogram matches a driver recompute; " +
+      "planted same-order dups hit the top decile") {
+    val got = graft.operators.Dedup.queries("dedup_lsh_scurve")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // decile populations from an exact word-set recompute
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSet)
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size if inter > 0
+    } yield math.min(inter * 10L / (sa.size + sb.size - inter), 9L))
+      .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap === want,
+      "decile populations drift from exact recompute")
+    got.foreach { case (_, nPairs, nHit, hitPpm, theoryPpm) =>
+      assert(nHit <= nPairs)
+      assert(hitPpm === nHit * 1000000L / nPairs)
+      assert(theoryPpm >= 0 && theoryPpm <= 1000000L)
+    }
+    // theory curve is strictly increasing in the decile
+    got.map(_._5).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b > a); case _ => ()
+    }
+    // positive control: identical docs (same shingles, decile 9) MUST
+    // be bucket hits — the fixture's sag is axis mismatch, not a
+    // broken hash family
+    val planted = graft.operators.Dedup.queries("dedup_lsh_scurve")(
+      spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(planted.getOrElse(9L, 0L) > 0,
+      "identical planted docs missed the buckets entirely")
+  }
+
   test("KMV overlap sketch: no false-positive sharing, unsaturated " +
       "sketches exact, saturated estimates within 2x") {
     val rows = graft.operators.Dedup.queries("corpus_overlap_kmv")(
