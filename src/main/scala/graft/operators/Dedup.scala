@@ -948,21 +948,28 @@ object Dedup extends OpModule {
 
   private def prefixFilterRels(s: org.apache.spark.sql.SparkSession,
       dir: String): PrefixFilterRels = {
+    graft.plans.GraftFunctions.register(s)
     // two-step select: charShingles requires a materialized attribute
     // (HOF lambdas would re-normalize per shingle index)
     val normed = t(s, dir, "documents")
       .select(col("doc_id"), Text.normalize(col("text")).as("norm"))
+    // grams are stored SORTED: the sort runs once per distinct doc here
+    // and amortizes over every candidate pair the set participates in —
+    // verification then runs the allocation-free sorted_intersect_count
+    // walk instead of array_intersect's per-pair string hash set
     val d = normed
-      .select(col("doc_id"), Text.charShingles(col("norm"), 5).as("grams"))
-      // set fingerprint: md5 of the sorted gram array — the md5 value is
-      // engine-internal (only the GROUPING must agree with the oracle,
-      // and exact string equality does)
-      .withColumn("fp", md5(concat_ws("\u0001", array_sort(col("grams")))))
+      .select(col("doc_id"),
+        array_sort(Text.charShingles(col("norm"), 5)).as("grams"))
+      // set fingerprint: md5 of the (already sorted) gram array — the
+      // md5 value is engine-internal (only the GROUPING must agree with
+      // the oracle, and exact string equality does)
+      .withColumn("fp", md5(concat_ws("\u0001", col("grams"))))
       .barrier() // read by: the set rollup, the membership projections
     val sets = d.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("set_id"), count(lit(1)).as("m"),
-        // any member's array carries the set — order differences are
-        // irrelevant to explode and array_intersect
+        // any member's array carries the set — every member's is the
+        // same SORTED array (identical sets sort identically), which
+        // the verification walk's contract requires
         first(col("grams")).as("grams"))
       .withColumn("n", size(col("grams")).cast("long"))
       .barrier() // read by: shingle explode, both verify sides, expansion
@@ -997,7 +1004,10 @@ object Dedup extends OpModule {
         "sa")
       .join(sets.select(col("set_id").as("sb"), col("grams").as("g_b")),
         "sb")
-      .filter(size(array_intersect(col("g_a"), col("g_b"))).cast("long") * 9
+      // allocation-free sorted merge walk (native expression) — same
+      // count as size(array_intersect) on these distinct sorted arrays,
+      // fuzz-pinned in NativeExprSpec
+      .filter(expr("sorted_intersect_count(g_a, g_b)").cast("long") * 9
         >= (col("n_a") + col("n_b")) * 4)
       .select(col("sa"), col("sb"))
     // expansion back to doc pairs: identical-set pairs from membership

@@ -95,6 +95,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))),
+    // two-pointer intersection count over sorted string arrays (see
+    // SortedIntersect scaladoc)
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))),
     // one-walk text-quality feature struct (see TextStats scaladoc)
     (FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
