@@ -34,6 +34,56 @@ object Relational extends OpModule {
     // ceil(q·n_keys); hot_ratio_ppm = max/mean in ppm via one integer
     // DIV — a reading ≫ 1e6 says one key floods a reducer and the join
     // needs salting/AQE-skew before it needs more executors.
+    // The other two classical join-size estimators beside
+    // q_join_card_estimate's histograms — one row per method over the
+    // same orders⋈lineitem FK join, each with the exact size and error:
+    // * 'agms' — the AMS inner-product sketch (Alon, Gibbons, Matias &
+    //   Szegedy '99): per side, 16 additive ±1 counters over the join
+    //   key (signs from md5 bits, SHARED across sides — E[X_A·X_B] =
+    //   Σ_k cA·cB exactly); estimate = median-of-4 of mean-of-4 of
+    //   X_A·X_B. The streaming estimator: each side is 16 integers, no
+    //   key ever crosses an exchange.
+    // * 'universe_16' — correlated (universe) key sampling, the Quickr/
+    //   join-synopsis device: BOTH sides keep exactly the keys hashing
+    //   into bucket 0 of 16, so sampled keys join with their full
+    //   multiplicity and est = 16 × |sampled join| is unbiased — unlike
+    //   independent row sampling, which destroys join keys (p² survival).
+    // All integers; md5-deterministic → hash-exact under the oracle.
+    "q_join_size_sketches" -> ((s, dir) => {
+      val ca = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k")).barrier()
+      val cb = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k")).barrier()
+      def sign(j: Int) = when(substring(md5(concat(lit(s"agms$j|"),
+        col("k"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1L).otherwise(-1L)
+      def sketch(side: org.apache.spark.sql.DataFrame, p: String) =
+        side.agg(sum(sign(0)).as(s"${p}0"),
+          (1 until 16).map(j => sum(sign(j)).as(s"$p$j")): _*)
+      val exact = ca.groupBy(col("k")).agg(count(lit(1)).as("cA"))
+        .join(cb.groupBy(col("k")).agg(count(lit(1)).as("cB")), "k")
+        .agg(coalesce(sum(col("cA") * col("cB")), lit(0L))
+          .as("exact_rows"))
+      val agms = sketch(ca, "xa").crossJoin(sketch(cb, "xb"))
+        .select((0 until 4).map(g => expr(
+          (4 * g until 4 * g + 4).map(j => s"xa$j * xb$j")
+            .mkString("(", " + ", ")") + " DIV 4").as(s"m$g")): _*)
+        .select(expr("(m0 + m1 + m2 + m3 " +
+          "- greatest(m0, m1, m2, m3) - least(m0, m1, m2, m3)) DIV 2")
+          .as("est_rows"))
+        .select(lit("agms").as("method"), col("est_rows"))
+      val bucket0 = expr("pmod(CAST(conv(substring(md5(concat('us|', k))" +
+        ", 1, 15), 16, 10) AS BIGINT), 16) = 0")
+      val uni = ca.filter(bucket0)
+        .join(cb.filter(bucket0), "k")
+        .agg((count(lit(1)) * 16L).as("est_rows"))
+        .select(lit("universe_16").as("method"), col("est_rows"))
+      agms.unionByName(uni)
+        .crossJoin(broadcast(exact))
+        .select(col("method"), col("est_rows"), col("exact_rows"),
+          expr("(abs(est_rows - exact_rows) * 1000000)" +
+            " DIV greatest(exact_rows, 1)").as("err_ppm"))
+    }),
     // BLOOM SEMI-JOIN reduction — the classical distributed-join
     // technique (Bloomjoin; Mackert & Lohman's semi-join reduction, the
     // device behind Spark's own runtime row-group filters): the
@@ -712,7 +762,55 @@ object Relational extends OpModule {
        |FROM agg""".stripMargin
   }
 
+  // mirrors q_join_size_sketches: shared-sign AGMS counters, the
+  // median-of-means fold, bucket-0 universe sampling, one exact twin
+  private def oraJoinSketches: String = {
+    val hi = "('0','1','2','3','4','5','6','7')"
+    def xcols(tbl: String, key: String, p: String) = (0 until 16).map(j =>
+      s"""CAST(sum(CASE WHEN substr(md5('agms$j|' ||
+         |    CAST($key AS VARCHAR)), 1, 1) IN $hi
+         |  THEN 1 ELSE -1 END) AS BIGINT) AS $p$j""".stripMargin)
+      .mkString(",\n")
+    val mcols = (0 until 4).map(g =>
+      (4 * g until 4 * g + 4).map(j => s"xa$j * xb$j")
+        .mkString("(", " + ", s") // 4 AS m$g")).mkString(",\n")
+    s"""WITH xa AS (SELECT
+       |${xcols("orders", "o_orderkey", "xa")}
+       |  FROM orders),
+       |xb AS (SELECT
+       |${xcols("lineitem", "l_orderkey", "xb")}
+       |  FROM lineitem),
+       |ex AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+       |    AS exact_rows
+       |  FROM (SELECT o_orderkey AS k, count(*) AS c FROM orders
+       |        GROUP BY 1) a
+       |  JOIN (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+       |        GROUP BY 1) b USING (k)),
+       |m AS (SELECT
+       |$mcols
+       |  FROM xa, xb),
+       |ag AS (SELECT 'agms' AS method,
+       |    CAST((m0 + m1 + m2 + m3 - greatest(m0, m1, m2, m3)
+       |      - least(m0, m1, m2, m3)) // 2 AS BIGINT) AS est_rows
+       |  FROM m),
+       |us AS (SELECT 'universe_16' AS method,
+       |    CAST(count(*) * 16 AS BIGINT) AS est_rows
+       |  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+       |        WHERE ('0x' || substring(md5('us|' ||
+       |          CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0) a
+       |  JOIN (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+       |        WHERE ('0x' || substring(md5('us|' ||
+       |          CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 16 = 0) b
+       |  USING (k))
+       |SELECT method, est_rows, ex.exact_rows,
+       |  (abs(est_rows - ex.exact_rows) * 1000000)
+       |    // greatest(ex.exact_rows, 1) AS err_ppm
+       |FROM (SELECT * FROM ag UNION ALL SELECT * FROM us), ex"""
+      .stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_join_size_sketches" -> oraJoinSketches,
     "j9_bloom_semijoin" -> oraBloomSemijoin,
     "q_join_card_estimate" -> Seq(
       oraJoinCard(1, "orders_lineitem", "orders", "o_orderkey",

@@ -1700,6 +1700,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "no repeated grams — inert")
   }
 
+  test("join-size sketches: exact twin matches the real join; universe " +
+      "sample matches a driver recompute; both estimates in envelope") {
+    val got = graft.operators.Relational.queries("q_join_size_sketches")(
+      spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val truth = graft.core.Tables.load(spark, sfDir, "orders")
+      .join(graft.core.Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    got.values.foreach { case (est, exact, err) =>
+      assert(exact === truth)
+      assert(err === math.abs(est - exact) * 1000000L /
+        math.max(exact, 1L))
+      assert(est >= exact / 3 && est <= exact * 3,
+        s"estimate $est vs exact $exact — outside 3x")
+    }
+    // universe sampling: recompute the sampled join in the driver with
+    // the same md5 bucket rule — the estimate is exactly 16x that
+    def b0(k: Long): Boolean = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"us|$k".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15), 16) % 16 == 0
+    val oKeys = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .filter(b0).groupBy(identity).map { case (k, v) =>
+        k -> v.length.toLong }
+    val lKeys = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+      .filter(b0).groupBy(identity).map { case (k, v) =>
+        k -> v.length.toLong }
+    val sampled = oKeys.map { case (k, c) =>
+      c * lKeys.getOrElse(k, 0L) }.sum
+    assert(got("universe_16")._1 === sampled * 16L,
+      "universe estimate drift vs driver recompute")
+  }
+
   test("bloom semi-join: reduction is lossless (no false negatives), " +
       "prune real, counts match a real join") {
     val r = graft.operators.Relational.queries("j9_bloom_semijoin")(
