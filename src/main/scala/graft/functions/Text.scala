@@ -107,7 +107,7 @@ object Text {
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "for", "on", "with", "as", "at", "by", "be", "this", "that")
 

@@ -432,6 +432,54 @@ object TextAnalysis extends OpModule {
         .groupBy(col("gfp")).agg(min(col("doc_id")).as("first_doc"))
       curve(words, "word").unionByName(curve(grams, "gram8"))
     }),
+    // RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) — the
+    // stopword-delimited complement of text_textrank_keywords: candidate
+    // phrases are maximal runs of content words BETWEEN stopwords
+    // (split on the shared 19-word list), each word scores
+    // deg(w)/freq(w) where deg counts within-phrase co-membership
+    // (incl. self) and freq counts occurrences, and a phrase scores the
+    // sum of its members' ratios — all corpus-wide statistics, all
+    // exact integers (per-word micro DIV, order-independent sum). The
+    // published intuition: words that appear mostly inside long
+    // multiword phrases (high deg, modest freq) mark domain terms;
+    // words scattered everywhere score low. Scale shape: one normalize
+    // + split pass (the phrase relation is the corpus re-segmented, not
+    // expanded), word stats are a map-side-combined vocab rollup, the
+    // distinct-phrase scoring joins phrase words to the vocab-sized
+    // stats, and top-20 is TakeOrderedAndProject.
+    "text_rake_keywords" -> ((s, dir) => {
+      val pat = "\\b(" + Text.stopwords.mkString("|") + ")\\b"
+      val ph = t(s, dir, "documents")
+        .select(Text.normalize(col("text")).as("norm"))
+        .select(explode(split(col("norm"), pat)).as("p0"))
+        .select(trim(col("p0")).as("phrase"))
+        // the standard max-candidate-length knob (rake-nltk's
+        // max_length): runs longer than 4 content words are clause
+        // fragments, not keyword candidates — indispensable on this
+        // fixture, whose stopword-sparse word soup otherwise yields
+        // near-whole-document "phrases"
+        .filter(col("phrase") =!= "" &&
+          size(split(col("phrase"), " ")) <= 4)
+        .barrier() // word-stat pass + phrase rollup
+      val wordOcc = ph
+        .select(col("phrase"), split(col("phrase"), " ").as("ws"))
+        .select(explode(col("ws")).as("w"), size(col("ws")).as("plen"))
+      val stats = wordOcc.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"),
+          expr("(deg * 1000000) DIV freq").as("w_score"))
+      val phrases = ph.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .barrier() // scored join + output spine
+      phrases
+        .select(col("phrase"), col("n_occurrences"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(stats, "w")
+        .groupBy(col("phrase"), col("n_occurrences"))
+        .agg(sum(col("w_score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase").asc)
+        .limit(20)
+    }),
     // Fagin's THRESHOLD ALGORITHM certificate — the classical top-k
     // result (Fagin, Lotem & Naor, "Optimal Aggregation Algorithms for
     // Middleware"): when each attribute has its own descending index,
@@ -3818,6 +3866,36 @@ object TextAnalysis extends OpModule {
         |SELECT 'gram8', (CAST(1 AS BIGINT) << (j + 1)) - 1, vocab_new,
         |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT)
         |FROM gc""".stripMargin,
+    // mirrors RAKE: same stopword split, same deg/freq micro ratios,
+    // same (score DESC, phrase ASC) cut
+    "text_rake_keywords" -> {
+      val pat = "\\b(" + graft.functions.Text.stopwords.mkString("|") +
+        ")\\b"
+      s"""WITH ph AS MATERIALIZED (
+         |  SELECT trim(p) AS phrase FROM (
+         |    SELECT unnest(string_split_regex(
+         |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+         |      '$pat')) AS p
+         |    FROM documents)
+         |  WHERE trim(p) <> ''
+         |    AND len(string_split(trim(p), ' ')) <= 4),
+         |wo AS (SELECT unnest(ws) AS w, len(ws) AS plen FROM (
+         |    SELECT string_split(phrase, ' ') AS ws FROM ph)),
+         |stats AS (SELECT w,
+         |    (CAST(sum(plen) AS BIGINT) * 1000000)
+         |      // CAST(count(*) AS BIGINT) AS w_score
+         |  FROM wo GROUP BY 1),
+         |phr AS (SELECT phrase, count(*) AS n_occurrences
+         |  FROM ph GROUP BY 1)
+         |SELECT p.phrase, p.n_occurrences,
+         |  CAST(sum(s.w_score) AS BIGINT) AS score_micro
+         |FROM (SELECT phrase, n_occurrences,
+         |        unnest(string_split(phrase, ' ')) AS w FROM phr) p
+         |JOIN stats s USING (w)
+         |GROUP BY 1, 2
+         |ORDER BY score_micro DESC, phrase ASC
+         |LIMIT 20""".stripMargin
+    },
     // mirrors q_topk_ta: same three integer attributes, same
     // ORDER-BY-LIMIT prefixes, same threshold and certificate algebra
     "q_topk_ta" -> {

@@ -1786,6 +1786,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("RAKE keywords: top-20 matches a driver recompute; no stopword " +
+      "inside any candidate") {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "for", "on", "with", "as", "at", "by", "be", "this", "that")
+    val pat = ("\\b(" + stop.mkString("|") + ")\\b")
+    val phrases = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .flatMap { r =>
+        val norm = r.getString(0).toLowerCase
+          .replaceAll("[^a-z0-9]+", " ").trim
+        norm.split(pat, -1).map(_.trim)
+          .filter(p => p.nonEmpty && p.split(" ").length <= 4)
+      }
+    val wordOcc = phrases.flatMap { p =>
+      val ws = p.split(" "); ws.map(w => (w, ws.length.toLong)) }
+    val stats = wordOcc.groupBy(_._1).map { case (w, v) =>
+      w -> v.map(_._2).sum * 1000000L / v.length }
+    val want = phrases.groupBy(identity).map { case (p, v) =>
+      (p, v.length.toLong, p.split(" ").map(stats).sum)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(20)
+    val got = graft.operators.TextAnalysis.queries("text_rake_keywords")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want, "RAKE top-20 drift vs driver recompute")
+    got.foreach { case (p, _, _) =>
+      assert(!p.split(" ").exists(stop.contains),
+        s"stopword leaked into candidate: $p")
+    }
+  }
+
   test("threshold-algorithm certificate: ladder matches a driver " +
       "recompute; a certified depth's candidates contain the TRUE " +
       "top-10") {
