@@ -1492,6 +1492,45 @@ object TextAnalysis extends OpModule {
         .filter(ppmBucket("dsirs|", col("doc_id")) <
           least(lit(999999L), expr("CAST(round(score / 2) AS BIGINT)")))
     }),
+    // Effective sample size of the DSIR importance weights — Kong's ESS
+    // (the standard importance-sampling diagnostic): a weighted sample
+    // of n docs carries the statistical power of only
+    // (Σw)²/Σw² ≤ n unweighted ones, and a collapsing ESS is the
+    // canonical symptom of a raw corpus far from the target
+    // distribution (a few huge ratios dominate). One row per source
+    // plus the corpus: weight-bearing docs, ESS in docs, and ESS as
+    // ppm of n — which source's reweighted sample is effectively tiny.
+    // All integers: per-doc weight is the exact micro mean truncated to
+    // MILLI units so Σw fits int64 comfortably ((Σw_milli)² overflows
+    // only past ~3e9·avg-weight docs; pre-scale DIV further at that
+    // size). Scale shape: the 1024-row weight table broadcasts into the
+    // token stream, the per-doc rollup partial-combines map-side, and
+    // everything after is |sources|-row arithmetic.
+    "sample_ess_report" -> ((s, dir) => {
+      val w = dsirWeights(s, dir).select(col("bucket"), col("w_micro"))
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokenize(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"),
+          dsirBucket(col("tok")).as("bucket"))
+        .join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("(sum(w_micro) DIV count(1)) DIV 1000").as("mu"))
+        .barrier() // the per-source rollup AND the corpus total
+      def fold(g: org.apache.spark.sql.DataFrame) = g
+        .select(col("source"), col("n_docs"),
+          expr("(s1 * s1) DIV greatest(s2, 1)").as("ess_docs"),
+          expr("(((s1 * s1) DIV greatest(s2, 1)) * 1000000)" +
+            " DIV n_docs").as("ess_ppm"))
+      fold(perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("mu")).as("s1"),
+          sum(col("mu") * col("mu")).as("s2")))
+        .unionByName(fold(perDoc
+          .agg(count(lit(1)).as("n_docs"), sum(col("mu")).as("s1"),
+            sum(col("mu") * col("mu")).as("s2"))
+          .select(lit("__all__").as("source"), col("n_docs"),
+            col("s1"), col("s2"))))
+    }),
     // Curriculum ordering — the deterministic global training-order
     // position (easy → hard) a curriculum-scheduled run feeds its data
     // loader. Difficulty bands are exact integers (length bands, 16 of
@@ -4587,6 +4626,35 @@ object TextAnalysis extends OpModule {
          |WHERE ${oraPpmBucket("dsirs|")}
          |  < least(999999, CAST(round((CAST(w_sum AS DOUBLE)
          |      / CAST(n_toks AS DOUBLE)) / 2) AS BIGINT))""".stripMargin,
+    // mirrors the ESS report: the DSIR per-doc chain, milli truncation,
+    // per-source + corpus folds of Kong's (Σw)²/Σw²
+    "sample_ess_report" ->
+      s"""WITH $oraDsirCtes,
+         |dtk AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5('dsir|' || tok), 1, 15))::BIGINT
+         |      % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dq)),
+         |mu AS (
+         |  SELECT d.doc_id, docs.source,
+         |    (CAST(sum(w_micro) AS BIGINT) // count(*)) // 1000 AS mu
+         |  FROM dtk d JOIN dw USING (bucket)
+         |  JOIN documents docs ON docs.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(mu) AS BIGINT) AS s1,
+         |    CAST(sum(mu * mu) AS BIGINT) AS s2
+         |  FROM mu GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', CAST(count(*) AS BIGINT),
+         |    CAST(sum(mu) AS BIGINT), CAST(sum(mu * mu) AS BIGINT)
+         |  FROM mu)
+         |SELECT source, n_docs,
+         |  (s1 * s1) // greatest(s2, 1) AS ess_docs,
+         |  (((s1 * s1) // greatest(s2, 1)) * 1000000) // n_docs
+         |    AS ess_ppm
+         |FROM f""".stripMargin,
     "sample_curriculum_order" ->
       """SELECT doc_id, band,
         |  CAST(row_number() OVER (ORDER BY band, doc_id) - 1 AS BIGINT)

@@ -1786,6 +1786,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ESS report: Kong bound holds per group; corpus row conserves " +
+      "doc counts; weights non-degenerate") {
+    val rows = graft.operators.TextAnalysis.queries("sample_ess_report")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val (all, per) = rows.partition(_._1 == "__all__")
+    assert(all.length === 1 && per.nonEmpty)
+    assert(all.head._2 === per.map(_._2).sum,
+      "corpus row lost weight-bearing docs")
+    rows.foreach { case (src, n, ess, ppm) =>
+      // Cauchy–Schwarz: (Σw)² ≤ n·Σw² ⇒ ESS ≤ n; and any non-zero
+      // weight vector has ESS ≥ 1
+      assert(ess >= 1 && ess <= n, s"$src ESS $ess outside [1, $n]")
+      assert(ppm === ess * 1000000L / n)
+    }
+    // the diagnostic must not be inert: weights vary, so ESS < n
+    // somewhere
+    assert(rows.exists(r => r._3 < r._2),
+      "every group at full ESS — weights degenerate to uniform")
+  }
+
   test("RAKE keywords: top-20 matches a driver recompute; no stopword " +
       "inside any candidate") {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
