@@ -547,25 +547,10 @@ object TextAnalysis extends OpModule {
       val occ = t(s, dir, "documents")
         .select(explode(Text.tokenize(col("text"))).as("tok"))
         .barrier() // the 16-counter pass AND the exact-twin rollup
-      def sign(j: Int) = when(substring(md5(concat(lit(s"ams$j|"),
-        col("tok"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
-        1L).otherwise(-1L)
-      val xs = occ.agg(count(lit(1)).as("n_occurrences"),
-        (0 until 16).map(j => sum(sign(j)).as(s"x$j")): _*)
       val exact = occ.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
         .agg(count(lit(1)).as("n_distinct"),
           sum(col("cf") * col("cf")).as("f2_exact"))
-      val means = (0 until 4).map(g => expr(
-        (4 * g until 4 * g + 4).map(j => s"x$j * x$j").mkString("(", " + ", ")")
-          + " DIV 4").as(s"m$g"))
-      xs.crossJoin(exact)
-        .select((col("n_occurrences") +: col("n_distinct") +:
-          col("f2_exact") +: means): _*)
-        // median of 4 = mean of the middle two = (sum − max − min) / 2
-        .select(col("n_occurrences"), col("n_distinct"), col("f2_exact"),
-          expr("(m0 + m1 + m2 + m3 " +
-            "- greatest(m0, m1, m2, m3) - least(m0, m1, m2, m3)) DIV 2")
-            .as("f2_est"))
+      f2EstimateOf(f2Counters(occ)).crossJoin(exact)
         .select(col("n_occurrences"), col("n_distinct"), col("f2_exact"),
           col("f2_est"),
           expr("(abs(f2_est - f2_exact) * 1000000) DIV f2_exact")
@@ -3089,6 +3074,37 @@ object TextAnalysis extends OpModule {
       Text.wsTokenCount(col("text")) >= 20 &&
       Text.stopwordRatio(col("text")) >= 0.05 &&
       Text.punctRatio(col("text")) <= 0.2
+
+  /** The AMS tug-of-war counter row over a token-occurrence relation:
+    * (n_occurrences, x0..x15), every column an additive sum — THE
+    * mergeable summary (17 integers represent the whole stream; the sum
+    * of per-batch rows IS the corpus row). Shared by `text_f2_moment`
+    * and the streaming maintenance tier.
+    */
+  private[graft] def f2Counters(occ: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def sign(j: Int) = when(substring(md5(concat(lit(s"ams$j|"),
+      col("tok"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+      1L).otherwise(-1L)
+    occ.agg(count(lit(1)).as("n_occurrences"),
+      (0 until 16).map(j => sum(sign(j)).as(s"x$j")): _*)
+  }
+
+  /** The estimator fold over a counter row: median-of-4 of mean-of-4 of
+    * X². Batch and streaming paths run this same code (parity pinned in
+    * StreamingSpec). */
+  private[graft] def f2EstimateOf(xs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val means = (0 until 4).map(g => expr(
+      (4 * g until 4 * g + 4).map(j => s"x$j * x$j")
+        .mkString("(", " + ", ")") + " DIV 4").as(s"m$g"))
+    xs.select((col("n_occurrences") +: means): _*)
+      // median of 4 = mean of the middle two = (sum − max − min) / 2
+      .select(col("n_occurrences"),
+        expr("(m0 + m1 + m2 + m3 " +
+          "- greatest(m0, m1, m2, m3) - least(m0, m1, m2, m3)) DIV 2")
+          .as("f2_est"))
+  }
 
   /** Hashed-feature bucket for the DSIR weight model — same salted-md5
     * device as the classifier's feature hash, D = 1024 buckets. */

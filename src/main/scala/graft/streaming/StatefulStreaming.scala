@@ -1035,6 +1035,41 @@ object StatefulStreaming {
       merged.select(col("source")).distinct())
   }
 
+  /** Streaming F2 (AMS tug-of-war) maintenance — the purest mergeable
+    * summary in the repo: each micro-batch contributes ONE 17-integer
+    * row (its own occurrence count + 16 sign counters) under the
+    * per-`__batch=N` Overwrite discipline. Every column is an additive
+    * sum over occurrences, and batches partition the occurrence stream,
+    * so summing the per-batch rows reproduces the corpus counter row
+    * EXACTLY — the estimate equals the batch query's bit-for-bit
+    * (pinned in StreamingSpec, incl. replay). State per batch: 136
+    * bytes of longs. This is what "sketch the join-size online" means.
+    */
+  def f2IngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit =
+    graft.operators.TextAnalysis.f2Counters(
+      batch.select(explode(graft.functions.Text.tokenize(col("text")))
+        .as("tok")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/x/__batch=$batchId")
+
+  /** F2 estimate off the maintained counter store: column-wise sums of
+    * the per-batch contributions, then the SAME estimator fold as the
+    * batch query. The exact twin is deliberately absent — keeping it
+    * would mean keeping the vocabulary, the thing the sketch avoids.
+    */
+  def f2MomentFrom(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(StructField("n_occurrences", LongType) +:
+      (0 until 16).map(j => StructField(s"x$j", LongType)))
+    val merged = storeRead(spark, s"$storeDir/x", schema)
+      .agg(sum(col("n_occurrences")).as("n_occurrences"),
+        (0 until 16).map(j => sum(col(s"x$j")).as(s"x$j")): _*)
+    graft.operators.TextAnalysis.f2EstimateOf(merged)
+      // an empty store sums to NULL counters; report no rows, not NULLs
+      .filter(col("n_occurrences").isNotNull)
+  }
+
   /** Novelty report off the maintained gram store: batches partition
     * the corpus by doc, so the union of per-batch distinct rows IS the
     * corpus's distinct (doc_id, gfp) relation, and the report tail is

@@ -1527,6 +1527,40 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("F2 counter store: summed per-batch counters ≡ batch estimate; " +
+      "replay idempotent; state is one row per batch") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("f2store").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val batches = (0 until 3).map(i =>
+        docs.filter(pmod(hash(col("doc_id")), lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.f2IngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      val batchTwin = graft.operators.TextAnalysis
+        .queries("text_f2_moment")(spark, sfDir)
+        .select("n_occurrences", "f2_est").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+      graft.core.Barrier.releaseAll(spark)
+      def streamed() = StatefulStreaming.f2MomentFrom(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(streamed() === batchTwin,
+        "summed counters drifted from the batch estimate")
+      // replay the middle batch after later commits
+      StatefulStreaming.f2IngestBatch(batches(1), store, 1L)
+      assert(streamed() === batchTwin, "replay must not change the sums")
+      // the whole store is one 17-long row per batch
+      assert(spark.read.parquet(s"$store/x").count() === 3L)
+      // a never-ingested store reports no rows, not NULLs
+      val empty = java.nio.file.Files.createTempDirectory("f2never")
+        .toString
+      assert(StatefulStreaming.f2MomentFrom(spark, empty).count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("KMV sketch store: stream-maintained bottom-k estimates ≡ batch " +
       "query estimates over hash-split batches, replay idempotent") {
     import org.apache.spark.sql.functions._
