@@ -273,47 +273,38 @@ object Similarity extends OpModule {
     // broadcasts the 8-row query panel. Rounds and beam are constants:
     // the walk's cost is independent of corpus size once the graph
     // exists, which is the entire point of graph ANN at serving time.
-    "sim_graph_search" -> ((s, dir) => {
+    "sim_graph_search" -> ((s, dir) => beamSearch(s, dir, BeamWidth)),
+    // The evaluation the beam knob answers to — recall@10 vs brute
+    // force per beam width (the HNSW literature's ef/recall curve, the
+    // graph twin of sim_recall_report): a starved beam (2) prunes the
+    // frontier before the true neighborhood is reached; the serving
+    // width recovers it. Brute-force truth is computed IN-QUERY (the
+    // sim_topk_bruteforce device at k=10) — the report carries its own
+    // reference, the CMS/HLL twin pattern. Everything rides the shared
+    // graph build; per beam the walk adds constant-size rounds.
+    "sim_graph_recall_vs_beam" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
-      val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
-        .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
-      val edges = ke
-        .union(ke.select(col("y").as("x"), col("x").as("y")))
-        .distinct().barrier() // read by every beam round
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
+      val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        .barrier() // broadcast into every round's scoring join
-      def score(fr: org.apache.spark.sql.DataFrame) = fr
-        .join(emb.select(col("vec_id").as("v"), col("embedding").as("nv")),
-          "v")
-        .join(broadcast(queries), "query_id")
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("v").asc)
+      val brute = emb.select(col("vec_id").as("v"), col("embedding")
+          .as("nv"))
+        .join(broadcast(q), col("query_id") =!= col("v"))
         .select(col("query_id"), col("v"),
           expr("cosine_sim(qv, nv)").as("s"))
-      val entry = edges.agg(min(col("x")).as("v"))
-      var frontier = score(queries.select(col("query_id"))
-        .crossJoin(broadcast(entry))).barrier()
-      var visited = frontier
-      val wb = Window.partitionBy(col("query_id"))
-        .orderBy(col("s").desc, col("v").asc)
-      for (_ <- 1 to BeamRounds) {
-        val scored = score(frontier
-          .select(col("query_id"), col("v").as("x"))
-          .join(edges, "x")
-          .select(col("query_id"), col("y").as("v")).distinct())
-        visited = visited.unionByName(scored).distinct()
-          .barrier() // accumulates; the next union and the final rank
-        frontier = frontier.unionByName(scored).distinct()
-          .withColumn("rk", row_number().over(wb))
-          .filter(col("rk") <= BeamWidth)
-          .select(col("query_id"), col("v"), col("s"))
-          .barrier() // next round reads it twice (union + neighbors)
-      }
-      visited.filter(col("query_id") =!= col("v"))
-        .withColumn("rank", row_number().over(wb))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("v").as("neighbor_id"), col("rank"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("v").as("neighbor_id"))
+        .barrier() // one truth pass joined by every beam row
+      Seq(2, BeamWidth).map { b =>
+        beamSearch(s, dir, b)
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(b.toLong).as("beam"), col("n_hits"),
+            expr("(n_hits * 1000000) DIV 80").as("recall_ppm"))
+      }.reduce(_ unionByName _)
     }),
     "sim_kcore" -> ((s, dir) => {
       val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
@@ -645,6 +636,55 @@ object Similarity extends OpModule {
 
   /** The ranked kNN-edge relation (vec_id, neighbor_id, rank, sim) behind
     * `sim_knn_graph` and the τ-pruned component query. */
+  /** The greedy beam walk of `sim_graph_search`, parameterized by beam
+    * width so `sim_graph_recall_vs_beam` can grade the knob. Plan shape
+    * is the query doc's: shared graph build, then BeamRounds barriered
+    * rounds of (8·width)-row joins against the k-bounded edge relation.
+    */
+  private def beamSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(s)
+    val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
+      .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
+    val edges = ke
+      .union(ke.select(col("y").as("x"), col("x").as("y")))
+      .distinct().barrier() // read by every beam round
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .barrier() // broadcast into every round's scoring join
+    def score(fr: org.apache.spark.sql.DataFrame) = fr
+      .join(emb.select(col("vec_id").as("v"), col("embedding").as("nv")),
+        "v")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("v"),
+        expr("cosine_sim(qv, nv)").as("s"))
+    val entry = edges.agg(min(col("x")).as("v"))
+    var frontier = score(queries.select(col("query_id"))
+      .crossJoin(broadcast(entry))).barrier()
+    var visited = frontier
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("v").asc)
+    for (_ <- 1 to BeamRounds) {
+      val scored = score(frontier
+        .select(col("query_id"), col("v").as("x"))
+        .join(edges, "x")
+        .select(col("query_id"), col("y").as("v")).distinct())
+      visited = visited.unionByName(scored).distinct()
+        .barrier() // accumulates; the next union and the final rank
+      frontier = frontier.unionByName(scored).distinct()
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= width)
+        .select(col("query_id"), col("v"), col("s"))
+        .barrier() // next round reads it twice (union + neighbors)
+    }
+    visited.filter(col("query_id") =!= col("v"))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("v").as("neighbor_id"), col("rank"))
+  }
+
   private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2693,6 +2733,98 @@ object Similarity extends OpModule {
     // UNROLLED to the engine's round cap (the engine refuses corpora
     // needing more, and peeling is idempotent past fixpoint, so the
     // unrolled tail rounds change nothing on any accepted corpus)
+    // mirrors sim_graph_recall_vs_beam: two suffixed copies of the beam
+    // chain (width 2 and BeamWidth) over the shared edge CTEs, a
+    // brute-force top-10 CTE, and per-beam semi-join hit counts
+    "sim_graph_recall_vs_beam" -> {
+      def chain(width: Int, p: String): String =
+        (1 to BeamRounds).map { i =>
+          s"""n$p$i AS (
+             |  SELECT DISTINCT f.query_id, ed.y AS v
+             |  FROM f$p${i - 1} f JOIN edges ed ON ed.x = f.v),
+             |s$p$i AS MATERIALIZED (
+             |  SELECT n.query_id, n.v,
+             |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+             |      CAST(emb.embedding AS DOUBLE[])) AS s
+             |  FROM n$p$i n JOIN q ON q.query_id = n.query_id
+             |  JOIN embeddings emb ON emb.vec_id = n.v),
+             |v$p$i AS MATERIALIZED (
+             |  SELECT * FROM v$p${i - 1} UNION SELECT * FROM s$p$i),
+             |f$p$i AS MATERIALIZED (
+             |  SELECT query_id, v, s FROM (
+             |    SELECT query_id, v, s, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rk
+             |    FROM (SELECT * FROM f$p${i - 1} UNION
+             |          SELECT * FROM s$p$i))
+             |  WHERE rk <= $width)""".stripMargin
+        }.mkString(",\n")
+      def head(p: String): String =
+        s"""f${p}0 AS MATERIALIZED (
+           |  SELECT q.query_id, e.v,
+           |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+           |      CAST(emb.embedding AS DOUBLE[])) AS s
+           |  FROM q CROSS JOIN entry e
+           |  JOIN embeddings emb ON emb.vec_id = e.v),
+           |v${p}0 AS MATERIALIZED (SELECT * FROM f${p}0)""".stripMargin
+      def top(p: String): String =
+        s"""top$p AS MATERIALIZED (
+           |  SELECT query_id, v FROM (
+           |    SELECT query_id, v, row_number() OVER
+           |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rank
+           |    FROM v$p$BeamRounds WHERE query_id <> v)
+           |  WHERE rank <= 10)""".stripMargin
+      val outs = Seq(2 -> "a", BeamWidth -> "b").map { case (w, p) =>
+        s"""SELECT CAST($w AS BIGINT) AS beam,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM top$p t
+           |   JOIN brute USING (query_id, v)) AS n_hits,
+           |  ((SELECT CAST(count(*) AS BIGINT) FROM top$p t
+           |    JOIN brute USING (query_id, v)) * 1000000) // 80
+           |    AS recall_ppm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K AND sim >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_id AS x, neighbor_id AS y FROM ke
+         |  UNION
+         |  SELECT neighbor_id, vec_id FROM ke),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |entry AS (SELECT min(x) AS v FROM edges),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, v FROM (
+         |    SELECT q.query_id, e2.vec_id AS v, row_number() OVER
+         |      (PARTITION BY q.query_id ORDER BY
+         |        list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |          CAST(e2.embedding AS DOUBLE[])) DESC,
+         |        e2.vec_id ASC) AS rk
+         |    FROM q JOIN embeddings e2 ON e2.vec_id <> q.query_id)
+         |  WHERE rk <= 10),
+         |${head("a")},
+         |${chain(2, "a")},
+         |${top("a")},
+         |${head("b")},
+         |${chain(BeamWidth, "b")},
+         |${top("b")}
+         |$outs""".stripMargin
+    },
     // mirrors sim_graph_search: the kcore oracle's edge CTEs, then the
     // beam unrolled to BeamRounds pick/expand pairs. Every f/v CTE is
     // MATERIALIZED (each is referenced twice: the next round's union

@@ -63,7 +63,8 @@ object Scaling {
     "corpus_shard_plan", "corpus_vocab_growth", "corpus_source_ablation",
     "sim_graph_search", "text_f2_moment", "corpus_zorder_skipping",
     "q_topk_ta", "q_join_card_estimate", "j9_bloom_semijoin",
-    "q_join_size_sketches", "text_rake_keywords", "sample_ess_report")
+    "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
+    "sim_graph_recall_vs_beam")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

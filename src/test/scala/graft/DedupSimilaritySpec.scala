@@ -511,6 +511,46 @@ class DedupSimilaritySpec extends SparkSpec {
       "identical planted docs missed the buckets entirely")
   }
 
+  test("graph recall-vs-beam: wider beam never hurts; beam-8 row " +
+      "consistent with sim_graph_search against brute truth") {
+    val rows = graft.operators.Similarity.queries(
+      "sim_graph_recall_vs_beam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(2L, 8L))
+    rows.foreach { case (_, (hits, ppm)) =>
+      assert(hits >= 0 && hits <= 80)
+      assert(ppm === hits * 1000000L / 80)
+    }
+    // the published ef/recall monotonicity: a starved beam cannot beat
+    // the serving beam
+    assert(rows(8L)._1 >= rows(2L)._1,
+      "beam 8 recalled fewer true neighbors than beam 2")
+    // cross-consistency: the beam-8 hits are exactly sim_graph_search's
+    // results semi-joined against the true top-10
+    val search = graft.operators.Similarity.queries("sim_graph_search")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else d / den
+    }
+    val byId = emb.toMap
+    val brute = (0L until 8L).flatMap { q =>
+      emb.filter(_._1 != q).map { case (v, e) => (v, cos(byId(q), e)) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(t => (q, t._1))
+    }.toSet
+    assert(search.count(brute.contains).toLong === rows(8L)._1,
+      "beam-8 hit count drifted from sim_graph_search ∩ brute truth")
+  }
+
   test("KMV overlap sketch: no false-positive sharing, unsaturated " +
       "sketches exact, saturated estimates within 2x") {
     val rows = graft.operators.Dedup.queries("corpus_overlap_kmv")(
