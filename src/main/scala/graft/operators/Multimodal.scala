@@ -215,6 +215,48 @@ object Multimodal extends OpModule {
     // (candidate volume is band-occupancy-bounded). The per-pair verify
     // is a 64-step codegen'd HOF over the hash strings.
     "mm_phash_neardup" -> ((s, dir) => phashNearPairs(s, dir)),
+    // Band-coverage audit — the EXACT-coverage counterpart of
+    // dedup_lsh_scurve, and the contrast is the lesson: probabilistic
+    // minhash banding obeys an S-curve and can sag when the hashed set
+    // mismatches the graded axis, while the 4×16-bit pigeonhole banding
+    // is a THEOREM — any pair within Hamming 3 agrees on ≥1 band, so
+    // measured coverage must read exactly 10⁶ ppm through the
+    // guarantee radius (spec-pinned) and decays only beyond it, where
+    // the blocking makes no promise. One row per observed Hamming
+    // distance over DISTINCT hash classes: pair count, band-hit count,
+    // hit ppm, and the guarantee bit. Like the other calibration
+    // reports the all-pairs truth is sample-scale BY DESIGN (hash
+    // CLASSES, not docs — the method_matrix rationale), absent from
+    // the sweep.
+    "mm_phash_band_coverage" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val hc = phashes(s, dir).select(col("phash")).distinct()
+        .barrier() // all-pairs sides + band sides
+      val bands = hc.select(col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("phash"), 1 + 16 * b, 16)): _*))
+          .as(Seq("band_idx", "band")))
+      val cand = bands.select(col("band_idx"), col("band"),
+          col("phash").as("ha"))
+        .join(bands.select(col("band_idx"), col("band"),
+          col("phash").as("hb")), Seq("band_idx", "band"))
+        .filter(col("ha") < col("hb"))
+        .select(col("ha"), col("hb")).distinct()
+        .withColumn("hit", lit(1L))
+      hc.select(col("phash").as("ha"))
+        .join(hc.select(col("phash").as("hb")), col("ha") < col("hb"))
+        .select(col("ha"), col("hb"),
+          expr("size(filter(sequence(1, 64), i -> " +
+            "substring(ha, i, 1) != substring(hb, i, 1)))")
+            .cast("long").as("hamming"))
+        .join(cand, Seq("ha", "hb"), "left")
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_band_hits"))
+        .select(col("hamming"), col("n_pairs"), col("n_band_hits"),
+          expr("(n_band_hits * 1000000) DIV n_pairs").as("hit_ppm"),
+          (col("hamming") <= 3).as("guaranteed"))
+    }),
     // image-dedup clusters — the CONSUMER of the near-dup pairs: the
     // LARGE-STAR/SMALL-STAR edge-rewrite fixpoint from the dedup family
     // (O(log diameter) rounds over the thin pair relation only) labels
@@ -610,6 +652,35 @@ object Multimodal extends OpModule {
       s"""WITH $oraPhashCtes
          |SELECT phash, min(doc_id) AS keep_id, count(*) AS dup_ct
          |FROM hs GROUP BY 1""".stripMargin,
+    // mirrors the band-coverage audit: distinct hash classes, the same
+    // 4×16 band split, all-pairs Hamming histogram with a band-hit flag
+    "mm_phash_band_coverage" ->
+      s"""WITH $oraPhashCtes,
+         |hc AS MATERIALIZED (SELECT DISTINCT phash FROM hs),
+         |bands AS MATERIALIZED (
+         |  SELECT phash, b AS band_idx,
+         |    substring(phash, 1 + 16 * b, 16) AS band
+         |  FROM hc, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.phash AS ha, b.phash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |   AND a.phash < b.phash),
+         |pr AS MATERIALIZED (
+         |  SELECT a.phash AS ha, b.phash AS hb,
+         |    CAST(len(list_filter(generate_series(1, 64), i ->
+         |      substring(a.phash, i, 1) <> substring(b.phash, i, 1)))
+         |      AS BIGINT) AS hamming
+         |  FROM hc a JOIN hc b ON a.phash < b.phash)
+         |SELECT pr.hamming, count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN cand.ha IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_band_hits,
+         |  (CAST(coalesce(sum(CASE WHEN cand.ha IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000000) // count(*)
+         |    AS hit_ppm,
+         |  pr.hamming <= 3 AS guaranteed
+         |FROM pr LEFT JOIN cand ON cand.ha = pr.ha AND cand.hb = pr.hb
+         |GROUP BY 1""".stripMargin,
     // same hash chain → 4 x 16-bit bands → exact-band candidate join →
     // per-pair Hamming over the hash strings (<= 3)
     "mm_phash_neardup" ->

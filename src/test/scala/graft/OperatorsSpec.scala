@@ -1786,6 +1786,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("phash band coverage: the pigeonhole guarantee reads exactly " +
+      "1e6 ppm through Hamming 3; histogram matches a driver recompute") {
+    val got = graft.operators.Multimodal.queries("mm_phash_band_coverage")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (d, n, hits, ppm, g) =>
+      assert(g === (d <= 3))
+      assert(ppm === hits * 1000000L / n)
+      // the zero-false-negative THEOREM, measured: within the radius,
+      // every pair is a candidate
+      if (d <= 3) assert(hits === n,
+        s"pigeonhole violated at Hamming $d: $hits of $n")
+    }
+    // driver recompute of the full histogram over distinct hash classes
+    val hashes = graft.operators.Multimodal.queries("mm_phash_dedup")(
+      spark, sfDir).collect().map(_.getString(0)).distinct
+    val want = (for {
+      a <- hashes; b <- hashes if a < b
+      d = a.zip(b).count { case (x, y) => x != y }.toLong
+      hit = (0 until 4).exists(k =>
+        a.substring(16 * k, 16 * k + 16) == b.substring(16 * k, 16 * k + 16))
+    } yield (d, hit)).groupBy(_._1).map { case (d, v) =>
+      d -> (v.length.toLong, v.count(_._2).toLong) }
+    assert(got.map(r => r._1 -> (r._2, r._3)).toMap === want,
+      "coverage histogram drift vs exact recompute")
+  }
+
   test("ESS report: Kong bound holds per group; corpus row conserves " +
       "doc counts; weights non-degenerate") {
     val rows = graft.operators.TextAnalysis.queries("sample_ess_report")(
