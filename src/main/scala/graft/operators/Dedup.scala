@@ -575,7 +575,7 @@ object Dedup extends OpModule {
     // broken by doc_id, so both engines cut identical files.
     "corpus_zorder_skipping" -> ((s, dir) => {
       val nFiles = 32
-      val docs = t(s, dir, "documents")
+      val docs0 = t(s, dir, "documents")
         .select(col("doc_id"),
           expr("least(n_chars DIV 4, 255)").as("d1"),
           expr("CAST(conv(substring(md5(concat('zb|', source)), 1, 2), " +
@@ -585,7 +585,23 @@ object Dedup extends OpModule {
           s"(shiftleft(shiftright(d1, $b) & 1, ${2 * b + 1}) | " +
             s"shiftleft(shiftright(d2, $b) & 1, ${2 * b}))")
           .mkString("(", " + ", ")")))
-        .barrier() // both layout sorts read it
+      // Hilbert index (xy2d, order 8) unrolled to 8 integer-CASE
+      // levels — the same SQL text both engines evaluate (see
+      // hilbertLevelExprs); Moon et al.'s result says this curve's
+      // runs preserve 2-D locality better than Morton's, and the
+      // report measures whether that survives real predicates
+      val docs = hilbertLevels.foldLeft(docs0
+        .withColumn("hx", col("d1")).withColumn("hy", col("d2"))
+        .withColumn("hd", lit(0L))) { (df, lvl) =>
+        val (dE, xE, yE) = hilbertLevelExprs(lvl)
+        df.select(col("doc_id"), col("d1"), col("d2"), col("z"),
+          col("n_chars"),
+          expr(dE).as("hd_n"), expr(xE).as("hx_n"), expr(yE).as("hy_n"))
+          .withColumnRenamed("hd_n", "hd")
+          .withColumnRenamed("hx_n", "hx")
+          .withColumnRenamed("hy_n", "hy")
+      }
+        .barrier() // all three layout sorts read it
       def fileStats(orderCols: Seq[org.apache.spark.sql.Column],
           layout: String) = {
         val w = org.apache.spark.sql.expressions.Window
@@ -599,6 +615,7 @@ object Dedup extends OpModule {
       }
       val stats = fileStats(Seq(col("doc_id")), "ingest_order")
         .unionByName(fileStats(Seq(col("z"), col("doc_id")), "zorder"))
+        .unionByName(fileStats(Seq(col("hd"), col("doc_id")), "hilbert"))
         .barrier() // joined against the panel + counted
       // predicate panel: every source × four length quartile ranges
       import s.implicits._
@@ -917,6 +934,37 @@ object Dedup extends OpModule {
       .select(col("source_x"), col("source_y"), col("est_nx"),
         col("est_ny"), col("est_union"), col("est_jac_ppm"),
         col("est_inter"))
+  }
+
+  /** The eight Hilbert xy2d levels (s = 128 … 1) and the per-level
+    * state-update expressions over columns (hx, hy, hd) — the classic
+    * loop body unrolled:
+    * {{{
+    *   rx = (x & s) > 0; ry = (y & s) > 0
+    *   d += s² · ((3·rx) xor ry)
+    *   if (!ry) { if (rx) { x = s−1−x; y = s−1−y }; swap(x, y) }
+    * }}}
+    * The xor of (3·rx, ry) over {0,1}×{0,1} is enumerated as a CASE, so
+    * the SAME SQL text runs in Spark and DuckDB (no engine-specific
+    * xor), and every value is a small integer.
+    */
+  private[operators] val hilbertLevels = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  private[operators] def hilbertLevelExprs(s: Int)
+      : (String, String, String) = {
+    val s2 = s.toLong * s
+    val sm1 = s - 1
+    val d = s"hd + $s2 * (CASE " +
+      s"WHEN (hx & $s) = 0 AND (hy & $s) = 0 THEN 0 " +
+      s"WHEN (hx & $s) = 0 THEN 1 " +
+      s"WHEN (hy & $s) = 0 THEN 3 ELSE 2 END)"
+    val x = s"CASE WHEN (hy & $s) = 0 THEN " +
+      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - hy ELSE hy END) " +
+      s"ELSE hx END"
+    val y = s"CASE WHEN (hy & $s) = 0 THEN " +
+      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - hx ELSE hx END) " +
+      s"ELSE hy END"
+    (d, x, y)
   }
 
   /** The relations of the prefix-filtering exact similarity join (doc
@@ -1404,18 +1452,31 @@ object Dedup extends OpModule {
       val inter = (0 until 8).map(b =>
         s"((((d1 >> $b) & 1) << ${2 * b + 1}) | (((d2 >> $b) & 1) << ${2 * b}))")
         .mkString("(", " + ", ")")
+      val hChain = hilbertLevels.zipWithIndex.map { case (s, i) =>
+        val (dE, xE, yE) = hilbertLevelExprs(s)
+        s"""h${i + 1} AS (
+           |  SELECT doc_id, d1, d2, z, n_chars,
+           |    $dE AS hd, $xE AS hx, $yE AS hy
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
       s"""WITH d AS MATERIALIZED (
          |  SELECT doc_id, least(n_chars // 4, 255) AS d1,
          |    ('0x' || substring(md5('zb|' || source), 1, 2))::BIGINT AS d2,
          |    n_chars
          |  FROM documents),
          |z AS MATERIALIZED (SELECT *, $inter AS z FROM d),
+         |h0 AS (SELECT *, d1 AS hx, d2 AS hy, CAST(0 AS BIGINT) AS hd
+         |  FROM z),
+         |$hChain,
          |fi AS MATERIALIZED (
          |  SELECT 'ingest_order' AS layout,
          |    ntile(32) OVER (ORDER BY doc_id) AS f, n_chars, d2 FROM z
          |  UNION ALL
          |  SELECT 'zorder', ntile(32) OVER (ORDER BY z, doc_id), n_chars,
-         |    d2 FROM z),
+         |    d2 FROM z
+         |  UNION ALL
+         |  SELECT 'hilbert', ntile(32) OVER (ORDER BY hd, doc_id),
+         |    n_chars, d2 FROM h8),
          |st AS MATERIALIZED (
          |  SELECT layout, f, min(n_chars) AS min_c, max(n_chars) AS max_c,
          |    min(d2) AS min_b, max(d2) AS max_b

@@ -2061,13 +2061,33 @@ class OperatorsSpec extends SparkSpec {
       }).sum
     val wantIngest = skipped(rows.sortBy(_._1).toSeq)
     val wantZ = skipped(rows.sortBy(r => (r._4, r._1)).toSeq)
+    // Hilbert xy2d (order 8), the exact rule the unrolled SQL levels run
+    def hilbert(x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L
+      Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).foreach { s =>
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+      }
+      d
+    }
+    val wantH = skipped(rows.map(r => (r._1, r._2, r._3,
+      hilbert(math.min(r._2 / 4, 255L), r._3))).sortBy(r => (r._4, r._1))
+      .toSeq)
     val got = graft.operators.Dedup.queries("corpus_zorder_skipping")(
       spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got("ingest_order")._2 === wantIngest, "ingest-layout drift")
     assert(got("zorder")._2 === wantZ, "z-layout drift")
+    assert(got("hilbert")._2 === wantH, "hilbert-layout drift")
     assert(got("zorder")._2 > got("ingest_order")._2,
       "z-order must buy MORE skipping than ingest order")
+    assert(got("hilbert")._2 > got("ingest_order")._2,
+      "hilbert must buy MORE skipping than ingest order")
   }
 
   test("HRW shard plan: driver recompute; every moved doc's 9-shard " +
