@@ -480,6 +480,35 @@ object TextAnalysis extends OpModule {
         .orderBy(col("score_micro").desc, col("phrase").asc)
         .limit(20)
     }),
+    // Keyword-extractor agreement — the dedup_method_matrix discipline
+    // applied to the keyword family: the vocabulary the per-doc tf-idf
+    // ranking surfaces (text_salient_terms' top-3 per doc, distinct)
+    // against the vocabulary RAKE's corpus-level top-20 phrases carry.
+    // The published comparison question: do frequency-based and
+    // phrase-cohesion-based extractors nominate the same words, or do
+    // they see different corpora? One row: both vocabularies, the
+    // intersection, each side's exclusives, and the Jaccard in ppm —
+    // all exact integers over two relations the other queries already
+    // define (both composed verbatim so the agreement can never drift
+    // from what the standalone extractors emit).
+    "text_keyword_agreement" -> ((s, dir) => {
+      val tfidf = queries("text_salient_terms")(s, dir)
+        .select(col("tok").as("w")).distinct()
+        .barrier() // its own count + the intersection join
+      val rake = queries("text_rake_keywords")(s, dir)
+        .select(explode(split(col("phrase"), " ")).as("w")).distinct()
+        .barrier() // its own count + the intersection join
+      val na = tfidf.agg(count(lit(1)).as("n_tfidf_words"))
+      val nb = rake.agg(count(lit(1)).as("n_rake_words"))
+      val nc = tfidf.join(rake, "w").agg(count(lit(1)).as("n_common"))
+      na.crossJoin(nb).crossJoin(nc)
+        .select(col("n_tfidf_words"), col("n_rake_words"), col("n_common"),
+          (col("n_tfidf_words") - col("n_common")).as("n_only_tfidf"),
+          (col("n_rake_words") - col("n_common")).as("n_only_rake"),
+          expr("(n_common * 1000000) DIV " +
+            "greatest(n_tfidf_words + n_rake_words - n_common, 1)")
+            .as("jaccard_ppm"))
+    }),
     // Fagin's THRESHOLD ALGORITHM certificate — the classical top-k
     // result (Fagin, Lotem & Naor, "Optimal Aggregation Algorithms for
     // Middleware"): when each attribute has its own descending index,
@@ -3921,6 +3950,67 @@ object TextAnalysis extends OpModule {
         |SELECT 'gram8', (CAST(1 AS BIGINT) << (j + 1)) - 1, vocab_new,
         |  CAST(sum(vocab_new) OVER (ORDER BY j) AS BIGINT)
         |FROM gc""".stripMargin,
+    // composes the salient-terms and RAKE oracles verbatim (disjoint
+    // CTE names) and folds the two distinct vocabularies
+    "text_keyword_agreement" -> {
+      val pat = "\\b(" + graft.functions.Text.stopwords.mkString("|") +
+        ")\\b"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+         |    AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |       GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |sal AS MATERIALIZED (
+         |  SELECT DISTINCT tok AS w FROM (
+         |    SELECT tf.doc_id, tf.tok,
+         |      row_number() OVER (PARTITION BY tf.doc_id
+         |        ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rank
+         |    FROM tf JOIN df USING (tok))
+         |  WHERE rank <= 3),
+         |ph AS MATERIALIZED (
+         |  SELECT trim(p) AS phrase FROM (
+         |    SELECT unnest(string_split_regex(
+         |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+         |      '$pat')) AS p
+         |    FROM documents)
+         |  WHERE trim(p) <> ''
+         |    AND len(string_split(trim(p), ' ')) <= 4),
+         |wo AS (SELECT unnest(ws) AS w, len(ws) AS plen FROM (
+         |    SELECT string_split(phrase, ' ') AS ws FROM ph)),
+         |stats AS (SELECT w,
+         |    (CAST(sum(plen) AS BIGINT) * 1000000)
+         |      // CAST(count(*) AS BIGINT) AS w_score
+         |  FROM wo GROUP BY 1),
+         |phr AS (SELECT phrase, count(*) AS n_occurrences
+         |  FROM ph GROUP BY 1),
+         |rk20 AS MATERIALIZED (
+         |  SELECT p.phrase,
+         |    CAST(sum(s.w_score) AS BIGINT) AS score_micro
+         |  FROM (SELECT phrase, n_occurrences,
+         |          unnest(string_split(phrase, ' ')) AS w FROM phr) p
+         |  JOIN stats s USING (w)
+         |  GROUP BY 1
+         |  ORDER BY score_micro DESC, phrase ASC
+         |  LIMIT 20),
+         |rkw AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(string_split(phrase, ' ')) AS w
+         |  FROM rk20),
+         |agg AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sal) AS n_tfidf_words,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rkw) AS n_rake_words,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM sal JOIN rkw USING (w)) AS n_common)
+         |SELECT n_tfidf_words, n_rake_words, n_common,
+         |  n_tfidf_words - n_common AS n_only_tfidf,
+         |  n_rake_words - n_common AS n_only_rake,
+         |  (n_common * 1000000)
+         |    // greatest(n_tfidf_words + n_rake_words - n_common, 1)
+         |    AS jaccard_ppm
+         |FROM agg""".stripMargin
+    },
     // mirrors RAKE: same stopword split, same deg/freq micro ratios,
     // same (score DESC, phrase ASC) cut
     "text_rake_keywords" -> {

@@ -1815,6 +1815,23 @@ class OperatorsSpec extends SparkSpec {
       "coverage histogram drift vs exact recompute")
   }
 
+  test("keyword agreement: counts equal the set algebra over the two " +
+      "extractors' own outputs") {
+    val r = graft.operators.TextAnalysis.queries("text_keyword_agreement")(
+      spark, sfDir).collect().head
+    val (na, nb, nc, oa, ob, jac) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val tfidf = graft.operators.TextAnalysis.queries("text_salient_terms")(
+      spark, sfDir).collect().map(_.getString(2)).toSet
+    val rake = graft.operators.TextAnalysis.queries("text_rake_keywords")(
+      spark, sfDir).collect().flatMap(_.getString(0).split(" ")).toSet
+    assert(na === tfidf.size.toLong)
+    assert(nb === rake.size.toLong)
+    assert(nc === (tfidf & rake).size.toLong)
+    assert(oa === na - nc && ob === nb - nc)
+    assert(jac === nc * 1000000L / math.max(na + nb - nc, 1L))
+  }
+
   test("ESS report: Kong bound holds per group; corpus row conserves " +
       "doc counts; weights non-degenerate") {
     val rows = graft.operators.TextAnalysis.queries("sample_ess_report")(
