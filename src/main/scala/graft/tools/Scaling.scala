@@ -64,7 +64,7 @@ object Scaling {
     "sim_graph_search", "text_f2_moment", "corpus_zorder_skipping",
     "q_topk_ta", "q_join_card_estimate", "j9_bloom_semijoin",
     "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
-    "sim_graph_recall_vs_beam")
+    "sim_graph_recall_vs_beam", "text_keyword_agreement")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
