@@ -13,6 +13,11 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-encoding", "utf8")
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no sbt [info] prefix): the
+// round driver parses the bench JSON line from the process tail, and the
+// logger wrapping has defeated that parse every round (BENCH "parsed":
+// null). Logs still go to stderr via log4j; only println output changes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

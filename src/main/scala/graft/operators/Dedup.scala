@@ -427,19 +427,25 @@ object Dedup extends OpModule {
         .filter(col("source_x") < col("source_y"))
         .groupBy(col("source_x"), col("source_y"))
         .agg(count(lit(1)).as("exact_inter"))
+      // LEFT joins + zero defaults keep gram-less sources (every doc
+      // < 8 tokens) in the report with zero overlap instead of silently
+      // dropping their pairs (ADVICE r11); the greatest(…, 1) divisor
+      // covers the two-empty-sources row that fix makes possible.
       est
         .join(broadcast(exD.select(col("source").as("source_x"),
-          col("n_items").as("nx"))), "source_x")
+          col("n_items").as("nx"))), Seq("source_x"), "left")
         .join(broadcast(exD.select(col("source").as("source_y"),
-          col("n_items").as("ny"))), "source_y")
+          col("n_items").as("ny"))), Seq("source_y"), "left")
+        .withColumn("nx", coalesce(col("nx"), lit(0L)))
+        .withColumn("ny", coalesce(col("ny"), lit(0L)))
         .join(exI, Seq("source_x", "source_y"), "left")
         .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .select(col("source_x"), col("source_y"),
           col("nx"), col("ny"), col("est_nx"), col("est_ny"),
           (col("nx") + col("ny") - col("exact_inter")).as("exact_union"),
           col("est_union"), col("exact_inter"), col("est_inter"),
-          expr("(exact_inter * 1000000) DIV (nx + ny - exact_inter)")
-            .as("exact_jac_ppm"),
+          expr("(exact_inter * 1000000) DIV " +
+            "greatest(nx + ny - exact_inter, 1)").as("exact_jac_ppm"),
           col("est_jac_ppm"))
     }),
     // LSH S-CURVE calibration — the measurement behind every (bands,
@@ -822,8 +828,40 @@ object Dedup extends OpModule {
 
   /** The six 20-bit BIGINT min-slices per doc — the raw MinHash vector
     * [[bandedSigs]] bands up, also read directly by the estimator-quality
-    * query (slice agreement IS the MinHash Jaccard estimate). */
+    * query (slice agreement IS the MinHash Jaccard estimate).
+    *
+    * Native path (r12): one fused `minhash_sigs(text)` walk per row
+    * (plans/MinhashSigs.scala) — no shingle explode, no hex strings, NO
+    * EXCHANGE (the old form shuffled |shingles| rows into a per-doc
+    * HashAggregate; at 100 TB that exchange ≈ re-shuffling the corpus).
+    * The struct is aliased once and field-expanded in a second
+    * projection; CollapseProject keeps the non-cheap multi-referenced
+    * alias as its own project, so the walk runs once per row (the
+    * text_stats device). Signatures are bit-identical to the explode
+    * form ([[minhashSlicesSpec]], pinned per-doc on the fixture by
+    * MinhashSigsSpec), so every downstream hash and the DuckDB oracle
+    * are unchanged.
+    */
   private[graft] def minhashSlices(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // null filter on TEXT, not on the struct: the expression is
+    // null-intolerant so the predicates are equivalent, but a struct
+    // null-check would re-evaluate the whole walk inside the Filter
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("minhash_sigs(text)").as("mh"))
+      .select((col("doc_id") +: (0 to 5).map(b =>
+        col(s"mh.mh$b").as(s"mh$b"))): _*)
+  }
+
+  /** The composed-builtin EXECUTABLE SPEC of [[minhashSlices]] — the
+    * explode → md5-hex → conv-slice → min-aggregate pipeline the native
+    * expression fuses. Kept verbatim (not in any query path) so the
+    * parity test pins the native walk against the exact semantics the
+    * DuckDB oracle mirrors.
+    */
+  private[graft] def minhashSlicesSpec(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val shDf = docs
       .select(col("doc_id"),
@@ -925,15 +963,22 @@ object Dedup extends OpModule {
           .as("est_jac_ppm"),
         expr("(est_union * n_shared_sk) DIV greatest(n_mk, 1)")
           .as("est_inter"))
+    // LEFT joins from the scaffold + zero defaults: a source whose docs
+    // all have < 8 tokens contributes no grams and hence no sketch rows,
+    // and an inner join here would silently DROP its pairs from the
+    // report (ADVICE r11) — it must appear with zero overlap instead.
     scaffold
       .join(pairEst, Seq("source_x", "source_y"), "left")
       .join(broadcast(perSrc.select(col("source").as("source_x"),
-        col("est_distinct").as("est_nx"))), "source_x")
+        col("est_distinct").as("est_nx"))), Seq("source_x"), "left")
       .join(broadcast(perSrc.select(col("source").as("source_y"),
-        col("est_distinct").as("est_ny"))), "source_y")
-      .select(col("source_x"), col("source_y"), col("est_nx"),
-        col("est_ny"), col("est_union"), col("est_jac_ppm"),
-        col("est_inter"))
+        col("est_distinct").as("est_ny"))), Seq("source_y"), "left")
+      .select(col("source_x"), col("source_y"),
+        coalesce(col("est_nx"), lit(0L)).as("est_nx"),
+        coalesce(col("est_ny"), lit(0L)).as("est_ny"),
+        coalesce(col("est_union"), lit(0L)).as("est_union"),
+        coalesce(col("est_jac_ppm"), lit(0L)).as("est_jac_ppm"),
+        coalesce(col("est_inter"), lit(0L)).as("est_inter"))
   }
 
   /** The eight Hilbert xy2d levels (s = 128 … 1) and the per-level
@@ -946,7 +991,14 @@ object Dedup extends OpModule {
     * }}}
     * The xor of (3·rx, ry) over {0,1}×{0,1} is enumerated as a CASE, so
     * the SAME SQL text runs in Spark and DuckDB (no engine-specific
-    * xor), and every value is a small integer.
+    * xor), and every value is a small integer. The reflect branch masks
+    * the coordinate to the quadrant first (`s−1−(v & (s−1))`): without
+    * the mask, a coordinate carrying bit s (the rx=1 branch guarantees
+    * hx does) would reflect to a NEGATIVE intermediate — the final
+    * index happened to survive only because both engines share
+    * two's-complement `&`/`−` semantics. Bits at or above s never
+    * contribute after level s, so masking leaves the index unchanged
+    * while keeping every intermediate in [0, 255] in both engines.
     */
   private[operators] val hilbertLevels = Seq(128, 64, 32, 16, 8, 4, 2, 1)
 
@@ -959,10 +1011,10 @@ object Dedup extends OpModule {
       s"WHEN (hx & $s) = 0 THEN 1 " +
       s"WHEN (hy & $s) = 0 THEN 3 ELSE 2 END)"
     val x = s"CASE WHEN (hy & $s) = 0 THEN " +
-      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - hy ELSE hy END) " +
+      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - (hy & $sm1) ELSE hy END) " +
       s"ELSE hx END"
     val y = s"CASE WHEN (hy & $s) = 0 THEN " +
-      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - hx ELSE hx END) " +
+      s"(CASE WHEN (hx & $s) > 0 THEN $sm1 - (hx & $sm1) ELSE hx END) " +
       s"ELSE hy END"
     (d, x, y)
   }
@@ -986,7 +1038,17 @@ object Dedup extends OpModule {
     * first shared prefix gram (the min-rank witness — no shared gram can
     * precede it in EITHER set, both are sorted by the same global
     * order), overlap ≤ 1 + min(n_a − r_a, n_b − r_b); prune when even
-    * that bound misses 9·ub ≥ 4·(n_a+n_b).
+    * that bound misses 9·ub ≥ 4·(n_a+n_b). The aggregation computes
+    * min(r_a) and min(r_b) INDEPENDENTLY, and this is still exactly the
+    * single-witness bound (ADVICE r11 asked for the proof): ranks
+    * within every set are assigned by the one global total order
+    * (df ASC, gram ASC), so rank order inside any two sets is
+    * order-isomorphic to the global order — for witnesses w₁ < w₂
+    * globally, r_a(w₁) < r_a(w₂) AND r_b(w₁) < r_b(w₂). Both minima are
+    * therefore attained at the same gram: the globally smallest shared
+    * prefix gram, which is the PPJoin witness (any globally smaller
+    * shared gram would rank inside BOTH prefixes and be that witness
+    * itself).
     */
   private case class PrefixFilterRels(d: org.apache.spark.sql.DataFrame,
       sets: org.apache.spark.sql.DataFrame,
@@ -1583,22 +1645,25 @@ object Dedup extends OpModule {
         |  FROM it a JOIN it b ON a.gfp = b.gfp AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT sc.source_x, sc.source_y,
-        |  dx.n_items AS nx, dy.n_items AS ny,
-        |  px.est_distinct AS est_nx, py.est_distinct AS est_ny,
-        |  dx.n_items + dy.n_items - coalesce(ei.exact_inter, 0)
-        |    AS exact_union,
-        |  pe2.est_union,
-        |  coalesce(ei.exact_inter, 0) AS exact_inter, pe2.est_inter,
+        |  coalesce(dx.n_items, 0) AS nx, coalesce(dy.n_items, 0) AS ny,
+        |  coalesce(px.est_distinct, 0) AS est_nx,
+        |  coalesce(py.est_distinct, 0) AS est_ny,
+        |  coalesce(dx.n_items, 0) + coalesce(dy.n_items, 0)
+        |    - coalesce(ei.exact_inter, 0) AS exact_union,
+        |  coalesce(pe2.est_union, 0) AS est_union,
+        |  coalesce(ei.exact_inter, 0) AS exact_inter,
+        |  coalesce(pe2.est_inter, 0) AS est_inter,
         |  CAST((coalesce(ei.exact_inter, 0) * 1000000)
-        |    // (dx.n_items + dy.n_items - coalesce(ei.exact_inter, 0))
+        |    // greatest(coalesce(dx.n_items, 0) + coalesce(dy.n_items, 0)
+        |         - coalesce(ei.exact_inter, 0), 1)
         |    AS BIGINT) AS exact_jac_ppm,
-        |  pe2.est_jac_ppm
-        |FROM sc JOIN ed dx ON dx.source = sc.source_x
-        |        JOIN ed dy ON dy.source = sc.source_y
+        |  coalesce(pe2.est_jac_ppm, 0) AS est_jac_ppm
+        |FROM sc LEFT JOIN ed dx ON dx.source = sc.source_x
+        |        LEFT JOIN ed dy ON dy.source = sc.source_y
         |        LEFT JOIN ei USING (source_x, source_y)
         |        LEFT JOIN pe2 USING (source_x, source_y)
-        |        JOIN ps px ON px.source = sc.source_x
-        |        JOIN ps py ON py.source = sc.source_y""".stripMargin,
+        |        LEFT JOIN ps px ON px.source = sc.source_x
+        |        LEFT JOIN ps py ON py.source = sc.source_y""".stripMargin,
     // mirrors the ALGORITHM stage by stage — the distinct-set grouping,
     // the (df ASC, gram ASC) rank ties, the integer prefix bound, size
     // feasibility, the positional min-rank-witness prune, integer

@@ -47,6 +47,16 @@ object Similarity extends OpModule {
     * graph degree regardless of corpus size. */
   private val BeamWidth = 8
   private val BeamRounds = 4
+  /** Layered entry selection (`sim_graph_search_layered`) — the HNSW
+    * upper-layer story: a deterministic 1-in-16 vertex sample forms the
+    * sparse entry layer (HNSW samples levels at ~1/M with M∈[5,48]),
+    * walked near-greedily (beam 2, the published greedy descent plus one
+    * tie-guard) for 3 rounds before the base beam starts. Serving
+    * constants, not scale knobs — same rounds × width × degree algebra
+    * as the flat walk. */
+  private val UpperSampleMod = 16
+  private val UpperBeamWidth = 2
+  private val UpperRounds = 3
 
   /** Signature width for EVERY hyperplane-LSH consumer (`sim_lsh_ann`,
     * `dedup_embedding_lsh`, the whole kNN-graph family): an explicit conf
@@ -274,6 +284,44 @@ object Similarity extends OpModule {
     // the walk's cost is independent of corpus size once the graph
     // exists, which is the entire point of graph ANN at serving time.
     "sim_graph_search" -> ((s, dir) => beamSearch(s, dir, BeamWidth)),
+    // HNSW-layer entry selection — see [[layeredSearch]]
+    "sim_graph_search_layered" ->
+      ((s, dir) => layeredSearch(s, dir, BeamWidth)),
+    // The layered walk's report card: recall@10 vs the in-query brute
+    // truth for flat and layered at BOTH widths — the measurement behind
+    // the HNSW claim that entry selection buys recall at equal beam (or
+    // equal recall at lower width). Truth is computed once and joined by
+    // all four walks (the recall_vs_beam device).
+    "sim_graph_layered_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("v").asc)
+      val brute = emb.select(col("vec_id").as("v"), col("embedding")
+          .as("nv"))
+        .join(broadcast(q), col("query_id") =!= col("v"))
+        .select(col("query_id"), col("v"),
+          expr("cosine_sim(qv, nv)").as("s"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("v").as("neighbor_id"))
+        .barrier() // one truth pass joined by every walk's rows
+      def graded(variant: String, b: Int,
+          walk: org.apache.spark.sql.DataFrame) =
+        walk.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(variant).as("variant"), lit(b.toLong).as("beam"),
+            col("n_hits"),
+            expr("(n_hits * 1000000) DIV 80").as("recall_ppm"))
+      Seq(
+        graded("flat", BeamWidth, beamSearch(s, dir, BeamWidth)),
+        graded("layered", BeamWidth, layeredSearch(s, dir, BeamWidth)),
+        graded("flat", 2, beamSearch(s, dir, 2)),
+        graded("layered", 2, layeredSearch(s, dir, 2)))
+        .reduce(_ unionByName _)
+    }),
     // The evaluation the beam knob answers to — recall@10 vs brute
     // force per beam width (the HNSW literature's ef/recall curve, the
     // graph twin of sim_recall_report): a starved beam (2) prunes the
@@ -603,7 +651,6 @@ object Similarity extends OpModule {
     * never rebuilt). */
   private[graft] def knnCandidates(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
     // signature width is the graph family's scale lever: candidate
     // volume is Σ occupancy² per bucket, so bits must grow ~log₂N to
@@ -615,8 +662,22 @@ object Similarity extends OpModule {
     // (dim, bit, table), independent of the width), so widening only
     // PRUNES candidates — recall at the derived width is ≥ recall at
     // any wider width (pinned by KnnWidthSpec).
+    knnCandidatesOf(s, emb, lshBits(s, emb, knnFamily = true))
+  }
+
+  /** The LSH candidate build over an arbitrary embedding relation at an
+    * explicit signature width — split out so [[layeredSearch]] can run
+    * the identical build on its 1-in-[[UpperSampleMod]] vertex sample at
+    * the sample's OWN derived width (base − log₂ sample rate): occupancy
+    * is N/2^bits, so a 1/16 sample signed at the base width would leave
+    * buckets ~16× emptier than designed and the upper layer with almost
+    * no edges (measured: EMPTY at the fixtures). */
+  private[graft] def knnCandidatesOf(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val sigs = Vectors.lshSignaturesAgg(emb, "vec_id", "embedding",
-      lshBits(s, emb, knnFamily = true), 4)
+      bits, 4)
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withSigs = emb.select(col("vec_id"), col("embedding"))
       .join(sigs, "vec_id")
@@ -643,31 +704,63 @@ object Similarity extends OpModule {
     */
   private def beamSearch(s: org.apache.spark.sql.SparkSession,
       dir: String, width: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(s)
-    val ke = knnGraph(s, dir).filter(col("sim") >= 0.3)
-      .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
+    beamSearchOver(t(s, dir, "embeddings"),
+      knnGraph(s, dir).filter(col("sim") >= 0.3), width)
+  }
+
+  /** The flat walk over an EXPLICIT embedding + kNN-edge relation pair —
+    * the serving tail shared by the batch `sim_graph_search` and the
+    * streaming maintained-graph serve (`graphSearchFrom`), so the two
+    * cannot drift: symmetrize, enter at the global min-id vertex, walk
+    * [[BeamRounds]] rounds, rank top-10. `ke` carries
+    * (vec_id, neighbor_id) directed rows (sim-filtered by the caller).
+    */
+  private[graft] def beamSearchOver(emb: org.apache.spark.sql.DataFrame,
+      ke0: org.apache.spark.sql.DataFrame,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    val ke = ke0.select(col("vec_id").as("x"), col("neighbor_id").as("y"))
     val edges = ke
       .union(ke.select(col("y").as("x"), col("x").as("y")))
       .distinct().barrier() // read by every beam round
-    val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .barrier() // broadcast into every round's scoring join
-    def score(fr: org.apache.spark.sql.DataFrame) = fr
-      .join(emb.select(col("vec_id").as("v"), col("embedding").as("nv")),
+    val entry = edges.agg(min(col("x")).as("v"))
+    val f0 = scoreFrontier(emb, queries)(queries.select(col("query_id"))
+      .crossJoin(broadcast(entry))).barrier()
+    rankTop10(beamWalk(emb, queries, edges, f0, width, BeamRounds))
+  }
+
+  /** Score a (query_id, v) frontier against the query vectors — the one
+    * scoring join every walk round (flat and layered) runs. */
+  private def scoreFrontier(emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame)(
+      fr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fr.join(emb.select(col("vec_id").as("v"), col("embedding").as("nv")),
         "v")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("v"),
         expr("cosine_sim(qv, nv)").as("s"))
-    val entry = edges.agg(min(col("x")).as("v"))
-    var frontier = score(queries.select(col("query_id"))
-      .crossJoin(broadcast(entry))).barrier()
-    var visited = frontier
+
+  /** The greedy beam loop shared by the flat walk, the layered walk's
+    * base layer, and its upper layer: `rounds` barriered rounds of
+    * expand → score → re-rank-to-`width` over an already-scored initial
+    * frontier. Returns every VISITED (query_id, v, s). Any edit here
+    * moves all three walks together (their DuckDB oracles unroll this
+    * exact loop). */
+  private def beamWalk(emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame,
+      width: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("v").asc)
-    for (_ <- 1 to BeamRounds) {
-      val scored = score(frontier
+    var frontier = f0
+    var visited = frontier
+    for (_ <- 1 to rounds) {
+      val scored = scoreFrontier(emb, queries)(frontier
         .select(col("query_id"), col("v").as("x"))
         .join(edges, "x")
         .select(col("query_id"), col("y").as("v")).distinct())
@@ -679,18 +772,97 @@ object Similarity extends OpModule {
         .select(col("query_id"), col("v"), col("s"))
         .barrier() // next round reads it twice (union + neighbors)
     }
+    visited
+  }
+
+  /** Final serving rank over a walk's visited set — top-10 per query,
+    * query vertex excluded. */
+  private def rankTop10(visited: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("v").asc)
     visited.filter(col("query_id") =!= col("v"))
       .withColumn("rank", row_number().over(wb))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("v").as("neighbor_id"), col("rank"))
   }
 
+  /** HNSW-layer entry selection (`sim_graph_search_layered`): walk a
+    * SPARSE upper-layer graph first (a deterministic 1-in-
+    * [[UpperSampleMod]] vertex sample — HNSW's level-1 analog), then
+    * seed the base-layer beam from each query's best upper vertex
+    * instead of the one global min-id entry the flat walk uses. The
+    * upper layer costs ~1/16 of the base build (the identical LSH
+    * candidate pipeline over the sample, signed at the sample's own
+    * derived width) and replaces the arbitrary fixed entry with one
+    * already NEAR the query, so the base beam spends its rounds
+    * refining instead of traversing. Scale shape: both walks are
+    * rounds × width × degree — corpus-independent; the N-bound stages
+    * are the base candidate build the flat walk already pays plus the
+    * sample-sized upper build.
+    */
+  private[graft] def layeredSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val baseBits = lshBits(s, emb, knnFamily = true)
+    // minSim: the base layer keeps the flat walk's 0.3 edge pruning; the
+    // upper layer keeps EVERY ranked edge — HNSW upper layers are
+    // NAVIGATION graphs whose long-range (low-similarity) links are the
+    // point, and a sparse sample rarely contains both members of a
+    // truly-close pair (measured: a 0.3-thresholded upper layer is
+    // EMPTY at the fixtures)
+    def layerEdges(c: org.apache.spark.sql.DataFrame,
+        minSim: Option[Double]) = {
+      val ranked = knnGraphOf(c)
+      val ke = minSim.fold(ranked)(m => ranked.filter(col("sim") >= m))
+        .select(col("vec_id").as("x"), col("neighbor_id").as("y"))
+      ke.union(ke.select(col("y").as("x"), col("x").as("y")))
+        .distinct().barrier() // read by every round of its walk
+    }
+    val edges = layerEdges(knnCandidatesOf(s, emb, baseBits), Some(0.3))
+    // the upper layer runs the SAME build over the sample at the
+    // sample's own width (see knnCandidatesOf) — a 1/16-sized job, so
+    // the layered index costs ~6% over the flat one
+    val uedges = layerEdges(knnCandidatesOf(s,
+      emb.filter(col("vec_id") % UpperSampleMod === 0),
+      math.max(6, baseBits - 4)), None)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .barrier() // broadcast into every round's scoring join
+    val sc = scoreFrontier(emb, queries) _
+    val uentry = uedges.agg(min(col("x")).as("v"))
+    val uf0 = sc(queries.select(col("query_id"))
+      .crossJoin(broadcast(uentry))).barrier()
+    val uvisited =
+      beamWalk(emb, queries, uedges, uf0, UpperBeamWidth, UpperRounds)
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("v").asc)
+    // per-query entry = the best upper-layer vertex; its score carries
+    // over (same (query, vertex) cosine), so f0 is a projection, not a
+    // new scoring join
+    val f0 = uvisited.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("v"), col("s"))
+      .barrier() // round 1 reads it twice (union + neighbors)
+    rankTop10(beamWalk(emb, queries, edges, f0, width, BeamRounds))
+  }
+
   private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    knnGraphOf(knnCandidates(s, dir))
+
+  /** Top-K ranking over an (already-built) candidate relation — split
+    * out so [[layeredSearch]] can rank one shared candidate build twice
+    * (base layer and the sample×sample upper layer). */
+  private[graft] def knnGraphOf(cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    knnCandidates(s, dir).withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
   }
 
@@ -2890,6 +3062,55 @@ object Similarity extends OpModule {
          |  FROM v$BeamRounds WHERE query_id <> v)
          |WHERE rank <= 10""".stripMargin
     },
+    // mirrors sim_graph_search_layered: the shared graph base (both
+    // layers), the upper walk (width 2 × 3 rounds) from the upper
+    // layer's min-id entry, the per-query rank-1 seed, then the base
+    // walk unrolled exactly like the flat oracle
+    "sim_graph_search_layered" ->
+      s"""WITH $oraLshSigs,
+         |$oraGraphBase,
+         |${oraWalkCtes("u", "uedges", UpperBeamWidth, UpperRounds,
+             oraGlobalEntryF0("uedges"))},
+         |${oraWalkCtes("l", "edges", BeamWidth, BeamRounds, oraSeedF0)}
+         |${oraWalkTop10("l", BeamRounds)}""".stripMargin,
+    // mirrors sim_graph_layered_recall: brute truth + FOUR unrolled
+    // walks (flat/layered × width 8/2; the layered pair shares the one
+    // upper walk) graded against it
+    "sim_graph_layered_recall" -> {
+      def graded(variant: String, b: Int, pfx: String) =
+        s"""SELECT '$variant' AS variant, CAST($b AS BIGINT) AS beam,
+           |  CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST((count(*) * 1000000) // 80 AS BIGINT) AS recall_ppm
+           |FROM (${oraWalkTop10(pfx, BeamRounds).replace("\n", "\n ")}) r
+           |JOIN bt ON r.query_id = bt.query_id
+           |       AND r.neighbor_id = bt.neighbor_id""".stripMargin
+      s"""WITH $oraLshSigs,
+         |$oraGraphBase,
+         |bt AS MATERIALIZED (
+         |  SELECT query_id, v AS neighbor_id FROM (
+         |    SELECT q.query_id, emb.vec_id AS v,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |          CAST(emb.embedding AS DOUBLE[])) DESC,
+         |        emb.vec_id ASC) AS rk
+         |    FROM q JOIN embeddings emb ON emb.vec_id <> q.query_id)
+         |  WHERE rk <= 10),
+         |${oraWalkCtes("u", "uedges", UpperBeamWidth, UpperRounds,
+             oraGlobalEntryF0("uedges"))},
+         |${oraWalkCtes("a", "edges", BeamWidth, BeamRounds,
+             oraGlobalEntryF0("edges"))},
+         |${oraWalkCtes("b", "edges", 2, BeamRounds,
+             oraGlobalEntryF0("edges"))},
+         |${oraWalkCtes("c", "edges", BeamWidth, BeamRounds, oraSeedF0)},
+         |${oraWalkCtes("d", "edges", 2, BeamRounds, oraSeedF0)}
+         |${graded("flat", BeamWidth, "a")}
+         |UNION ALL
+         |${graded("layered", BeamWidth, "c")}
+         |UNION ALL
+         |${graded("flat", 2, "b")}
+         |UNION ALL
+         |${graded("layered", 2, "d")}""".stripMargin
+    },
     "sim_kcore" -> {
       // each s{i-1} is referenced TWICE by d{i} — plain CTEs would
       // inline per reference and double the plan every round (2^24 by
@@ -3298,6 +3519,145 @@ object Similarity extends OpModule {
     }
     (init +: steps).mkString("\n")
   }
+
+  /** Shared DuckDB CTE block for the LAYERED graph-walk oracles: the
+    * flat oracle's cand/scored/ke/edges chain, the upper layer's OWN
+    * signature chain over the 1-in-[[UpperSampleMod]] sample at
+    * `greatest(nb − 4, 6)` bits (the sample's derived width — the same
+    * hyperplane family, so sample signatures are prefixes of the base
+    * ones), its candidate/rank chain (`uke`/`uedges`), and the query
+    * panel. */
+  private def oraGraphBase: String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |  FROM sigs a JOIN sigs b
+       |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+       |ke AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $K AND sim >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT vec_id AS x, neighbor_id AS y FROM ke
+       |  UNION
+       |  SELECT neighbor_id, vec_id FROM ke),
+       |unb AS (SELECT greatest(nb - 4, 6) AS nb FROM nb),
+       |uexpl AS (
+       |  SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings WHERE vec_id % $UpperSampleMod = 0)),
+       |uconsts AS (
+       |  SELECT t, b, b * 7919 + t * 104729 AS cst
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+       |       (SELECT unnest(generate_series(0, 23)) AS b), unb
+       |  WHERE b < unb.nb),
+       |usums AS (
+       |  SELECT e.vec_id, c.t, c.b,
+       |    sum(e.x * CASE WHEN substr(md5(
+       |          CAST(e.dim AS VARCHAR) || '_' || CAST(c.cst AS VARCHAR)),
+       |        1, 1) IN ('0','1','2','3','4','5','6','7')
+       |      THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM uexpl e CROSS JOIN uconsts c
+       |  GROUP BY 1, 2, 3),
+       |usigs AS (
+       |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY b) AS sig
+       |  FROM usums GROUP BY vec_id, t),
+       |ucand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |  FROM usigs a JOIN usigs b
+       |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |uscored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+       |  FROM ucand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+       |uke AS (
+       |  -- NO sim threshold: the upper layer is a navigation graph
+       |  -- (HNSW's long-range links), pruning it empties the layer
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM uscored)
+       |  WHERE rank <= $K),
+       |uedges AS MATERIALIZED (
+       |  SELECT vec_id AS x, neighbor_id AS y FROM uke
+       |  UNION
+       |  SELECT neighbor_id, vec_id FROM uke),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 8)""".stripMargin
+
+  /** One unrolled beam walk as CTEs `{pfx}f0 … {pfx}v{rounds}` — the
+    * generator form of the flat `sim_graph_search` oracle's rounds, so
+    * the layered oracles (which need up to five walks in one statement)
+    * stay mechanical. `f0Body` is the initial scored frontier. */
+  private def oraWalkCtes(pfx: String, edges: String, width: Int,
+      rounds: Int, f0Body: String): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""${pfx}n$i AS (
+         |  SELECT DISTINCT f.query_id, ed.y AS v
+         |  FROM ${pfx}f${i - 1} f JOIN $edges ed ON ed.x = f.v),
+         |${pfx}s$i AS MATERIALIZED (
+         |  SELECT n.query_id, n.v,
+         |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |      CAST(emb.embedding AS DOUBLE[])) AS s
+         |  FROM ${pfx}n$i n JOIN q ON q.query_id = n.query_id
+         |  JOIN embeddings emb ON emb.vec_id = n.v),
+         |${pfx}v$i AS MATERIALIZED (
+         |  SELECT * FROM ${pfx}v${i - 1} UNION SELECT * FROM ${pfx}s$i),
+         |${pfx}f$i AS MATERIALIZED (
+         |  SELECT query_id, v, s FROM (
+         |    SELECT query_id, v, s, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rk
+         |    FROM (SELECT * FROM ${pfx}f${i - 1}
+         |          UNION SELECT * FROM ${pfx}s$i))
+         |  WHERE rk <= $width)""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}f0 AS MATERIALIZED (
+       |$f0Body),
+       |${pfx}v0 AS MATERIALIZED (SELECT * FROM ${pfx}f0),
+       |$rs""".stripMargin
+  }
+
+  /** f0 body: the flat walk's global min-id entry over `edges`. */
+  private def oraGlobalEntryF0(edges: String): String =
+    s"""  SELECT q.query_id, e.v,
+       |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |      CAST(emb.embedding AS DOUBLE[])) AS s
+       |  FROM q CROSS JOIN (SELECT min(x) AS v FROM $edges) e
+       |  JOIN embeddings emb ON emb.vec_id = e.v""".stripMargin
+
+  /** f0 body: the layered walk's per-query seed — rank-1 of the upper
+    * walk's visited set (score carries over, no new scoring join). */
+  private def oraSeedF0: String =
+    s"""  SELECT query_id, v, s FROM (
+       |    SELECT query_id, v, s, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rk
+       |    FROM uv$UpperRounds)
+       |  WHERE rk = 1""".stripMargin
+
+  /** Final serving select over a walk's visited CTE. */
+  private def oraWalkTop10(pfx: String, rounds: Int): String =
+    s"""SELECT query_id, v AS neighbor_id, rank FROM (
+       |  SELECT query_id, v, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rank
+       |  FROM ${pfx}v$rounds WHERE query_id <> v)
+       |WHERE rank <= 10""".stripMargin
 
   private val oraLshSigs: String =
     """nb AS (

@@ -110,6 +110,10 @@ object GraftFunctions {
     (FunctionIdentifier("classifier_stats"),
       new ExpressionInfo(classOf[ClassifierStats].getName, "classifier_stats"),
       (children: Seq[Expression]) => ClassifierStats(children.head)),
+    // one-walk MinHash slice-minima struct (see MinhashSigs scaladoc)
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinhashSigs(children.head)),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder

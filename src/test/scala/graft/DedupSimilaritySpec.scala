@@ -551,6 +551,45 @@ class DedupSimilaritySpec extends SparkSpec {
       "beam-8 hit count drifted from sim_graph_search ∩ brute truth")
   }
 
+  test("layered beam search: well-formed ranks, recall never below the " +
+      "flat walk at equal beam, flat rows consistent with recall_vs_beam") {
+    val got = graft.operators.Similarity.queries(
+      "sim_graph_search_layered")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(got.nonEmpty, "layered walk returned nothing — upper layer " +
+      "is empty (width derivation regressed?)")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq ===
+        (1 to rows.length).map(_.toLong))
+      assert(rows.map(_._2).distinct.length === rows.length)
+      assert(!rows.exists(_._2 == q))
+    }
+    val rep = graft.operators.Similarity.queries(
+      "sim_graph_layered_recall")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet === Set(("flat", 2L), ("flat", 8L),
+      ("layered", 2L), ("layered", 8L)))
+    rep.foreach { case (_, (hits, ppm)) =>
+      assert(hits >= 0 && hits <= 80)
+      assert(ppm === hits * 1000000L / 80)
+    }
+    // the HNSW claim the layer exists for: entry selection never costs
+    // recall at equal beam (measured +1 hit at beam 2 on sf0.01)
+    assert(rep(("layered", 8L))._1 >= rep(("flat", 8L))._1,
+      "layered entry selection LOST recall vs the flat walk at beam 8")
+    assert(rep(("layered", 2L))._1 >= rep(("flat", 2L))._1,
+      "layered entry selection LOST recall vs the flat walk at beam 2")
+    // the report's flat rows are the same walks recall_vs_beam grades —
+    // the two reports must agree exactly
+    val flat = graft.operators.Similarity.queries(
+      "sim_graph_recall_vs_beam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(("flat", 2L))._1 === flat(2L) &&
+      rep(("flat", 8L))._1 === flat(8L),
+      "flat rows drifted between the two recall reports")
+  }
+
   test("KMV overlap sketch: no false-positive sharing, unsaturated " +
       "sketches exact, saturated estimates within 2x") {
     val rows = graft.operators.Dedup.queries("corpus_overlap_kmv")(

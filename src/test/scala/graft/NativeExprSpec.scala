@@ -60,15 +60,43 @@ class NativeExprSpec extends SparkSpec {
       "contract) on adversarial strings") {
     GraftFunctions.register(spark)
     import spark.implicits._
-    // strings whose JVM-String order and UTF8-byte order could diverge
-    // (supplementary plane vs BMP); the expression compares UTF8String,
-    // array_sort must agree with it
-    val tricky = Seq("😀", "�", "a", "é", "Z",
-      "", "zz", "0")
-    val df = Seq((tricky, tricky)).toDF("a", "b")
-      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
-    val n = df.select(expr("sorted_intersect_count(a, b)"))
+    // The decisive pair (ADVICE r11 -- the old self-intersection test
+    // was vacuous: ANY consistent ordering self-intersects to full
+    // length): U+FFFD sorts AFTER U+1F600 in UTF-16 code-unit order
+    // (0xFFFD > lead surrogate 0xD83D) but BEFORE it in UTF-8 byte
+    // order (EF BF BD < F0 9F 98 80). The walk compares UTF8String
+    // bytes, so sort_array must emit UTF-8 byte order or matches get
+    // skipped.
+    val fffd = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    val tricky = Seq(emoji, fffd, "a", "\u00E9", "Z", "zz", "0")
+    // expected order computed INDEPENDENTLY of Spark: unsigned
+    // lexicographic sort of the UTF-8 byte encodings
+    val byUtf8 = tricky.sortWith { (x, y) =>
+      val (bx, by) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      val cmp = bx.zip(by).iterator
+        .map { case (p, q) => (p & 0xFF) - (q & 0xFF) }
+        .find(_ != 0).getOrElse(bx.length - by.length)
+      cmp < 0
+    }
+    assert(byUtf8.indexOf(fffd) < byUtf8.indexOf(emoji) &&
+      tricky.sorted.indexOf(fffd) > tricky.sorted.indexOf(emoji),
+      "fixture must actually diverge between JVM-String and UTF-8 order")
+    val sorted = Seq(Tuple1(tricky)).toDF("a")
+      .select(sort_array(col("a")).as("a"))
+      .collect().head.getSeq[String](0)
+    assert(sorted.toSeq === byUtf8,
+      s"sort_array order ${sorted.mkString(",")} != UTF-8 byte order " +
+        byUtf8.mkString(","))
+    // and the walk itself on DIFFERENT arrays where a UTF-16 sort would
+    // misorder the left side and skip the match: [emoji, fffd] sorted
+    // UTF-16-wise puts the emoji first; the two-pointer walk would then
+    // advance past fffd and report 0
+    val n = Seq((Seq(emoji, fffd), Seq(fffd)))
+      .toDF("a", "b")
+      .select(expr(
+        "sorted_intersect_count(sort_array(a), sort_array(b))"))
       .collect().head.getInt(0)
-    assert(n === tricky.length, "self-intersection must see every element")
+    assert(n === 1, "walk must find U+FFFD in the mixed-plane array")
   }
 }
