@@ -24,6 +24,10 @@ import graft.core.Barrier.BarrierOps
 object Similarity extends OpModule {
 
   private val K = 5
+  /** The kNN-graph fanout (K) — shared with the streaming maintenance
+    * tier so the maintained lists rank to the same depth as the batch
+    * graph. */
+  private[graft] def knnK: Int = K
   /** Minimum surviving degree for [[queries sim_kcore]]'s peel. k=2
     * (the cycle core: peeling strips tree-like periphery) — k=3 on a
     * K=5 kNN graph sits at the core-collapse threshold, where LSH

@@ -102,6 +102,26 @@ object Sinks {
   def upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
       seqCol: String, dir: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    mergeTouched(spark, incoming, keyCol, dir, buckets)(unioned =>
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** The generic touched-bucket read-merge-rewrite [[upsert]]
+    * specializes: bucket the incoming rows by `keyCol`, read ONLY the
+    * touched buckets' existing rows, hand (existing ∪ incoming) to
+    * `merge`, and dynamically overwrite just those buckets. Public so
+    * streaming tiers whose per-key state is a LIST rather than one
+    * newest row (the kNN-graph top-K lists) can run their own merge —
+    * e.g. rank-and-keep-K per key — under the same discipline: O(touched
+    * buckets) IO per batch, replay-idempotent whenever `merge` is a
+    * function of the unioned SET. `merge` must preserve every column
+    * (the internal bucket column rides along).
+    */
+  def mergeTouched(spark: SparkSession, incoming: DataFrame,
+      keyCol: String, dir: String, buckets: Int = 16)(
+      merge: DataFrame => DataFrame): Unit = {
     val inc = incoming.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
     val touched = touchedBuckets(inc)
@@ -109,10 +129,7 @@ object Sinks {
       case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
       case None     => inc
     }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    val merged = unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    overwriteTouched(merged, touched, dir)
+    overwriteTouched(merge(unioned), touched, dir)
   }
 
   /** K8 streaming tier: SCD Type-2 history maintenance — the VERSIONED

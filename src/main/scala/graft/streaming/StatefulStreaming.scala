@@ -1123,6 +1123,110 @@ object StatefulStreaming {
     assigned
   }
 
+  /** Streaming kNN-GRAPH maintenance — the graph-ANN family's ingest
+    * story (the IVF tier's sibling). Per micro-batch:
+    *
+    *   1. sign the arriving vectors at the index's fixed LSH width
+    *      (`bits` is an index-creation constant, like the IVF tier's
+    *      frozen quantizer — the batch twin derives the same value from
+    *      the final corpus count) and append (vec_id, sig) + the raw
+    *      vectors under the per-`__batch=N` Overwrite discipline;
+    *   2. probe ONLY the buckets the batch touches: new signatures join
+    *      the signature store (which now includes this batch), so
+    *      candidate work is O(batch × bucket occupancy) regardless of
+    *      index size — a pair (a, b) is discovered exactly once, by the
+    *      batch of its later-arriving member;
+    *   3. re-rank ONLY touched vertices' top-K lists: the scored new
+    *      pairs merge into a [[Sinks]]-bucketed list store via
+    *      `mergeTouched` — top-K of (stored top-K ∪ new candidates)
+    *      equals top-K over all candidates ever seen (the standard
+    *      streaming top-K merge), so lists are always exactly the batch
+    *      `knnGraph` ranking over the ingested corpus. Untouched
+    *      vertices cannot have new candidates (a new pair touches both
+    *      endpoints), so skipping them loses nothing.
+    *
+    * Replay of a failed batch rewrites the same `__batch=N` dirs, and
+    * the list merge dedups on (vec_id, neighbor_id) before ranking, so
+    * a replayed pair never double-occupies K slots — idempotent end to
+    * end (StreamingSpec pins edge parity + replay + serve parity).
+    */
+  def graphIngestBatch(batch: DataFrame, storeDir: String, batchId: Long,
+      bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    vecs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/vecs/__batch=$batchId")
+    val sigs = graft.functions.Vectors
+      .lshSignaturesAgg(vecs, "vec_id", "embedding", bits, 4)
+      .select(col("vec_id"), explode(col("sigs")).as("sig"))
+    sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/sigs/__batch=$batchId")
+    val storeSigs = storeRead(spark, s"$storeDir/sigs", graphSigSchema)
+    val storeVecs = graphVecsFrom(spark, storeDir)
+    val newPairs = sigs.select(col("sig"), col("vec_id").as("va"))
+      .join(storeSigs.select(col("sig"), col("vec_id").as("vb")), "sig")
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    // both orientations, exactly as the batch candidate relation carries
+    // them (knnCandidatesOf joins a×b over the full relation)
+    val sym = newPairs
+      .unionByName(newPairs.select(col("vb").as("va"), col("va").as("vb")))
+      .distinct()
+    val scored = sym
+      .join(storeVecs.select(col("vec_id").as("va"),
+        col("embedding").as("ea")), "va")
+      .join(storeVecs.select(col("vec_id").as("vb"),
+        col("embedding").as("eb")), "vb")
+      .select(col("va").as("vec_id"), col("vb").as("neighbor_id"),
+        expr("cosine_sim(ea, eb)").as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    Sinks.mergeTouched(spark, scored, "vec_id",
+      s"$storeDir/topk") { unioned =>
+      unioned.dropDuplicates("vec_id", "neighbor_id")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= graft.operators.Similarity.knnK)
+        .drop("__rk")
+    }
+    scored
+  }
+
+  private val graphSigSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("sig", StringType)))
+  }
+
+  private def graphVecsFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    storeRead(spark, s"$storeDir/vecs", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  /** Serve the maintained graph: the stored top-K lists ARE the batch
+    * `knnGraph` relation over the ingested corpus, so the walk is the
+    * SAME `Similarity.beamSearchOver` tail as `sim_graph_search` (sim ≥
+    * 0.3 edge pruning included) — after any ingest sequence over a
+    * corpus, results are row-identical to the batch walk on it.
+    */
+  def graphSearchFrom(spark: SparkSession, storeDir: String,
+      width: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val ke = Sinks.readStore(spark, s"$storeDir/topk")
+      .filter(col("sim") >= 0.3)
+    graft.operators.Similarity.beamSearchOver(
+      graphVecsFrom(spark, storeDir), ke, width)
+  }
+
+  /** The maintained kNN-edge lists (vec_id, neighbor_id, sim) — exposed
+    * for the parity pin against the batch `knnGraph`. */
+  def graphEdgesFrom(spark: SparkSession, storeDir: String): DataFrame =
+    Sinks.readStore(spark, s"$storeDir/topk")
+
   private def ivfCentsFrom(spark: SparkSession,
       storeDir: String): DataFrame = {
     import org.apache.spark.sql.types._

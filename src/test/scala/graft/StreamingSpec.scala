@@ -674,6 +674,56 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("graph ingest: maintained top-K lists equal the batch kNN graph, " +
+      "replay-idempotent, beam serve row-identical to sim_graph_search") {
+    val store = java.nio.file.Files.createTempDirectory("graphstore")
+      .toString
+    try {
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      // the index width is fixed at creation; the batch twin derives the
+      // same value from the final corpus count
+      val bits = graft.functions.Vectors.occupancyBits(emb.count())
+      val batches = (0 until 3).map(i => emb.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.graphIngestBatch(b, store, i.toLong, bits)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "neighbor_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val maintained = edgeSet(
+        StatefulStreaming.graphEdgesFrom(spark, store))
+      val batchKe = edgeSet(graft.operators.Similarity
+        .knnGraph(spark, sfDir).drop("rank"))
+      graft.core.Barrier.releaseAll(spark)
+      assert(maintained === batchKe,
+        "stream-maintained top-K lists must equal the batch kNN graph " +
+          "over the same corpus (same K, same tie order, same sims)")
+      // replay of the middle batch after later commits: same __batch
+      // dirs, list merge dedups on (vec_id, neighbor_id) → unchanged
+      StatefulStreaming.graphIngestBatch(batches(1), store, 1L, bits)
+      graft.core.Barrier.releaseAll(spark)
+      assert(edgeSet(StatefulStreaming.graphEdgesFrom(spark, store))
+        === batchKe, "replay must not change the maintained lists")
+      // serve parity: the walk over the maintained graph is the batch
+      // walk (same entry, rounds, width, rank), so rows must be equal
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val served = rows(StatefulStreaming.graphSearchFrom(spark, store))
+      graft.core.Barrier.releaseAll(spark)
+      val batchWalk = rows(graft.operators.Similarity
+        .queries("sim_graph_search")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(served === batchWalk,
+        "beam search over the maintained graph must answer " +
+          "row-identically to sim_graph_search")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("PCA stats ingest: streamed sufficient statistics reproduce the " +
       "batch Gram bit-for-bit, replay-idempotent; from-Gram component " +
       "aligns with the batch ladder") {
