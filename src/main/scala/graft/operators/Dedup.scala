@@ -185,29 +185,80 @@ object Dedup extends OpModule {
             .as("n_drop_candidates"))
     }),
     "dedup_simhash" -> ((s, dir) => {
-      // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high bit
-      // across the doc's token set. Shape: explode tokens → md5 ONCE per
-      // token → 16 conditional sums in one codegen'd aggregate (the
-      // array-lambda form re-hashes every token per bit, 16x the work).
-      val docs = t(s, dir, "documents")
-      val hashed = docs
+      // 16-bit SimHash: bit j = majority vote of md5-hex digit j's high
+      // bit across the doc's token SET. One native simhash16(text) walk
+      // per row (plans/Simhash16.scala) — no explode, no aggregate, no
+      // join, NO EXCHANGE (the explode + 16-conditional-sum
+      // HashAggregate + restore-join form shuffled |tokens| rows; it is
+      // kept as [[simhashSpec]], bit-identity pinned in Simhash16Spec,
+      // so the oracle is unchanged). Empty/null-text docs are all-ones
+      // (majority over 0 tokens: 0 >= 0), via coalesce over the
+      // null-intolerant expression.
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Text.tokenizeDistinct(col("text"))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
-      val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val sums = (0 until 16).map(j =>
-        sum(when(substring(col("h"), j + 1, 1).isin(hi: _*), 1L)
-          .otherwise(0L)).as(s"ones_$j")) :+ count(lit(1)).as("n_toks")
-      val aggd = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      val bits = (0 until 16).map(j =>
-        when(col(s"ones_$j") * 2 >= col("n_toks"), lit("1")).otherwise(lit("0")))
-      // empty-token docs have no exploded rows: majority over 0 tokens is
-      // all-ones (0 >= 0), restored via the left join + coalesce
-      docs.select(col("doc_id"))
-        .join(aggd.select(col("doc_id"), concat(bits: _*).as("simhash")),
-          Seq("doc_id"), "left")
+          coalesce(expr("simhash16(text)"), lit("1" * 16)).as("simhash"))
+    }),
+    // SimHash near-dup PAIRS at web scale — Manku/Jain/Sarma (WWW'07,
+    // the Google crawl dedup paper): a WIDE simhash (60 bits here — 15
+    // md5 hex digits, int64-exact in both engines; the 16-bit report
+    // sketch above would put 1/16 of the corpus in every 4-bit band
+    // bucket) + Hamming ≤ 3 via banded pigeonhole blocking: 4 bands ×
+    // 15 bits — ≤ 3 differing bits touch ≤ 3 bands, so one band is
+    // intact and the blocking is EXACT over the Hamming predicate
+    // (recall 1 by construction, spec-pinned). Scale shape: signatures
+    // are ONE native-walk projection (no exchange); the banded relation
+    // is THIN (doc_id, band, 15-bit value) explicitly repartitioned on
+    // the bucket key; expected bucket occupancy N/2^15 per band keeps
+    // the self-join output-bound; the two sig sides re-join by doc_id
+    // at 1× volume (the verifiedPairsSplit idiom).
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // Candidate work runs at the DISTINCT-SIGNATURE level (the
+      // dedup_prefix_filter lesson, and Manku's own practical layout):
+      // a corpus dominated by exact duplicates collapses its clones to
+      // one fingerprint BEFORE any banding, so the band self-join is
+      // bounded by distinct content whatever the clone multiplicity —
+      // the doc-level draft went clone-quadratic at the 64× sweep
+      // (identical sigs 64-deep in every bucket) and was restructured
+      // before commit. Equal-sig doc pairs (hamming 0) come from group
+      // membership alone; verified sig pairs expand back through two
+      // thin joins — output-bound, the only stage that grows on a
+      // clone-heavy corpus.
+      graft.plans.GraftFunctions.register(s)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val allOnes = (1L << 60) - 1
+      val sigs = t(s, dir, "documents")
         .select(col("doc_id"),
-          coalesce(col("simhash"), lit("1" * 16)).as("simhash"))
+          coalesce(expr("simhash60(text)"), lit(allOnes)).as("sig"))
+        .barrier() // distinct roster + same-sig pairs + both expansions
+      val ds = sigs.select(col("sig")).distinct().barrier()
+      val banded = ds
+        .select(col("sig"), posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(sig, ${15 * b}) & 32767")): _*)))
+        .select(col("sig"), col("pos").as("band"), col("col").as("bval"))
+        .repartition(nPart, col("band"), col("bval"))
+        .barrier() // both sides of the candidate self-join
+      val spairs = banded
+        .select(col("band"), col("bval"), col("sig").as("sig_a"))
+        .join(banded.select(col("band"), col("bval"),
+          col("sig").as("sig_b")), Seq("band", "bval"))
+        .filter(col("sig_a") < col("sig_b"))
+        .select(col("sig_a"), col("sig_b")).distinct()
+        .withColumn("hamming",
+          expr("bit_count(sig_a ^ sig_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+      val sameSig = sigs.select(col("sig"), col("doc_id").as("doc_a"))
+        .join(sigs.select(col("sig"), col("doc_id").as("doc_b")), Seq("sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+      val crossSig = spairs
+        .join(sigs.select(col("sig").as("sig_a"),
+          col("doc_id").as("da")), "sig_a")
+        .join(sigs.select(col("sig").as("sig_b"),
+          col("doc_id").as("db")), "sig_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      sameSig.unionByName(crossSig)
     }),
     // the end-to-end dedup op: drop every doc that near-dup-matches an
     // earlier (lower-id) doc — "keep first" canonicalization. The pair
@@ -853,6 +904,59 @@ object Dedup extends OpModule {
       .select(col("doc_id"), expr("minhash_sigs(text)").as("mh"))
       .select((col("doc_id") +: (0 to 5).map(b =>
         col(s"mh.mh$b").as(s"mh$b"))): _*)
+  }
+
+  /** The composed-builtin EXECUTABLE SPEC of `dedup_simhash` — the
+    * explode → md5-per-token → 16-conditional-sum HashAggregate →
+    * restore-join pipeline the native `simhash16` expression fuses.
+    * Kept verbatim (not in any query path) so the parity test pins the
+    * native walk against the exact semantics the DuckDB oracle mirrors.
+    */
+  private[graft] def simhashSpec(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(Text.tokenizeDistinct(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 16).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(hi: _*), 1L)
+        .otherwise(0L)).as(s"ones_$j")) :+ count(lit(1)).as("n_toks")
+    val aggd = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val bits = (0 until 16).map(j =>
+      when(col(s"ones_$j") * 2 >= col("n_toks"), lit("1"))
+        .otherwise(lit("0")))
+    docs.select(col("doc_id"))
+      .join(aggd.select(col("doc_id"), concat(bits: _*).as("simhash")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("simhash"), lit("1" * 16)).as("simhash"))
+  }
+
+  /** The composed-builtin EXECUTABLE SPEC of `simhash60` — explode the
+    * distinct tokens, parse each one's 15-hex-digit md5 value, take 60
+    * per-bit majority sums. Kept (not in any query path) so the parity
+    * test pins the native walk against exactly what the
+    * `dedup_simhash_pairs` oracle mirrors.
+    */
+  private[graft] def simhash60Spec(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(Text.tokenizeDistinct(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("v"))
+    val sums = (0 until 60).map(sh =>
+      sum(expr(s"shiftright(v, $sh) & 1")).as(s"o$sh")) :+
+      count(lit(1)).as("n")
+    val aggd = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 60).map(sh =>
+      when(col(s"o$sh") * 2 >= col("n"), lit(1L << sh)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs.select(col("doc_id"))
+      .join(aggd.select(col("doc_id"), sig.as("sig")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sig"), lit((1L << 60) - 1)).as("sig"))
   }
 
   /** The composed-builtin EXECUTABLE SPEC of [[minhashSlices]] — the
@@ -1829,6 +1933,47 @@ object Dedup extends OpModule {
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,
+    // mirrors dedup_simhash_pairs: per-doc 60-bit sig from the distinct
+    // token values' bit majorities (tv computed ONCE per doc, 60
+    // list_filter votes over it; null text → all-ones like the Spark
+    // coalesce; zero tokens fall out of 2·0 ≥ 0 in both engines), the
+    // same 4×15-bit banding, the same bit_count verify
+    "dedup_simhash_pairs" -> {
+      val sigExpr = (0 until 60).map(sh =>
+        s"(CASE WHEN 2 * len(list_filter(tv, v -> ((v >> $sh) & 1) = 1))" +
+          s" >= len(tv) THEN (CAST(1 AS BIGINT) << $sh)" +
+          " ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, list_transform($oraToks,
+         |    x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS tv
+         |  FROM documents),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN tv IS NULL
+         |    THEN (CAST(1 AS BIGINT) << 60) - 1
+         |    ELSE $sigExpr END AS sig
+         |  FROM t0),
+         |ds AS MATERIALIZED (SELECT DISTINCT sig FROM sigs),
+         |banded AS MATERIALIZED (
+         |  SELECT sig, b, (sig >> (15 * b)) & 32767 AS bval
+         |  FROM ds, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |spairs AS MATERIALIZED (
+         |  SELECT sig_a, sig_b,
+         |    CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |  FROM (SELECT DISTINCT a.sig AS sig_a, b2.sig AS sig_b
+         |        FROM banded a JOIN banded b2
+         |          ON a.b = b2.b AND a.bval = b2.bval AND a.sig < b2.sig)
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3)
+         |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         |  CAST(0 AS BIGINT) AS hamming
+         |FROM sigs sa JOIN sigs sb
+         |  ON sa.sig = sb.sig AND sa.doc_id < sb.doc_id
+         |UNION ALL
+         |SELECT least(da.doc_id, db.doc_id) AS doc_a,
+         |  greatest(da.doc_id, db.doc_id) AS doc_b, p.hamming
+         |FROM spairs p
+         |JOIN sigs da ON da.sig = p.sig_a
+         |JOIN sigs db ON db.sig = p.sig_b""".stripMargin
+    },
     "dedup_keep_canonical" ->
       s"""SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM ($oraclesMinhash))""".stripMargin,

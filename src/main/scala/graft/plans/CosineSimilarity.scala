@@ -114,6 +114,14 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinhashSigs(children.head)),
+    // one-walk 16-bit SimHash string (see Simhash16 scaladoc)
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (children: Seq[Expression]) => Simhash16(children.head)),
+    // one-walk 60-bit SimHash BIGINT (see Simhash60 scaladoc)
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (children: Seq[Expression]) => Simhash60(children.head)),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder

@@ -64,7 +64,8 @@ object Scaling {
     "sim_graph_search", "text_f2_moment", "corpus_zorder_skipping",
     "q_topk_ta", "q_join_card_estimate", "j9_bloom_semijoin",
     "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
-    "sim_graph_recall_vs_beam", "text_keyword_agreement")
+    "sim_graph_recall_vs_beam", "text_keyword_agreement",
+    "sim_graph_search_layered", "dedup_simhash_pairs")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
@@ -265,6 +266,53 @@ object Scaling {
           println(f"[ivfsweep] n=$n q=$q%-5d c=$c%-4d derivedC=$derived%-4d " +
             f"${times.min}%7.3fs$mark")
         }
+      }
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("zipf")) {
+      // r11 verdict #5: the prefix-filter pruning claim, MEASURED. The
+      // fixture's 31-word vocabulary is the densest case for prefix
+      // filtering (every rare-gram prefix is still common); SCALING.md
+      // claims "Zipf shingle universes prune orders of magnitude
+      // harder" — this mode materializes a Zipf-vocab twin of the
+      // documents table (same doc count, same per-doc word counts,
+      // words drawn Zipf(1) from a V-word vocabulary via the
+      // inverse-CDF pow(V, u) device: P(rank ≤ k) = ln k / ln V, the
+      // classic s=1 tail) and prints dedup_prefix_filter_stats for
+      // both corpora side by side, candidate ratio included.
+      val v = args.lift(2).map(_.toInt).getOrElse(50000)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = s"/tmp/graft_zipf_${new java.io.File(base).getName}_v$v"
+      val out = s"$dir/documents.parquet"
+      if (!new java.io.File(out).exists()) {
+        val docs = Tables.load(spark, base, "documents")
+        docs.select(col("doc_id"),
+            greatest(size(graft.functions.Text.tokenize(col("text"))),
+              lit(1)).as("nw"))
+          .select(col("doc_id"), concat_ws(" ",
+            transform(sequence(lit(1), col("nw")), i =>
+              concat(lit("w"), ceil(pow(lit(v.toDouble),
+                pmod(hash(col("doc_id"), i), lit(1000000))
+                  .cast("double") / 1000000.0)).cast("long"))))
+            .as("text"))
+          .write.mode("overwrite").parquet(out)
+      }
+      Seq("fixture" -> base, s"zipf(V=$v)" -> dir).foreach { case (tag, d) =>
+        val r = SparkEntry.queries("dedup_prefix_filter_stats")(spark, d)
+          .collect()(0)
+        graft.core.Barrier.releaseAll(spark)
+        val (nPoss, nCand) = (r.getLong(1), r.getLong(5))
+        println(f"[zipf] $tag%-14s n_docs=${r.getLong(0)}%-6d " +
+          f"n_sets=${r.getLong(2)}%-6d n_shingle_rows=${r.getLong(3)}%-9d " +
+          f"n_prefix_rows=${r.getLong(4)}%-8d n_candidates=$nCand%-9d " +
+          f"n_pairs=${r.getLong(6)}%-5d " +
+          f"cand_ratio=${nCand.toDouble / math.max(nPoss, 1)}%.6f")
       }
       spark.stop()
       return
