@@ -110,13 +110,35 @@ object Vectors {
     array((0 until tables).map(t =>
       concat_ws(":", lit(t), hyperplaneSignature(vec, bits, t))): _*)
 
-  /** Same signatures as `lshTables`, computed as ONE codegen'd
-    * posexplode + (tables × bits) sum-aggregates pass instead of
-    * interpreted array lambdas — the scalable form (map-side partial sums,
-    * one shuffle on the id). Returns (idCol, sigs: Array[String]).
+  /** Same signatures as `lshTables`, as ONE native per-row walk
+    * (plans/LshSigs.scala, r12): no explode, NO EXCHANGE — the previous
+    * aggregate form posexploded one row per dimension and shuffled the
+    * exploded relation into a (tables × bits)-column HashAggregate,
+    * which at 100 TB moves dims× the corpus; it is kept below as
+    * [[lshSignaturesAggSpec]], bit-identity pinned in VectorsSpec.
+    * Rows with null or empty vectors are dropped, exactly as the
+    * explode form dropped them. Returns (idCol, sigs: Array[String]).
+    * `nDims` is accepted for signature compatibility and ignored: the
+    * native walk sizes the sign matrix to each row's own length (which
+    * is also what the DuckDB oracle does).
     */
   def lshSignaturesAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, bits: Int, tables: Int,
+      nDims: Int = -1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), ColumnBridge.column(graft.plans.LshSigs(
+        ColumnBridge.expression(col(vecCol)), bits, tables)).as("sigs"))
+  }
+
+  /** The aggregate EXECUTABLE SPEC of [[lshSignaturesAgg]] — posexplode
+    * + (tables × bits) sum-aggregates (map-side partial sums, one
+    * shuffle on the id). Kept (not in any query path) so the parity
+    * test pins the native walk against the exact accumulation the
+    * oracle mirrors.
+    */
+  private[graft] def lshSignaturesAggSpec(df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, bits: Int, tables: Int,
       nDims: Int = -1): org.apache.spark.sql.DataFrame = {
     // nDims <= 0 → infer from the data (one O(1) limit-1 probe job): a
     // sign matrix narrower than the vectors would silently drop the tail
