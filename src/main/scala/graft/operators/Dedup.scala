@@ -260,6 +260,38 @@ object Dedup extends OpModule {
           greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       sameSig.unionByName(crossSig)
     }),
+    // Content-defined chunking dedup report (Muthitacharoen et al.,
+    // LBFS — the storage-dedup standard, at corpus-text granularity):
+    // chunk boundaries are CONTENT-derived (16-char window hash ≡ 0
+    // mod 64, expected chunk ~64 chars), so an insertion early in a
+    // document reshuffles only the chunks it touches — the robustness
+    // fixed-size blocks lack, and the granularity that catches
+    // boilerplate/quote reuse exact-doc and shingle dedup both miss.
+    // Per source: chunk count, distinct-chunk count, raw vs distinct
+    // character volume, and the dedup win in ppm. Shape at 100 TB: one
+    // native cdc_chunks(norm) walk per row (plans/CdcChunks.scala — the
+    // window hash reads 6 bits straight off the digest, no hex
+    // strings), then a thin (source, fp) rollup — the corpus moves
+    // through ONE narrow projection and one fingerprint-keyed shuffle.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val chunks = t(s, dir, "documents")
+        .select(col("source"), Text.normalize(col("text")).as("norm"))
+        .select(col("source"), explode(expr("cdc_chunks(norm)")).as("c"))
+        .select(col("source"), col("c.fp").as("fp"),
+          col("c.nchars").as("nchars"))
+      val perFp = chunks.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("n_occ"), first(col("nchars")).as("nchars"))
+      perFp.groupBy(col("source"))
+        .agg(sum(col("n_occ")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("n_occ") * col("nchars")).as("chars"),
+          sum(col("nchars")).as("chars_distinct"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          col("chars"), col("chars_distinct"),
+          expr("((chars - chars_distinct) * 1000000) " +
+            "DIV greatest(chars, 1)").as("dup_ratio_ppm"))
+    }),
     // the end-to-end dedup op: drop every doc that near-dup-matches an
     // earlier (lower-id) doc — "keep first" canonicalization. The pair
     // relation is the minhash pipeline above; at scale this is the same
@@ -1933,6 +1965,54 @@ object Dedup extends OpModule {
     "dedup_simhash" ->
       s"""SELECT doc_id, $oraSimhashBits AS simhash
          |FROM (SELECT doc_id, $oraToks AS toks FROM documents)""".stripMargin,
+    // mirrors dedup_cdc_chunks stage by stage: the same normalization,
+    // every 16-char window's md5-derived 60-bit value mod 64 (the cut
+    // rule), document end always a cut (the len > 0 guard matches the
+    // native walk's empty → no chunks), lag-window segmentation, md5
+    // chunk fingerprints, the same two rollups
+    "dedup_cdc_chunks" ->
+      """WITH n AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(norm) - 15, 0))) AS p
+        |  FROM n),
+        |b AS (
+        |  SELECT pos.doc_id, pos.p + 15 AS cut
+        |  FROM pos JOIN n USING (doc_id)
+        |  WHERE ('0x' || substring(md5(substring(n.norm, pos.p, 16)),
+        |          1, 15))::BIGINT % 64 = 0),
+        |allcuts AS (
+        |  SELECT doc_id, cut FROM b
+        |  UNION
+        |  SELECT doc_id, len(norm) FROM n WHERE len(norm) > 0),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+        |      + 1 AS s,
+        |    cut AS e
+        |  FROM allcuts),
+        |chunks AS MATERIALIZED (
+        |  SELECT n.source, md5(substring(n.norm, segs.s,
+        |      segs.e - segs.s + 1)) AS fp,
+        |    CAST(segs.e - segs.s + 1 AS BIGINT) AS nchars
+        |  FROM segs JOIN n USING (doc_id)),
+        |perfp AS (
+        |  SELECT source, fp, CAST(count(*) AS BIGINT) AS n_occ,
+        |    any_value(nchars) AS nchars
+        |  FROM chunks GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(sum(n_occ * nchars) AS BIGINT) AS chars,
+        |  CAST(sum(nchars) AS BIGINT) AS chars_distinct,
+        |  CAST(((sum(n_occ * nchars) - sum(nchars)) * 1000000)
+        |    // greatest(sum(n_occ * nchars), 1) AS BIGINT)
+        |    AS dup_ratio_ppm
+        |FROM perfp GROUP BY 1""".stripMargin,
     // mirrors dedup_simhash_pairs: per-doc 60-bit sig from the distinct
     // token values' bit majorities (tv computed ONCE per doc, 60
     // list_filter votes over it; null text → all-ones like the Spark

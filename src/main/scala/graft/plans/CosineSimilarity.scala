@@ -122,6 +122,10 @@ object GraftFunctions {
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (children: Seq[Expression]) => Simhash60(children.head)),
+    // content-defined chunk fingerprints (see CdcChunks scaladoc)
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => CdcChunks(children.head)),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder

@@ -65,7 +65,8 @@ object Scaling {
     "q_topk_ta", "q_join_card_estimate", "j9_bloom_semijoin",
     "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
     "sim_graph_recall_vs_beam", "text_keyword_agreement",
-    "sim_graph_search_layered", "dedup_simhash_pairs")
+    "sim_graph_search_layered", "dedup_simhash_pairs",
+    "dedup_cdc_chunks")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
