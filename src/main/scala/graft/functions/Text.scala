@@ -48,6 +48,21 @@ object Text {
     * lowercased first (both engines case-fold cyrillic).
     */
   def tokenizeCjk(c: Column): Column = {
+    // ONE native codepoint walk (plans/TokenizeCjk.scala, r12): the
+    // composed regexp_extract_all + interpreted span-expansion lambdas
+    // below ([[tokenizeCjkSpec]]) ran per-element interpreted — the
+    // hot-path shape the native-walk fusions measure at 3–50×.
+    // Token-identity is pinned in OperatorsSpec on every script tier.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.TokenizeCjk(ColumnBridge.expression(c)))
+  }
+
+  /** The composed-builtin EXECUTABLE SPEC of [[tokenizeCjk]] — kept
+    * (not on any query path) so the parity test pins the native walk
+    * against the exact span/expansion semantics documented above.
+    */
+  private[graft] def tokenizeCjkSpec(c: Column): Column = {
     val spans = regexp_extract_all(lower(c),
       lit(s"$HanClass+|[a-z0-9]+|[а-яё]+"), lit(0))
     flatten(transform(spans, sp =>

@@ -129,9 +129,9 @@ object GraftFunctions {
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder
-    // composes the same built-in expression tree the Column API builds,
-    // so `LATERAL VIEW explode(tokenize_cjk(text))` is plan-identical to
-    // the DataFrame form.
+    // routes through Text.tokenizeCjk (since r12 the native TokenizeCjk
+    // walk), so `LATERAL VIEW explode(tokenize_cjk(text))` is
+    // plan-identical to the DataFrame form.
     (FunctionIdentifier("tokenize_cjk"),
       new ExpressionInfo("graft.functions.Text", "tokenize_cjk"),
       (children: Seq[Expression]) =>

@@ -82,6 +82,23 @@ class OperatorsSpec extends SparkSpec {
     kw.sliding(2).foreach(bg => assert(got.contains(bg), s"missing bigram $bg"))
   }
 
+  test("native tokenize_cjk == composed spec on fixture + multi-script " +
+      "edges") {
+    import spark.implicits._
+    val edges = Seq("深度学习 deep learning 2024", "我", "abc 123", "",
+      "Распределённый Spark движок 2024", "中文and русскийmixed直接",
+      "emoji 😀 between 汉字 and words", "ВЕРХНИЙ РЕГИСТР", "a中b中c",
+      "таб\tи\nперенос", null)
+    val df = edges.toDF("text").unionByName(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val diff = df.select(
+        graft.functions.Text.tokenizeCjk(col("text")).as("a"),
+        graft.functions.Text.tokenizeCjkSpec(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff === 0,
+      "native walk must tokenize identically to the composed spec")
+  }
+
   test("tokenizeCjk reduces to tokenize on pure-ASCII text") {
     // guards the flagship keyword job's switch to the script-aware tier
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
