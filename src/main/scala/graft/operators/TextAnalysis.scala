@@ -1653,6 +1653,46 @@ object TextAnalysis extends OpModule {
         .filter(col("rk") <= 5)
         .select(col("source"), col("rk"), col("doc_id"))
     }),
+    // Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    // (Inf. Proc. Letters 2006), the one-pass device behind every
+    // weight-proportional corpus subsample: each row draws u ~ U(0,1]
+    // and ranks by u^(1/w); the k LARGEST keys are a weighted sample
+    // without replacement. Ranking by u^(1/w) DESC is ranking by E/w
+    // ASC with E = −log2 u — and log2 here is the engine-portable
+    // QUANTIZED log2 (the unigram-LM device at 2^20 sub-bit units: msb
+    // from length(bin(x)), one linear interpolation inside the octave —
+    // monotone, pure-integer, bit-identical in both engines; ln/pow
+    // would not round-trip across libm builds). u is 1 + the top 40
+    // md5 bits of a salted doc_id (deterministic — reruns and backfills
+    // draw the SAME sample, the house sampling stance); w = token count
+    // (length-weighted draws, the token-budget weighting). Magnitudes:
+    // E_q ≤ 40·2^20 < 2^26, ·2^18 < 2^44 — no overflow anywhere near
+    // int64. Scale shape: one narrow pass computes (w, u, key_q) per
+    // row with NO shuffle; orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition top-k then a k-row merge, no
+    // global sort, plan-pinned in OperatorsSpec) — at 100 TB the sample
+    // costs one scan plus a k-row reduction, and weights can swap to
+    // any per-row signal (quality score, inverse source size) without
+    // touching the shape.
+    "sample_weighted_ares" -> ((s, dir) => {
+      // E_q/w in 2^-18 units per weight unit: 41943040 = 40·2^20 (the
+      // 40-bit u ceiling), 1048576 = 2^20, 262144 = 2^18
+      val keyQ = expr("((41943040 - (1048576 * (length(bin(u)) - 1) + " +
+        "((u - shiftleft(CAST(1 AS BIGINT), length(bin(u)) - 1)) " +
+        "* 1048576) DIV shiftleft(CAST(1 AS BIGINT), " +
+        "length(bin(u)) - 1))) * 262144) DIV w")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(size(Text.tokenize(col("text"))), lit(1))
+            .cast("long").as("w"),
+          (conv(substring(md5(concat(lit("ares|"),
+            col("doc_id").cast("string"))), 1, 10), 16, 10)
+            .cast("long") + 1L).as("u"))
+        .withColumn("key_q", keyQ)
+        .orderBy(col("key_q").asc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("w"), col("key_q"))
+    }),
     // Salient-term extraction — the tf-idf primitive reshaped for exact
     // verification: terms rank by (tf DESC, df ASC, tok ASC), which is
     // order-equivalent to tf·idf whenever tf ties break by rarity and
@@ -5005,6 +5045,24 @@ object TextAnalysis extends OpModule {
         |      ORDER BY md5('tk|' || doc_id::VARCHAR) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 5""".stripMargin,
+    // mirrors sample_weighted_ares: same 40-bit u, same quantized-log2
+    // key algebra (msb via length(bin(u)), integer DIV throughout)
+    "sample_weighted_ares" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    greatest(len(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')), 1)::BIGINT AS w,
+        |    ('0x' || substring(md5('ares|' || doc_id::VARCHAR), 1, 10))
+        |      ::BIGINT + 1 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, w,
+        |  ((41943040 - (1048576 * (length(bin(u)) - 1)
+        |    + ((u - (CAST(1 AS BIGINT) << (length(bin(u)) - 1))) * 1048576)
+        |      // (CAST(1 AS BIGINT) << (length(bin(u)) - 1)))) * 262144)
+        |    // w AS key_q
+        |FROM d
+        |ORDER BY key_q ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     "sample_stratified_exact" -> {
       val values = stratifiedBudgets
         .map { case (l, k) => s"('$l', $k)" }.mkString(", ")

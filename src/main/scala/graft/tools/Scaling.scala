@@ -66,7 +66,7 @@ object Scaling {
     "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
     "sim_graph_recall_vs_beam", "text_keyword_agreement",
     "sim_graph_search_layered", "dedup_simhash_pairs",
-    "dedup_cdc_chunks", "u1_tokenize_cjk")
+    "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -699,6 +699,42 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length === 100 && a.distinct.length === 100)
   }
 
+  test("weighted A-ES sample: top-k plan, driver recompute, length bias") {
+    val df = graft.operators.TextAnalysis
+      .queries("sample_weighted_ares")(spark, sfDir)
+    // one narrow pass + per-partition top-k: no global sort, no exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(3)))
+    // exactness: the distributed top-k equals a from-scratch driver
+    // recompute of the full A-ES key ranking
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.map { case (id, text) =>
+      val w = math.max(text.toLowerCase.split("[^a-z0-9]+")
+        .count(_.nonEmpty), 1).toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ares|$id".getBytes("UTF-8"))
+      val u = md.take(5).foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL)) + 1L
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(u)
+      val qlog = 1048576L * msb + ((u - (1L << msb)) * 1048576L) / (1L << msb)
+      (id, ((41943040L - qlog) * 262144L) / w)
+    }.sortBy { case (id, k) => (k, id) }.take(100)
+    assert(got.toSeq === want.toSeq,
+      "distributed top-k must equal the driver A-ES recompute")
+    // the A-ES property at fixture scale: length-weighted draws select
+    // longer docs — sample mean token count well above the corpus mean
+    val sampleMeanW = df.agg(avg(col("w"))).collect()(0).getDouble(0)
+    val corpusMeanW = docs.map { case (_, t) =>
+      math.max(t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty), 1)
+    }.sum.toDouble / docs.length
+    assert(sampleMeanW > corpusMeanW,
+      f"weighted sample mean w $sampleMeanW%.1f must exceed corpus mean " +
+        f"$corpusMeanW%.1f")
+  }
+
   test("substring dedup: shared passages strip, within-doc repeats count") {
     val df = graft.operators.TextAnalysis
       .queries("text_substring_dedup")(spark, sfDir)
