@@ -2421,6 +2421,60 @@ object TextAnalysis extends OpModule {
       val tb = train.agg(count(lit(1)).as("tb"))
       bigramLmScore(bigrams, cb, cw1, cw2, tb)
     }),
+    // Kneser–Ney smoothed bigram LM — the published upgrade over the
+    // interpolated JM model above, and THE smoothing every serious
+    // n-gram LM ships (Chen & Goodman 1998): absolute discounting
+    // D = 3/4 off every seen bigram, with the freed mass routed to the
+    // CONTINUATION distribution — p_cont(w2) ∝ how many distinct left
+    // contexts w2 follows, not how often it occurs (the "san francisco"
+    // insight: 'francisco' is frequent but predictable, so its KN
+    // backoff weight is tiny). Model over the SAME stable train split:
+    //   p(w2|w1) = (cb − 3/4)⁺/c1 + (3/4 · n1p_fw(w1)/c1) · p_cont(w2)
+    //   p_cont(w2) = n1p_bw(w2) / t_types
+    // where c1 = Σ_w2 cb (train events starting w1), n1p_fw/n1p_bw =
+    // distinct right/left neighbors, t_types = distinct bigram types.
+    // Unseen w1 backs off to p_cont alone; unseen w2 scores 0. All in
+    // exact micro-unit integers (quarters cleared: (cb − 3/4)·1e6/c1 =
+    // (4·cb − 3)·250000 DIV c1), divisions ORDERED to bound magnitude:
+    // (750000·n1p_fw·n1p_bw) DIV t_types DIV c1 — numerator ≤
+    // 7.5e5·V², int64-safe through V ≈ 3.5e6 distinct train words
+    // (64× rig: V = 31). By construction Σ_w2 p(w2|w1)·1e6 ≤ 1e6 with
+    // < 1 micro truncation loss per continuation — the normalization
+    // identity the spec pins per context. Scale shape: identical to
+    // text_bigram_lm — ONE barriered bigram explode feeds the train
+    // rollups and the scoring pass; every model relation derives from
+    // the vocab²-bounded cb rollup (c1/n1p_fw/n1p_bw/t_types are
+    // aggregates OF cb, not corpus passes) and rides broadcasts.
+    "text_kneser_ney" -> ((s, dir) => {
+      val bigrams = bigramsOf(t(s, dir, "documents"))
+        .barrier() // feeds the train counts AND the scoring join
+      val cb = lmTrainSplit(bigrams)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .barrier() // all four model relations read it
+      val cfw = cb.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
+      val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+      val tt = cb.agg(count(lit(1)).as("t_types"))
+      bigrams
+        .join(broadcast(cb), Seq("w1", "w2"), "left")
+        .join(broadcast(cfw), Seq("w1"), "left")
+        .join(broadcast(cbw), Seq("w2"), "left")
+        .join(broadcast(tt), lit(true))
+        .withColumn("p_micro", expr(
+          "CASE WHEN c1 IS NULL THEN " +
+            "(CASE WHEN n1p_bw IS NULL THEN 0 " +
+            "ELSE (1000000 * n1p_bw) DIV t_types END) " +
+            "ELSE (CASE WHEN cb IS NULL THEN 0 " +
+            "ELSE ((4 * cb - 3) * 250000) DIV c1 END) + " +
+            "((750000 * n1p_fw * coalesce(n1p_bw, 0)) DIV t_types) DIV c1 " +
+            "END"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_micro")).as("kn_micro_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("kn_micro_sum"),
+          (col("kn_micro_sum").cast("double") /
+            col("n_bigrams").cast("double")).as("kn_score"))
+    }),
     // CCNet-style perplexity bucketing — the published head/middle/tail
     // split: score every doc by the trained bigram LM (the text_bigram_lm
     // model verbatim — one train split, same interpolated micro-unit
@@ -2611,6 +2665,52 @@ object TextAnalysis extends OpModule {
          |FROM (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |    CAST(sum(p_micro) AS BIGINT) AS lm_micro_sum
+         |  FROM scored GROUP BY 1)""".stripMargin,
+    // mirrors text_kneser_ney: same bigram CTEs, the cb rollup, the
+    // four model aggregates OF cb, and the same division order
+    "text_kneser_ney" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+         |      AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM d),
+         |train AS (
+         |  SELECT * FROM bg
+         |  WHERE ${oraHashBucket("lm|")} < 50),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM train
+         |       GROUP BY 1, 2),
+         |cfw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+         |          CAST(count(*) AS BIGINT) AS n1p_fw FROM cb GROUP BY 1),
+         |cbw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw FROM cb
+         |        GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM cb),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    CASE WHEN cfw.c1 IS NULL THEN
+         |      (CASE WHEN cbw.n1p_bw IS NULL THEN 0
+         |       ELSE (1000000 * cbw.n1p_bw) // tt.t_types END)
+         |    ELSE (CASE WHEN cb.cb IS NULL THEN 0
+         |          ELSE ((4 * cb.cb - 3) * 250000) // cfw.c1 END)
+         |      + ((750000 * cfw.n1p_fw * coalesce(cbw.n1p_bw, 0))
+         |         // tt.t_types) // cfw.c1
+         |    END AS p_micro
+         |  FROM bg
+         |  LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+         |  LEFT JOIN cfw ON cfw.w1 = bg.w1
+         |  LEFT JOIN cbw ON cbw.w2 = bg.w2
+         |  CROSS JOIN tt)
+         |SELECT doc_id, n_bigrams, kn_micro_sum,
+         |  CAST(kn_micro_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS kn_score
+         |FROM (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(p_micro) AS BIGINT) AS kn_micro_sum
          |  FROM scored GROUP BY 1)""".stripMargin,
     // mirrors text_perplexity_buckets: the text_bigram_lm CTE chain up
     // to per-doc integer mean score, then the bounded (lang, sc)

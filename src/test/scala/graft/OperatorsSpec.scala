@@ -699,6 +699,45 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length === 100 && a.distinct.length === 100)
   }
 
+  test("kneser-ney: per-context normalization identity, coverage, spread") {
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // re-derive the model exactly as the query does, then pin the KN
+    // defining property: for every SEEN context w1, the full-vocab sum
+    // Sum_w2 p(w2|w1) is 1 up to the documented truncation slack
+    val bigrams = TextAnalysis.bigramsOf(docs)
+    val cb = TextAnalysis.lmTrainSplit(bigrams)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cfw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
+    val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+    val tt = cb.agg(count(lit(1)).as("t_types"))
+    val vocabW2 = cbw.count()
+    val sums = cfw.crossJoin(cbw) // model-sized (V x V), test scale only
+      .join(cb, Seq("w1", "w2"), "left")
+      .crossJoin(tt)
+      .withColumn("p_micro", expr(
+        "(CASE WHEN cb IS NULL THEN 0 " +
+          "ELSE ((4 * cb - 3) * 250000) DIV c1 END) + " +
+          "((750000 * n1p_fw * n1p_bw) DIV t_types) DIV c1"))
+      .groupBy(col("w1")).agg(sum(col("p_micro")).as("norm_micro"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val n = r.getLong(1)
+      assert(n <= 1000000L && n > 1000000L - (2 * vocabW2 + 2),
+        s"context ${r.getString(0)}: norm $n outside the truncation band")
+    }
+    // the query itself: one row per >=2-token doc, scores that spread
+    val out = SparkEntry.queries("text_kneser_ney")(spark, sfDir)
+      .collect()
+    val nEligible = docs.filter(
+      size(graft.functions.Text.tokenize(col("text"))) >= 2).count()
+    assert(out.length.toLong === nEligible)
+    assert(out.map(_.getLong(2)).distinct.length > 10,
+      "per-doc KN sums must discriminate, not collapse")
+  }
+
   test("weighted A-ES sample: top-k plan, driver recompute, length bias") {
     val df = graft.operators.TextAnalysis
       .queries("sample_weighted_ares")(spark, sfDir)
