@@ -428,6 +428,76 @@ object Dedup extends OpModule {
           col("n_shingle_rows"), col("n_prefix_rows"), col("n_candidates"),
           col("n_pairs"))
     }),
+    // CONTAINMENT join — the asymmetric member of the exact set-join
+    // family (Chaudhuri et al.'s SSJoin predicate class): emit directed
+    // pairs where ≥ 4/5 of doc A's gram set sits inside doc B's,
+    // i.e. C(A→B) = |A∩B|/|A| ≥ τ. This is the predicate Jaccard is
+    // structurally BLIND to: a paragraph quoted inside a much longer
+    // page has C ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — the quote/boilerplate/
+    // wrapped-repost duplication a training pipeline still wants found.
+    // Same distinct-set scaffold as dedup_prefix_filter (candidate and
+    // verify work is clone-invariant), with the ASYMMETRIC prefix
+    // pigeonhole: if C(A→B) ≥ τ then at most n_a − ⌈τ·n_a⌉ of A's
+    // grams miss B, so A's first n_a − ⌈τ·n_a⌉ + 1 rarity-ranked grams
+    // contain a witness in B — A contributes only its prefix to the
+    // candidate join while B indexes its WHOLE ranked gram list (no
+    // pigeonhole bounds B's misses; a one-sided size filter
+    // 5·n_b ≥ 4·n_a applies since o ≤ n_b). The positional filter is
+    // the PPJoin bound adapted: o ≤ 1 + min(n_a − ra, n_b − rb) at the
+    // min-rank shared witness (the same single-witness proof as the
+    // Jaccard join: ranks are order-isomorphic to the one global
+    // (df ASC, gram ASC) order, so both minima land on the globally
+    // smallest shared gram), pruned when 5·bound < 4·n_a. Verification
+    // is the sorted_intersect_count walk at 5·o ≥ 4·n_a. Sets under 8
+    // grams are excluded (sub-12-char normalized docs — containment is
+    // vacuous there), and identical sets are excluded BY CONSTRUCTION
+    // (they share one set_id; dedup_exact owns them) — the oracle
+    // mirrors both via the exhaustive definition, proving the device
+    // lossless, not merely self-consistent. Scale: the B-side full
+    // index is the honest cost; candidates per gram are
+    // |prefix-lists| × |full-lists|, and rarity ranking keeps common
+    // grams out of prefixes, so a Zipf gram universe prunes exactly as
+    // the Jaccard twin's measured Zipf row shows.
+    "dedup_containment" -> ((s, dir) => {
+      val gs = gramSetRels(s, dir)
+      val ranked = gs.ranked.filter(col("n") >= 8)
+        .barrier() // the A-side prefix cut AND the B-side full index
+      val pref = ranked
+        .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+      val cand = pref
+        .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
+          col("r").as("ra"))
+        .join(ranked.select(col("set_id").as("sb"), col("g"),
+          col("n").as("n_b"), col("r").as("rb")), Seq("g"))
+        .filter(col("sa") =!= col("sb") &&
+          col("n_b") * 5 >= col("n_a") * 4)
+        .groupBy(col("sa"), col("sb"))
+        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+          min(col("ra")).as("ra"), min(col("rb")).as("rb"))
+        .filter((lit(1L) + least(col("n_a") - col("ra"),
+          col("n_b") - col("rb"))) * 5 >= col("n_a") * 4)
+      val verified = cand
+        .join(gs.sets.select(col("set_id").as("sa"),
+          col("grams").as("g_a")), "sa")
+        .join(gs.sets.select(col("set_id").as("sb"),
+          col("grams").as("g_b")), "sb")
+        .withColumn("inter",
+          expr("sorted_intersect_count(g_a, g_b)").cast("long"))
+        .filter(col("inter") * 5 >= col("n_a") * 4)
+        .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("inter"))
+      // directed doc-pair expansion through the thin membership joins —
+      // output-bound, the only stage clone multiplicity grows
+      val setDocs = gs.d.select(col("fp"), col("doc_id"))
+        .join(gs.sets.select(col("fp"), col("set_id")), "fp")
+        .select(col("set_id"), col("doc_id"))
+      verified
+        .join(setDocs.select(col("set_id").as("sa"),
+          col("doc_id").as("doc_a")), "sa")
+        .join(setDocs.select(col("set_id").as("sb"),
+          col("doc_id").as("doc_b")), "sb")
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("inter"), expr("(inter * 1000000) DIV n_a").as("cont_ppm"))
+    }),
     // Cross-source duplicate-flow matrix — the provenance report a
     // multi-source ingest reads before weighting sources: which source
     // PAIRS share near-duplicate content, and how intensely. Cells count
@@ -1192,8 +1262,22 @@ object Dedup extends OpModule {
       cand: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame)
 
-  private def prefixFilterRels(s: org.apache.spark.sql.SparkSession,
-      dir: String): PrefixFilterRels = {
+  /** The distinct-gram-set scaffold shared by the Jaccard prefix-filter
+    * join and the containment join: doc roster with sorted gram arrays
+    * and set fingerprints, the distinct-set rollup, and EVERY gram of
+    * every set ranked by global rarity (df ASC, gram ASC — the one
+    * total order both joins' positional-filter proofs rely on). The
+    * ranked relation is UNFILTERED here; each consumer cuts its own
+    * prefix (the Jaccard join keeps n − ⌈τn⌉ + 1 ranks on BOTH sides;
+    * the containment join keeps the A-side prefix and indexes the B
+    * side whole — its pigeonhole only bounds A's misses).
+    */
+  private case class GramSetRels(d: org.apache.spark.sql.DataFrame,
+      sets: org.apache.spark.sql.DataFrame,
+      ranked: org.apache.spark.sql.DataFrame)
+
+  private def gramSetRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): GramSetRels = {
     graft.plans.GraftFunctions.register(s)
     // two-step select: charShingles requires a materialized attribute
     // (HOF lambdas would re-normalize per shingle index)
@@ -1223,14 +1307,23 @@ object Dedup extends OpModule {
     val dfr = ssh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("set_id")).orderBy(col("df").asc, col("g").asc)
+    val ranked = ssh.join(dfr, "g")
+      .select(col("set_id"), col("g"), row_number().over(w).as("r"))
+      .join(sets.select(col("set_id"), col("n")), "set_id")
+      .select(col("set_id"), col("g"), col("n"),
+        col("r").cast("long").as("r"))
+    GramSetRels(d, sets, ranked)
+  }
+
+  private def prefixFilterRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): PrefixFilterRels = {
+    val gs = gramSetRels(s, dir)
+    val (d, sets) = (gs.d, gs.sets)
     // rank every gram by global rarity, keep the first n - ceil(4n/5) + 1
     // per set: a missed match would need > n - ⌈τn⌉ disjoint grams on one
     // side — impossible at jac ≥ τ (the prefix-filter pigeonhole)
-    val pref = ssh.join(dfr, "g")
-      .select(col("set_id"), col("g"), row_number().over(w).as("r"))
-      .join(sets.select(col("set_id"), col("n")), "set_id")
+    val pref = gs.ranked
       .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
-      .select(col("set_id"), col("g"), col("n"), col("r").cast("long").as("r"))
       .barrier() // both sides of the candidate self-join
     val cand = pref
       .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
@@ -1548,6 +1641,29 @@ object Dedup extends OpModule {
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
          |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors dedup_containment with the EXHAUSTIVE directed definition
+    // (gram co-occurrence over ordered pairs) — losslessness of the
+    // asymmetric prefix + positional + size filters is what the gate
+    // proves; identical gram sets (inter = n_a = n_b) and sub-8-gram
+    // A sides are excluded exactly as documented in the query
+    "dedup_containment" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |d AS MATERIALIZED (SELECT doc_id, $oraCharGrams AS grams FROM n),
+         |sh AS MATERIALIZED (SELECT doc_id, unnest(grams) AS g FROM d),
+         |sz AS MATERIALIZED (SELECT doc_id, len(grams) AS n FROM d),
+         |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT ix.da AS doc_a, ix.db AS doc_b,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(ix.inter AS BIGINT) AS inter,
+         |  (ix.inter * 1000000) // sa.n AS cont_ppm
+         |FROM ix JOIN sz sa ON sa.doc_id = ix.da
+         |        JOIN sz sb ON sb.doc_id = ix.db
+         |WHERE sa.n >= 8 AND 5 * ix.inter >= 4 * sa.n
+         |  AND NOT (ix.inter = sa.n AND ix.inter = sb.n)""".stripMargin,
     // mirrors the S-curve report: banded candidates (the minhash
     // oracle's own CTEs), exhaustive integer-decile truth, measured-vs-
     // theory columns with the same explicit-multiplication IEEE chain

@@ -1048,4 +1048,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dTrained < dInit,
       s"Lloyd rounds must cut distortion: $dTrained vs $dInit")
   }
+
+  test("containment join finds a planted quote; directed, jaccard-blind") {
+    import spark.implicits._
+    // doc 10 is a paragraph; doc 11 wraps it inside a much longer page
+    // (jaccard ~ |A|/|B| -- far below 4/5); doc 12 is unrelated; doc 13
+    // shares only a few grams with 10. Containment must emit 10 -> 11
+    // and NOT 11 -> 10, nothing else involving 12/13.
+    val quote = "the quick brown fox jumps over the lazy dog while the " +
+      "stars shine bright over the deep green forest tonight"
+    val page = "header navigation menu about us contact " + quote +
+      " copyright two thousand twenty four all rights reserved terms " +
+      "of service privacy policy cookie settings newsletter signup " +
+      "related articles trending topics sponsored content footer links"
+    val docs = Seq(
+      (10L, quote, "en", "src0", quote.length.toLong),
+      (11L, page, "en", "src0", page.length.toLong),
+      (12L, "completely different content about spark catalyst " +
+        "optimizer rules and physical plans with codegen", "en", "src0",
+        90L),
+      (13L, "the quick red panda sleeps through a quiet afternoon in " +
+        "the bamboo grove", "en", "src0", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup
+      .queries("dedup_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(rows.map(t => (t._1, t._2)).toSet === Set((10L, 11L)),
+      s"expected exactly the planted 10->11 quote, got ${rows.toSeq}")
+    assert(rows.head._3 >= 800000L,
+      s"containment ppm must clear the 4/5 threshold: ${rows.head._3}")
+    // the same pair is invisible to the Jaccard prefix-filter join
+    val jac = graft.operators.Dedup
+      .queries("dedup_prefix_filter")(spark, dir).collect()
+    assert(!jac.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L),
+      "jaccard at 4/5 must NOT match the asymmetric quote pair")
+  }
 }
