@@ -273,25 +273,9 @@ object Dedup extends OpModule {
     // window hash reads 6 bits straight off the digest, no hex
     // strings), then a thin (source, fp) rollup — the corpus moves
     // through ONE narrow projection and one fingerprint-keyed shuffle.
-    "dedup_cdc_chunks" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      val chunks = t(s, dir, "documents")
-        .select(col("source"), Text.normalize(col("text")).as("norm"))
-        .select(col("source"), explode(expr("cdc_chunks(norm)")).as("c"))
-        .select(col("source"), col("c.fp").as("fp"),
-          col("c.nchars").as("nchars"))
-      val perFp = chunks.groupBy(col("source"), col("fp"))
-        .agg(count(lit(1)).as("n_occ"), first(col("nchars")).as("nchars"))
-      perFp.groupBy(col("source"))
-        .agg(sum(col("n_occ")).as("n_chunks"),
-          count(lit(1)).as("n_distinct_chunks"),
-          sum(col("n_occ") * col("nchars")).as("chars"),
-          sum(col("nchars")).as("chars_distinct"))
-        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
-          col("chars"), col("chars_distinct"),
-          expr("((chars - chars_distinct) * 1000000) " +
-            "DIV greatest(chars, 1)").as("dup_ratio_ppm"))
-    }),
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      cdcReportOf(cdcPerFp(
+        t(s, dir, "documents").select(col("source"), col("text"))))),
     // the end-to-end dedup op: drop every doc that near-dup-matches an
     // earlier (lower-id) doc — "keep first" canonicalization. The pair
     // relation is the minhash pipeline above; at scale this is the same
@@ -1105,6 +1089,40 @@ object Dedup extends OpModule {
     * bottom-k of a union is contained in the union of bottom-ks, so
     * per-batch contributions reduce to the corpus sketch exactly).
     */
+  /** Per-(source, chunk-fp) occurrence rollup of a (source, text)
+    * relation — the ADDITIVE statistic behind `dedup_cdc_chunks`,
+    * shared with the streaming chunk-store tier so both paths cut and
+    * fingerprint chunks identically. n_occ sums across any partition of
+    * the corpus into batches; nchars is determined by the fp (chunk
+    * content fixes both), so first() over merged contributions equals
+    * the corpus recompute exactly.
+    */
+  private[graft] def cdcPerFp(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("source"), Text.normalize(col("text")).as("norm"))
+      .select(col("source"), explode(expr("cdc_chunks(norm)")).as("c"))
+      .select(col("source"), col("c.fp").as("fp"),
+        col("c.nchars").as("nchars"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n_occ"), first(col("nchars")).as("nchars"))
+  }
+
+  /** The per-source chunk-reuse report over a `cdcPerFp`-shaped relation
+    * — the tail shared by the batch query and the streaming store read. */
+  private[graft] def cdcReportOf(perFp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perFp.groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("n_occ") * col("nchars")).as("chars"),
+        sum(col("nchars")).as("chars_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("chars"), col("chars_distinct"),
+        expr("((chars - chars_distinct) * 1000000) " +
+          "DIV greatest(chars, 1)").as("dup_ratio_ppm"))
+
   private[graft] def kmvSketchOf(items: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wS = org.apache.spark.sql.expressions.Window

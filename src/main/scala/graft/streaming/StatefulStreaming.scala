@@ -1035,6 +1035,39 @@ object StatefulStreaming {
       merged.select(col("source")).distinct())
   }
 
+  /** Streaming content-defined-chunk store maintenance — the
+    * chunk-granularity dedup member of the additive tiers: each
+    * micro-batch contributes its OWN per-(source, chunk-fp) occurrence
+    * rollup (the exact `Dedup.cdcPerFp` relation the batch query rolls
+    * up — same native cdc_chunks walk, same cut rule) under the
+    * per-`__batch=N` Overwrite discipline. n_occ is ADDITIVE across any
+    * batching of the corpus and nchars is fp-determined, so summing the
+    * merged contributions reproduces the corpus per-fp relation exactly
+    * — the report read equals `dedup_cdc_chunks` bit-for-bit (pinned in
+    * StreamingSpec, incl. replay). Store growth is distinct-chunk-
+    * bounded per batch, not corpus-bounded: a boilerplate-heavy batch
+    * contributes one row per distinct chunk however often it repeats.
+    */
+  def cdcIngestBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit =
+    graft.operators.Dedup.cdcPerFp(
+      batch.select(col("source"), col("text")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/ch/__batch=$batchId")
+
+  /** The chunk-reuse report off the maintained store: sum the per-batch
+    * (source, fp) contributions back to corpus counts, then run the
+    * SAME `Dedup.cdcReportOf` tail as the batch query. */
+  def cdcReportFrom(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val merged = storeRead(spark, s"$storeDir/ch", StructType(Seq(
+      StructField("source", StringType), StructField("fp", StringType),
+      StructField("n_occ", LongType), StructField("nchars", IntegerType))))
+      .groupBy(col("source"), col("fp"))
+      .agg(sum(col("n_occ")).as("n_occ"), first(col("nchars")).as("nchars"))
+    graft.operators.Dedup.cdcReportOf(merged)
+  }
+
   /** Streaming F2 (AMS tug-of-war) maintenance — the purest mergeable
     * summary in the repo: each micro-batch contributes ONE 17-integer
     * row (its own occurrence count + 16 sign counters) under the

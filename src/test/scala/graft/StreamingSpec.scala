@@ -1611,6 +1611,43 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("CDC chunk store: stream-maintained reuse report ≡ batch query " +
+      "over hash-split batches, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("cdcstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text", "source")
+      // hash-split batches: shared boilerplate chunks land in different
+      // batches — the additive per-fp merge must reassemble corpus counts
+      val batches = (0 until 3).map(i =>
+        docs.filter(pmod(hash(col("doc_id")), lit(3)) === i))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.cdcIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq.sortBy(_._1)
+      val batchTwin = rows(graft.operators.Dedup
+        .queries("dedup_cdc_chunks")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(rows(StatefulStreaming.cdcReportFrom(spark, store))
+        === batchTwin, "stream-maintained chunk report drifted from batch")
+      graft.core.Barrier.releaseAll(spark)
+      // replay the middle batch after later commits
+      StatefulStreaming.cdcIngestBatch(batches(1), store, 1L)
+      assert(rows(StatefulStreaming.cdcReportFrom(spark, store))
+        === batchTwin, "replay must not change the report")
+      graft.core.Barrier.releaseAll(spark)
+      // querying a never-ingested store is a clean empty result
+      val empty = java.nio.file.Files.createTempDirectory("cdcnever")
+        .toString
+      assert(StatefulStreaming.cdcReportFrom(spark, empty).count() === 0L)
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("KMV sketch store: stream-maintained bottom-k estimates ≡ batch " +
       "query estimates over hash-split batches, replay idempotent") {
     import org.apache.spark.sql.functions._
