@@ -24,6 +24,24 @@ import graft.core.Barrier.BarrierOps
 object Similarity extends OpModule {
 
   private val K = 5
+
+  /** round(1e6·ln(64/V)) for V = 1..64 — the linear-counting log table
+    * for `sim_hyperball` (V = zero registers of an m=64 HLL sketch).
+    * A spec CONSTANT like alpha_64, not runtime math: tabulating the
+    * only 63 possible logs keeps the estimate transcendental-free and
+    * bit-identical in both engines, where the quantized-log2 chord
+    * (piecewise-linear, always ≤ log2) inflated small linear counts by
+    * up to ~30%. */
+  private val hllLnLut: Seq[Long] = Seq(
+    4158883L, 3465736L, 3060271L, 2772589L, 2549445L, 2367124L, 2212973L,
+    2079442L, 1961659L, 1856298L, 1760988L, 1673976L, 1593934L, 1519826L,
+    1450833L, 1386294L, 1325670L, 1268511L, 1214444L, 1163151L, 1114361L,
+    1067841L, 1023389L, 980829L, 940007L, 900787L, 863046L, 826679L,
+    791587L, 757686L, 724896L, 693147L, 662376L, 632523L, 603535L,
+    575364L, 547965L, 521297L, 495321L, 470004L, 445311L, 421213L,
+    397683L, 374693L, 352221L, 330242L, 308735L, 287682L, 267063L,
+    246860L, 227057L, 207639L, 188591L, 169899L, 151550L, 133531L,
+    115832L, 98440L, 81346L, 64539L, 48009L, 31749L, 15748L, 0L)
   /** The kNN-graph fanout (K) — shared with the streaming maintenance
     * tier so the maintained lists rank to the same depth as the batch
     * graph. */
@@ -422,6 +440,95 @@ object Similarity extends OpModule {
       }
       val r0 = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
       round(round(r0)).select(col("vec_id"), col("pr").as("pr_micro"))
+    }),
+    // HyperBall / ANF (Palmer et al. KDD'02; Boldi–Vigna WWW'11 — the
+    // algorithm behind the Facebook four-degrees measurement): the
+    // NEIGHBORHOOD FUNCTION N(t) = #(v,u) pairs with dist(v→u) ≤ t,
+    // which exact BFS can only produce by running |V| traversals. Each
+    // node carries an m=64-register HLL sketch of its ball; one round
+    // per t max-merges every node's out-neighbors' sketches into its
+    // own — set union costs a register MAX, so the whole round is ONE
+    // edge join + a (vec_id, j) max-aggregate over a |V|·m-bounded
+    // relation. Registers are md5-deterministic (j = low 6 gfp bits,
+    // rho = 35 − bin-length of the next 34 bits), the harmonic sum is
+    // EXACT integers (2^(35−rho) numerators), and the estimate is
+    // alpha_64 = 709/1000 raw HLL with the published linear-counting
+    // small-range branch (E < 2.5m, zero registers present) computed
+    // via the quantized-log2 device scaled by the ln2 literal — every
+    // arithmetic step bit-identical in both engines, so the ESTIMATES
+    // sit under the oracle gate, not just the exact side. The exact
+    // N(t) twin (t rounds of distinct pair expansion) is the
+    // sample-scale verification layer a production run drops — at
+    // 100 TB only the register relation survives (|V|·64 rows, one
+    // thin join per hop), which is precisely why HyperBall exists.
+    // Report: one row per t ∈ {1,2,3} with exact, estimate, err_ppm,
+    // and a ±25% verdict.
+    "sim_hyperball" -> ((s, dir) => {
+      val edges = knnGraph(s, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .barrier() // read by 3 register rounds AND 2 exact expansions
+      val nodes = t(s, dir, "embeddings").select(col("vec_id"))
+      val r0 = nodes.select(col("vec_id"),
+        conv(substring(md5(concat(lit("hb|"),
+          col("vec_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("gfp"))
+        .select(col("vec_id"),
+          // nonneg bit slices via DIV/% — the / // % forms are the ones
+          // both engines share (gfp < 2^60, so all slices stay nonneg)
+          expr("gfp % 64").as("j"),
+          expr("35 - length(bin((gfp DIV 64) % 17179869184))").as("rho"))
+      def mergeRound(regs: org.apache.spark.sql.DataFrame) =
+        regs.unionByName(
+          edges.join(regs.withColumnRenamed("vec_id", "dst"), "dst")
+            .select(col("src").as("vec_id"), col("j"), col("rho")))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(max(col("rho")).as("rho"))
+          .barrier() // next round AND this t's estimate read it
+      // per-node estimate in MILLI units: exact-integer harmonic sum,
+      // raw-vs-linear-counting branch, tabulated LC logs (hllLnLut)
+      val lut = hllLnLut.mkString("array(", "L, ", "L)")
+      def estimate(regs: org.apache.spark.sql.DataFrame, tHop: Int) =
+        regs.groupBy(col("vec_id"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 35 - rho)"))
+            .as("z_hit"), count(lit(1)).as("m_nz"))
+          // zero registers each contribute 2^0 = 2^35/2^35 to the
+          // harmonic mean — omit them and Z collapses, inflating E
+          .withColumn("z", expr(
+            "z_hit + (64 - m_nz) * shiftleft(CAST(1 AS BIGINT), 35)"))
+          .select(expr(
+            "CASE WHEN (2904064 * shiftleft(CAST(1 AS BIGINT), 35)) " +
+              "DIV z < 160000 AND m_nz < 64 THEN " +
+              s"(64 * element_at($lut, CAST(64 - m_nz AS INT))) DIV 1000 " +
+              "ELSE (2904064 * shiftleft(CAST(1 AS BIGINT), 35)) " +
+              "DIV z END").as("e_milli"))
+          .agg(expr("sum(e_milli) DIV 1000").as("est_pairs"))
+          .select(lit(tHop).cast("long").as("t"), col("est_pairs"))
+      // exact twin: distinct (v,u) reachability within t hops
+      val p1 = nodes.select(col("vec_id").as("v"), col("vec_id").as("u"))
+        .unionByName(edges.select(col("src").as("v"), col("dst").as("u")))
+        .distinct().barrier() // read by count AND the next expansion
+      def expand(p: org.apache.spark.sql.DataFrame) =
+        p.unionByName(
+          p.join(edges.withColumnRenamed("src", "u"), "u")
+            .select(col("v"), col("dst").as("u")))
+          .distinct().barrier()
+      val p2 = expand(p1)
+      val p3 = expand(p2)
+      val exact = Seq(1 -> p1, 2 -> p2, 3 -> p3).map { case (tHop, p) =>
+        p.agg(count(lit(1)).as("exact_pairs"))
+          .select(lit(tHop).cast("long").as("t"), col("exact_pairs"))
+      }.reduce(_ unionByName _)
+      val r1 = mergeRound(r0)
+      val r2 = mergeRound(r1)
+      val r3 = mergeRound(r2)
+      val est = Seq(estimate(r1, 1), estimate(r2, 2), estimate(r3, 3))
+        .reduce(_ unionByName _)
+      exact.join(est, "t")
+        .select(col("t"), col("exact_pairs"), col("est_pairs"),
+          expr("((est_pairs - exact_pairs) * 1000000) DIV exact_pairs")
+            .as("err_ppm"),
+          expr("abs((est_pairs - exact_pairs) * 1000000) " +
+            "DIV exact_pairs <= 250000").as("within_tol"))
     }),
     // Per-dimension embedding health report — the corpus_health_report of
     // the vector space: count, micro-unit-exact mean, zero rate (dead
@@ -3243,6 +3350,100 @@ object Similarity extends OpModule {
          |    FROM e JOIN r1 ON r1.vec_id = e.src GROUP BY 1) c
          |  ON c.dst = v.vec_id)
          |SELECT vec_id, pr AS pr_micro FROM r2""".stripMargin,
+    // mirrors sim_hyperball: the pagerank oracle's kNN edge chain, the
+    // md5-deterministic register init, 3 unrolled max-merge rounds
+    // (MATERIALIZED — the sim_kcore inlining lesson), the exact-integer
+    // harmonic sums with the same raw-vs-linear-counting branch, and
+    // the 3 unrolled exact pair expansions
+    "sim_hyperball" -> {
+      val lutSql = hllLnLut.mkString("[", ", ", "]")
+      def estSql(r: String, t: Int) =
+        s"""est$t AS (
+           |  SELECT $t AS t, CAST(sum(
+           |    CASE WHEN (2904064 * (CAST(1 AS BIGINT) << 35))
+           |           // z < 160000 AND m_nz < 64 THEN
+           |      (64 * list_extract($lutSql,
+           |        CAST(64 - m_nz AS INT))) // 1000
+           |    ELSE (2904064 * (CAST(1 AS BIGINT) << 35))
+           |           // z END) // 1000 AS BIGINT) AS est_pairs
+           |  FROM (SELECT vec_id,
+           |          CAST(sum(CAST(1 AS BIGINT) << (35 - rho))
+           |            + (64 - count(*)) * (CAST(1 AS BIGINT) << 35)
+           |            AS BIGINT) AS z,
+           |          count(*) AS m_nz
+           |        FROM $r GROUP BY 1))""".stripMargin
+      def roundSql(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT vec_id, j, max(rho) AS rho FROM (
+           |    SELECT vec_id, j, rho FROM $prev
+           |    UNION ALL
+           |    SELECT e.src AS vec_id, r.j, r.rho
+           |    FROM e JOIN $prev r ON r.vec_id = e.dst)
+           |  GROUP BY 1, 2)""".stripMargin
+      def expandSql(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT DISTINCT v, u FROM (
+           |    SELECT v, u FROM $prev
+           |    UNION ALL
+           |    SELECT p.v, e.dst AS u FROM $prev p JOIN e ON e.src = p.u))"""
+          .stripMargin
+      s"""WITH $oraLshSigs,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ke AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $K),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id AS src, neighbor_id AS dst FROM ke),
+         |r0 AS MATERIALIZED (
+         |  SELECT vec_id, gfp % 64 AS j,
+         |    35 - length(bin((gfp // 64) % 17179869184)) AS rho
+         |  FROM (SELECT vec_id,
+         |          ('0x' || substring(md5('hb|' || vec_id::VARCHAR),
+         |            1, 15))::BIGINT AS gfp
+         |        FROM embeddings)),
+         |${roundSql("r0", "r1")},
+         |${roundSql("r1", "r2")},
+         |${roundSql("r2", "r3")},
+         |p1 AS MATERIALIZED (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT vec_id AS v, vec_id AS u FROM embeddings
+         |    UNION ALL
+         |    SELECT src AS v, dst AS u FROM e)),
+         |${expandSql("p1", "p2")},
+         |${expandSql("p2", "p3")},
+         |${estSql("r1", 1)},
+         |${estSql("r2", 2)},
+         |${estSql("r3", 3)},
+         |ex AS (
+         |  SELECT 1 AS t, CAST(count(*) AS BIGINT) AS exact_pairs FROM p1
+         |  UNION ALL
+         |  SELECT 2, CAST(count(*) AS BIGINT) FROM p2
+         |  UNION ALL
+         |  SELECT 3, CAST(count(*) AS BIGINT) FROM p3),
+         |es AS (
+         |  SELECT * FROM est1 UNION ALL SELECT * FROM est2
+         |  UNION ALL SELECT * FROM est3)
+         |SELECT CAST(ex.t AS BIGINT) AS t, ex.exact_pairs, es.est_pairs,
+         |  ((es.est_pairs - ex.exact_pairs) * 1000000) // ex.exact_pairs
+         |    AS err_ppm,
+         |  abs((es.est_pairs - ex.exact_pairs) * 1000000)
+         |    // ex.exact_pairs <= 250000 AS within_tol
+         |FROM ex JOIN es ON es.t = ex.t""".stripMargin
+    },
     // unnest-with-position mirror; float→double widening is exact, the
     // micro/milli roundings are the single-rounding device every
     // fixed-point oracle here shares

@@ -1086,4 +1086,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L),
       "jaccard at 4/5 must NOT match the asymmetric quote pair")
   }
+
+  test("hyperball: N(1) is nodes+edges exactly, monotone, within tol") {
+    val rows = graft.operators.Similarity
+      .queries("sim_hyperball")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // the t=1 ball is {v} + out-neighbors: exact side must equal
+    // |V| + |distinct kNN edges| by definition
+    val v = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    val e = graft.operators.Similarity.knnGraph(spark, sfDir)
+      .select("vec_id", "neighbor_id").distinct().count()
+    assert(rows(0)._2 === v + e, s"N(1) != V+E: ${rows(0)._2} vs ${v + e}")
+    // the neighborhood function is monotone in t on both sides
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    // the HLL estimate grades within the documented +-25% at every t
+    assert(rows.forall(_._4), s"estimate outside tolerance: ${rows.toSeq}")
+  }
 }
