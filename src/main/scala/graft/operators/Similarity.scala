@@ -32,6 +32,19 @@ object Similarity extends OpModule {
     * bit-identical in both engines, where the quantized-log2 chord
     * (piecewise-linear, always ≤ log2) inflated small linear counts by
     * up to ~30%. */
+  /** The ±1 JL projection matrix for `sim_jl_recall`: sign(d, b) = +1
+    * iff the first hex digit of md5("jl|d|b") is even — computed here
+    * once (1024 cells), re-derived by the oracle from SQL md5 so the
+    * gate pins the derivation itself, same discipline as the LSH
+    * hyperplane matrix. */
+  private lazy val jlSigns: Seq[(Int, Int, Long)] =
+    for (d <- 0 until 64; b <- 0 until 16) yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$d|$b".getBytes("UTF-8"))
+      val hex = (md(0) >> 4) & 0xF
+      (d, b, if (hex % 2 == 0) 1L else -1L)
+    }
+
   private val hllLnLut: Seq[Long] = Seq(
     4158883L, 3465736L, 3060271L, 2772589L, 2549445L, 2367124L, 2212973L,
     2079442L, 1961659L, 1856298L, 1760988L, 1673976L, 1593934L, 1519826L,
@@ -666,6 +679,66 @@ object Similarity extends OpModule {
       }
       recallReport(queries("sim_topk_bruteforce")(s, dir),
         Seq(8, 16, 32).map(d => s"dims_$d" -> topkAt(d)))
+    }),
+    // Johnson–Lindenstrauss random-projection recall — the OTHER
+    // dimensionality lever beside Matryoshka truncation: project every
+    // 64-d vector through a deterministic ±1 matrix (Achlioptas's
+    // database-friendly JL construction — md5-derived signs, the same
+    // derivation discipline as the LSH hyperplanes, re-derived by the
+    // oracle from SQL md5) down to r ∈ {8, 16} and measure recall@K of
+    // projected-space search vs the full-dimension truth. The matrix is
+    // ONE 16×64 table whose b < 8 prefix IS the 8-d projection (the JL
+    // twin of Matryoshka's prefix property), so both widths share one
+    // projection pass. Coordinates are quantized to exact milli
+    // integers BEFORE the signed sums, dots and norms are exact int64
+    // (|p_b| ≤ 64 000 → dot ≤ 6.6e10), and the only IEEE steps are the
+    // final sqrt/division — sqrt is correctly rounded by the standard,
+    // so both engines rank identically with ties pinned by neighbor_id.
+    // Scale shape: the projection is one posexplode + (vec, b) rollup
+    // (an evaluation harness over a d×-corpus relation — a serving
+    // path would fuse it like lsh_sigs); search is the audited
+    // 8-query-panel brute-force shape over r-d integer vectors.
+    "sim_jl_recall" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val m = jlSigns.toDF("d", "b", "s")
+      val px = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("xm"))
+      val p = px.join(broadcast(m), "d")
+        .groupBy(col("vec_id"), col("b"))
+        .agg(sum(expr("s * xm")).as("pb"))
+        .barrier() // read by both widths' dots AND both norms
+      def jlTopk(r: Int): org.apache.spark.sql.DataFrame = {
+        val pr = p.filter(col("b") < r)
+        val nrm = pr.groupBy(col("vec_id"))
+          .agg(sum(expr("pb * pb")).as("n2"))
+        val q = pr.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("b"),
+            col("pb").as("qb"))
+        val dots = q.join(pr.select(col("vec_id").as("neighbor_id"),
+            col("b"), col("pb")), Seq("b"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(expr("qb * pb")).as("dot"))
+        val scored = dots
+          .join(broadcast(nrm.select(col("vec_id").as("query_id"),
+            col("n2").as("nq"))), "query_id")
+          .join(nrm.select(col("vec_id").as("neighbor_id"),
+            col("n2").as("nn")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(greatest(nq, 1) AS DOUBLE))" +
+              " * sqrt(CAST(greatest(nn, 1) AS DOUBLE)))").as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      recallReport(queries("sim_topk_bruteforce")(s, dir),
+        Seq(8, 16).map(r => s"jl_$r" -> jlTopk(r)))
     }),
     // Per-node triangle count + local clustering coefficient over the
     // kNN graph — the community-structure diagnostic next to PageRank
@@ -2891,6 +2964,79 @@ object Similarity extends OpModule {
          |FROM m CROSS JOIN truth t
          |LEFT JOIN hit h
          |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin,
+    // mirrors sim_jl_recall: the ±1 matrix RE-DERIVED from SQL md5,
+    // milli-integer projection rollup, exact-int dots/norms, IEEE
+    // sqrt/div ranking, the shared recall tail
+    "sim_jl_recall" -> {
+      def topkSql(r: Int, name: String) =
+        s"""d$name AS (
+           |  SELECT q.query_id, p.vec_id AS neighbor_id,
+           |    CAST(sum(q.qb * p.pb) AS BIGINT) AS dot
+           |  FROM (SELECT vec_id AS query_id, b, pb AS qb FROM p
+           |        WHERE vec_id < 8 AND b < $r) q
+           |  JOIN p ON p.b = q.b AND p.vec_id <> q.query_id
+           |  WHERE p.b < $r
+           |  GROUP BY 1, 2),
+           |n$name AS (
+           |  SELECT vec_id, CAST(sum(pb * pb) AS BIGINT) AS n2 FROM p
+           |  WHERE b < $r GROUP BY 1),
+           |$name AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT d.query_id, d.neighbor_id,
+           |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+           |        CAST(d.dot AS DOUBLE) /
+           |          (sqrt(CAST(greatest(nq.n2, 1) AS DOUBLE)) *
+           |           sqrt(CAST(greatest(nn.n2, 1) AS DOUBLE))) DESC,
+           |        d.neighbor_id ASC) AS rank
+           |    FROM d$name d
+           |    JOIN n$name nq ON nq.vec_id = d.query_id
+           |    JOIN n$name nn ON nn.vec_id = d.neighbor_id)
+           |  WHERE rank <= $K)""".stripMargin
+      s"""WITH mx AS (
+         |  SELECT d, b, CASE WHEN ('0x' || substring(md5(
+         |      'jl|' || d::VARCHAR || '|' || b::VARCHAR), 1, 1))::INT
+         |      % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS d),
+         |       (SELECT unnest(generate_series(0, 15)) AS b)),
+         |px AS (
+         |  SELECT vec_id, CAST(j - 1 AS INT) AS d,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)
+         |      AS xm
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS j
+         |        FROM embeddings)),
+         |p AS MATERIALIZED (
+         |  SELECT px.vec_id, mx.b, CAST(sum(mx.s * px.xm) AS BIGINT) AS pb
+         |  FROM px JOIN mx ON mx.d = px.d
+         |  GROUP BY 1, 2),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(n.embedding AS DOUBLE[])) DESC,
+         |        n.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |    WHERE q.vec_id < 8)
+         |  WHERE rank <= $K),
+         |${topkSql(8, "jl8")},
+         |${topkSql(16, "jl16")},
+         |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+         |hit AS (
+         |  SELECT 'jl_8' AS method, b.query_id, count(*) AS hits
+         |  FROM bf b JOIN jl8 USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'jl_16', b.query_id, count(*)
+         |  FROM bf b JOIN jl16 USING (query_id, neighbor_id) GROUP BY 2),
+         |m AS (SELECT unnest(['jl_8', 'jl_16']) AS method)
+         |SELECT m.method, t.query_id, t.n_true,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+         |    CAST(t.n_true AS DOUBLE) AS recall
+         |FROM m CROSS JOIN truth t
+         |LEFT JOIN hit h
+         |  ON h.method = m.method AND h.query_id = t.query_id""".stripMargin
+    },
     // the two quantized oracles embedded VERBATIM as nested-WITH CTEs
     // (their inner CTE names are scoped inside the parens), then the
     // same integer hit/recall tail as the base report

@@ -67,7 +67,8 @@ object Scaling {
     "sim_graph_recall_vs_beam", "text_keyword_agreement",
     "sim_graph_search_layered", "dedup_simhash_pairs",
     "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares",
-    "text_kneser_ney", "dedup_containment", "sim_hyperball")
+    "text_kneser_ney", "dedup_containment", "sim_hyperball",
+    "sim_jl_recall")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

@@ -1105,4 +1105,26 @@ class DedupSimilaritySpec extends SparkSpec {
     // the HLL estimate grades within the documented +-25% at every t
     assert(rows.forall(_._4), s"estimate outside tolerance: ${rows.toSeq}")
   }
+
+  test("JL projection recall: width monotone, deterministic, full panel") {
+    val rows = graft.operators.Similarity
+      .queries("sim_jl_recall")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    // 2 widths x 8-query panel, every query graded
+    assert(rows.length === 16)
+    assert(rows.map(_._1).toSet === Set("jl_8", "jl_16"))
+    def mean(m: String) = {
+      val v = rows.filter(_._1 == m).map(_._3); v.sum / v.length
+    }
+    // the JL prefix property pays: doubling r must not lose recall on
+    // the fixture (measured 0.05 -> 0.125)
+    assert(mean("jl_16") > mean("jl_8"),
+      s"jl_16 ${mean("jl_16")} vs jl_8 ${mean("jl_8")}")
+    val again = graft.operators.Similarity
+      .queries("sim_jl_recall")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq
+      === again.sortBy(t => (t._1, t._2)).toSeq,
+      "md5-derived projection must be rerun-deterministic")
+  }
 }
