@@ -2334,6 +2334,44 @@ object TextAnalysis extends OpModule {
         ((col("lm_micro_sum").cast("double") /
           col("n_bigrams").cast("double")) < lit(32000.0)).as("is_tail"))
 
+  /** The Kneser–Ney scoring tail over a bigram relation and the bigram
+    * TYPE-count relation cb(w1, w2, cb) — shared by `text_kneser_ney`
+    * and the streaming model read (`StatefulStreaming.knScoreFrom`):
+    * the WHOLE KN model (c1, forward/backward continuation counts, the
+    * type total) derives from cb by aggregation, so any path that can
+    * reassemble cb (the batch split, the additive store) scores
+    * identically. All exact micro-unit integers; see the query comment
+    * for the discount algebra and the int64 bounds.
+    */
+  private[graft] def knScore(bigrams: org.apache.spark.sql.DataFrame,
+      cb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cb = cb0.barrier() // all four model relations read it
+    val cfw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
+    val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+    val tt = cb.agg(count(lit(1)).as("t_types"))
+    bigrams
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cfw), Seq("w1"), "left")
+      .join(broadcast(cbw), Seq("w2"), "left")
+      .join(broadcast(tt), lit(true))
+      .withColumn("p_micro", expr(
+        "CASE WHEN c1 IS NULL THEN " +
+          "(CASE WHEN n1p_bw IS NULL THEN 0 " +
+          "ELSE (1000000 * n1p_bw) DIV t_types END) " +
+          "ELSE (CASE WHEN cb IS NULL THEN 0 " +
+          "ELSE ((4 * cb - 3) * 250000) DIV c1 END) + " +
+          "((750000 * n1p_fw * coalesce(n1p_bw, 0)) DIV t_types) DIV c1 " +
+          "END"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micro")).as("kn_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_micro_sum"),
+        (col("kn_micro_sum").cast("double") /
+          col("n_bigrams").cast("double")).as("kn_score"))
+  }
+
   /** The BM25 scoring tail shared by the batch query and the streaming
     * index-maintenance tier (`StatefulStreaming.bm25SearchFrom`): rank a
     * posting relation `tf(doc_id, dl, tok, tf)` against per-term
@@ -2448,32 +2486,8 @@ object TextAnalysis extends OpModule {
     "text_kneser_ney" -> ((s, dir) => {
       val bigrams = bigramsOf(t(s, dir, "documents"))
         .barrier() // feeds the train counts AND the scoring join
-      val cb = lmTrainSplit(bigrams)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        .barrier() // all four model relations read it
-      val cfw = cb.groupBy(col("w1"))
-        .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
-      val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
-      val tt = cb.agg(count(lit(1)).as("t_types"))
-      bigrams
-        .join(broadcast(cb), Seq("w1", "w2"), "left")
-        .join(broadcast(cfw), Seq("w1"), "left")
-        .join(broadcast(cbw), Seq("w2"), "left")
-        .join(broadcast(tt), lit(true))
-        .withColumn("p_micro", expr(
-          "CASE WHEN c1 IS NULL THEN " +
-            "(CASE WHEN n1p_bw IS NULL THEN 0 " +
-            "ELSE (1000000 * n1p_bw) DIV t_types END) " +
-            "ELSE (CASE WHEN cb IS NULL THEN 0 " +
-            "ELSE ((4 * cb - 3) * 250000) DIV c1 END) + " +
-            "((750000 * n1p_fw * coalesce(n1p_bw, 0)) DIV t_types) DIV c1 " +
-            "END"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("p_micro")).as("kn_micro_sum"))
-        .select(col("doc_id"), col("n_bigrams"), col("kn_micro_sum"),
-          (col("kn_micro_sum").cast("double") /
-            col("n_bigrams").cast("double")).as("kn_score"))
+      knScore(bigrams, lmTrainSplit(bigrams)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
     }),
     // CCNet-style perplexity bucketing — the published head/middle/tail
     // split: score every doc by the trained bigram LM (the text_bigram_lm

@@ -1544,6 +1544,25 @@ object StatefulStreaming {
       summed("__cw2", Seq("w2"), "cu2"), tb)
   }
 
+  /** Kneser–Ney scoring off the SAME maintained bigram-LM store as
+    * [[bigramLmScoreFrom]] — the KN model (c1, forward/backward
+    * continuation counts, type total) derives entirely from the summed
+    * (w1, w2, cb) relation the store already maintains, so one store
+    * serves both smoothing families (the WordPiece/unigram single-store
+    * precedent). Scoring from the store after any ingest sequence is
+    * row-identical to `text_kneser_ney` (pinned in StreamingSpec, incl.
+    * replay). */
+  def knScoreFrom(spark: SparkSession, storeDir: String,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("w1", StringType),
+      StructField("w2", StringType), StructField("cb", LongType)))
+    val cb = storeRead(spark, s"$storeDir/__cb", schema)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+    graft.operators.TextAnalysis.knScore(
+      graft.operators.TextAnalysis.bigramsOf(docs), cb)
+  }
+
   /** Streaming sliding-window distinct users — the a1_slide_uu twin:
     * watermarked window(1 h, 15 m) → per-(window, user) counts → a
     * SECOND stateful aggregation over the same window column collapses

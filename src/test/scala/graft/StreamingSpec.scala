@@ -904,6 +904,42 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("kneser-ney from the bigram-LM store ≡ batch query, replay ok") {
+    val store = java.nio.file.Files.createTempDirectory("knstore").toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids.length / 3, 2 * ids.length / 3, ids.length)
+      val batches = cuts.zip(0 +: cuts).map { case (hi, lo) =>
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(ids(lo), ids(hi - 1)))
+      }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StatefulStreaming.bigramLmIngestBatch(b, store, i.toLong)
+        graft.core.Barrier.releaseAll(spark)
+      }
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      // ONE store serves both smoothing families: the KN read derives
+      // its whole model from the summed (w1, w2, cb) relation
+      val streamed = scores(
+        StatefulStreaming.knScoreFrom(spark, store, docs))
+      graft.core.Barrier.releaseAll(spark)
+      val batchTwin = scores(graft.operators.TextAnalysis
+        .queries("text_kneser_ney")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(streamed === batchTwin,
+        "stream-maintained cb must KN-score identically to the batch")
+      StatefulStreaming.bigramLmIngestBatch(batches(1), store, 1L)
+      graft.core.Barrier.releaseAll(spark)
+      assert(scores(StatefulStreaming.knScoreFrom(spark, store, docs))
+        === batchTwin, "replay must not change the KN model")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("pack materialization ingest: streamed full packs + carry equal batch packs") {
     val store = java.nio.file.Files.createTempDirectory("packmat").toString
     try {
