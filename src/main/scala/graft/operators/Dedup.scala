@@ -442,45 +442,23 @@ object Dedup extends OpModule {
     // |prefix-lists| × |full-lists|, and rarity ranking keeps common
     // grams out of prefixes, so a Zipf gram universe prunes exactly as
     // the Jaccard twin's measured Zipf row shows.
-    "dedup_containment" -> ((s, dir) => {
-      val gs = gramSetRels(s, dir)
-      val ranked = gs.ranked.filter(col("n") >= 8)
-        .barrier() // the A-side prefix cut AND the B-side full index
-      val pref = ranked
-        .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
-      val cand = pref
-        .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
-          col("r").as("ra"))
-        .join(ranked.select(col("set_id").as("sb"), col("g"),
-          col("n").as("n_b"), col("r").as("rb")), Seq("g"))
-        .filter(col("sa") =!= col("sb") &&
-          col("n_b") * 5 >= col("n_a") * 4)
-        .groupBy(col("sa"), col("sb"))
-        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
-          min(col("ra")).as("ra"), min(col("rb")).as("rb"))
-        .filter((lit(1L) + least(col("n_a") - col("ra"),
-          col("n_b") - col("rb"))) * 5 >= col("n_a") * 4)
-      val verified = cand
-        .join(gs.sets.select(col("set_id").as("sa"),
-          col("grams").as("g_a")), "sa")
-        .join(gs.sets.select(col("set_id").as("sb"),
-          col("grams").as("g_b")), "sb")
-        .withColumn("inter",
-          expr("sorted_intersect_count(g_a, g_b)").cast("long"))
-        .filter(col("inter") * 5 >= col("n_a") * 4)
-        .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("inter"))
-      // directed doc-pair expansion through the thin membership joins —
-      // output-bound, the only stage clone multiplicity grows
-      val setDocs = gs.d.select(col("fp"), col("doc_id"))
-        .join(gs.sets.select(col("fp"), col("set_id")), "fp")
-        .select(col("set_id"), col("doc_id"))
-      verified
-        .join(setDocs.select(col("set_id").as("sa"),
-          col("doc_id").as("doc_a")), "sa")
-        .join(setDocs.select(col("set_id").as("sb"),
-          col("doc_id").as("doc_b")), "sb")
-        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-          col("inter"), expr("(inter * 1000000) DIV n_a").as("cont_ppm"))
+    "dedup_containment" -> ((s, dir) => containmentRels(s, dir).pairs),
+    // The audit twin (the dedup_prefix_filter_stats discipline): one row
+    // of pipeline-stage cardinalities so the asymmetric filter stack's
+    // prune factor is a checked RESULT — eligible sets → A-prefix rows →
+    // candidates (post size + positional filters) → verified set pairs →
+    // directed doc pairs.
+    "dedup_containment_stats" -> ((s, dir) => {
+      val r = containmentRels(s, dir)
+      val ns = r.ranked.select(col("set_id"), col("n")).distinct()
+        .agg(count(lit(1)).as("n_sets"), sum(col("n")).as("n_gram_rows"))
+      val np = r.pref.agg(count(lit(1)).as("n_prefix_rows"))
+      val nc = r.cand.agg(count(lit(1)).as("n_candidates"))
+      val nv = r.verified.agg(count(lit(1)).as("n_set_pairs"))
+      val nd = r.pairs.agg(count(lit(1)).as("n_doc_pairs"))
+      ns.crossJoin(np).crossJoin(nc).crossJoin(nv).crossJoin(nd)
+        .select(col("n_sets"), col("n_gram_rows"), col("n_prefix_rows"),
+          col("n_candidates"), col("n_set_pairs"), col("n_doc_pairs"))
     }),
     // Cross-source duplicate-flow matrix — the provenance report a
     // multi-source ingest reads before weighting sources: which source
@@ -1333,6 +1311,60 @@ object Dedup extends OpModule {
     GramSetRels(d, sets, ranked)
   }
 
+  /** The containment join's stage relations — see the dedup_containment
+    * query comment for the asymmetric pigeonhole and bound algebra.
+    * Shared by the pair query and its stats twin. */
+  private case class ContainmentRels(ranked: org.apache.spark.sql.DataFrame,
+      pref: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame,
+      verified: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame)
+
+  private def containmentRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): ContainmentRels = {
+    val gs = gramSetRels(s, dir)
+    val ranked = gs.ranked.filter(col("n") >= 8)
+      .barrier() // the A-side prefix cut AND the B-side full index
+    val pref = ranked
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+    val cand = pref
+      .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
+        col("r").as("ra"))
+      .join(ranked.select(col("set_id").as("sb"), col("g"),
+        col("n").as("n_b"), col("r").as("rb")), Seq("g"))
+      .filter(col("sa") =!= col("sb") &&
+        col("n_b") * 5 >= col("n_a") * 4)
+      .groupBy(col("sa"), col("sb"))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        min(col("ra")).as("ra"), min(col("rb")).as("rb"))
+      .filter((lit(1L) + least(col("n_a") - col("ra"),
+        col("n_b") - col("rb"))) * 5 >= col("n_a") * 4)
+      .barrier() // verification join AND the stats count
+    val verified = cand
+      .join(gs.sets.select(col("set_id").as("sa"),
+        col("grams").as("g_a")), "sa")
+      .join(gs.sets.select(col("set_id").as("sb"),
+        col("grams").as("g_b")), "sb")
+      .withColumn("inter",
+        expr("sorted_intersect_count(g_a, g_b)").cast("long"))
+      .filter(col("inter") * 5 >= col("n_a") * 4)
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("inter"))
+      .barrier() // doc expansion AND the stats count
+    // directed doc-pair expansion through the thin membership joins —
+    // output-bound, the only stage clone multiplicity grows
+    val setDocs = gs.d.select(col("fp"), col("doc_id"))
+      .join(gs.sets.select(col("fp"), col("set_id")), "fp")
+      .select(col("set_id"), col("doc_id"))
+    val pairs = verified
+      .join(setDocs.select(col("set_id").as("sa"),
+        col("doc_id").as("doc_a")), "sa")
+      .join(setDocs.select(col("set_id").as("sb"),
+        col("doc_id").as("doc_b")), "sb")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), expr("(inter * 1000000) DIV n_a").as("cont_ppm"))
+    ContainmentRels(ranked, pref, cand, verified, pairs)
+  }
+
   private def prefixFilterRels(s: org.apache.spark.sql.SparkSession,
       dir: String): PrefixFilterRels = {
     val gs = gramSetRels(s, dir)
@@ -1659,6 +1691,56 @@ object Dedup extends OpModule {
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
          |WHERE 9 * ix.inter >= 4 * (sa.n + sb.n)""".stripMargin,
+    // mirrors dedup_containment_stats stage by stage — the ALGORITHM
+    // (rank ties by (df ASC, gram ASC), asymmetric prefix cut, directed
+    // size + positional filters, 5·o ≥ 4·n_a verification), so the
+    // bound arithmetic itself sits under the gate
+    "dedup_containment_stats" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |d0 AS MATERIALIZED (SELECT doc_id, $oraCharGrams AS grams FROM n),
+         |dm AS MATERIALIZED (SELECT doc_id, grams,
+         |  md5(array_to_string(list_sort(grams), chr(1))) AS fp FROM d0),
+         |sets0 AS MATERIALIZED (SELECT fp, min(doc_id) AS set_id,
+         |  count(*) AS m, any_value(grams) AS grams,
+         |  CAST(len(any_value(grams)) AS BIGINT) AS n
+         |  FROM dm GROUP BY 1),
+         |sets AS MATERIALIZED (SELECT * FROM sets0 WHERE n >= 8),
+         |ssh AS MATERIALIZED (SELECT set_id, unnest(grams) AS g
+         |  FROM sets0),
+         |dfr AS (SELECT g, count(*) AS df FROM ssh GROUP BY 1),
+         |rk AS MATERIALIZED (
+         |  SELECT ssh.set_id, ssh.g, sets.n, CAST(row_number() OVER
+         |      (PARTITION BY ssh.set_id ORDER BY dfr.df ASC, ssh.g ASC)
+         |      AS BIGINT) AS r
+         |  FROM ssh JOIN dfr USING (g) JOIN sets USING (set_id)),
+         |pref AS MATERIALIZED (
+         |  SELECT set_id, g, n, r FROM rk
+         |  WHERE r <= n - ((4 * n + 4) // 5) + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT sa, sb, n_a, n_b FROM (
+         |    SELECT a.set_id AS sa, b.set_id AS sb,
+         |      min(a.n) AS n_a, min(b.n) AS n_b,
+         |      min(a.r) AS ra, min(b.r) AS rb
+         |    FROM pref a JOIN rk b ON a.g = b.g AND a.set_id <> b.set_id
+         |     AND 5 * b.n >= 4 * a.n
+         |    GROUP BY 1, 2)
+         |  WHERE 5 * (1 + least(n_a - ra, n_b - rb)) >= 4 * n_a),
+         |ver AS MATERIALIZED (SELECT c.sa, c.sb FROM cand c
+         |  JOIN sets s1 ON s1.set_id = c.sa
+         |  JOIN sets s2 ON s2.set_id = c.sb
+         |  WHERE 5 * len(list_intersect(s1.grams, s2.grams))
+         |        >= 4 * c.n_a)
+         |SELECT (SELECT count(*) FROM sets) AS n_sets,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM sets) AS n_gram_rows,
+         |  (SELECT count(*) FROM pref) AS n_prefix_rows,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM ver) AS n_set_pairs,
+         |  (SELECT CAST(coalesce(sum(ma.m * mb.m), 0) AS BIGINT) FROM ver
+         |     JOIN sets ma ON ma.set_id = ver.sa
+         |     JOIN sets mb ON mb.set_id = ver.sb) AS n_doc_pairs
+         |""".stripMargin,
     // mirrors dedup_containment with the EXHAUSTIVE directed definition
     // (gram co-occurrence over ordered pairs) — losslessness of the
     // asymmetric prefix + positional + size filters is what the gate

@@ -316,6 +316,18 @@ object Scaling {
           f"n_prefix_rows=${r.getLong(4)}%-8d n_candidates=$nCand%-9d " +
           f"n_pairs=${r.getLong(6)}%-5d " +
           f"cand_ratio=${nCand.toDouble / math.max(nPoss, 1)}%.6f")
+        // the containment twin under the same two vocabularies: its
+        // B-side full index makes candidate volume MORE df-sensitive,
+        // so the Zipf reading matters even more than the Jaccard one
+        val c = SparkEntry.queries("dedup_containment_stats")(spark, d)
+          .collect()(0)
+        graft.core.Barrier.releaseAll(spark)
+        val dPoss = c.getLong(0) * (c.getLong(0) - 1)
+        println(f"[zipf] $tag%-14s containment: n_sets=${c.getLong(0)}%-6d " +
+          f"n_prefix_rows=${c.getLong(2)}%-8d " +
+          f"n_candidates=${c.getLong(3)}%-9d " +
+          f"n_set_pairs=${c.getLong(4)}%-5d " +
+          f"cand_ratio=${c.getLong(3).toDouble / math.max(dPoss, 1)}%.6f")
       }
       spark.stop()
       return
