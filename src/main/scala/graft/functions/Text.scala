@@ -61,9 +61,15 @@ object Text {
   /** The composed-builtin EXECUTABLE SPEC of [[tokenizeCjk]] — kept
     * (not on any query path) so the parity test pins the native walk
     * against the exact span/expansion semantics documented above.
+    * U+0130 (İ) is pre-mapped to 'i': it is Unicode's ONE unconditional
+    * 1:N lowercase (İ → i + combining U+0307 under Java's full
+    * mapping), while the native walk's per-codepoint fold and DuckDB's
+    * utf8proc lower() are both 1:1 — without the translate, the spec
+    * alone would split "İstanbul" into ["i","stanbul"] where walk and
+    * oracle agree on ["istanbul"].
     */
   private[graft] def tokenizeCjkSpec(c: Column): Column = {
-    val spans = regexp_extract_all(lower(c),
+    val spans = regexp_extract_all(lower(translate(c, "İ", "i")),
       lit(s"$HanClass+|[a-z0-9]+|[а-яё]+"), lit(0))
     flatten(transform(spans, sp =>
       when(sp.rlike(s"^$HanClass"),

@@ -433,8 +433,10 @@ object Dedup extends OpModule {
     // (df ASC, gram ASC) order, so both minima land on the globally
     // smallest shared gram), pruned when 5·bound < 4·n_a. Verification
     // is the sorted_intersect_count walk at 5·o ≥ 4·n_a. Sets under 8
-    // grams are excluded (sub-12-char normalized docs — containment is
-    // vacuous there), and identical sets are excluded BY CONSTRUCTION
+    // grams are excluded ON BOTH SIDES (the shared `ranked` relation
+    // carries the filter, so neither A prefixes nor the B index see
+    // them — sub-12-char normalized docs, containment is vacuous
+    // there), and identical sets are excluded BY CONSTRUCTION
     // (they share one set_id; dedup_exact owns them) — the oracle
     // mirrors both via the exhaustive definition, proving the device
     // lossless, not merely self-consistent. Scale: the B-side full
@@ -1059,14 +1061,6 @@ object Dedup extends OpModule {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Bottom-k sketch of a distinct (source, gfp) item relation: the k
-    * smallest hashes per source. Rank ≤ k over a per-source window
-    * compiles to WindowGroupLimit — the cut happens per partition
-    * BEFORE the exchange. Shared by the `corpus_overlap_kmv` batch
-    * query and the streaming maintenance tier (bottom-k is MERGEABLE:
-    * bottom-k of a union is contained in the union of bottom-ks, so
-    * per-batch contributions reduce to the corpus sketch exactly).
-    */
   /** Per-(source, chunk-fp) occurrence rollup of a (source, text)
     * relation — the ADDITIVE statistic behind `dedup_cdc_chunks`,
     * shared with the streaming chunk-store tier so both paths cut and
@@ -1101,6 +1095,14 @@ object Dedup extends OpModule {
         expr("((chars - chars_distinct) * 1000000) " +
           "DIV greatest(chars, 1)").as("dup_ratio_ppm"))
 
+  /** Bottom-k sketch of a distinct (source, gfp) item relation: the k
+    * smallest hashes per source. Rank ≤ k over a per-source window
+    * compiles to WindowGroupLimit — the cut happens per partition
+    * BEFORE the exchange. Shared by the `corpus_overlap_kmv` batch
+    * query and the streaming maintenance tier (bottom-k is MERGEABLE:
+    * bottom-k of a union is contained in the union of bottom-ks, so
+    * per-batch contributions reduce to the corpus sketch exactly).
+    */
   private[graft] def kmvSketchOf(items: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wS = org.apache.spark.sql.expressions.Window
@@ -1762,7 +1764,7 @@ object Dedup extends OpModule {
          |  (ix.inter * 1000000) // sa.n AS cont_ppm
          |FROM ix JOIN sz sa ON sa.doc_id = ix.da
          |        JOIN sz sb ON sb.doc_id = ix.db
-         |WHERE sa.n >= 8 AND 5 * ix.inter >= 4 * sa.n
+         |WHERE sa.n >= 8 AND sb.n >= 8 AND 5 * ix.inter >= 4 * sa.n
          |  AND NOT (ix.inter = sa.n AND ix.inter = sb.n)""".stripMargin,
     // mirrors the S-curve report: banded candidates (the minhash
     // oracle's own CTEs), exhaustive integer-decile truth, measured-vs-

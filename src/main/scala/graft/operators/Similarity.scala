@@ -25,13 +25,6 @@ object Similarity extends OpModule {
 
   private val K = 5
 
-  /** round(1e6·ln(64/V)) for V = 1..64 — the linear-counting log table
-    * for `sim_hyperball` (V = zero registers of an m=64 HLL sketch).
-    * A spec CONSTANT like alpha_64, not runtime math: tabulating the
-    * only 63 possible logs keeps the estimate transcendental-free and
-    * bit-identical in both engines, where the quantized-log2 chord
-    * (piecewise-linear, always ≤ log2) inflated small linear counts by
-    * up to ~30%. */
   /** The ±1 JL projection matrix for `sim_jl_recall`: sign(d, b) = +1
     * iff the first hex digit of md5("jl|d|b") is even — computed here
     * once (1024 cells), re-derived by the oracle from SQL md5 so the
@@ -45,6 +38,13 @@ object Similarity extends OpModule {
       (d, b, if (hex % 2 == 0) 1L else -1L)
     }
 
+  /** round(1e6·ln(64/V)) for V = 1..64 — the linear-counting log table
+    * for `sim_hyperball` (V = zero registers of an m=64 HLL sketch).
+    * A spec CONSTANT like alpha_64, not runtime math: tabulating the
+    * only 63 possible logs keeps the estimate transcendental-free and
+    * bit-identical in both engines, where the quantized-log2 chord
+    * (piecewise-linear, always ≤ log2) inflated small linear counts by
+    * up to ~30%. */
   private val hllLnLut: Seq[Long] = Seq(
     4158883L, 3465736L, 3060271L, 2772589L, 2549445L, 2367124L, 2212973L,
     2079442L, 1961659L, 1856298L, 1760988L, 1673976L, 1593934L, 1519826L,
@@ -538,8 +538,13 @@ object Similarity extends OpModule {
         .reduce(_ unionByName _)
       exact.join(est, "t")
         .select(col("t"), col("exact_pairs"), col("est_pairs"),
-          expr("((est_pairs - exact_pairs) * 1000000) DIV exact_pairs")
-            .as("err_ppm"),
+          // sign-symmetric DIV (the shared fixed-point device): Spark
+          // DIV truncates toward zero, DuckDB // floors — they diverge
+          // on negative numerators, so divide the |diff| and re-sign
+          expr("CASE WHEN est_pairs >= exact_pairs THEN " +
+            "((est_pairs - exact_pairs) * 1000000) DIV exact_pairs " +
+            "ELSE -(((exact_pairs - est_pairs) * 1000000) " +
+            "DIV exact_pairs) END").as("err_ppm"),
           expr("abs((est_pairs - exact_pairs) * 1000000) " +
             "DIV exact_pairs <= 250000").as("within_tol"))
     }),
@@ -3584,8 +3589,10 @@ object Similarity extends OpModule {
          |  SELECT * FROM est1 UNION ALL SELECT * FROM est2
          |  UNION ALL SELECT * FROM est3)
          |SELECT CAST(ex.t AS BIGINT) AS t, ex.exact_pairs, es.est_pairs,
-         |  ((es.est_pairs - ex.exact_pairs) * 1000000) // ex.exact_pairs
-         |    AS err_ppm,
+         |  CASE WHEN es.est_pairs >= ex.exact_pairs THEN
+         |    ((es.est_pairs - ex.exact_pairs) * 1000000) // ex.exact_pairs
+         |  ELSE -(((ex.exact_pairs - es.est_pairs) * 1000000)
+         |    // ex.exact_pairs) END AS err_ppm,
          |  abs((es.est_pairs - ex.exact_pairs) * 1000000)
          |    // ex.exact_pairs <= 250000 AS within_tol
          |FROM ex JOIN es ON es.t = ex.t""".stripMargin

@@ -54,21 +54,22 @@ case class TokenizeCjk(child: Expression) extends UnaryExpression {
 
 object TokenizeCjk {
 
-  private final val None = 0
-  private final val Lat = 1
-  private final val Cyr = 2
-  private final val Han = 3
+  // span classes — named Cls* so scala.None stays unshadowed
+  private final val ClsNone = 0
+  private final val ClsLat = 1
+  private final val ClsCyr = 2
+  private final val ClsHan = 3
 
   def compute(s: UTF8String): GenericArrayData = {
     val str = s.toString
     val n = str.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val span = new java.lang.StringBuilder(16)
-    var cls = None
+    var cls = ClsNone
 
     def flush(): Unit = {
-      if (cls == None || span.length == 0) { span.setLength(0); return }
-      if (cls == Han && span.length > 1) {
+      if (cls == ClsNone || span.length == 0) { span.setLength(0); return }
+      if (cls == ClsHan && span.length > 1) {
         // overlapping codepoint bigrams; han is BMP so chars == cps
         var i = 0
         while (i < span.length - 1) {
@@ -83,14 +84,19 @@ object TokenizeCjk {
     while (i < n) {
       val cp = str.codePointAt(i)
       i += Character.charCount(cp)
+      // per-codepoint simple fold (1:1) — the same stance as DuckDB's
+      // utf8proc lower(); Unicode's one unconditional 1:N lowercase,
+      // U+0130 İ, folds to plain 'i' here (the composed spec applies
+      // the same pre-mapping so all three forms agree)
       val cl = Character.toLowerCase(cp)
       val c =
-        if (cp >= 0x4E00 && cp <= 0x9FFF) Han
-        else if ((cl >= 'a' && cl <= 'z') || (cp >= '0' && cp <= '9')) Lat
-        else if ((cl >= 0x430 && cl <= 0x44F) || cl == 0x451) Cyr
-        else None
+        if (cp >= 0x4E00 && cp <= 0x9FFF) ClsHan
+        else if ((cl >= 'a' && cl <= 'z') || (cp >= '0' && cp <= '9'))
+          ClsLat
+        else if ((cl >= 0x430 && cl <= 0x44F) || cl == 0x451) ClsCyr
+        else ClsNone
       if (c != cls) { flush(); cls = c }
-      if (c != None) span.appendCodePoint(if (c == Han) cp else cl)
+      if (c != ClsNone) span.appendCodePoint(if (c == ClsHan) cp else cl)
     }
     flush()
     new GenericArrayData(out.toArray)

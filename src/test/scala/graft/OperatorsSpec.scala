@@ -88,7 +88,7 @@ class OperatorsSpec extends SparkSpec {
     val edges = Seq("深度学习 deep learning 2024", "我", "abc 123", "",
       "Распределённый Spark движок 2024", "中文and русскийmixed直接",
       "emoji 😀 between 汉字 and words", "ВЕРХНИЙ РЕГИСТР", "a中b中c",
-      "таб\tи\nперенос", null)
+      "таб\tи\nперенос", "İstanbul xİy ISTANBUL", null)
     val df = edges.toDF("text").unionByName(
       spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
     val diff = df.select(
