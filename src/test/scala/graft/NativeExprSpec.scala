@@ -99,4 +99,30 @@ class NativeExprSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(n === 1, "walk must find U+FFFD in the mixed-plane array")
   }
+
+  test("native tokenize_cjk == composed spec on deterministic fuzz " +
+      "across script mixes and fold edge codepoints") {
+    import spark.implicits._
+    // deterministic fuzz: 400 strings drawn from a pool that mixes every
+    // class the walk distinguishes PLUS the case-fold hazards the İ fix
+    // is about (1:N lowercase, context-sensitive final sigma, Kelvin
+    // sign, surrogate pairs, combining marks) — hand-picked edges catch
+    // what we thought of; the fuzz catches the rest
+    val pool = Vector("a", "Z", "0", "9", "中", "文", "深", "\u0130",
+      "\u0131", "\u212A", "\u03A3", "\u03C2", "Ё", "ё", "Д", "я",
+      " ", "\t", "\n", "-", "😀", "\uFFFD", "\u0307", "é", "ß",
+      "\u1E9E", "q", "中中", "Ab0", "шш")
+    val rnd = new scala.util.Random(0xBEEF)
+    val rows = (0 until 400).map { _ =>
+      val len = rnd.nextInt(24)
+      (0 until len).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    }
+    val df = rows.toDF("text")
+    val diff = df.select(
+        graft.functions.Text.tokenizeCjk(col("text")).as("a"),
+        graft.functions.Text.tokenizeCjkSpec(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    val bad = diff.collect()
+    assert(bad.isEmpty, s"native/spec divergence on: ${bad.take(3).toSeq}")
+  }
 }
