@@ -630,6 +630,55 @@ object TextAnalysis extends OpModule {
     // token relation. Emits kept/dropped counts + cleaned-text
     // fingerprint (proof-of-scrub, not a corpus copy) — same contract as
     // text_line_dedup one granularity down.
+    // LONGEST duplicated substring, corpus-wide — the companion
+    // statistic to exact-substring dedup (how LONG does verbatim reuse
+    // get?), answered without suffix arrays: "a duplicated substring of
+    // length L exists ⟺ some L-char window occurs twice" is MONOTONE in
+    // L, so 13 binary-search probes over (0, 8192] find the maximum.
+    // Each probe is ONE corpus scan of window fingerprints (60-bit md5,
+    // thin) into a count ≥ 2 existence check — the fp probe is
+    // identical in both engines, so even a (2^-60-improbable) collision
+    // steers BOTH binary searches the same way; the final report
+    // regroups by the SUBSTRING ITSELF at the answer length (exact, no
+    // hash) and emits (max_dup_len, distinct duplicated strings, the
+    // lexicographically-first example, its max occurrence count). At
+    // 100 TB: 13 linear scans, no suffix structure, no sort — the
+    // published alternative (suffix-array construction) is a corpus
+    // sort this device never pays. The driver-side loop holds two Ints
+    // and a per-round 1-row existence probe (the BPE winner.isEmpty
+    // discipline); the corpus never collects.
+    "text_longest_dup" -> ((s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(Text.normalize(col("text")).as("norm"))
+        .barrier() // 13 probe scans + the final report read it
+      def windows(l: Int) = normed.select(explode(expr(
+        s"CASE WHEN length(norm) >= $l THEN " +
+          s"transform(sequence(1, length(norm) - $l + 1), " +
+          s"i -> substring(norm, i, $l)) ELSE array() END")).as("w"))
+      def dupAt(l: Int): Boolean = !windows(l)
+        .select(conv(substring(md5(col("w")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).limit(1).isEmpty
+      var (lo, hi) = (0, 8192)
+      (1 to 13).foreach { _ =>
+        if (hi - lo > 1) {
+          val mid = (lo + hi) / 2
+          if (dupAt(mid)) lo = mid else hi = mid
+        }
+      }
+      // report at the answer length; l = max(lo, 1) keeps the lo = 0
+      // (no duplication anywhere) case meaningful: windows at 1 then
+      // have no dup, so the report row reads (0, 0, '', 0)
+      windows(math.max(lo, 1))
+        .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+        .agg(count(lit(1)).as("n_dup_strings"),
+          coalesce(min(col("w")), lit("")).as("example"),
+          coalesce(max(col("occ")), lit(0L)).as("max_occ"))
+        .select(lit(lo.toLong).as("max_dup_len"), col("n_dup_strings"),
+          col("example"), col("max_occ"))
+    }),
     "text_substring_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4336,6 +4385,48 @@ object TextAnalysis extends OpModule {
     // fully relational mirror (no nested lambdas): duplicated grams →
     // covered positions via unnest(range(i, i+8)) → kept = positions
     // EXCEPT covered, reassembled in order
+    // mirrors text_longest_dup: the SAME 13-round binary search unrolled
+    // (each round MATERIALIZED — the sim_kcore inlining lesson), fp
+    // probes identical to the engine's, exact substring regroup at the
+    // answer length
+    "text_longest_dup" -> {
+      def roundSql(k: Int): String =
+        s"""m$k AS (SELECT lo, hi, (lo + hi) // 2 AS mid FROM s$k),
+           |w$k AS (SELECT ('0x' || substring(md5(substr(norm, i, mid)),
+           |    1, 15))::BIGINT AS fp
+           |  FROM (SELECT n.norm, m.mid,
+           |          unnest(range(1, greatest(len(n.norm) - m.mid + 2, 1)))
+           |            AS i
+           |        FROM n CROSS JOIN m$k m)),
+           |d$k AS (SELECT count(*) > 0 AS dup FROM (
+           |  SELECT fp FROM w$k GROUP BY fp HAVING count(*) >= 2
+           |  LIMIT 1)),
+           |s${k + 1} AS MATERIALIZED (
+           |  SELECT CASE WHEN d.dup THEN m.mid ELSE m.lo END AS lo,
+           |         CASE WHEN d.dup THEN m.hi ELSE m.mid END AS hi
+           |  FROM m$k m CROSS JOIN d$k d)""".stripMargin
+      s"""WITH n AS (SELECT
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |s1 AS (SELECT 0 AS lo, 8192 AS hi),
+         |${(1 to 13).map(roundSql).mkString(",\n")},
+         |fin AS (SELECT lo AS l, greatest(lo, 1) AS lw FROM s14),
+         |dupw AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS occ FROM (
+         |    SELECT substr(norm, i, lw) AS w
+         |    FROM (SELECT n.norm, f.lw,
+         |            unnest(range(1, greatest(len(n.norm) - f.lw + 2, 1)))
+         |              AS i
+         |          FROM n CROSS JOIN fin f))
+         |  GROUP BY w HAVING count(*) >= 2)
+         |SELECT CAST(f.l AS BIGINT) AS max_dup_len,
+         |  CAST(coalesce((SELECT count(*) FROM dupw), 0) AS BIGINT)
+         |    AS n_dup_strings,
+         |  coalesce((SELECT min(w) FROM dupw), '') AS example,
+         |  CAST(coalesce((SELECT max(occ) FROM dupw), 0) AS BIGINT)
+         |    AS max_occ
+         |FROM fin f""".stripMargin
+    },
     "text_substring_dedup" -> {
       val values = ssdFixture
         .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")
