@@ -103,6 +103,61 @@ object Dedup extends OpModule {
           (col("n_match").cast("double") / lit(6.0)).as("est_jaccard"),
           jaccard(col("ta"), col("tb")).as("true_jaccard"))
     }),
+    // MinHash-ESTIMATED containment — the sketch-tier twin of the exact
+    // dedup_containment join, and the bridge between the two families:
+    // containment derives from Jaccard and sizes alone
+    // (C(a→b) = |∩|/n_a with |∩| = J·(n_a+n_b)/(1+J)), so the banded
+    // signature agreement Ĵ = n_match/6 plus the two distinct-token
+    // counts estimate BOTH directions of containment with no gram join
+    // at all: Ĉ(a→b) = n_match·(n_a+n_b) / (n_a·(6+n_match)), an exact
+    // rational (one truncating DIV in micro units, capped at 1e6 —
+    // small-sample Ĵ bias can push the raw formula past 1). Each
+    // candidate row carries the TRUE containment beside the estimate
+    // (the dedup_minhash_estimate discipline: the report grades the
+    // estimator, the gate pins the arithmetic). Scale shape: the same
+    // thin banded candidate join as the whole MinHash family, slices
+    // and token arrays joined by doc_id — no all-pairs, no gram
+    // explode; overflow n_match·(n_a+n_b)·1e6 ≤ 6·2e4·1e6 « int64.
+    "dedup_containment_estimate" -> ((s, dir) => {
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = t(s, dir, "documents")
+      val cand = candidatePairs(thinSigs(docs), nPart)
+      val mh = minhashSlices(docs).barrier() // joined per side
+      def side(n: String) = mh.select(col("doc_id").as(n) +:
+        (0 to 5).map(i => col(s"mh$i").as(s"mh${i}_$n")): _*)
+      val nMatch = (0 to 5).map(i =>
+        when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val toks = docs.select(col("doc_id"),
+        Text.tokenizeDistinct(col("text")).as("toks"))
+        .barrier() // joined per side
+      cand
+        .join(side("a"), col("doc_a") === col("a")).drop("a")
+        .join(side("b"), col("doc_b") === col("b")).drop("b")
+        .withColumn("n_match", nMatch)
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(col("ta")).cast("long").as("n_a"),
+          size(col("tb")).cast("long").as("n_b"),
+          col("n_match"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long")
+            .as("inter"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_match"), col("inter"),
+          expr("least((n_match * (n_a + n_b) * 1000000) DIV " +
+            "(greatest(n_a, 1) * (6 + n_match)), 1000000)")
+            .as("est_cont_ab_ppm"),
+          expr("(inter * 1000000) DIV greatest(n_a, 1)")
+            .as("true_cont_ab_ppm"),
+          expr("least((n_match * (n_a + n_b) * 1000000) DIV " +
+            "(greatest(n_b, 1) * (6 + n_match)), 1000000)")
+            .as("est_cont_ba_ppm"),
+          expr("(inter * 1000000) DIV greatest(n_b, 1)")
+            .as("true_cont_ba_ppm"))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       // 3 bands × r=2 minhashes; candidates = same (band, sig);
       // verify with true word-set Jaccard >= 0.6.
@@ -2163,6 +2218,52 @@ object Dedup extends OpModule {
         |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
         |    CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE)
         |    AS true_jaccard
+        |FROM m""".stripMargin
+    },
+    // mirrors dedup_containment_estimate: the minhash-estimate oracle's
+    // own candidate + slice CTEs, then the containment-from-Jaccard
+    // rational in both directions with the same DIV order and cap
+    "dedup_containment_estimate" -> {
+      val mSel = (0 to 5).map(i => s"${oraMinhash(i)} AS m$i")
+        .mkString(",\n        |  ")
+      val agree = (0 to 5).map(i => s"CAST(sa.m$i = sb.m$i AS INT)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $oraToks AS toks, $oraRawToks AS rtoks
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, toks, $oraShingles AS sh FROM d),
+        |sl AS (SELECT doc_id, toks,
+        |  $mSel
+        |  FROM d2),
+        |sigs AS (SELECT doc_id,
+        |  md5(m0::VARCHAR || '_' || m1::VARCHAR) AS s0,
+        |  md5(m2::VARCHAR || '_' || m3::VARCHAR) AS s1,
+        |  md5(m4::VARCHAR || '_' || m5::VARCHAR) AS s2 FROM sl),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+        |  UNION ALL SELECT doc_id, 1, s1 FROM sigs
+        |  UNION ALL SELECT doc_id, 2, s2 FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(sa.toks) AS BIGINT) AS n_a,
+        |    CAST(len(sb.toks) AS BIGINT) AS n_b,
+        |    CAST($agree AS BIGINT) AS n_match,
+        |    CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN sl sa ON sa.doc_id = c.doc_a
+        |  JOIN sl sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_a, n_b, n_match, inter,
+        |  least((n_match * (n_a + n_b) * 1000000)
+        |    // (greatest(n_a, 1) * (6 + n_match)), 1000000)
+        |    AS est_cont_ab_ppm,
+        |  (inter * 1000000) // greatest(n_a, 1) AS true_cont_ab_ppm,
+        |  least((n_match * (n_a + n_b) * 1000000)
+        |    // (greatest(n_b, 1) * (6 + n_match)), 1000000)
+        |    AS est_cont_ba_ppm,
+        |  (inter * 1000000) // greatest(n_b, 1) AS true_cont_ba_ppm
         |FROM m""".stripMargin
     },
     // transitive closure of the pair relation via a recursive CTE — the

@@ -1127,4 +1127,26 @@ class DedupSimilaritySpec extends SparkSpec {
       === again.sortBy(t => (t._1, t._2)).toSeq,
       "md5-derived projection must be rerun-deterministic")
   }
+
+  test("containment estimate: same candidates as jaccard estimate, " +
+      "bounded error, capped") {
+    val rows = graft.operators.Dedup
+      .queries("dedup_containment_estimate")(spark, sfDir).collect()
+    val jac = graft.operators.Dedup
+      .queries("dedup_minhash_estimate")(spark, sfDir).collect()
+    // one report row per banded candidate pair, exactly the pairs the
+    // jaccard-estimate report grades
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === jac.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (6 to 9).foreach(i => assert(r.getLong(i) >= 0L
+        && r.getLong(i) <= 1000000L, s"ppm out of range: $r"))
+    }
+    // the containment-from-jaccard derivation tracks truth on the
+    // fixture (measured mean |err| ~29k ppm; bound leaves 5x headroom)
+    val errs = rows.map(r => math.abs(r.getLong(6) - r.getLong(7)))
+    assert(errs.sum / errs.length < 150000L,
+      s"mean containment-estimate error ${errs.sum / errs.length} ppm")
+  }
 }
