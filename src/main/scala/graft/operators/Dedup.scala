@@ -1384,18 +1384,25 @@ object Dedup extends OpModule {
       .barrier() // the A-side prefix cut AND the B-side full index
     val pref = ranked
       .filter(col("r") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+    // positional filter PER JOINED ROW, before the pair rollup: the
+    // row-level bound max_i min(n_a−ra_i, n_b−rb_i) is ≤ the
+    // aggregated min-min bound (the two minima may come from different
+    // rows), so filtering rows first prunes STRICTLY more pairs than
+    // filtering the grouped mins — and stays lossless because a true
+    // pair's min-rank witness w* carries BOTH minima in one row (the
+    // single-witness proof above) and therefore passes. Rows dropped
+    // here also never reach the groupBy exchange.
     val cand = pref
       .select(col("set_id").as("sa"), col("g"), col("n").as("n_a"),
         col("r").as("ra"))
       .join(ranked.select(col("set_id").as("sb"), col("g"),
         col("n").as("n_b"), col("r").as("rb")), Seq("g"))
       .filter(col("sa") =!= col("sb") &&
-        col("n_b") * 5 >= col("n_a") * 4)
+        col("n_b") * 5 >= col("n_a") * 4 &&
+        (lit(1L) + least(col("n_a") - col("ra"),
+          col("n_b") - col("rb"))) * 5 >= col("n_a") * 4)
       .groupBy(col("sa"), col("sb"))
-      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
-        min(col("ra")).as("ra"), min(col("rb")).as("rb"))
-      .filter((lit(1L) + least(col("n_a") - col("ra"),
-        col("n_b") - col("rb"))) * 5 >= col("n_a") * 4)
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
       .barrier() // verification join AND the stats count
     val verified = cand
       .join(gs.sets.select(col("set_id").as("sa"),
@@ -1776,14 +1783,12 @@ object Dedup extends OpModule {
          |  SELECT set_id, g, n, r FROM rk
          |  WHERE r <= n - ((4 * n + 4) // 5) + 1),
          |cand AS MATERIALIZED (
-         |  SELECT sa, sb, n_a, n_b FROM (
-         |    SELECT a.set_id AS sa, b.set_id AS sb,
-         |      min(a.n) AS n_a, min(b.n) AS n_b,
-         |      min(a.r) AS ra, min(b.r) AS rb
-         |    FROM pref a JOIN rk b ON a.g = b.g AND a.set_id <> b.set_id
-         |     AND 5 * b.n >= 4 * a.n
-         |    GROUP BY 1, 2)
-         |  WHERE 5 * (1 + least(n_a - ra, n_b - rb)) >= 4 * n_a),
+         |  SELECT a.set_id AS sa, b.set_id AS sb,
+         |    min(a.n) AS n_a, min(b.n) AS n_b
+         |  FROM pref a JOIN rk b ON a.g = b.g AND a.set_id <> b.set_id
+         |   AND 5 * b.n >= 4 * a.n
+         |   AND 5 * (1 + least(a.n - a.r, b.n - b.r)) >= 4 * a.n
+         |  GROUP BY 1, 2),
          |ver AS MATERIALIZED (SELECT c.sa, c.sb FROM cand c
          |  JOIN sets s1 ON s1.set_id = c.sa
          |  JOIN sets s2 ON s2.set_id = c.sb
