@@ -679,6 +679,38 @@ object TextAnalysis extends OpModule {
         .select(lit(lo.toLong).as("max_dup_len"), col("n_dup_strings"),
           col("example"), col("max_occ"))
     }),
+    // Duplication-depth PROFILE — the curve text_longest_dup is the
+    // endpoint of: at each window length L ∈ {8, 16, …, 1024}, what
+    // fraction of the corpus's L-char windows is duplicated (fp occurs
+    // ≥ 2 corpus-wide)? The published dedup decisions (Lee et al.'s
+    // "duplicated 50-gram" thresholds, CDC chunk sizing, shingle width
+    // choices) all read points off this curve. One thin fingerprint
+    // scan per length — 8 scans total, each a map-side-combined count
+    // rollup; the per-L report is 4 integers + one ppm DIV, so the
+    // whole result is 8 rows. Like the longest-dup probe, fingerprints
+    // stand in for strings identically in both engines.
+    "text_dup_profile" -> ((s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(Text.normalize(col("text")).as("norm"))
+        .barrier() // 8 window scans read it
+      Seq(8, 16, 32, 64, 128, 256, 512, 1024).map { l =>
+        normed.select(explode(expr(
+          s"CASE WHEN length(norm) >= $l THEN " +
+            s"transform(sequence(1, length(norm) - $l + 1), " +
+            s"i -> substring(norm, i, $l)) ELSE array() END")).as("w"))
+          .select(conv(substring(md5(col("w")), 1, 15), 16, 10)
+            .cast("long").as("fp"))
+          .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_windows"),
+            count(lit(1)).as("n_distinct"),
+            coalesce(sum(when(col("c") >= 2, col("c"))
+              .otherwise(lit(0L))), lit(0L)).as("n_dup_windows"))
+          .select(lit(l.toLong).as("win_len"), col("n_windows"),
+            col("n_distinct"), col("n_dup_windows"),
+            expr("(n_dup_windows * 1000000) DIV greatest(n_windows, 1)")
+              .as("dup_ppm"))
+      }.reduce(_ unionByName _)
+    }),
     "text_substring_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4385,6 +4417,32 @@ object TextAnalysis extends OpModule {
     // fully relational mirror (no nested lambdas): duplicated grams →
     // covered positions via unnest(range(i, i+8)) → kept = positions
     // EXCEPT covered, reassembled in order
+    // mirrors text_dup_profile: the same 8 fixed lengths, fp rollup,
+    // and count algebra per length
+    "text_dup_profile" -> {
+      def lenSql(l: Int): String =
+        s"""SELECT $l AS win_len,
+           |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_windows,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
+           |    AS BIGINT) AS n_dup_windows,
+           |  (coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
+           |    * 1000000) // greatest(coalesce(sum(c), 0), 1) AS dup_ppm
+           |FROM (
+           |  SELECT fp, count(*) AS c FROM (
+           |    SELECT ('0x' || substring(md5(substr(norm, i, $l)), 1, 15))
+           |      ::BIGINT AS fp
+           |    FROM (SELECT norm,
+           |            unnest(range(1, greatest(len(norm) - $l + 2, 1)))
+           |              AS i
+           |          FROM n))
+           |  GROUP BY fp)""".stripMargin
+      s"""WITH n AS (SELECT
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |${Seq(8, 16, 32, 64, 128, 256, 512, 1024).map(lenSql)
+          .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // mirrors text_longest_dup: the SAME 13-round binary search unrolled
     // (each round MATERIALIZED — the sim_kcore inlining lesson), fp
     // probes identical to the engine's, exact substring regroup at the

@@ -68,7 +68,8 @@ object Scaling {
     "sim_graph_search_layered", "dedup_simhash_pairs",
     "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares",
     "text_kneser_ney", "dedup_containment", "sim_hyperball",
-    "sim_jl_recall", "text_longest_dup", "dedup_containment_estimate")
+    "sim_jl_recall", "text_longest_dup", "dedup_containment_estimate",
+    "text_dup_profile")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

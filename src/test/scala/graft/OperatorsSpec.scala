@@ -774,6 +774,31 @@ class OperatorsSpec extends SparkSpec {
     assert(occ >= 2, s"reported example occurs $occ times")
   }
 
+  test("dup profile: window conservation, longest-dup consistency") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_dup_profile")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L))
+    rows.foreach { case (l, nw, nd, ndup, ppm) =>
+      assert(nd <= nw && ndup <= nw, s"L=$l counts inconsistent")
+      assert(ppm == (if (nw > 0) ndup * 1000000 / nw else 0L))
+    }
+    // longer windows are a subset-count of shorter ones
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.reverse.toSeq)
+    // cross-operator consistency: duplication exists at every grid
+    // length <= the longest duplicated substring, and at none above it
+    val longest = graft.operators.TextAnalysis
+      .queries("text_longest_dup")(spark, sfDir).collect()(0).getLong(0)
+    rows.foreach { case (l, _, _, ndup, _) =>
+      if (l <= longest) assert(ndup > 0,
+        s"L=$l <= longest=$longest must show duplication")
+      else assert(ndup === 0L,
+        s"L=$l > longest=$longest cannot show duplication")
+    }
+  }
+
   test("weighted A-ES sample: top-k plan, driver recompute, length bias") {
     val df = graft.operators.TextAnalysis
       .queries("sample_weighted_ares")(spark, sfDir)
