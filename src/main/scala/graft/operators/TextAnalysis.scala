@@ -939,6 +939,38 @@ object TextAnalysis extends OpModule {
     // mirrored in the oracle) exercise both pattern families under the
     // gate; scrubbed text is fingerprinted, not emitted — the audit
     // record needs proof-of-scrub, not a second copy of the corpus.
+    // k-ANONYMITY report (Sweeney) — the privacy companion to the PII
+    // scrub: how re-identifiable are documents from their
+    // QUASI-IDENTIFIERS alone (lang, source, log2 length bucket — the
+    // metadata that survives scrubbing)? A doc in an equivalence class
+    // of size < k is k-anonymity-violating: its metadata narrows it to
+    // fewer than k candidates. Report: per class-size bucket (log2),
+    // classes/docs, plus the fraction of docs violating k = 8 — the
+    // number a release decision reads. Two chained thin aggregates
+    // (QI tuple → class size, size → histogram), both map-side
+    // combined; the broadcast-scalar idiom carries the one total.
+    "privacy_k_anonymity" -> ((s, dir) => {
+      val classes = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("length(bin(greatest(n_chars, 1))) - 1").as("len_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+        .barrier() // the histogram AND the violation total read it
+      val tot = classes.agg(sum(col("class_size")).as("t_docs"),
+        sum(when(col("class_size") < 8, col("class_size"))
+          .otherwise(lit(0L))).as("t_violating"))
+      classes
+        .groupBy(expr("CAST(length(bin(class_size)) - 1 AS BIGINT)")
+          .as("size_bucket"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_docs"),
+          min(col("class_size")).as("min_size"),
+          max(col("class_size")).as("max_size"))
+        .crossJoin(broadcast(tot)) // 1-row scalar
+        .select(col("size_bucket"), col("n_classes"), col("n_docs"),
+          col("min_size"), col("max_size"),
+          expr("(t_violating * 1000000) DIV greatest(t_docs, 1)")
+            .as("violating_k8_ppm"))
+    }),
     "text_pii_scrub" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4631,6 +4663,27 @@ object TextAnalysis extends OpModule {
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
         |    AS total_bpe_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // mirrors privacy_k_anonymity: same QI tuple, class rollup,
+    // log2 buckets via length(bin(..)), and the k=8 violation scalar
+    "privacy_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT lang, source,
+        |    length(bin(greatest(n_chars, 1))) - 1 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS t_docs,
+        |  CAST(coalesce(sum(CASE WHEN class_size < 8 THEN class_size
+        |    ELSE 0 END), 0) AS BIGINT) AS t_violating
+        |  FROM classes)
+        |SELECT length(bin(class_size)) - 1 AS size_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_docs,
+        |  CAST(min(class_size) AS BIGINT) AS min_size,
+        |  CAST(max(class_size) AS BIGINT) AS max_size,
+        |  (any_value(t.t_violating) * 1000000)
+        |    // greatest(any_value(t.t_docs), 1) AS violating_k8_ppm
+        |FROM classes CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin,
     "text_pii_scrub" -> {
       val values = piiFixture
         .map { case (id, txt) => s"($id, '$txt')" }.mkString(",\n          ")

@@ -69,7 +69,7 @@ object Scaling {
     "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares",
     "text_kneser_ney", "dedup_containment", "sim_hyperball",
     "sim_jl_recall", "text_longest_dup", "dedup_containment_estimate",
-    "text_dup_profile")
+    "text_dup_profile", "privacy_k_anonymity")
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)

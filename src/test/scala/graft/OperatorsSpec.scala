@@ -774,6 +774,29 @@ class OperatorsSpec extends SparkSpec {
     assert(occ >= 2, s"reported example occurs $occ times")
   }
 
+  test("k-anonymity: doc conservation, violation scalar recompute") {
+    val rows = graft.operators.TextAnalysis
+      .queries("privacy_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    // every document lands in exactly one equivalence class bucket
+    assert(rows.map(_._3).sum === n)
+    rows.foreach { case (b, _, _, lo, hi, _) =>
+      assert(lo <= hi, s"bucket $b min>max")
+      assert((63 - java.lang.Long.numberOfLeadingZeros(lo)) === b &&
+        (63 - java.lang.Long.numberOfLeadingZeros(hi)) === b,
+        s"bucket $b sizes [$lo,$hi] outside the log2 cell")
+    }
+    // the k=8 violation ppm recomputed from scratch on the driver
+    val sizes = docs.groupBy(col("lang"), col("source"),
+        expr("length(bin(greatest(n_chars, 1))) - 1"))
+      .count().collect().map(_.getLong(3))
+    val wantPpm = sizes.filter(_ < 8).sum * 1000000L / sizes.sum
+    assert(rows.map(_._6).distinct.toSeq === Seq(wantPpm))
+  }
+
   test("dup profile: window conservation, longest-dup consistency") {
     val rows = graft.operators.TextAnalysis
       .queries("text_dup_profile")(spark, sfDir).collect()
