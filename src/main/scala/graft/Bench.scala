@@ -15,12 +15,18 @@ object Bench {
   // similarity and multimodal paths. Quadratic blocked-pair correctness
   // checks (dedup_ngram_jaccard, sim_pairs_threshold) are excluded by
   // design — their scale paths (minhash_lsh, lsh_ann) are benched instead.
+  // r13 additions (VERDICT r12 #6): one representative per native-walk
+  // family so the fused paths are regression-guarded round-over-round —
+  // dedup_simhash_pairs (simhash60 + banded pair store),
+  // dedup_cdc_chunks (cdc_chunks walk), text_kneser_ney (tokenize +
+  // exact-integer LM scoring over the bigram relations).
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "j1_order_lineitem_join", "j3_interval_join",
     "j4_lookup_dim_join", "a1_tumble_count", "a2_keyed_window_reduce",
     "a4_uv_per_day", "a5_is_new_repair", "k5_upsert_latest_per_key",
     "u1_tokenize_explode", "text_quality", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_cdc_chunks", "text_kneser_ney", "sim_topk_bruteforce",
     "sim_lsh_ann", "sim_ivf_ann", "mm_decode_features", "p7_map_projection")
 
   /** Per-query seconds from the GIT-COMMITTED `bench_out.json` — the

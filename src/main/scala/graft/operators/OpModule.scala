@@ -15,6 +15,17 @@ import graft.core.Tables
   *    string at the output boundary (Spark cast("string") ≡ DuckDB
   *    CAST(x AS VARCHAR) for DECIMAL — both print `123.45`)
   *  - every computed column aliased identically in Spark and oracle SQL.
+  *  - integer columns: normalize BOTH sides to BIGINT — `lit(x.toLong)`
+  *    / `.cast("long")` in Spark paired with `CAST(x AS BIGINT)` in the
+  *    oracle. Observed driver behavior (r12 evidence): int32-vs-int64
+  *    width differences hash EQUAL (24 rank-column queries were green
+  *    with Spark int32 against DuckDB BIGINT), but an integer that
+  *    escapes as DuckDB HUGEINT/DECIMAL (any uncast `sum()` arithmetic
+  *    — sum(BIGINT) is HUGEINT, and HUGEINT survives `//`) breaks the
+  *    hash even when values agree — that, not win_len's width, is what
+  *    failed text_dup_profile in r12. The BIGINT-both-sides discipline
+  *    makes the question moot, and tools/localcheck.py enforces strict
+  *    arrow-schema dtype parity so ANY divergence fails pre-flight.
   */
 trait OpModule {
   type Q = (SparkSession, String) => DataFrame

@@ -248,7 +248,9 @@ object Relational extends OpModule {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        // BIGINT at the output boundary only (WindowGroupLimit above)
+        .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("string")
             .as("total_price"))
     }),

@@ -83,12 +83,14 @@ object Similarity extends OpModule {
   private val BeamWidth = 8
   private val BeamRounds = 4
   /** Layered entry selection (`sim_graph_search_layered`) — the HNSW
-    * upper-layer story: a deterministic 1-in-16 vertex sample forms the
-    * sparse entry layer (HNSW samples levels at ~1/M with M∈[5,48]),
-    * walked near-greedily (beam 2, the published greedy descent plus one
-    * tie-guard) for 3 rounds before the base beam starts. Serving
-    * constants, not scale knobs — same rounds × width × degree algebra
-    * as the flat walk. */
+    * upper-layer story: a GEOMETRIC ladder of deterministic vertex
+    * samples (1-in-16, then 1-in-256 — HNSW samples levels at ~1/M
+    * with M∈[5,48]; r13 added the third level the r12 two-level walk
+    * lacked for 100× corpora), each walked near-greedily (beam 2, the
+    * published greedy descent plus one tie-guard) for 3 rounds, each
+    * layer seeding the next from its per-query best. Serving constants,
+    * not scale knobs — same rounds × width × degree algebra as the
+    * flat walk. */
   private val UpperSampleMod = 16
   private val UpperBeamWidth = 2
   private val UpperRounds = 3
@@ -141,7 +143,8 @@ object Similarity extends OpModule {
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     }),
     // FAISS-style RANGE search — the API member next to top-k: every
     // neighbor within a similarity radius, result size data-dependent.
@@ -255,7 +258,8 @@ object Similarity extends OpModule {
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     }),
     // Full kNN-graph construction — top-k neighbor lists for EVERY
     // vector, the primitive behind graph-based dedup/cluster passes and
@@ -269,7 +273,8 @@ object Similarity extends OpModule {
     // limits run before the vec_id exchange.
     "sim_knn_graph" -> ((s, dir) =>
       knnGraph(s, dir)
-        .select(col("vec_id"), col("neighbor_id"), col("rank"))),
+        .select(col("vec_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))),
     // Graph clustering of the embedding space — connected components over
     // the τ-pruned kNN graph (the "cluster the corpus, then inspect each
     // cluster" workflow an embedding-curation pass runs). Reuses the
@@ -627,7 +632,8 @@ object Similarity extends OpModule {
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("a_label"), col("rank"),
+        .select(col("vec_id"), col("a_label"),
+          col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("n_label"))
     }),
     // ANN recall report — the index-evaluation pass a vector pipeline
@@ -974,22 +980,26 @@ object Similarity extends OpModule {
     visited.filter(col("query_id") =!= col("v"))
       .withColumn("rank", row_number().over(wb))
       .filter(col("rank") <= 10)
-      .select(col("query_id"), col("v").as("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("v").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** HNSW-layer entry selection (`sim_graph_search_layered`): walk a
-    * SPARSE upper-layer graph first (a deterministic 1-in-
-    * [[UpperSampleMod]] vertex sample — HNSW's level-1 analog), then
-    * seed the base-layer beam from each query's best upper vertex
+    * geometric ladder of SPARSE upper-layer graphs first (deterministic
+    * 1-in-[[UpperSampleMod]] and 1-in-[[UpperSampleMod]]² vertex
+    * samples, nested since 256 | id ⇒ 16 | id — HNSW's level ladder),
+    * each layer seeding the next from the query's best visited vertex,
+    * so the base-layer beam starts from an entry already NEAR the query
     * instead of the one global min-id entry the flat walk uses. The
-    * upper layer costs ~1/16 of the base build (the identical LSH
-    * candidate pipeline over the sample, signed at the sample's own
-    * derived width) and replaces the arbitrary fixed entry with one
-    * already NEAR the query, so the base beam spends its rounds
-    * refining instead of traversing. Scale shape: both walks are
-    * rounds × width × degree — corpus-independent; the N-bound stages
-    * are the base candidate build the flat walk already pays plus the
-    * sample-sized upper build.
+    * upper layers cost ~1/16 + ~1/256 of the base build (the identical
+    * LSH candidate pipeline over each sample, signed at the sample's
+    * own derived width). The top entry is the sparsest SAMPLE's min-id
+    * vertex — sample, not edge endpoint, so a near-empty top layer
+    * degrades to descent-from-entry rather than to an empty result.
+    * Scale shape: every walk is rounds × width × degree —
+    * corpus-independent; the N-bound stages are the base candidate
+    * build the flat walk already pays plus the sample-sized upper
+    * builds.
     */
   private[graft] def layeredSearch(s: org.apache.spark.sql.SparkSession,
       dir: String, width: Int): org.apache.spark.sql.DataFrame = {
@@ -1012,31 +1022,44 @@ object Similarity extends OpModule {
         .distinct().barrier() // read by every round of its walk
     }
     val edges = layerEdges(knnCandidatesOf(s, emb, baseBits), Some(0.3))
-    // the upper layer runs the SAME build over the sample at the
-    // sample's own width (see knnCandidatesOf) — a 1/16-sized job, so
-    // the layered index costs ~6% over the flat one
+    // the upper layers run the SAME build over nested geometric samples
+    // (1/16, then 1/256 — HNSW's level ladder; 256 | id ⇒ 16 | id, so
+    // every level-2 vertex exists in level 1, the descent invariant) at
+    // each sample's own derived width — a 1/16- then 1/256-sized job,
+    // so the full layered index costs ~6% over the flat one
     val uedges = layerEdges(knnCandidatesOf(s,
       emb.filter(col("vec_id") % UpperSampleMod === 0),
       math.max(6, baseBits - 4)), None)
+    val u2mod = UpperSampleMod * UpperSampleMod
+    val u2sample = emb.filter(col("vec_id") % u2mod === 0)
+    val u2edges = layerEdges(knnCandidatesOf(s, u2sample,
+      math.max(6, baseBits - 8)), None)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .barrier() // broadcast into every round's scoring join
     val sc = scoreFrontier(emb, queries) _
-    val uentry = uedges.agg(min(col("x")).as("v"))
-    val uf0 = sc(queries.select(col("query_id"))
-      .crossJoin(broadcast(uentry))).barrier()
-    val uvisited =
-      beamWalk(emb, queries, uedges, uf0, UpperBeamWidth, UpperRounds)
     val wb = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("v").asc)
-    // per-query entry = the best upper-layer vertex; its score carries
-    // over (same (query, vertex) cosine), so f0 is a projection, not a
-    // new scoring join
-    val f0 = uvisited.withColumn("rk", row_number().over(wb))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("v"), col("s"))
-      .barrier() // round 1 reads it twice (union + neighbors)
-    rankTop10(beamWalk(emb, queries, edges, f0, width, BeamRounds))
+    // per-query seed = the best visited vertex of the layer above; its
+    // score carries over (same (query, vertex) cosine), so each f0 is a
+    // projection, not a new scoring join
+    def seedOf(visited: org.apache.spark.sql.DataFrame) =
+      visited.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("v"), col("s"))
+        .barrier() // round 1 reads it twice (union + neighbors)
+    // top-level entry = the min-id SAMPLE vertex (not an edge endpoint:
+    // a 1/256 layer on a small corpus may have few-to-no edges, and the
+    // walk must degrade to plain descent-from-entry, not to empty)
+    val u2entry = u2sample.agg(min(col("vec_id")).as("v"))
+    val u2f0 = sc(queries.select(col("query_id"))
+      .crossJoin(broadcast(u2entry))).barrier()
+    val u2visited =
+      beamWalk(emb, queries, u2edges, u2f0, UpperBeamWidth, UpperRounds)
+    val uvisited = beamWalk(emb, queries, uedges, seedOf(u2visited),
+      UpperBeamWidth, UpperRounds)
+    rankTop10(beamWalk(emb, queries, edges, seedOf(uvisited),
+      width, BeamRounds))
   }
 
   private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
@@ -1181,7 +1204,8 @@ object Similarity extends OpModule {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Cluster assignment of `emb` against an arbitrary centroid relation
@@ -1403,6 +1427,7 @@ object Similarity extends OpModule {
         .orderBy(col("csim").asc, col("vec_id").asc)
       thin.withColumn("outlier_rank", row_number().over(w))
         .filter(col("outlier_rank") <= 8)
+        .withColumn("outlier_rank", col("outlier_rank").cast("long"))
         .select(col("cluster").cast("long").as("cluster"),
           col("outlier_rank"), col("vec_id"))
     }),
@@ -1570,7 +1595,8 @@ object Similarity extends OpModule {
         expr("cosine_sim(qv, nv)").as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** PQ geometry: 8 subspaces × 8 dims over the 64-d int8 codes, 16
@@ -1807,7 +1833,10 @@ object Similarity extends OpModule {
     "sim_pq_train" -> ((s, dir) =>
       pqTrainCbs(pqWithCodes(s, dir), 2)
         .select(posexplode(col("cbs")).as(Seq("k", "cv")))
-        .select(col("k"), posexplode(col("cv")).as(Seq("dim", "code")))),
+        .select(col("k"), posexplode(col("cv")).as(Seq("dim", "code")))
+        // BIGINT at the output boundary (posexplode pos is int32)
+        .select(col("k").cast("long").as("k"),
+          col("dim").cast("long").as("dim"), col("code"))),
     "sim_sq_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -3324,16 +3353,19 @@ object Similarity extends OpModule {
          |  FROM v$BeamRounds WHERE query_id <> v)
          |WHERE rank <= 10""".stripMargin
     },
-    // mirrors sim_graph_search_layered: the shared graph base (both
-    // layers), the upper walk (width 2 × 3 rounds) from the upper
-    // layer's min-id entry, the per-query rank-1 seed, then the base
-    // walk unrolled exactly like the flat oracle
+    // mirrors sim_graph_search_layered: the shared graph base (all
+    // three layers), the 1/256 top walk (width 2 × 3 rounds) from the
+    // sparsest sample's min-id entry, each layer seeding the next from
+    // its per-query rank-1, then the base walk unrolled exactly like
+    // the flat oracle
     "sim_graph_search_layered" ->
       s"""WITH $oraLshSigs,
          |$oraGraphBase,
+         |${oraWalkCtes("w", "u2edges", UpperBeamWidth, UpperRounds,
+             oraSampleEntryF0)},
          |${oraWalkCtes("u", "uedges", UpperBeamWidth, UpperRounds,
-             oraGlobalEntryF0("uedges"))},
-         |${oraWalkCtes("l", "edges", BeamWidth, BeamRounds, oraSeedF0)}
+             oraSeedF0("w"))},
+         |${oraWalkCtes("l", "edges", BeamWidth, BeamRounds, oraSeedF0("u"))}
          |${oraWalkTop10("l", BeamRounds)}""".stripMargin,
     // mirrors sim_graph_layered_recall: brute truth + FOUR unrolled
     // walks (flat/layered × width 8/2; the layered pair shares the one
@@ -3357,14 +3389,17 @@ object Similarity extends OpModule {
          |        emb.vec_id ASC) AS rk
          |    FROM q JOIN embeddings emb ON emb.vec_id <> q.query_id)
          |  WHERE rk <= 10),
+         |${oraWalkCtes("w", "u2edges", UpperBeamWidth, UpperRounds,
+             oraSampleEntryF0)},
          |${oraWalkCtes("u", "uedges", UpperBeamWidth, UpperRounds,
-             oraGlobalEntryF0("uedges"))},
+             oraSeedF0("w"))},
          |${oraWalkCtes("a", "edges", BeamWidth, BeamRounds,
              oraGlobalEntryF0("edges"))},
          |${oraWalkCtes("b", "edges", 2, BeamRounds,
              oraGlobalEntryF0("edges"))},
-         |${oraWalkCtes("c", "edges", BeamWidth, BeamRounds, oraSeedF0)},
-         |${oraWalkCtes("d", "edges", 2, BeamRounds, oraSeedF0)}
+         |${oraWalkCtes("c", "edges", BeamWidth, BeamRounds,
+             oraSeedF0("u"))},
+         |${oraWalkCtes("d", "edges", 2, BeamRounds, oraSeedF0("u"))}
          |${graded("flat", BeamWidth, "a")}
          |UNION ALL
          |${graded("layered", BeamWidth, "c")}
@@ -3956,6 +3991,54 @@ object Similarity extends OpModule {
        |  SELECT vec_id AS x, neighbor_id AS y FROM uke
        |  UNION
        |  SELECT neighbor_id, vec_id FROM uke),
+       |u2nb AS (SELECT greatest(nb - 8, 6) AS nb FROM nb),
+       |u2expl AS (
+       |  SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings
+       |        WHERE vec_id % ${UpperSampleMod * UpperSampleMod} = 0)),
+       |u2consts AS (
+       |  SELECT t, b, b * 7919 + t * 104729 AS cst
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+       |       (SELECT unnest(generate_series(0, 23)) AS b), u2nb
+       |  WHERE b < u2nb.nb),
+       |u2sums AS (
+       |  SELECT e.vec_id, c.t, c.b,
+       |    sum(e.x * CASE WHEN substr(md5(
+       |          CAST(e.dim AS VARCHAR) || '_' || CAST(c.cst AS VARCHAR)),
+       |        1, 1) IN ('0','1','2','3','4','5','6','7')
+       |      THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM u2expl e CROSS JOIN u2consts c
+       |  GROUP BY 1, 2, 3),
+       |u2sigs AS (
+       |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY b) AS sig
+       |  FROM u2sums GROUP BY vec_id, t),
+       |u2cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |  FROM u2sigs a JOIN u2sigs b
+       |    ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |u2scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                           CAST(eb.embedding AS DOUBLE[])) AS sim
+       |  FROM u2cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+       |u2ke AS (
+       |  -- navigation graph like uke: no sim threshold
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM u2scored)
+       |  WHERE rank <= $K),
+       |u2edges AS MATERIALIZED (
+       |  SELECT vec_id AS x, neighbor_id AS y FROM u2ke
+       |  UNION
+       |  SELECT neighbor_id, vec_id FROM u2ke),
        |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS qv
        |  FROM embeddings WHERE vec_id < 8)""".stripMargin
@@ -4000,14 +4083,26 @@ object Similarity extends OpModule {
        |  FROM q CROSS JOIN (SELECT min(x) AS v FROM $edges) e
        |  JOIN embeddings emb ON emb.vec_id = e.v""".stripMargin
 
-  /** f0 body: the layered walk's per-query seed — rank-1 of the upper
-    * walk's visited set (score carries over, no new scoring join). */
-  private def oraSeedF0: String =
+  /** f0 body: a layered walk's per-query seed — rank-1 of the NEXT
+    * layer up's visited set (score carries over, no new scoring join). */
+  private def oraSeedF0(srcPfx: String): String =
     s"""  SELECT query_id, v, s FROM (
        |    SELECT query_id, v, s, row_number() OVER
        |      (PARTITION BY query_id ORDER BY s DESC, v ASC) AS rk
-       |    FROM uv$UpperRounds)
+       |    FROM ${srcPfx}v$UpperRounds)
        |  WHERE rk = 1""".stripMargin
+
+  /** f0 body: the hierarchy's top entry — the min-id SAMPLE vertex of
+    * the sparsest layer (not an edge endpoint: a 1/256 layer on a small
+    * corpus may have no edges, and the walk must degrade to
+    * descent-from-entry, not to empty). */
+  private def oraSampleEntryF0: String =
+    s"""  SELECT q.query_id, e.v,
+       |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |      CAST(emb.embedding AS DOUBLE[])) AS s
+       |  FROM q CROSS JOIN (SELECT min(vec_id) AS v FROM embeddings
+       |    WHERE vec_id % ${UpperSampleMod * UpperSampleMod} = 0) e
+       |  JOIN embeddings emb ON emb.vec_id = e.v""".stripMargin
 
   /** Final serving select over a walk's visited CTE. */
   private def oraWalkTop10(pfx: String, rounds: Int): String =

@@ -171,13 +171,16 @@ object Stateful extends OpModule {
       val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
         .filter(col("us") > col("t2") && col("us") <= col("t2") + day)
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      // stage literal as BIGINT on both sides (OpModule output discipline:
+      // the gate hash is integer-width-sensitive)
       s1.agg(count(lit(1)).as("users"))
-        .select(lit(1).as("stage"), lit("view").as("event_type"), col("users"))
+        .select(lit(1L).as("stage"), lit("view").as("event_type"),
+          col("users"))
         .unionByName(s2.agg(count(lit(1)).as("users"))
-          .select(lit(2).as("stage"), lit("click").as("event_type"),
+          .select(lit(2L).as("stage"), lit("click").as("event_type"),
             col("users")))
         .unionByName(s3.agg(count(lit(1)).as("users"))
-          .select(lit(3).as("stage"), lit("purchase").as("event_type"),
+          .select(lit(3L).as("stage"), lit("purchase").as("event_type"),
             col("users")))
     }),
     // Funnel conversion-latency quantiles — the depth behind
@@ -340,11 +343,12 @@ object Stateful extends OpModule {
         |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
         |         AND e.us <= s2.t2 + 86400000000 GROUP BY 1)
-        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |  count(*) AS users FROM s1
         |UNION ALL
-        |SELECT 2, 'click', count(*) FROM s2
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL
-        |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
     // the same funnel ladder keeping each stage's anchor, then quantiles
     // by SORT-DERIVED rank selection — the k-th smallest VALUE is what
     // the Spark side's histogram rank-selection also returns

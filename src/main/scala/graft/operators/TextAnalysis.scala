@@ -641,8 +641,19 @@ object TextAnalysis extends OpModule {
     // steers BOTH binary searches the same way; the final report
     // regroups by the SUBSTRING ITSELF at the answer length (exact, no
     // hash) and emits (max_dup_len, distinct duplicated strings, the
-    // lexicographically-first example, its max occurrence count). At
-    // 100 TB: 13 linear scans, no suffix structure, no sort — the
+    // lexicographically-first example, its max occurrence count).
+    // COST HONESTY: each probe at length L materializes every L-char
+    // window substring through the Generate before the thin fp
+    // projection, so the probe's intermediate volume is ~L× the corpus
+    // bytes (a mid = 4096 probe pushes ~4096× corpus bytes through
+    // md5) — it never SHUFFLES at that width (the fp projection is
+    // inside the same stage) but the scan-side CPU/alloc cost is xL,
+    // not 1×. "13 linear scans" bounds scan COUNT, not bytes-touched;
+    // a rolling/buffered-hash window-fingerprint expression (Rabin—
+    // Karp over the codepoint walk) would cut each probe to true 1×
+    // reads + 8-byte fps and is the upgrade path if these probes ever
+    // dominate a profile. At 100 TB: 13 scans, no suffix structure,
+    // no sort — the
     // published alternative (suffix-array construction) is a corpus
     // sort this device never pays. The driver-side loop holds two Ints
     // and a per-round 1-row existence probe (the BPE winner.isEmpty
@@ -684,9 +695,15 @@ object TextAnalysis extends OpModule {
     // fraction of the corpus's L-char windows is duplicated (fp occurs
     // ≥ 2 corpus-wide)? The published dedup decisions (Lee et al.'s
     // "duplicated 50-gram" thresholds, CDC chunk sizing, shingle width
-    // choices) all read points off this curve. One thin fingerprint
-    // scan per length — 8 scans total, each a map-side-combined count
-    // rollup; the per-L report is 4 integers + one ppm DIV, so the
+    // choices) all read points off this curve. One fingerprint scan
+    // per length — 8 scans total, each a map-side-combined count
+    // rollup. Same xL cost honesty as text_longest_dup: each scan at
+    // length L materializes L-char window substrings (~L× corpus
+    // bytes of intermediate, never shuffled at that width) before the
+    // 8-byte fp projection — here L caps at 1024 and the 8 lengths
+    // sum to ~2L_max× corpus bytes, the dominant cost of this query;
+    // a rolling-hash window-fp expression is the upgrade path.
+    // The per-L report is 4 integers + one ppm DIV, so the
     // whole result is 8 rows. Like the longest-dup probe, fingerprints
     // stand in for strings identically in both engines.
     "text_dup_profile" -> ((s, dir) => {
@@ -839,7 +856,10 @@ object TextAnalysis extends OpModule {
         .groupBy(col("lang"), col("gfp"))
         .agg(min(col("gram")).as("gram"))
       winners.join(texts, Seq("lang", "gfp"))
-        .select(col("lang"), col("gram"), col("cnt"), col("rank"))
+        // BIGINT at the output boundary only — casting between
+        // row_number and its literal filter would defeat WindowGroupLimit
+        .select(col("lang"), col("gram"), col("cnt"),
+          col("rank").cast("long").as("rank"))
     }),
     // BPE merge-candidate counting — the distributed inner loop of
     // tokenizer training: count every ADJACENT pair of the bpeish
@@ -874,7 +894,7 @@ object TextAnalysis extends OpModule {
       val w = Window.orderBy(col("pair_count").desc, col("pfp").asc)
       val winners = counts
         .orderBy(col("pair_count").desc, col("pfp").asc).limit(40)
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
       val texts = pairs
         .join(broadcast(winners.select(col("pfp"))), Seq("pfp"))
         .groupBy(col("pfp")).agg(min(col("pair")).as("pair"))
@@ -1764,7 +1784,9 @@ object TextAnalysis extends OpModule {
       t(s, dir, "documents")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
-        .select(col("source"), col("rk"), col("doc_id"))
+        // BIGINT at the output boundary only (WindowGroupLimit above)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"))
     }),
     // Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
     // (Inf. Proc. Letters 2006), the one-pass device behind every
@@ -1828,7 +1850,9 @@ object TextAnalysis extends OpModule {
       tf.join(dfr, "tok")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
+        // BIGINT at the output boundary only (WindowGroupLimit above)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("tok"), col("tf"), col("df"))
     }),
     // Unigram-LM quality gate (the CCNet shape: score every doc with a
     // language model trained on the corpus itself, flag the perplexity
@@ -1882,7 +1906,11 @@ object TextAnalysis extends OpModule {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= maxK)          // literal -> WindowGroupLimit
         .filter(col("rk") <= col("cell_k")) // per-cell budget, narrow
-        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+        // BIGINT at the output boundary only (OpModule discipline) — the
+        // cast must stay ABOVE the literal filter or WindowGroupLimit
+        // stops matching
+        .select(col("lang"), col("source"),
+          col("rk").cast("long").as("rk"), col("doc_id"))
     }),
     // Data-mixture sampling — the corpus-composition op a training run
     // applies last: per-language keep rates (the mixture weights) from a
@@ -2429,7 +2457,9 @@ object TextAnalysis extends OpModule {
       cw2: org.apache.spark.sql.DataFrame,
       tb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bigrams
-      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      // cb is bigram-TYPE-bounded (vocab²) — same no-forced-broadcast
+      // stance as knScore: AQE picks broadcast only when it fits
+      .join(cb, Seq("w1", "w2"), "left")
       .join(broadcast(cw1), Seq("w1"), "left")
       .join(broadcast(cw2), Seq("w2"), "left")
       .join(broadcast(tb), lit(true))
@@ -2465,7 +2495,12 @@ object TextAnalysis extends OpModule {
     val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
     val tt = cb.agg(count(lit(1)).as("t_types"))
     bigrams
-      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      // cb is bigram-TYPE-bounded (vocab², not vocab): at 100 TB it can
+      // exceed broadcast memory, so no forced hint — AQE broadcasts it
+      // only when runtime stats say it fits, else this stays a shuffle
+      // join on (w1, w2). The per-context rollups below are
+      // vocab-bounded and stay explicitly broadcast.
+      .join(cb, Seq("w1", "w2"), "left")
       .join(broadcast(cfw), Seq("w1"), "left")
       .join(broadcast(cbw), Seq("w2"), "left")
       .join(broadcast(tt), lit(true))
@@ -3875,7 +3910,8 @@ object TextAnalysis extends OpModule {
     val w = Window.orderBy(col("exact_count").desc, col("fp").asc)
     val winners = exact
       .orderBy(col("exact_count").desc, col("fp").asc).limit(20)
-      .withColumn("rank", row_number().over(w))
+      // bounded 20-row window, so the cast cannot defeat any group limit
+      .withColumn("rank", row_number().over(w).cast("long"))
     val probes = winners
       .select(col("rank"), col("token"), col("exact_count"),
         explode(sequence(lit(0), lit(3))).as("j"))
@@ -4453,13 +4489,14 @@ object TextAnalysis extends OpModule {
     // and count algebra per length
     "text_dup_profile" -> {
       def lenSql(l: Int): String =
-        s"""SELECT $l AS win_len,
+        s"""SELECT CAST($l AS BIGINT) AS win_len,
            |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_windows,
            |  CAST(count(*) AS BIGINT) AS n_distinct,
            |  CAST(coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
            |    AS BIGINT) AS n_dup_windows,
-           |  (coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
-           |    * 1000000) // greatest(coalesce(sum(c), 0), 1) AS dup_ppm
+           |  CAST((coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
+           |    * 1000000) // greatest(coalesce(sum(c), 0), 1)
+           |    AS BIGINT) AS dup_ppm
            |FROM (
            |  SELECT fp, count(*) AS c FROM (
            |    SELECT ('0x' || substring(md5(substr(norm, i, $l)), 1, 15))

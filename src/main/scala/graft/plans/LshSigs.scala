@@ -72,29 +72,42 @@ case class LshSigs(child: Expression, bits: Int, tables: Int)
 object LshSigs {
 
   // flat [t][b][d] sign matrices keyed by (dims, bits, tables) — a
-  // process-wide constant (few distinct widths ever appear in a run)
+  // process-wide constant (few distinct widths ever appear in a run).
+  // BOUNDED: ragged per-row vector widths are supported, so a
+  // pathological corpus could present many distinct dims; past
+  // MaxCachedMatrices entries new widths compute uncached (correctness
+  // identical — mdSignConst is pure — only the amortization is lost),
+  // capping executor memory at ≤ cap × tables·bits·dims doubles.
+  private[plans] val MaxCachedMatrices = 64
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]
 
-  private def signs(dims: Int, bits: Int, tables: Int): Array[Double] =
-    signCache.computeIfAbsent((dims, bits, tables), { _ =>
-      val a = new Array[Double](tables * bits * dims)
-      var i = 0
-      var t = 0
-      while (t < tables) {
-        var b = 0
-        while (b < bits) {
-          var d = 0
-          while (d < dims) {
-            a(i) = graft.functions.Vectors.mdSignConst(d, b, t)
-            i += 1; d += 1
-          }
-          b += 1
+  private def buildSigns(dims: Int, bits: Int, tables: Int): Array[Double] = {
+    val a = new Array[Double](tables * bits * dims)
+    var i = 0
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dims) {
+          a(i) = graft.functions.Vectors.mdSignConst(d, b, t)
+          i += 1; d += 1
         }
-        t += 1
+        b += 1
       }
-      a
-    })
+      t += 1
+    }
+    a
+  }
+
+  private def signs(dims: Int, bits: Int, tables: Int): Array[Double] = {
+    val k = (dims, bits, tables)
+    val cached = signCache.get(k)
+    if (cached != null) cached
+    else if (signCache.size >= MaxCachedMatrices) buildSigns(dims, bits, tables)
+    else signCache.computeIfAbsent(k, _ => buildSigns(dims, bits, tables))
+  }
 
   private final class Scratch {
     var x: Array[Double] = new Array[Double](1 << 8)

@@ -132,6 +132,20 @@ object Sinks {
     overwriteTouched(merge(unioned), touched, dir)
   }
 
+  /** Probe-read a keyed store at O(touched buckets) IO: read back ONLY
+    * the buckets `keys`' values hash into, bucket column dropped. The
+    * read half of [[mergeTouched]] for ingest tiers whose per-batch
+    * emission joins batch rows against stored state (the SimHash pair
+    * tier's roster and doc-expansion probes) — the store never re-reads
+    * whole. None when none of the touched buckets exist yet.
+    */
+  def readTouchedFor(spark: SparkSession, keys: DataFrame, keyCol: String,
+      dir: String, buckets: Int = 16): Option[DataFrame] = {
+    val inc = keys.withColumn(BucketCol,
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+    readTouched(spark, touchedBuckets(inc), dir).map(_.drop(BucketCol))
+  }
+
   /** K8 streaming tier: SCD Type-2 history maintenance — the VERSIONED
     * sibling of [[upsert]] (which keeps only the latest row per key).
     * Each micro-batch of changelog rows merges into a bucketed history

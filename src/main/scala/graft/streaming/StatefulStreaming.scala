@@ -1260,6 +1260,97 @@ object StatefulStreaming {
   def graphEdgesFrom(spark: SparkSession, storeDir: String): DataFrame =
     Sinks.readStore(spark, s"$storeDir/topk")
 
+  private val simhashDocsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", LongType)))
+  }
+
+  /** Streaming maintenance tier for the SimHash banded pair store — the
+    * incremental twin of batch `dedup_simhash_pairs` (Manku et al.
+    * WWW'07 crawl dedup, which is inherently incremental in production;
+    * ref shape: the config-broadcast incremental routing of
+    * DwdBaseDb.java:100-145 scaled to a pair store). Per micro-batch of
+    * (doc_id, text):
+    *
+    *   1. one native `simhash60` walk per row (the batch query's exact
+    *      signature — null text = all-ones, same coalesce);
+    *   2. upsert two bucketed [[Sinks]] stores with SET-semantics merges
+    *      (replay = no-op): `docs` keyed by sig (sig → doc roster) and
+    *      `roster` keyed by bkey = band·2^15 + val15 (the (band, val15)
+    *      → DISTINCT-sig roster — candidates stay bounded by distinct
+    *      content whatever the clone multiplicity, the batch query's
+    *      clone-invariance carried into the stream);
+    *   3. emit only pairs involving TOUCHED buckets: the batch's
+    *      distinct sigs probe the touched roster buckets (4 bands ×
+    *      15 bits — Hamming ≤ 3 leaves one band intact, recall 1 by the
+    *      batch pigeonhole), survivors expand through the touched doc
+    *      buckets only — batch docs on the probe side, ALL stored docs
+    *      on the partner side, so a pair is emitted by its
+    *      later-arriving member's batch and store IO stays O(touched)
+    *      per batch, never O(corpus).
+    *
+    * The union of emitted pairs over any hash-split ingest order equals
+    * the batch `dedup_simhash_pairs` relation over the same corpus
+    * (StreamingSpec pins parity + replay); an in-order replayed batch
+    * re-emits exactly its own pairs.
+    */
+  def simhashIngestBatch(batch: DataFrame, storeDir: String): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val allOnes = (1L << 60) - 1
+    val sigs = batch
+      .select(col("doc_id"),
+        coalesce(expr("simhash60(text)"), lit(allOnes)).as("sig"))
+      .barrier() // docs upsert, roster build, probe side, expansion
+    Sinks.mergeTouched(spark, sigs, "sig", s"$storeDir/docs")(
+      _.dropDuplicates("sig", "doc_id"))
+    val banded = sigs.select(col("sig")).distinct()
+      .select(col("sig"), posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(sig, ${15 * b}) & 32767")): _*)))
+      .select(col("sig"),
+        (col("pos").cast("long") * 32768L + col("col")).as("bkey"))
+      .barrier() // roster upsert AND the candidate probe
+    Sinks.mergeTouched(spark, banded, "bkey", s"$storeDir/roster")(
+      _.dropDuplicates("bkey", "sig"))
+    // post-merge, the touched buckets hold every distinct sig ever seen
+    // there — the probe never reads an untouched bucket
+    val roster = Sinks.readTouchedFor(spark, banded.select("bkey"), "bkey",
+      s"$storeDir/roster").get // merged above, so the buckets exist
+    val candSig = banded.select(col("bkey"), col("sig").as("sig_a"))
+      .join(roster.select(col("bkey"), col("sig").as("sig_b")), "bkey")
+      .filter(col("sig_a") =!= col("sig_b"))
+      .select(col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .barrier() // partner-bucket discovery AND the expansion join
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      simhashDocsSchema)
+    val partnerDocs = Sinks.readTouchedFor(spark,
+      candSig.select(col("sig_b").as("sig")), "sig", s"$storeDir/docs")
+      .getOrElse(empty)
+    val crossSig = candSig
+      .join(sigs.select(col("sig").as("sig_a"), col("doc_id").as("da")),
+        "sig_a")
+      .join(partnerDocs.select(col("sig").as("sig_b"),
+        col("doc_id").as("db")), "sig_b")
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      .distinct()
+    val sameDocs = Sinks.readTouchedFor(spark, sigs.select("sig"), "sig",
+      s"$storeDir/docs").getOrElse(empty)
+    val sameSig = sigs.select(col("sig"), col("doc_id").as("da"))
+      .join(sameDocs.select(col("sig"), col("doc_id").as("db")), "sig")
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), lit(0L).as("hamming"))
+      .distinct()
+    sameSig.unionByName(crossSig)
+  }
+
   private def ivfCentsFrom(spark: SparkSession,
       storeDir: String): DataFrame = {
     import org.apache.spark.sql.types._

@@ -67,7 +67,8 @@ object Scaling {
     "sim_graph_recall_vs_beam", "text_keyword_agreement",
     "sim_graph_search_layered", "dedup_simhash_pairs",
     "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares",
-    "text_kneser_ney", "dedup_containment", "sim_hyperball",
+    "text_kneser_ney", "dedup_containment", "dedup_containment_exact",
+    "sim_hyperball",
     "sim_jl_recall", "text_longest_dup", "dedup_containment_estimate",
     "text_dup_profile", "privacy_k_anonymity")
 
@@ -299,11 +300,16 @@ object Scaling {
         docs.select(col("doc_id"),
             greatest(size(graft.functions.Text.tokenize(col("text"))),
               lit(1)).as("nw"))
+          // inverse-CDF rank = floor(V^u) + 1 clamped to V, so rank 1
+          // carries its full Zipf head mass P(rank=1) = ln 2 / ln V
+          // (ceil(V^u) gives rank 1 measure zero — only u = 0 maps
+          // there — shifting the whole head of the distribution)
           .select(col("doc_id"), concat_ws(" ",
             transform(sequence(lit(1), col("nw")), i =>
-              concat(lit("w"), ceil(pow(lit(v.toDouble),
+              concat(lit("w"), least(floor(pow(lit(v.toDouble),
                 pmod(hash(col("doc_id"), i), lit(1000000))
-                  .cast("double") / 1000000.0)).cast("long"))))
+                  .cast("double") / 1000000.0)).cast("long") + 1,
+                lit(v.toLong)))))
             .as("text"))
           .write.mode("overwrite").parquet(out)
       }

@@ -13,7 +13,7 @@ class CmsSpec extends SparkSpec {
     val rows = graft.operators.TextAnalysis
       .queries("text_heavy_hitters_cms")(spark, sfDir)
       .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.length === 20, "exact top-20 heavy hitters")
     assert(rows.map(_._1).sorted.toSeq === (1 to 20),

@@ -225,7 +225,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("kNN graph: contiguous ranks; query-vector rows equal sim_lsh_ann") {
     val g = graft.operators.Similarity
       .queries("sim_knn_graph")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     graft.core.Barrier.releaseAll(spark)
     assert(g.nonEmpty, "graph must have edges")
     assert(g.forall { case (v, n, _) => v != n }, "no self-edges")
@@ -239,7 +239,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // candidate buckets, so its top-5 must coincide edge-for-edge
     val ann = graft.operators.Similarity
       .queries("sim_lsh_ann")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     graft.core.Barrier.releaseAll(spark)
     assert(g.filter(_._1 < 8).toSet === ann,
       "kNN graph disagrees with sim_lsh_ann on the query vectors")
@@ -452,7 +452,7 @@ class DedupSimilaritySpec extends SparkSpec {
       "consistently, with non-trivial recall vs brute force") {
     val got = graft.operators.Similarity.queries("sim_graph_search")(
       spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty)
     // per query: ranks are 1..n without gaps, neighbors distinct, no
     // self hits
@@ -468,7 +468,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // walk is broken
     val bf = graft.operators.Similarity.queries("sim_topk_bruteforce")(
       spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .filter(_._3 <= 10).map(t => (t._1, t._2)).toSet
     val hits = got.count(t => bf.contains((t._1, t._2)))
     assert(hits > 0, "beam search found none of the true top-10")
@@ -555,7 +555,7 @@ class DedupSimilaritySpec extends SparkSpec {
       "flat walk at equal beam, flat rows consistent with recall_vs_beam") {
     val got = graft.operators.Similarity.queries(
       "sim_graph_search_layered")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty, "layered walk returned nothing — upper layer " +
       "is empty (width derivation regressed?)")
     got.groupBy(_._1).foreach { case (q, rows) =>
@@ -877,7 +877,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     val got = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // independent recompute: assignment (argmax cosine, cid-ASC tie-break)
     // and least-prototypical-8 per cluster, driver-side
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
@@ -987,7 +987,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     val rows = df.collect().map(r =>
-      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
     assert(rows.nonEmpty)
     // the defining property: anchor and negative NEVER share a label
     rows.foreach { case (v, al, _, n, nl) =>
@@ -1018,7 +1018,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // this pins the property the training loop EXISTS for
     val trained = graft.operators.Similarity
       .queries("sim_pq_train")(spark, sfDir)
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -1030,7 +1030,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val init = codes.filter(_._1 < 16).sortBy(_._1).map(_._2)
     val trainedCb = (0 until 16).map(k =>
-      Array.tabulate(64)(d => trained((k, d)))).toArray
+      Array.tabulate(64)(d => trained((k.toLong, d.toLong)))).toArray
     assert(trainedCb.flatten.toSeq != init.flatten.toSeq,
       "training changed nothing")
     def distortion(cb: Array[Array[Int]]): Long =
@@ -1054,7 +1054,11 @@ class DedupSimilaritySpec extends SparkSpec {
     // doc 10 is a paragraph; doc 11 wraps it inside a much longer page
     // (jaccard ~ |A|/|B| -- far below 4/5); doc 12 is unrelated; doc 13
     // shares only a few grams with 10. Containment must emit 10 -> 11
-    // and NOT 11 -> 10, nothing else involving 12/13.
+    // and NOT 11 -> 10, nothing else involving 12/13. This property is
+    // pinned on the LOSSLESS spec entry (dedup_containment_exact) —
+    // the composed default's banded candidates inherit MinHash's
+    // symmetric blind spot and may or may not reach a quote-shaped
+    // pair (that trade is the point of keeping both tiers).
     val quote = "the quick brown fox jumps over the lazy dog while the " +
       "stars shine bright over the deep green forest tonight"
     val page = "header navigation menu about us contact " + quote +
@@ -1074,7 +1078,7 @@ class DedupSimilaritySpec extends SparkSpec {
     docs.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val rows = graft.operators.Dedup
-      .queries("dedup_containment")(spark, dir).collect()
+      .queries("dedup_containment_exact")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
     assert(rows.map(t => (t._1, t._2)).toSet === Set((10L, 11L)),
       s"expected exactly the planted 10->11 quote, got ${rows.toSeq}")
@@ -1085,6 +1089,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .queries("dedup_prefix_filter")(spark, dir).collect()
     assert(!jac.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L),
       "jaccard at 4/5 must NOT match the asymmetric quote pair")
+    // the composed default is SOUND here too (its verify tail applies
+    // the full exact predicate, so composed ⊆ exact on any corpus) —
+    // whether banding reaches the low-Jaccard quote pair is exactly the
+    // documented trade, so only the subset property is pinned
+    val comp = graft.operators.Dedup
+      .queries("dedup_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.toSet.subsetOf(Set((10L, 11L))),
+      s"composed must emit no pair outside the exact output, got ${comp.toSeq}")
+  }
+
+  test("composed containment == exact spec on the sf0.01 gate fixture; " +
+      "sound subset at sf0.001") {
+    // the composed default restricts the exhaustive semantics to
+    // band-reachable pairs. Two pins, matching what is actually true:
+    // (a) SOUNDNESS on the small fixture — the verify tail applies the
+    //     full exact predicate, so composed ⊆ exact on any corpus (at
+    //     sf0.001 banding measurably misses 2 exact pairs, which is the
+    //     documented symmetric-blind-spot trade, not a defect);
+    val composed = graft.operators.Dedup
+      .queries("dedup_containment")(spark, sfDir)
+    val exact = graft.operators.Dedup
+      .queries("dedup_containment_exact")(spark, sfDir)
+    assert(composed.exceptAll(exact).isEmpty,
+      "composed containment must emit no pair outside the exact output")
+    // (b) EQUALITY on the sf0.01 gate fixture, where banded recall of
+    //     the exhaustive output is 100% (the r12 SCALING.md measurement
+    //     this pin keeps honest) — the gate's shared oracle hash for
+    //     dedup_containment and dedup_containment_exact rests on this.
+    val gateDir = "/root/testdata/sf0.01"
+    val composedG = graft.operators.Dedup
+      .queries("dedup_containment")(spark, gateDir)
+    val exactG = graft.operators.Dedup
+      .queries("dedup_containment_exact")(spark, gateDir)
+    assert(composedG.exceptAll(exactG).isEmpty &&
+      exactG.exceptAll(composedG).isEmpty,
+      "composed containment must equal the exact spec on the gate " +
+        s"fixture; composed-only=${composedG.exceptAll(exactG).count()} " +
+        s"exact-only=${exactG.exceptAll(composedG).count()}")
   }
 
   test("hyperball: N(1) is nodes+edges exactly, monotone, within tol") {

@@ -317,7 +317,7 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     val byDoc = df.collect().groupBy(_.getLong(0))
     byDoc.values.foreach { rows =>
-      val ranks = rows.map(_.getInt(1)).sorted
+      val ranks = rows.map(_.getLong(1)).sorted
       assert(ranks.sameElements(1 to ranks.length), "ranks must be 1..k")
       assert(ranks.length <= 3)
     }
@@ -357,7 +357,7 @@ class OperatorsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     val rows = df.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val budgets = Map("en" -> 7, "zh" -> 5, "de" -> 3)
     // exactly min(k, |cell|) docs per configured cell, ranks contiguous,
     // unconfigured langs absent
@@ -668,7 +668,7 @@ class OperatorsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     val rows = df.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     rows.groupBy(_._1).foreach { case (lang, rs) =>
       assert(rs.length === 10, s"$lang returned ${rs.length} grams")
       val byRank = rs.sortBy(_._4)
@@ -970,9 +970,9 @@ class OperatorsSpec extends SparkSpec {
   test("funnel: stages shrink monotonically and match a direct recompute") {
     val got = graft.operators.Stateful
       .queries("a7_funnel_steps")(spark, sfDir)
-      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
-    assert(got(1) >= got(2) && got(2) >= got(3), s"non-monotone: $got")
-    assert(got(3) > 0, "fixture inert: nobody completes the funnel")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) >= got(2L) && got(2L) >= got(3L), s"non-monotone: $got")
+    assert(got(3L) > 0, "fixture inert: nobody completes the funnel")
     // independent recompute on the driver (fixture-sized only)
     val day = 86400000000L
     val ev = graft.core.Tables.load(spark, sfDir, "events")
@@ -991,8 +991,8 @@ class OperatorsSpec extends SparkSpec {
     }
     val t2 = t1.flatMap { case (u, t) => stageMin(u, "click", t).map(u -> _) }
     val t3 = t2.flatMap { case (u, t) => stageMin(u, "purchase", t).map(u -> _) }
-    assert(got === Map(1 -> t1.size.toLong, 2 -> t2.size.toLong,
-      3 -> t3.size.toLong))
+    assert(got === Map(1L -> t1.size.toLong, 2L -> t2.size.toLong,
+      3L -> t3.size.toLong))
   }
 
   test("pack spans tile every pack exactly and cover every doc exactly") {
@@ -1682,7 +1682,7 @@ class OperatorsSpec extends SparkSpec {
       .view.mapValues(_.map(_._2).toSet).toMap
     val rows = graft.operators.Similarity
       .queries("sim_ivf_ann_trained")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
     rows.foreach { case (q, n, _) =>
       assert(prb(q).contains(asg(n)),

@@ -454,10 +454,10 @@ class StreamingSpec extends SparkSpec {
       input.addData(b2.toSeq); q.processAllAvailable()
       val got = spark.table("funnel_stream")
         .groupBy("stage").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
       val want = graft.operators.Stateful
         .queries("a7_funnel_steps")(spark, sfDir)
-        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(got === want,
         "streamed stage advances must equal the batch funnel counts")
       // a stage advance is emitted at most once per (user, stage)
@@ -658,7 +658,7 @@ class StreamingSpec extends SparkSpec {
         graft.core.Barrier.releaseAll(spark)
       }
       def top(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val streamed = top(StatefulStreaming.ivfSearchFrom(spark, store))
       val batchTwin = top(graft.operators.Similarity
         .queries("sim_ivf_ann")(spark, sfDir))
@@ -712,7 +712,7 @@ class StreamingSpec extends SparkSpec {
       // serve parity: the walk over the maintained graph is the batch
       // walk (same entry, rounds, width, rank), so rows must be equal
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val served = rows(StatefulStreaming.graphSearchFrom(spark, store))
       graft.core.Barrier.releaseAll(spark)
       val batchWalk = rows(graft.operators.Similarity
@@ -721,6 +721,45 @@ class StreamingSpec extends SparkSpec {
       assert(served === batchWalk,
         "beam search over the maintained graph must answer " +
           "row-identically to sim_graph_search")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
+  test("simhash ingest: union of per-batch emitted pairs equals the " +
+      "batch banded pair relation; in-order replay re-emits its own") {
+    val store = java.nio.file.Files.createTempDirectory("simhashstore")
+      .toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val batches = (0 until 3).map(i => docs.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) === i))
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val emitted = batches.map { b =>
+        val p = pairSet(StatefulStreaming.simhashIngestBatch(b, store))
+        graft.core.Barrier.releaseAll(spark)
+        p
+      }
+      val batchTwin = pairSet(graft.operators.Dedup
+        .queries("dedup_simhash_pairs")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(emitted.reduce(_ ++ _) === batchTwin,
+        "union of per-batch emissions must equal the batch " +
+          "dedup_simhash_pairs relation over the same corpus")
+      // a pair is discovered exactly once, by its later-arriving member
+      assert(emitted(0).intersect(emitted(1)).isEmpty &&
+        (emitted(0) ++ emitted(1)).intersect(emitted(2)).isEmpty,
+        "no pair may be emitted by two different batches")
+      // in-order replay: set-semantics merges make the store a no-op and
+      // the final batch re-emits exactly its own pairs
+      val replayed = pairSet(
+        StatefulStreaming.simhashIngestBatch(batches(2), store))
+      graft.core.Barrier.releaseAll(spark)
+      assert(replayed === emitted(2),
+        "an in-order replayed batch must re-emit exactly its own pairs")
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
@@ -1554,7 +1593,7 @@ class StreamingSpec extends SparkSpec {
         graft.core.Barrier.releaseAll(spark)
       }
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSeq.sortBy(_._1)
       val streamed = rows(
         StatefulStreaming.cmsHeavyHittersFrom(spark, store))

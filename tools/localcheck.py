@@ -10,9 +10,37 @@ columns by name and rows by value, and diffs. Usage:
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical dtype label for parity checks. The driver's hash is
+    dtype-sensitive (see OpModule.scala output discipline), so integer
+    widths/signedness and int-vs-float must match exactly between the
+    Spark parquet and the oracle result. Only representation-level
+    aliases are collapsed (utf8 vs large_utf8, dictionary encoding)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "utf8"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)  # int8..int64, uint*, float, double, bool
+
+def dtype_mismatches(spark_tbl: pa.Table, ora_tbl: pa.Table):
+    s = {f.name: canon_type(f.type) for f in spark_tbl.schema}
+    o = {f.name: canon_type(f.type) for f in ora_tbl.schema}
+    return [(c, s[c], o[c]) for c in sorted(set(s) & set(o)) if s[c] != o[c]]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -46,8 +74,9 @@ def main(outdir, sfdir):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
-        spark_df = con.sql(
-            f"SELECT * FROM read_parquet({files!r})").df()
+        spark_tbl = con.sql(
+            f"SELECT * FROM read_parquet({files!r})").arrow()
+        spark_df = spark_tbl.to_pandas()
         if name not in oracle:
             status = "rows-only"
             ok = len(spark_df) > 0
@@ -56,9 +85,16 @@ def main(outdir, sfdir):
             n_pass += ok; n_fail += (not ok)
             continue
         try:
-            ora_df = con.sql(oracle[name]).df()
+            ora_tbl = con.sql(oracle[name]).arrow()
+            ora_df = ora_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        bad_types = dtype_mismatches(spark_tbl, ora_tbl)
+        if bad_types:
+            for c, st, ot in bad_types:
+                print(f"FAIL {name}: dtype mismatch on {c}: "
+                      f"spark={st} vs oracle={ot}")
+            n_fail += 1; continue
         a, b = canon(spark_df), canon(ora_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
