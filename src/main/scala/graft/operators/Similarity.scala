@@ -1003,6 +1003,29 @@ object Similarity extends OpModule {
     */
   private[graft] def layeredSearch(s: org.apache.spark.sql.SparkSession,
       dir: String, width: Int): org.apache.spark.sql.DataFrame = {
+    val l = layeredLadder(s, dir)
+    rankTop10(beamWalk(l.emb, l.queries, l.edges, l.seedOf(l.uvisited),
+      width, BeamRounds))
+  }
+
+  /** The measured pieces of [[layeredSearch]]'s ladder, exposed so the
+    * scale diagnostics (graft.tools.Scaling `layerdiag`) can grade WHAT
+    * THE LADDER BUYS — per-level seed cosine vs the flat walk's global
+    * min-id entry, per-level visited counts — without duplicating the
+    * construction the serving query runs. */
+  private[graft] final case class LayeredLadder(
+      emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      u2f0: org.apache.spark.sql.DataFrame,
+      u2visited: org.apache.spark.sql.DataFrame,
+      uvisited: org.apache.spark.sql.DataFrame,
+      seedOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      scoreEntry: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)
+
+  private[graft] def layeredLadder(s: org.apache.spark.sql.SparkSession,
+      dir: String): LayeredLadder = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
@@ -1058,8 +1081,8 @@ object Similarity extends OpModule {
       beamWalk(emb, queries, u2edges, u2f0, UpperBeamWidth, UpperRounds)
     val uvisited = beamWalk(emb, queries, uedges, seedOf(u2visited),
       UpperBeamWidth, UpperRounds)
-    rankTop10(beamWalk(emb, queries, edges, seedOf(uvisited),
-      width, BeamRounds))
+    LayeredLadder(emb, queries, edges, u2f0, u2visited, uvisited,
+      seedOf, sc)
   }
 
   private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,

@@ -65,7 +65,8 @@ object Scaling {
     "q_topk_ta", "q_join_card_estimate", "j9_bloom_semijoin",
     "q_join_size_sketches", "text_rake_keywords", "sample_ess_report",
     "sim_graph_recall_vs_beam", "text_keyword_agreement",
-    "sim_graph_search_layered", "dedup_simhash_pairs",
+    "sim_graph_search_layered", "sim_graph_layered_recall",
+    "dedup_simhash_pairs",
     "dedup_cdc_chunks", "u1_tokenize_cjk", "sample_weighted_ares",
     "text_kneser_ney", "dedup_containment", "dedup_containment_exact",
     "sim_hyperball",
@@ -148,6 +149,108 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("simhashingest")) {
+      // The SimHash banded-pair INGEST tier under the scale lens
+      // (verdict r12 #4's done-criterion row): hash-split the k×
+      // documents into B micro-batches, run each through
+      // simhashIngestBatch against one growing store, and report
+      // per-batch wall time + emitted pairs + store size — then the
+      // parity check: union of per-batch emissions == the batch
+      // dedup_simhash_pairs relation over the same corpus. A flat
+      // per-batch time at constant batch size is the O(touched)
+      // store-IO claim, measured.
+      val k = args.lift(2).map(_.toInt).getOrElse(16)
+      val nBatches = args.lift(3).map(_.toInt).getOrElse(8)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      Tables.names.foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      val store =
+        java.nio.file.Files.createTempDirectory("simhash_scale").toString
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      var total = 0L
+      (0 until nBatches).foreach { i =>
+        val b = docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === i)
+        val t0 = System.nanoTime()
+        val n = graft.streaming.StatefulStreaming
+          .simhashIngestBatch(b, store).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.Barrier.releaseAll(spark)
+        total += n
+        println(f"[simhash-ingest] k=$k batch=$i%-3d $t%7.3fs pairs=$n")
+      }
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        else f.length()
+      println(f"[simhash-ingest] k=$k store=" +
+        f"${du(new java.io.File(store)) / 1024.0 / 1024.0}%8.2f MiB " +
+        s"emitted_total=$total")
+      val t0 = System.nanoTime()
+      val batchPairs = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+        .count()
+      graft.core.Barrier.releaseAll(spark)
+      println(f"[simhash-ingest] k=$k batch_twin " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.3fs pairs=$batchPairs " +
+        s"parity=${if (batchPairs == total) "EQUAL" else "MISMATCH"}")
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("layerdiag")) {
+      // What the geometric layer ladder BUYS, measured (verdict r12 #5's
+      // done-criterion evidence): per level, the per-query best-seed
+      // cosine after its 3-hop beam-2 walk, the distinct visited count
+      // (the measured hop budget actually spent), and the flat walk's
+      // global min-id entry cosine as the baseline the ladder replaces.
+      val k = args.lift(2).map(_.toInt).getOrElse(64)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir =
+        if (k == 0) base
+        else s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      Tables.names.foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      val l = graft.operators.Similarity.layeredLadder(spark, dir)
+      val flatEntry = l.edges.agg(min(col("x")).as("v"))
+      val flatF0 = l.scoreEntry(l.queries.select(col("query_id"))
+        .crossJoin(broadcast(flatEntry)))
+      def stats(tag: String, df: DataFrame): Unit = {
+        val r = df.agg(avg(col("s")), min(col("s")), count(lit(1)))
+          .collect()(0)
+        println(f"[layerdiag] k=$k $tag%-28s avg_s=${r.getDouble(0)}%.4f " +
+          f"min_s=${r.getDouble(1)}%.4f rows=${r.getLong(2)}")
+      }
+      stats("flat_global_entry", flatF0)
+      stats("L2_entry(1/256 min-id)", l.u2f0)
+      stats("L2_best(3 hops, beam 2)", l.seedOf(l.u2visited))
+      stats("L1_best(3 hops, beam 2)", l.seedOf(l.uvisited))
+      Seq("L2_visited" -> l.u2visited, "L1_visited" -> l.uvisited)
+        .foreach { case (tag, df) =>
+          val r = df.groupBy(col("query_id"))
+            .agg(countDistinct(col("v")).as("nv"))
+            .agg(avg(col("nv")), max(col("nv"))).collect()(0)
+          println(f"[layerdiag] k=$k $tag%-28s avg_visited=" +
+            f"${r.getDouble(0)}%.1f max_visited=${r.getLong(1)}")
+        }
+      graft.core.Barrier.releaseAll(spark)
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("skew")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
