@@ -659,6 +659,7 @@ object TextAnalysis extends OpModule {
     // and a per-round 1-row existence probe (the BPE winner.isEmpty
     // discipline); the corpus never collects.
     "text_longest_dup" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val normed = t(s, dir, "documents")
         .select(Text.normalize(col("text")).as("norm"))
         .barrier() // 13 probe scans + the final report read it
@@ -666,9 +667,15 @@ object TextAnalysis extends OpModule {
         s"CASE WHEN length(norm) >= $l THEN " +
           s"transform(sequence(1, length(norm) - $l + 1), " +
           s"i -> substring(norm, i, $l)) ELSE array() END")).as("w"))
-      def dupAt(l: Int): Boolean = !windows(l)
-        .select(conv(substring(md5(col("w")), 1, 15), 16, 10)
-          .cast("long").as("fp"))
+      // probe fingerprints come from the native rolling walk (r13): one
+      // O(n) pass per probe emitting 8 bytes/window, replacing the
+      // md5-of-materialized-substring formulation whose intermediate
+      // was ~L× the corpus bytes (~4096× at mid=4096 — the xL cost the
+      // r12 scaladoc disclosed; now gone). Identical fp function in the
+      // oracle, so collisions — ~n²/2^61-improbable — steer both
+      // engines' searches the same way, the same stance as before.
+      def dupAt(l: Int): Boolean = !normed
+        .select(explode(expr(s"rolling_fps(norm, $l)")).as("fp"))
         .groupBy(col("fp")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).limit(1).isEmpty
       var (lo, hi) = (0, 8192)
@@ -697,26 +704,24 @@ object TextAnalysis extends OpModule {
     // "duplicated 50-gram" thresholds, CDC chunk sizing, shingle width
     // choices) all read points off this curve. One fingerprint scan
     // per length — 8 scans total, each a map-side-combined count
-    // rollup. Same xL cost honesty as text_longest_dup: each scan at
-    // length L materializes L-char window substrings (~L× corpus
-    // bytes of intermediate, never shuffled at that width) before the
-    // 8-byte fp projection — here L caps at 1024 and the 8 lengths
-    // sum to ~2L_max× corpus bytes, the dominant cost of this query;
-    // a rolling-hash window-fp expression is the upgrade path.
+    // rollup. r13: fingerprints come from the native `rolling_fps`
+    // walk (plans/RollingFps.scala — Rabin–Karp mod 2^61−1, one O(n)
+    // pass, 8 bytes/window), retiring the md5-of-substring formulation
+    // whose Generate materialized ~L× corpus bytes per scan (~2·L_max×
+    // summed over the 8 lengths — the dominant cost the r12 scaladoc
+    // disclosed). The oracle computes the SAME polynomial via the
+    // modular-inverse prefix identity, so fps are bit-identical in
+    // both engines and a (~n²/2^61-improbable) collision moves both
+    // counts the same way — the md5 device's stance, kept.
     // The per-L report is 4 integers + one ppm DIV, so the
-    // whole result is 8 rows. Like the longest-dup probe, fingerprints
-    // stand in for strings identically in both engines.
+    // whole result is 8 rows.
     "text_dup_profile" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val normed = t(s, dir, "documents")
         .select(Text.normalize(col("text")).as("norm"))
         .barrier() // 8 window scans read it
       Seq(8, 16, 32, 64, 128, 256, 512, 1024).map { l =>
-        normed.select(explode(expr(
-          s"CASE WHEN length(norm) >= $l THEN " +
-            s"transform(sequence(1, length(norm) - $l + 1), " +
-            s"i -> substring(norm, i, $l)) ELSE array() END")).as("w"))
-          .select(conv(substring(md5(col("w")), 1, 15), 16, 10)
-            .cast("long").as("fp"))
+        normed.select(explode(expr(s"rolling_fps(norm, $l)")).as("fp"))
           .groupBy(col("fp")).agg(count(lit(1)).as("c"))
           .agg(coalesce(sum(col("c")), lit(0L)).as("n_windows"),
             count(lit(1)).as("n_distinct"),
@@ -2426,6 +2431,29 @@ object TextAnalysis extends OpModule {
     * = min(doc_id) per gram, per-doc novel-fraction rollup. Shared by
     * the batch query and the streaming store reader so the attribution
     * arithmetic cannot drift between them. */
+  /** Executable spec of the native `rolling_fps` walk (the MinhashSigs
+    * discipline): per window, the SAME base-131 / mod-(2^61−1) Horner
+    * evaluated with composed builtins — DECIMAL(38,0) accumulator so
+    * `acc·131 + c` (< 2^68) never touches int64 wraparound — over
+    * `ascii()` of the per-character split. ASCII inputs only (every
+    * normalize output; the expression's general code-point path is
+    * pinned against a BigInt recompute in RollingFpsSpec). Sample-scale
+    * by construction: it materializes every window slice — exactly the
+    * xL cost the native walk exists to avoid. */
+  private[graft] def rollingFpsSpecCol(l: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""transform(
+         |  CASE WHEN length(norm) >= $l
+         |    THEN sequence(1, length(norm) - $l + 1)
+         |    ELSE array() END,
+         |  i -> CAST(aggregate(
+         |    transform(slice(split(substring(norm, i, $l), ''), 1, $l),
+         |      ch -> CAST(ascii(ch) AS DECIMAL(38, 0))),
+         |    CAST(0 AS DECIMAL(38, 0)),
+         |    (acc, c) -> CAST((acc * 131 + c)
+         |      % ${graft.plans.RollingFps.P} AS DECIMAL(38, 0))
+         |  ) AS BIGINT))""".stripMargin)
+
   private[graft] def noveltyReport(grams0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val grams = grams0.barrier() // first-seen rollup AND the join-back
@@ -3040,6 +3068,58 @@ object TextAnalysis extends OpModule {
     (-96L, "probe", "en", 26L, "cloned probe body text one"),
     (-97L, "probe", "en", 27L, "Cloned PROBE body, text one"),
     (-98L, "probe", "en", 17L, "unique probe body"))
+
+  /** Rolling-fingerprint prefix CTEs — the oracle twin of the native
+    * `rolling_fps` walk (plans/RollingFps.scala). The engine computes
+    * each window's Rabin–Karp polynomial (base 131, mod p = 2^61−1)
+    * with an O(n) rolling update; SQL has no linear scan-with-carry, so
+    * the oracle reaches the SAME value through the modular-inverse
+    * prefix identity:
+    *
+    *   P[j]     = Horner(c_1..c_j) = 131^j · Σ_{k≤j} c_k·131^{−k} (mod p)
+    *   fp(i, L) = P[i+L−1] − P[i−1]·131^L                          (mod p)
+    *
+    * The inner Σ runs as ONE window-function running sum of exact
+    * HUGEINTs (each term < 2^82, any corpus-document sum < 2^127 for
+    * lengths to ~2^45 — no overflow, no rounding), reduced mod p once
+    * per prefix; `pws` is the 131^j / 131^{−j} power ladder from a
+    * 1-row-per-step recursive CTE. Equality of the two formulations is
+    * pinned in NativeExprSpec against an independent BigInt recompute.
+    * Ends with `pl(did, ps)` — per-doc list of P[j] — and `pws(j, pw,
+    * ipw)`; expects an `n(norm)` CTE upstream.
+    */
+  private val oraRollP = "2305843009213693951" // 2^61 − 1 (Mersenne prime)
+  private val oraRollingCtes: String =
+    s"""nid AS (SELECT row_number() OVER () AS did, norm FROM n),
+       |mx AS (SELECT max(len(norm)) AS m FROM nid),
+       |pws AS (
+       |  WITH RECURSIVE r(j, pw, ipw) AS (
+       |    SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+       |    UNION ALL
+       |    -- 1372944692508917009 = 131^(−1) mod p (extended Euclid)
+       |    SELECT j + 1, (pw * 131) % $oraRollP,
+       |      (ipw * 1372944692508917009) % $oraRollP
+       |    FROM r, mx WHERE j < mx.m)
+       |  SELECT * FROM r),
+       |ch AS (SELECT did, i, CAST(unicode(substr(norm, i, 1)) AS HUGEINT)
+       |    AS c
+       |  FROM (SELECT did, norm, unnest(generate_series(1, len(norm)))
+       |          AS i
+       |        FROM nid)),
+       |pref AS (
+       |  SELECT did, i,
+       |    (pws.pw * (sum(c * pws.ipw) OVER (PARTITION BY did ORDER BY i
+       |       ROWS UNBOUNDED PRECEDING) % $oraRollP)) % $oraRollP AS pj
+       |  FROM ch JOIN pws ON pws.j = ch.i),
+       |pl AS MATERIALIZED (SELECT did, list(pj ORDER BY i) AS ps
+       |  FROM pref GROUP BY did)""".stripMargin
+
+  /** The fp(i, L) expression over `pl`'s list + a `pwl` = 131^L column
+    * (window positions 1-based; i = 1 has no dropped prefix). */
+  private def oraRollFp(lcol: String): String =
+    s"""CASE WHEN i = 1 THEN ps[i + $lcol - 1]
+       |  ELSE ((ps[i + $lcol - 1] - (ps[i - 1] * pwl) % $oraRollP)
+       |        % $oraRollP + $oraRollP) % $oraRollP END""".stripMargin
 
   /** Classifier-score CTE chain over a `docs(doc_id, text, ...)` CTE —
     * ends in `sc(doc_id, n_feats, score)`. Shared by the classifier
@@ -4488,6 +4568,9 @@ object TextAnalysis extends OpModule {
     // mirrors text_dup_profile: the same 8 fixed lengths, fp rollup,
     // and count algebra per length
     "text_dup_profile" -> {
+      // rolling-prefix fps (oraRollingCtes — the rolling_fps twin); a
+      // length exceeding every document still emits its zeros row (the
+      // aggregate runs over an empty window relation)
       def lenSql(l: Int): String =
         s"""SELECT CAST($l AS BIGINT) AS win_len,
            |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_windows,
@@ -4499,16 +4582,16 @@ object TextAnalysis extends OpModule {
            |    AS BIGINT) AS dup_ppm
            |FROM (
            |  SELECT fp, count(*) AS c FROM (
-           |    SELECT ('0x' || substring(md5(substr(norm, i, $l)), 1, 15))
-           |      ::BIGINT AS fp
-           |    FROM (SELECT norm,
-           |            unnest(range(1, greatest(len(norm) - $l + 2, 1)))
-           |              AS i
-           |          FROM n))
+           |    SELECT ${oraRollFp(s"$l").replace("\n", " ")} AS fp
+           |    FROM (SELECT ps, pw.pw AS pwl,
+           |            unnest(generate_series(1,
+           |              greatest(len(ps) - $l + 1, 0))) AS i
+           |          FROM pl JOIN pws pw ON pw.j = $l))
            |  GROUP BY fp)""".stripMargin
       s"""WITH n AS (SELECT
          |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-         |  FROM documents)
+         |  FROM documents),
+         |$oraRollingCtes
          |${Seq(8, 16, 32, 64, 128, 256, 512, 1024).map(lenSql)
           .mkString("\nUNION ALL\n")}""".stripMargin
     },
@@ -4517,14 +4600,17 @@ object TextAnalysis extends OpModule {
     // probes identical to the engine's, exact substring regroup at the
     // answer length
     "text_longest_dup" -> {
+      // probe fps via the rolling-prefix identity (oraRollingCtes);
+      // a mid beyond every document finds no pws row and so no windows
+      // — dup=false, exactly the engine's empty rolling_fps array
       def roundSql(k: Int): String =
         s"""m$k AS (SELECT lo, hi, (lo + hi) // 2 AS mid FROM s$k),
-           |w$k AS (SELECT ('0x' || substring(md5(substr(norm, i, mid)),
-           |    1, 15))::BIGINT AS fp
-           |  FROM (SELECT n.norm, m.mid,
-           |          unnest(range(1, greatest(len(n.norm) - m.mid + 2, 1)))
-           |            AS i
-           |        FROM n CROSS JOIN m$k m)),
+           |w$k AS (SELECT ${oraRollFp("mid").replace("\n", " ")} AS fp
+           |  FROM (SELECT ps, m.mid, pw.pw AS pwl,
+           |          unnest(generate_series(1,
+           |            greatest(len(ps) - m.mid + 1, 0))) AS i
+           |        FROM pl CROSS JOIN m$k m
+           |        JOIN pws pw ON pw.j = m.mid)),
            |d$k AS (SELECT count(*) > 0 AS dup FROM (
            |  SELECT fp FROM w$k GROUP BY fp HAVING count(*) >= 2
            |  LIMIT 1)),
@@ -4535,6 +4621,7 @@ object TextAnalysis extends OpModule {
       s"""WITH n AS (SELECT
          |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
          |  FROM documents),
+         |$oraRollingCtes,
          |s1 AS (SELECT 0 AS lo, 8192 AS hi),
          |${(1 to 13).map(roundSql).mkString(",\n")},
          |fin AS (SELECT lo AS l, greatest(lo, 1) AS lw FROM s14),

@@ -126,6 +126,12 @@ object GraftFunctions {
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunks(children.head)),
+    // rolling Rabin–Karp window fingerprints (see RollingFps scaladoc);
+    // the window length must be a foldable integer literal
+    (FunctionIdentifier("rolling_fps"),
+      new ExpressionInfo(classOf[RollingFps].getName, "rolling_fps"),
+      (children: Seq[Expression]) => RollingFps(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder
