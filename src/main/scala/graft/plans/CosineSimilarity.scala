@@ -130,8 +130,14 @@ object GraftFunctions {
     // the window length must be a foldable integer literal
     (FunctionIdentifier("rolling_fps"),
       new ExpressionInfo(classOf[RollingFps].getName, "rolling_fps"),
-      (children: Seq[Expression]) => RollingFps(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"rolling_fps(str, L) takes 2 arguments, got ${children.size}")
+        require(children(1).foldable,
+          "rolling_fps window length must be a foldable integer literal")
+        RollingFps(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment
     // (ref DwsTrafficSourceKeywordPageViewWindow.java:36): the builder

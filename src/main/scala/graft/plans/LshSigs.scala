@@ -104,9 +104,18 @@ object LshSigs {
   private def signs(dims: Int, bits: Int, tables: Int): Array[Double] = {
     val k = (dims, bits, tables)
     val cached = signCache.get(k)
-    if (cached != null) cached
-    else if (signCache.size >= MaxCachedMatrices) buildSigns(dims, bits, tables)
-    else signCache.computeIfAbsent(k, _ => buildSigns(dims, bits, tables))
+    if (cached != null) return cached
+    // at the cap, evict an arbitrary resident before inserting (not
+    // compute-uncached-forever: a >64-distinct-width corpus would
+    // otherwise rebuild the matrix md5-per-element on EVERY row for
+    // widths past the first 64 — review r13 finding #3). Races at the
+    // boundary can momentarily overshoot by a few entries; the bound
+    // stays O(cap), which is all the memory cap needs.
+    if (signCache.size >= MaxCachedMatrices) {
+      val it = signCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    signCache.computeIfAbsent(k, _ => buildSigns(dims, bits, tables))
   }
 
   private final class Scratch {

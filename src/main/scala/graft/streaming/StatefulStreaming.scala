@@ -30,7 +30,9 @@ object StatefulStreaming {
   case class Repaired(event_id: Long, is_new_claimed: Int, is_new: Int)
   case class FunnelEvent(event_id: Long, user_id: Long, usMicros: Long,
     event_type: String)
-  case class FunnelAdvance(user_id: Long, stage: Int)
+  // stage is BIGINT for schema parity with the batch a7_funnel_steps
+  // twin (OpModule output discipline — review r13 finding #7)
+  case class FunnelAdvance(user_id: Long, stage: Long)
 
   /** Normalize the events stream to the keyed shape both operators consume. */
   def keyedEvents(events: DataFrame): Dataset[KeyedEvent] = {
@@ -108,7 +110,7 @@ object StatefulStreaming {
               val (ns, adv) =
                 StateMachines.funnelStep(st, e.event_type, e.usMicros)
               st = ns
-              adv.map(FunnelAdvance(uid, _))
+              adv.map(st => FunnelAdvance(uid, st.toLong))
             }
           state.update(st)
           out.iterator
@@ -1315,9 +1317,18 @@ object StatefulStreaming {
     Sinks.mergeTouched(spark, banded, "bkey", s"$storeDir/roster")(
       _.dropDuplicates("bkey", "sig"))
     // post-merge, the touched buckets hold every distinct sig ever seen
-    // there — the probe never reads an untouched bucket
+    // there — the probe never reads an untouched bucket. An EMPTY
+    // micro-batch (idle trigger, recovery replay, an empty hash slice)
+    // merges nothing, so no bucket may exist yet: emit 0 pairs, don't
+    // throw (review r13 finding #1)
+    val rosterSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("bkey", LongType),
+        StructField("sig", LongType)))
+    }
     val roster = Sinks.readTouchedFor(spark, banded.select("bkey"), "bkey",
-      s"$storeDir/roster").get // merged above, so the buckets exist
+      s"$storeDir/roster").getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rosterSchema))
     val candSig = banded.select(col("bkey"), col("sig").as("sig_a"))
       .join(roster.select(col("bkey"), col("sig").as("sig_b")), "bkey")
       .filter(col("sig_a") =!= col("sig_b"))

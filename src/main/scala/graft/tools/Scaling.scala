@@ -175,15 +175,23 @@ object Scaling {
       }
       val store =
         java.nio.file.Files.createTempDirectory("simhash_scale").toString
+      // emissions accumulate to parquet so parity below is SET-level
+      // (count-only parity would miss a duplicate-emission + missed-pair
+      // compensation — review r13 finding #6); the write sits outside
+      // the per-batch timer, as sink IO would in a real pipeline
+      val emitted =
+        java.nio.file.Files.createTempDirectory("simhash_emit").toString
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
       var total = 0L
       (0 until nBatches).foreach { i =>
         val b = docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === i)
         val t0 = System.nanoTime()
-        val n = graft.streaming.StatefulStreaming
-          .simhashIngestBatch(b, store).count()
+        val out = graft.streaming.StatefulStreaming
+          .simhashIngestBatch(b, store).localCheckpoint()
+        val n = out.count()
         val t = (System.nanoTime() - t0) / 1e9
+        out.write.mode("append").parquet(emitted)
         graft.core.Barrier.releaseAll(spark)
         total += n
         println(f"[simhash-ingest] k=$k batch=$i%-3d $t%7.3fs pairs=$n")
@@ -195,12 +203,17 @@ object Scaling {
         f"${du(new java.io.File(store)) / 1024.0 / 1024.0}%8.2f MiB " +
         s"emitted_total=$total")
       val t0 = System.nanoTime()
-      val batchPairs = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
-        .count()
+      val twin = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+        .localCheckpoint()
+      val batchPairs = twin.count()
+      val em = spark.read.parquet(emitted)
+      val missed = twin.exceptAll(em).count()
+      val spurious = em.exceptAll(twin).count()
       graft.core.Barrier.releaseAll(spark)
       println(f"[simhash-ingest] k=$k batch_twin " +
         f"${(System.nanoTime() - t0) / 1e9}%7.3fs pairs=$batchPairs " +
-        s"parity=${if (batchPairs == total) "EQUAL" else "MISMATCH"}")
+        s"missed=$missed spurious=$spurious parity=" +
+        (if (missed == 0 && spurious == 0) "EQUAL(set)" else "MISMATCH"))
       spark.stop()
       return
     }
@@ -396,7 +409,10 @@ object Scaling {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val dir = s"/tmp/graft_zipf_${new java.io.File(base).getName}_v$v"
+      // g2: generator version is part of the dir name — the r13 floor+1
+      // head-mass fix must not silently reuse corpora materialized by
+      // the r12 ceil() formula (review r13 finding #4)
+      val dir = s"/tmp/graft_zipf_g2_${new java.io.File(base).getName}_v$v"
       val out = s"$dir/documents.parquet"
       if (!new java.io.File(out).exists()) {
         val docs = Tables.load(spark, base, "documents")

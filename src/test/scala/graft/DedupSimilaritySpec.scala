@@ -1116,8 +1116,10 @@ class DedupSimilaritySpec extends SparkSpec {
       "composed containment must emit no pair outside the exact output")
     // (b) EQUALITY on the sf0.01 gate fixture, where banded recall of
     //     the exhaustive output is 100% (the r12 SCALING.md measurement
-    //     this pin keeps honest) — the gate's shared oracle hash for
-    //     dedup_containment and dedup_containment_exact rests on this.
+    //     this pin keeps honest). Each entry now carries its OWN oracle
+    //     (composed = exhaustive ∩ band-reachable, exact = exhaustive),
+    //     so the gate is corpus-independent; this pin is what still
+    //     PROVES the two tiers coincide on the fixture.
     val gateDir = "/root/testdata/sf0.01"
     val composedG = graft.operators.Dedup
       .queries("dedup_containment")(spark, gateDir)

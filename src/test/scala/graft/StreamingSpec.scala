@@ -454,7 +454,7 @@ class StreamingSpec extends SparkSpec {
       input.addData(b2.toSeq); q.processAllAvailable()
       val got = spark.table("funnel_stream")
         .groupBy("stage").count()
-        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = graft.operators.Stateful
         .queries("a7_funnel_steps")(spark, sfDir)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -760,6 +760,17 @@ class StreamingSpec extends SparkSpec {
       graft.core.Barrier.releaseAll(spark)
       assert(replayed === emitted(2),
         "an in-order replayed batch must re-emit exactly its own pairs")
+      // an EMPTY micro-batch (idle trigger / recovery) emits 0 pairs —
+      // it must not throw on the not-yet-probed roster read, including
+      // against a FRESH store where no bucket exists at all
+      val fresh = java.nio.file.Files
+        .createTempDirectory("simhashstore_empty").toString
+      Seq(store, fresh).foreach { st =>
+        val none = pairSet(StatefulStreaming.simhashIngestBatch(
+          docs.filter(org.apache.spark.sql.functions.lit(false)), st))
+        graft.core.Barrier.releaseAll(spark)
+        assert(none.isEmpty, s"empty batch must emit no pairs against $st")
+      }
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
