@@ -113,8 +113,10 @@ object Bench {
     // same-session deltas, not from comparing two separately-hosted
     // medians. The no-arg driver path below is unchanged.
     if (args.headOption.contains("compare")) {
-      require(args.length >= 2, "usage: Bench compare <commit> [pairs]")
-      BenchCompare.run(args(1), args.lift(2).map(_.toInt))
+      require(args.length >= 2,
+        "usage: Bench compare <commit> [pairs] [q1,q2,...]")
+      BenchCompare.run(args(1), args.lift(2).map(_.toInt),
+        args.lift(3).map(_.split(",").toSet))
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -105,7 +105,8 @@ object BenchCompare {
 
   private def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
 
-  def run(refCommit: String, pairsArg: Option[Int]): Unit = {
+  def run(refCommit: String, pairsArg: Option[Int],
+      only: Option[Set[String]] = None): Unit = {
     val pairs = pairsArg
       .orElse(sys.env.get("SPARK_GRAFT_COMPARE_PAIRS").map(_.toInt))
       .getOrElse(3)
@@ -138,7 +139,11 @@ object BenchCompare {
     try {
       base.awaitReady(); head.awaitReady()
 
+      // optional comma-separated filter (4th CLI arg): deep-pair a suspect
+      // query in isolation — the r13 drift bisect needed per-query pair
+      // counts the full-headline session can't afford
       val names = Bench.headline.filter(SparkEntry.queries.contains)
+        .filter(n => only.forall(_.contains(n)))
       val baseRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
       val headRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
       val deltas = mutable.LinkedHashMap.empty[String, Seq[Double]]

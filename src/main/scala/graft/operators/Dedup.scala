@@ -1474,7 +1474,17 @@ object Dedup extends OpModule {
     * equality-pinned on the sf0.01 gate fixture, where banded recall of
     * the exhaustive output is 100% (measured r12, re-pinned every test
     * run); composed ⊆ exact holds on ANY corpus by construction (the
-    * verify tail applies the full exact predicate). */
+    * verify tail applies the full exact predicate).
+    *
+    * MEASURED recall floor where banding actually prunes (r14, the
+    * ADVICE r13 gate-tautology point — the composed oracle replicates
+    * the banding, so only this engine-vs-engine diagnostic certifies
+    * recall): at sf0.1, composed = 492 of exact = 548 directed pairs —
+    * 89.8% recall, 0 spurious (`Scaling containmentrecall`, SCALING.md
+    * r14). The default therefore trades ~10% of low-Jaccard directed
+    * pairs at that corpus for the 3.5–6.3× cost cut;
+    * `dedup_containment_exact` IS the recall-1 path when quote-shaped
+    * asymmetry must not be missed. */
   private def containmentComposedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val gs = gramSetRels(s, dir)
@@ -2744,8 +2754,22 @@ object Dedup extends OpModule {
        |  JOIN fpc fa ON fa.doc_id = c.da
        |  JOIN fpc fb ON fb.doc_id = c.db
        |  WHERE fa.fp <> fb.fp),
-       |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |-- CANDIDATE-FIRST intersection (r14, verdict #4): expand the
+       |-- fp-pair allowlist to doc pairs and count common grams only
+       |-- for those — row-identical to the exhaustive-ix-then-restrict
+       |-- form (an allowed pair with zero common grams drops from the
+       |-- inner join either way), but band-bounded instead of
+       |-- vocab-quadratic, so the composed oracle runs at sf0.1 where
+       |-- the exhaustive one exceeds 400 s
+       |adp AS MATERIALIZED (
+       |  SELECT fa.doc_id AS da, fb.doc_id AS db
+       |  FROM allowed al
+       |  JOIN fpc fa ON fa.fp = al.fpa
+       |  JOIN fpc fb ON fb.fp = al.fpb),
+       |ix AS (SELECT c.da, c.db, count(*) AS inter
+       |       FROM adp c
+       |       JOIN sh a ON a.doc_id = c.da
+       |       JOIN sh b ON b.doc_id = c.db AND b.g = a.g
        |       GROUP BY 1, 2)
        |SELECT ix.da AS doc_a, ix.db AS doc_b,
        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
@@ -2753,9 +2777,6 @@ object Dedup extends OpModule {
        |  (ix.inter * 1000000) // sa.n AS cont_ppm
        |FROM ix JOIN sz sa ON sa.doc_id = ix.da
        |        JOIN sz sb ON sb.doc_id = ix.db
-       |        JOIN fpc fa ON fa.doc_id = ix.da
-       |        JOIN fpc fb ON fb.doc_id = ix.db
-       |        JOIN allowed al ON al.fpa = fa.fp AND al.fpb = fb.fp
        |WHERE sa.n >= 8 AND sb.n >= 8 AND 5 * ix.inter >= 4 * sa.n
        |  AND NOT (ix.inter = sa.n AND ix.inter = sb.n)""".stripMargin
 

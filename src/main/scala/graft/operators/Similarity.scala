@@ -1073,8 +1073,16 @@ object Similarity extends OpModule {
         .barrier() // round 1 reads it twice (union + neighbors)
     // top-level entry = the min-id SAMPLE vertex (not an edge endpoint:
     // a 1/256 layer on a small corpus may have few-to-no edges, and the
-    // walk must degrade to plain descent-from-entry, not to empty)
-    val u2entry = u2sample.agg(min(col("vec_id")).as("v"))
+    // walk must degrade to plain descent-from-entry, not to empty).
+    // Coalesce ladder (ADVICE r13): a corpus with NO id divisible by 256
+    // (ids starting at 1, < 256 vectors) has an EMPTY 1/256 sample —
+    // min over it is NULL and the entry row would drop in the scoring
+    // join, emptying the whole result. Fall back to the 1/16 sample's
+    // min-id, then the global min, in ONE aggregate over the corpus.
+    val u2entry = emb.agg(coalesce(
+      min(when(col("vec_id") % u2mod === 0, col("vec_id"))),
+      min(when(col("vec_id") % UpperSampleMod === 0, col("vec_id"))),
+      min(col("vec_id"))).as("v"))
     val u2f0 = sc(queries.select(col("query_id"))
       .crossJoin(broadcast(u2entry))).barrier()
     val u2visited =
@@ -4118,13 +4126,18 @@ object Similarity extends OpModule {
   /** f0 body: the hierarchy's top entry — the min-id SAMPLE vertex of
     * the sparsest layer (not an edge endpoint: a 1/256 layer on a small
     * corpus may have no edges, and the walk must degrade to
-    * descent-from-entry, not to empty). */
+    * descent-from-entry, not to empty). Coalesce ladder mirrors the
+    * engine (ADVICE r13): empty 1/256 sample → 1/16 min-id → global min,
+    * so a no-sample corpus degrades to descent too, never to empty. */
   private def oraSampleEntryF0: String =
     s"""  SELECT q.query_id, e.v,
        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
        |      CAST(emb.embedding AS DOUBLE[])) AS s
-       |  FROM q CROSS JOIN (SELECT min(vec_id) AS v FROM embeddings
-       |    WHERE vec_id % ${UpperSampleMod * UpperSampleMod} = 0) e
+       |  FROM q CROSS JOIN (SELECT coalesce(
+       |      min(CASE WHEN vec_id % ${UpperSampleMod * UpperSampleMod} = 0
+       |        THEN vec_id END),
+       |      min(CASE WHEN vec_id % $UpperSampleMod = 0 THEN vec_id END),
+       |      min(vec_id)) AS v FROM embeddings) e
        |  JOIN embeddings emb ON emb.vec_id = e.v""".stripMargin
 
   /** Final serving select over a walk's visited CTE. */

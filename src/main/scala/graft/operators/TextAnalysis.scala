@@ -2432,9 +2432,10 @@ object TextAnalysis extends OpModule {
     * the batch query and the streaming store reader so the attribution
     * arithmetic cannot drift between them. */
   /** Executable spec of the native `rolling_fps` walk (the MinhashSigs
-    * discipline): per window, the SAME base-131 / mod-(2^61−1) Horner
-    * evaluated with composed builtins — DECIMAL(38,0) accumulator so
-    * `acc·131 + c` (< 2^68) never touches int64 wraparound — over
+    * discipline): per window, the SAME base / mod-(2^61−1) Horner
+    * (base from the RollingFps.Base seed — default 131) evaluated with
+    * composed builtins — DECIMAL(38,0) accumulator so
+    * `acc·base + c` (< 2^82 at the max seed) never wraps int64 — over
     * `ascii()` of the per-character split. ASCII inputs only (every
     * normalize output; the expression's general code-point path is
     * pinned against a BigInt recompute in RollingFpsSpec). Sample-scale
@@ -2450,7 +2451,7 @@ object TextAnalysis extends OpModule {
          |    transform(slice(split(substring(norm, i, $l), ''), 1, $l),
          |      ch -> CAST(ascii(ch) AS DECIMAL(38, 0))),
          |    CAST(0 AS DECIMAL(38, 0)),
-         |    (acc, c) -> CAST((acc * 131 + c)
+         |    (acc, c) -> CAST((acc * ${graft.plans.RollingFps.Base} + c)
          |      % ${graft.plans.RollingFps.P} AS DECIMAL(38, 0))
          |  ) AS BIGINT))""".stripMargin)
 
@@ -3071,22 +3072,24 @@ object TextAnalysis extends OpModule {
 
   /** Rolling-fingerprint prefix CTEs — the oracle twin of the native
     * `rolling_fps` walk (plans/RollingFps.scala). The engine computes
-    * each window's Rabin–Karp polynomial (base 131, mod p = 2^61−1)
+    * each window's Rabin–Karp polynomial (base b = RollingFps.Base —
+    * the deployment seed, default 131 — mod p = 2^61−1)
     * with an O(n) rolling update; SQL has no linear scan-with-carry, so
     * the oracle reaches the SAME value through the modular-inverse
     * prefix identity:
     *
-    *   P[j]     = Horner(c_1..c_j) = 131^j · Σ_{k≤j} c_k·131^{−k} (mod p)
-    *   fp(i, L) = P[i+L−1] − P[i−1]·131^L                          (mod p)
+    *   P[j]     = Horner(c_1..c_j) = b^j · Σ_{k≤j} c_k·b^{−k} (mod p)
+    *   fp(i, L) = P[i+L−1] − P[i−1]·b^L                       (mod p)
     *
     * The inner Σ runs as ONE window-function running sum of exact
-    * HUGEINTs (each term < 2^82, any corpus-document sum < 2^127 for
-    * lengths to ~2^45 — no overflow, no rounding), reduced mod p once
-    * per prefix; `pws` is the 131^j / 131^{−j} power ladder from a
-    * 1-row-per-step recursive CTE. Equality of the two formulations is
-    * pinned in NativeExprSpec against an independent BigInt recompute.
-    * Ends with `pl(did, ps)` — per-doc list of P[j] — and `pws(j, pw,
-    * ipw)`; expects an `n(norm)` CTE upstream.
+    * HUGEINTs (each term < 2^122 at the max seed, document sums exact
+    * in HUGEINT — no overflow, no rounding), reduced mod p once
+    * per prefix; `pws` is the b^j / b^{−j} power ladder from a
+    * 1-row-per-step recursive CTE, its inverse step derived from the
+    * SAME seed (RollingFps.BaseInv). Equality of the two formulations
+    * is pinned in NativeExprSpec against an independent BigInt
+    * recompute. Ends with `pl(did, ps)` — per-doc list of P[j] — and
+    * `pws(j, pw, ipw)`; expects an `n(norm)` CTE upstream.
     */
   private val oraRollP = "2305843009213693951" // 2^61 − 1 (Mersenne prime)
   private val oraRollingCtes: String =
@@ -3096,9 +3099,9 @@ object TextAnalysis extends OpModule {
        |  WITH RECURSIVE r(j, pw, ipw) AS (
        |    SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
        |    UNION ALL
-       |    -- 1372944692508917009 = 131^(−1) mod p (extended Euclid)
-       |    SELECT j + 1, (pw * 131) % $oraRollP,
-       |      (ipw * 1372944692508917009) % $oraRollP
+       |    -- ipw step = base^(−1) mod p, from the shared seed
+       |    SELECT j + 1, (pw * ${graft.plans.RollingFps.Base}) % $oraRollP,
+       |      (ipw * ${graft.plans.RollingFps.BaseInv}) % $oraRollP
        |    FROM r, mx WHERE j < mx.m)
        |  SELECT * FROM r),
        |ch AS (SELECT did, i, CAST(unicode(substr(norm, i, 1)) AS HUGEINT)

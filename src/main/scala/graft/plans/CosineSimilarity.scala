@@ -135,8 +135,22 @@ object GraftFunctions {
           s"rolling_fps(str, L) takes 2 arguments, got ${children.size}")
         require(children(1).foldable,
           "rolling_fps window length must be a foldable integer literal")
-        RollingFps(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())
+        // dtype + null validation BEFORE eval (ADVICE r13): a string or
+        // fractional literal must fail with the same descriptive style as
+        // the foldability check, not a raw ClassCastException; a DOUBLE
+        // like 4.9 must be rejected, not silently truncated to 4
+        children(1).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => ()
+          case dt => throw new IllegalArgumentException(
+            s"rolling_fps window length must be an integral literal, " +
+              s"got ${dt.simpleString}")
+        }
+        val v = children(1).eval()
+        require(v != null, "rolling_fps window length must not be NULL")
+        RollingFps(children(0), v.asInstanceOf[Number].intValue())
       }),
     // SQL-text surface for the script-aware tokenizer — the analog of the
     // reference registering its KwSplit UDTF in the table environment

@@ -40,6 +40,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * counts and searches the same way; final reports that name strings
   * regroup by the substring itself (see text_longest_dup).
   *
+  * ADVERSARIAL caveat (ADVICE r13): unlike md5, a fixed-base polynomial
+  * hash has TRIVIALLY constructible collisions — two windows differing
+  * by (+1, −Base) at adjacent positions collide, so a hostile web
+  * document can inflate `text_dup_profile` counts or steer
+  * `text_longest_dup`'s binary search, and the parity gate cannot see
+  * it (both engines agree bit-for-bit by design). The random-prefix
+  * bound only holds against inputs chosen WITHOUT knowing the base.
+  * Mitigation: the base is a deployment-time SEED —
+  * `-Dgraft.rollingFpsBase=<2..p-2>` (or env GRAFT_ROLLING_FPS_BASE) —
+  * read once at JVM init by BOTH the engine walk and the oracle-SQL
+  * generators (TextAnalysis.oraRollingCtes / rollingFpsSpecCol derive
+  * base and modular inverse from [[RollingFps.Base]]/[[BaseInv]]), so a
+  * production run picks an unguessable base per corpus while the two
+  * formulations stay bit-identical. Default 131 keeps the committed
+  * gate hashes stable.
+  *
   * Windows count CODE POINTS (DuckDB `substr`/`len` semantics); the
   * normalize output is pure ASCII so bytes == code points there, but
   * the walk decodes UTF-8 properly for general input. length < L →
@@ -75,9 +91,24 @@ case class RollingFps(child: Expression, winLen: Int)
 object RollingFps {
 
   /** 2^61 − 1 (Mersenne prime): mod-fold is two shifts, and the largest
-    * partial product (p−1)·131 fits the 128-bit multiplyHigh path. */
+    * partial product (p−1)·base fits the 128-bit multiplyHigh path. */
   val P: Long = (1L << 61) - 1
-  val Base: Long = 131L
+
+  /** Polynomial base — a deployment-time seed (see the adversarial
+    * caveat above). Read ONCE at JVM init so the engine expression and
+    * the oracle generators can never disagree mid-session. */
+  val Base: Long = {
+    val b = sys.props.get("graft.rollingFpsBase")
+      .orElse(sys.env.get("GRAFT_ROLLING_FPS_BASE"))
+      .map(_.toLong).getOrElse(131L)
+    require(b >= 2 && b < P - 1, s"rollingFpsBase must be in [2, p-2], got $b")
+    b
+  }
+
+  /** Base^(−1) mod P — the oracle's prefix-identity ladder constant,
+    * derived from the SAME seed (extended Euclid via BigInteger). */
+  val BaseInv: Long = java.math.BigInteger.valueOf(Base)
+    .modInverse(java.math.BigInteger.valueOf(P)).longValueExact()
 
   /** (a * b) mod P for a, b < P — multiplyHigh + the 2^64 ≡ 8 fold. */
   private def mulmod(a: Long, b: Long): Long = {

@@ -1362,6 +1362,194 @@ object StatefulStreaming {
     sameSig.unionByName(crossSig)
   }
 
+  private def containmentEmpty(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private val contRosterSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("bkey", StringType),
+      StructField("fp", StringType)))
+  }
+  private val contSetsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("fp", StringType),
+      StructField("grams", ArrayType(StringType)),
+      StructField("n", LongType)))
+  }
+  private val contDocsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("fp", StringType),
+      StructField("doc_id", LongType)))
+  }
+  private val contReachSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("owner", StringType),
+      StructField("partner", StringType),
+      StructField("owner_is_a", BooleanType),
+      StructField("n_a", LongType), StructField("n_b", LongType),
+      StructField("inter", LongType)))
+  }
+
+  /** Streaming maintenance tier for the COMPOSED containment default —
+    * the incremental twin of batch `dedup_containment` (VERDICT r13 #3:
+    * the one banded family without an ingest tier; same reference shape
+    * as [[simhashIngestBatch]] — the config-broadcast incremental
+    * routing of DwdBaseDb.java:100-145 scaled to a pair store). Per
+    * micro-batch of (doc_id, text):
+    *
+    *   1. the batch plan's exact per-doc gram-set arithmetic (normalize
+    *      → sorted 5-gram shingles → md5 set fingerprint) — sets keyed
+    *      by CONTENT fp, not by min-doc_id set_id, because a min can
+    *      arrive late in a stream while the fp never moves;
+    *   2. SET-semantics upserts into four bucketed [[Sinks]] stores:
+    *      `sets` (fp → sorted gram array + n), `docs` (fp → doc
+    *      roster), `roster` (MinHash band bucket → DISTINCT set fps —
+    *      clone-invariant exactly like the batch candidate stage), and
+    *      `reach` (VERIFIED directed set pairs, both orientations, so
+    *      later docs of either side can expand without re-verifying);
+    *   3. emission A — set pairs whose band buckets FIRST connect in
+    *      this batch (batch band entries probe touched roster buckets,
+    *      anti-joined against already-verified pairs) run the exact
+    *      verify tail (n ≥ 8, 5·n_b ≥ 4·n_a, sorted_intersect ≥ 4/5·n_a
+    *      — predicates verbatim from the batch composed plan) and
+    *      expand over BOTH sides' full doc rosters;
+    *   4. emission B — batch docs whose set already sits in verified
+    *      pairs (pre-batch `reach`, read before this batch's merge)
+    *      emit only (new doc × partner roster) rows in the stored
+    *      direction(s).
+    *
+    * A + B are disjoint by construction (new vs pre-existing pairs), so
+    * a doc pair is emitted exactly once per hash-split ingest order;
+    * an in-order replayed batch re-emits a subset of its own rows
+    * (set-level idempotent, the [[simhashIngestBatch]] stance). Union
+    * of emissions over any split == the batch `dedup_containment`
+    * relation on the same corpus (StreamingSpec pins parity + replay +
+    * empty batch). Store IO is O(touched buckets) per batch; a
+    * band-reachable pair that FAILS verify is intentionally not stored
+    * (n and grams are immutable, so it re-fails if rediscovered —
+    * bounded re-compute, never duplicate emission).
+    */
+  def containmentIngestBatch(batch: DataFrame, storeDir: String): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    // 1. the batch gramSetRels arithmetic, per batch row
+    val d = batch
+      .select(col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("norm"))
+      .select(col("doc_id"),
+        array_sort(graft.functions.Text.charShingles(col("norm"), 5))
+          .as("grams"))
+      .withColumn("fp", md5(concat_ws("\u0001", col("grams"))))
+      .withColumn("n", size(col("grams")).cast("long"))
+      .barrier() // three store merges + band join + emission B anchor
+    Sinks.mergeTouched(spark, d.select(col("fp"), col("grams"), col("n")),
+      "fp", s"$storeDir/sets")(_.dropDuplicates("fp"))
+    Sinks.mergeTouched(spark, d.select(col("fp"), col("doc_id")),
+      "fp", s"$storeDir/docs")(_.dropDuplicates("fp", "doc_id"))
+    // band entries at the SET level: a doc contributes its own text's
+    // MinHash band buckets under its set's fp — the union over docs is
+    // exactly the batch plan's doc-level banding lifted through setDocs
+    val bands = graft.operators.Dedup.thinSigs(batch)
+      .join(d.select(col("doc_id"), col("fp")), "doc_id")
+      .select(concat(col("band").cast("string"), lit(":"), col("sig"))
+        .as("bkey"), col("fp"))
+      .distinct().barrier() // roster merge AND the candidate probe
+    Sinks.mergeTouched(spark, bands, "bkey", s"$storeDir/roster")(
+      _.dropDuplicates("bkey", "fp"))
+    // 3. candidates: batch buckets post-merge hold every fp ever seen
+    // there (same-batch partners included)
+    val roster = Sinks.readTouchedFor(spark, bands.select("bkey"), "bkey",
+      s"$storeDir/roster").getOrElse(containmentEmpty(spark, contRosterSchema))
+    val cand0 = bands.select(col("bkey"), col("fp").as("fa"))
+      .join(roster.select(col("bkey"), col("fp").as("fb")), "bkey")
+      .filter(col("fa") =!= col("fb"))
+      .select(col("fa"), col("fb")).distinct()
+    // directed lift, exactly the batch composed plan's
+    val cand = cand0.unionByName(
+        cand0.select(col("fb").as("fa"), col("fa").as("fb")))
+      .distinct().barrier() // anti-join AND the verify joins
+    // pre-batch verified pairs (reach merge happens LAST; every reader
+    // below is barriered/eager, so laziness cannot see the post state)
+    val oldForCands = Sinks.readTouchedFor(spark,
+      cand.select(col("fa").as("owner")), "owner", s"$storeDir/reach")
+      .getOrElse(containmentEmpty(spark, contReachSchema))
+    val newCand = cand.join(
+      oldForCands.filter(col("owner_is_a"))
+        .select(col("owner").as("fa"), col("partner").as("fb")),
+      Seq("fa", "fb"), "left_anti")
+    val setKeys = newCand.select(col("fa").as("fp"))
+      .unionByName(newCand.select(col("fb").as("fp"))).distinct()
+    val setsRel = Sinks.readTouchedFor(spark, setKeys, "fp",
+      s"$storeDir/sets").getOrElse(containmentEmpty(spark, contSetsSchema))
+      .filter(col("n") >= 8)
+    val verified = newCand
+      .join(setsRel.select(col("fp").as("fa"), col("grams").as("g_a"),
+        col("n").as("n_a")), "fa")
+      .join(setsRel.select(col("fp").as("fb"), col("grams").as("g_b"),
+        col("n").as("n_b")), "fb")
+      .filter(col("n_b") * 5 >= col("n_a") * 4)
+      .withColumn("inter",
+        expr("sorted_intersect_count(g_a, g_b)").cast("long"))
+      .filter(col("inter") * 5 >= col("n_a") * 4)
+      .select(col("fa"), col("fb"), col("n_a"), col("n_b"), col("inter"))
+      .barrier() // emission A expansion AND the reach merge rows
+    // emission A: newly verified pairs × both full rosters (post-merge
+    // docs store, so same-batch members are covered here, not by B)
+    val expDocs = Sinks.readTouchedFor(spark,
+      verified.select(col("fa").as("fp"))
+        .unionByName(verified.select(col("fb").as("fp"))),
+      "fp", s"$storeDir/docs")
+      .getOrElse(containmentEmpty(spark, contDocsSchema))
+      .barrier() // joined twice
+    val emitA = verified
+      .join(expDocs.select(col("fp").as("fa"), col("doc_id").as("doc_a")),
+        "fa")
+      .join(expDocs.select(col("fp").as("fb"), col("doc_id").as("doc_b")),
+        "fb")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"))
+    // emission B: batch docs joining pairs verified in EARLIER batches
+    val batchReach = Sinks.readTouchedFor(spark,
+      d.select(col("fp").as("owner")), "owner", s"$storeDir/reach")
+      .getOrElse(containmentEmpty(spark, contReachSchema))
+      .barrier() // materialized pre-merge; read by both orientations
+    val partnerDocs = Sinks.readTouchedFor(spark,
+      batchReach.select(col("partner").as("fp")), "fp", s"$storeDir/docs")
+      .getOrElse(containmentEmpty(spark, contDocsSchema))
+      .barrier() // read by both orientations
+    val bd = d.select(col("fp").as("bfp"), col("doc_id").as("bdoc"))
+    val emitBa = batchReach.filter(col("owner_is_a"))
+      .join(bd, col("owner") === col("bfp"))
+      .join(partnerDocs.select(col("fp").as("partner"),
+        col("doc_id").as("doc_b")), "partner")
+      .select(col("bdoc").as("doc_a"), col("doc_b"), col("n_a"),
+        col("n_b"), col("inter"))
+    val emitBb = batchReach.filter(!col("owner_is_a"))
+      .join(bd, col("owner") === col("bfp"))
+      .join(partnerDocs.select(col("fp").as("partner"),
+        col("doc_id").as("doc_a")), "partner")
+      .select(col("doc_a"), col("bdoc").as("doc_b"), col("n_a"),
+        col("n_b"), col("inter"))
+    // distinct: two batch docs on opposite sides of one OLD pair probe
+    // it from both anchors with identical rows (the crossSig idiom)
+    val emitted = emitA.unionByName(emitBa).unionByName(emitBb)
+      .distinct()
+      .withColumn("cont_ppm", expr("(inter * 1000000) DIV n_a"))
+      .barrier() // materialize BEFORE the reach merge rewrites state
+    val reachRows = verified
+      .select(col("fa").as("owner"), col("fb").as("partner"),
+        lit(true).as("owner_is_a"), col("n_a"), col("n_b"), col("inter"))
+      .unionByName(verified.select(col("fb").as("owner"),
+        col("fa").as("partner"), lit(false).as("owner_is_a"),
+        col("n_a"), col("n_b"), col("inter")))
+    Sinks.mergeTouched(spark, reachRows, "owner", s"$storeDir/reach")(
+      _.dropDuplicates("owner", "partner", "owner_is_a"))
+    emitted
+  }
+
   private def ivfCentsFrom(spark: SparkSession,
       storeDir: String): DataFrame = {
     import org.apache.spark.sql.types._

@@ -217,6 +217,110 @@ object Scaling {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("containmentingest")) {
+      // The composed-containment INGEST tier under the scale lens
+      // (verdict r13 #3's done-criterion row) — the simhashingest
+      // harness shape verbatim: hash-split the k× documents into B
+      // micro-batches through one growing store, report per-batch wall
+      // time + emitted pairs + store size, then SET-level parity vs the
+      // batch composed dedup_containment over the same corpus.
+      val k = args.lift(2).map(_.toInt).getOrElse(16)
+      val nBatches = args.lift(3).map(_.toInt).getOrElse(8)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      Tables.names.foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      val store =
+        java.nio.file.Files.createTempDirectory("cont_scale").toString
+      val emitted =
+        java.nio.file.Files.createTempDirectory("cont_emit").toString
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      var total = 0L
+      (0 until nBatches).foreach { i =>
+        val b = docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === i)
+        val t0 = System.nanoTime()
+        val out = graft.streaming.StatefulStreaming
+          .containmentIngestBatch(b, store).localCheckpoint()
+        val n = out.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        out.write.mode("append").parquet(emitted)
+        graft.core.Barrier.releaseAll(spark)
+        total += n
+        println(f"[cont-ingest] k=$k batch=$i%-3d $t%7.3fs pairs=$n")
+      }
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        else f.length()
+      println(f"[cont-ingest] k=$k store=" +
+        f"${du(new java.io.File(store)) / 1024.0 / 1024.0}%8.2f MiB " +
+        s"emitted_total=$total")
+      val t0 = System.nanoTime()
+      val twin = SparkEntry.queries("dedup_containment")(spark, dir)
+        .localCheckpoint()
+      val batchPairs = twin.count()
+      val em = spark.read.parquet(emitted)
+      val missed = twin.exceptAll(em).count()
+      val spurious = em.exceptAll(twin).count()
+      graft.core.Barrier.releaseAll(spark)
+      println(f"[cont-ingest] k=$k batch_twin " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.3fs pairs=$batchPairs " +
+        s"missed=$missed spurious=$spurious parity=" +
+        (if (missed == 0 && spurious == 0) "EQUAL(set)" else "MISMATCH"))
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("containmentrecall")) {
+      // Measured recall floor for the composed containment default vs
+      // the lossless exact tier, at a scale where banding actually
+      // prunes (ADVICE r14: the composed gate oracle replicates the
+      // banding, so gate-green cannot certify recall — this diagnostic
+      // re-checks the documented recall directly, engine vs engine).
+      // k = 0 runs the base dir itself (e.g. sf0.1).
+      val k = args.lift(2).map(_.toInt).getOrElse(0)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir =
+        if (k == 0) base
+        else s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      if (k != 0) Tables.names.foreach { n =>
+        val out = s"$dir/$n.parquet"
+        if (!new java.io.File(out).exists())
+          scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
+      }
+      def timed(name: String): (DataFrame, Double, Long) = {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir).localCheckpoint()
+        val n = df.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.Barrier.releaseAll(spark)
+        (df, t, n)
+      }
+      val (comp, tC, nC) = timed("dedup_containment")
+      val (exact, tE, nE) = timed("dedup_containment_exact")
+      val missed = exact.exceptAll(comp).count()
+      val spurious = comp.exceptAll(exact).count()
+      graft.core.Barrier.releaseAll(spark)
+      val recallPpm =
+        if (nE == 0) 1000000L else (nC - spurious) * 1000000L / nE
+      println(f"[cont-recall] dir=$dir composed=$nC (${tC}%.2fs) " +
+        f"exact=$nE (${tE}%.2fs) missed=$missed spurious=$spurious " +
+        s"recall_ppm=$recallPpm")
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("layerdiag")) {
       // What the geometric layer ladder BUYS, measured (verdict r12 #5's
       // done-criterion evidence): per level, the per-query best-seed

@@ -1132,6 +1132,29 @@ class DedupSimilaritySpec extends SparkSpec {
         s"exact-only=${exactG.exceptAll(composedG).count()}")
   }
 
+  test("layered search entry coalesce: a corpus with an empty 1/256 " +
+      "sample degrades to the 1/16 min-id entry, never to empty " +
+      "(ADVICE r13)") {
+    // ids 1..200: 1/16 sample = {16..192}, 1/256 sample EMPTY (no id
+    // divisible by 256). Pre-fix, min(vec_id) over the empty sample was
+    // NULL, the cross-joined entry row dropped in the scoring join, and
+    // the whole layered result came back empty.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("layered_nosample").toString
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id").between(1, 200))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    try {
+      val out = graft.operators.Similarity
+        .queries("sim_graph_search_layered")(spark, tmp)
+      val n = out.count()
+      assert(n > 0, "layered search must degrade to descent, not empty")
+      // all 7 query vectors (vec_id 1..7 survive the filter) answered
+      val nq = out.select("query_id").distinct().count()
+      assert(nq === 7, s"expected 7 answered queries, got $nq")
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("hyperball: N(1) is nodes+edges exactly, monotone, within tol") {
     val rows = graft.operators.Similarity
       .queries("sim_hyperball")(spark, sfDir)

@@ -84,4 +84,33 @@ class RollingFpsSpec extends SparkSpec {
     assert(plan.contains("rolling_fps") && plan.contains("*(1)"),
       plan.take(800))
   }
+
+  test("builder rejects non-integral / NULL window-length literals " +
+      "with a descriptive message (ADVICE r13)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("abcdef").toDF("norm")
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](df.select(expr(sql)).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql: wanted '$needle' in ${msgs(e).mkString(" | ")}")
+    }
+    fails("rolling_fps(norm, '4')", "integral")
+    fails("rolling_fps(norm, 4.9)", "integral")
+    fails("rolling_fps(norm, CAST(NULL AS INT))", "NULL")
+    fails("rolling_fps(norm)", "2 arguments")
+  }
+
+  test("seedable base: BaseInv is the true modular inverse, and the " +
+      "oracle ladder constant derives from the same seed") {
+    val b = graft.plans.RollingFps.Base
+    val inv = graft.plans.RollingFps.BaseInv
+    assert((BigInt(b) * BigInt(inv)).mod(BigInt(P)) === BigInt(1),
+      s"Base*BaseInv != 1 mod P (base=$b inv=$inv)")
+    // default seed keeps the committed gate hashes stable
+    assert(b === 131L && inv === 1372944692508917009L)
+  }
 }

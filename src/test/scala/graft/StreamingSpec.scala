@@ -774,6 +774,59 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("containment ingest: union of per-batch emitted pairs equals the " +
+      "batch composed dedup_containment; replay and empty batch safe") {
+    val store = java.nio.file.Files.createTempDirectory("contstore")
+      .toString
+    try {
+      val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val batches = (0 until 3).map(i => docs.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) === i))
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter", "cont_ppm")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val emitted = batches.map { b =>
+        val p = pairSet(StatefulStreaming.containmentIngestBatch(b, store))
+        graft.core.Barrier.releaseAll(spark)
+        p
+      }
+      val batchTwin = pairSet(graft.operators.Dedup
+        .queries("dedup_containment")(spark, sfDir))
+      graft.core.Barrier.releaseAll(spark)
+      assert(emitted.reduce(_ ++ _) === batchTwin,
+        "union of per-batch emissions must equal the batch composed " +
+          "dedup_containment relation over the same corpus")
+      // a directed doc pair is emitted exactly once across a
+      // non-replayed split (emission A covers the verifying batch,
+      // emission B each later-arriving member)
+      assert(emitted(0).intersect(emitted(1)).isEmpty &&
+        (emitted(0) ++ emitted(1)).intersect(emitted(2)).isEmpty,
+        "no pair may be emitted by two different batches")
+      // in-order replay: set-semantics merges no-op; re-emissions are a
+      // subset of already-emitted rows (set-level idempotence)
+      val replayed = pairSet(
+        StatefulStreaming.containmentIngestBatch(batches(2), store))
+      graft.core.Barrier.releaseAll(spark)
+      assert(replayed.subsetOf(batchTwin),
+        "replayed-batch emissions must stay inside the batch relation")
+      // empty micro-batch: no throw, no emission — including on a fresh
+      // store where no bucket exists at all
+      val fresh = java.nio.file.Files
+        .createTempDirectory("contstore_empty").toString
+      Seq(store, fresh).foreach { st =>
+        val none = pairSet(StatefulStreaming.containmentIngestBatch(
+          docs.filter(org.apache.spark.sql.functions.lit(false)), st))
+        graft.core.Barrier.releaseAll(spark)
+        assert(none.isEmpty, s"empty batch must emit no pairs against $st")
+      }
+    } finally graft.core.Barrier.releaseAll(spark)
+  }
+
   test("PCA stats ingest: streamed sufficient statistics reproduce the " +
       "batch Gram bit-for-bit, replay-idempotent; from-Gram component " +
       "aligns with the batch ladder") {
