@@ -20,6 +20,12 @@ object Bench {
   // dedup_simhash_pairs (simhash60 + banded pair store),
   // dedup_cdc_chunks (cdc_chunks walk), text_kneser_ney (tokenize +
   // exact-integer LM scoring over the bigram relations).
+  // r14 addition (VERDICT r13 #5): sim_knn_graph — the ANN-graph family
+  // guard. The layered walk itself measures 12.2 s at sf0.1 (75%+ of it
+  // the ladder BUILD this query shares), so guarding the build guards
+  // the family without letting one query dominate the headline total
+  // and blunt the guard for the other 22; the full walk stays under the
+  // layerdiag sweep in SCALING.md.
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "j1_order_lineitem_join", "j3_interval_join",
     "j4_lookup_dim_join", "a1_tumble_count", "a2_keyed_window_reduce",
@@ -27,7 +33,8 @@ object Bench {
     "u1_tokenize_explode", "text_quality", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_cdc_chunks", "text_kneser_ney", "sim_topk_bruteforce",
-    "sim_lsh_ann", "sim_ivf_ann", "mm_decode_features", "p7_map_projection")
+    "sim_lsh_ann", "sim_ivf_ann", "sim_knn_graph", "mm_decode_features",
+    "p7_map_projection")
 
   /** Per-query seconds from the GIT-COMMITTED `bench_out.json` — the
     * reference for the contention guard. (Round 4 lesson: one noisy

@@ -29,9 +29,13 @@ import scala.collection.mutable
   * know (added since) is reported under `base_missing` with head-only
   * times and excluded from paired totals.
   *
-  * Run: `sbt "runMain graft.Bench compare <commit> [pairs]"` →
-  * one compact JSON line on stdout + the full record in
+  * Run: `sbt "runMain graft.Bench compare <commit> [pairs] [q1,q2,..]"`
+  * → one compact JSON line on stdout + the full record in
   * bench_compare.json (SPARK_GRAFT_COMPARE_OUT overrides).
+  * SPARK_GRAFT_COMPARE_SESSIONS=S restarts both arm JVMs S times and
+  * pools deltas across sessions — the defense against session-scoped
+  * JIT/GC bias the r13 "3/3-positive drift" episode showed a single
+  * arm pair cannot provide (see run()).
   */
 object BenchCompare {
 
@@ -133,76 +137,96 @@ object BenchCompare {
 
     val headCp = sys.props("java.class.path")
     val baseCp = baseClasses.getAbsolutePath + File.pathSeparator + headCp
-    System.err.println(s"[compare] starting arms (sf=$sfDir, pairs=$pairs+1 warmup)")
-    val base = new Arm("base", baseCp)
-    val head = new Arm("head", headCp)
-    try {
-      base.awaitReady(); head.awaitReady()
+    // Multi-session mode (r14, the drift-investigation lesson): a single
+    // long-lived arm pair can hold a SESSION-SCOPED JVM bias — JIT/
+    // codegen/GC phase differences that push every pair of one query the
+    // same direction and read as a fake consistent regression (the r13
+    // "3/3-positive drift", which four independent sessions failed to
+    // reproduce). Sessions = S restarts BOTH arm JVMs between pair
+    // groups; deltas concatenate across sessions, so the published
+    // median spans S independent JVM lifetimes and a one-session bias is
+    // voted out. Session count, not pair count, is the knob that
+    // catches this class.
+    val sessions = sys.env.get("SPARK_GRAFT_COMPARE_SESSIONS")
+      .map(_.toInt).getOrElse(1)
+    // optional comma-separated filter (4th CLI arg): deep-pair a suspect
+    // query in isolation — the r13 drift bisect needed per-query pair
+    // counts the full-headline session can't afford
+    val names = Bench.headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    val baseRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val headRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val baseSteady = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val headSteady = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val deltas = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    var baseMissing = List.empty[String]
+    var failed = List.empty[String]
+    def add(m: mutable.LinkedHashMap[String, Seq[Double]], k: String,
+        vs: Seq[Double]): Unit = m(k) = m.getOrElse(k, Seq.empty) ++ vs
 
-      // optional comma-separated filter (4th CLI arg): deep-pair a suspect
-      // query in isolation — the r13 drift bisect needed per-query pair
-      // counts the full-headline session can't afford
-      val names = Bench.headline.filter(SparkEntry.queries.contains)
-        .filter(n => only.forall(_.contains(n)))
-      val baseRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
-      val headRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
-      val deltas = mutable.LinkedHashMap.empty[String, Seq[Double]]
-      var baseMissing = List.empty[String]
-      var failed = List.empty[String]
-
-      names.foreach { name =>
-        // probe the base arm once: a query added since the base commit has
-        // no paired story — record head-only and move on
-        base.run(name) match {
-          case Left(err) if err.contains("unknown query") =>
-            System.err.println(s"[compare] $name not in base build; head-only")
-            baseMissing ::= name
-            headRuns(name) = (0 to pairs).map(_ =>
-              head.run(name).getOrElse(Double.NaN)).drop(1)
-          case first =>
-            var bs = Vector(first.getOrElse(Double.NaN))
-            var hs = Vector(head.run(name).getOrElse(Double.NaN))
-            (1 to pairs).foreach { p =>
-              // alternate which arm runs first so run-order effects (the
-              // r10 A/B/A sign flip) cancel across pairs
-              if (p % 2 == 0) {
-                bs :+= base.run(name).getOrElse(Double.NaN)
-                hs :+= head.run(name).getOrElse(Double.NaN)
-              } else {
-                hs :+= head.run(name).getOrElse(Double.NaN)
-                bs :+= base.run(name).getOrElse(Double.NaN)
+    (0 until sessions).foreach { s =>
+      System.err.println(s"[compare] session ${s + 1}/$sessions: starting " +
+        s"arms (sf=$sfDir, pairs=$pairs+1 warmup)")
+      val base = new Arm("base", baseCp)
+      val head = new Arm("head", headCp)
+      try {
+        base.awaitReady(); head.awaitReady()
+        names.foreach { name =>
+          // probe the base arm once: a query added since the base commit
+          // has no paired story — record head-only and move on
+          base.run(name) match {
+            case Left(err) if err.contains("unknown query") =>
+              System.err.println(s"[compare] $name not in base build; head-only")
+              if (!baseMissing.contains(name)) baseMissing ::= name
+              add(headRuns, name, (0 to pairs).map(_ =>
+                head.run(name).getOrElse(Double.NaN)).drop(1))
+            case first =>
+              var bs = Vector(first.getOrElse(Double.NaN))
+              var hs = Vector(head.run(name).getOrElse(Double.NaN))
+              (1 to pairs).foreach { p =>
+                // alternate which arm runs first so run-order effects (the
+                // r10 A/B/A sign flip) cancel across pairs
+                if (p % 2 == 0) {
+                  bs :+= base.run(name).getOrElse(Double.NaN)
+                  hs :+= head.run(name).getOrElse(Double.NaN)
+                } else {
+                  hs :+= head.run(name).getOrElse(Double.NaN)
+                  bs :+= base.run(name).getOrElse(Double.NaN)
+                }
               }
-            }
-            baseRuns(name) = bs; headRuns(name) = hs
-            val ds = bs.zip(hs).drop(1).collect {
-              case (b, h) if !b.isNaN && !h.isNaN => h - b
-            }
-            if (ds.size < pairs) failed ::= name
-            else {
-              deltas(name) = ds
-              System.err.println(f"[compare] $name%-28s base=${median(bs.drop(1))}%.3f " +
-                f"head=${median(hs.drop(1))}%.3f dMed=${median(ds)}%+.3f")
-            }
+              add(baseRuns, name, bs); add(headRuns, name, hs)
+              // pair 0 is the session's warmup — excluded from stats
+              add(baseSteady, name, bs.drop(1)); add(headSteady, name, hs.drop(1))
+              val ds = bs.zip(hs).drop(1).collect {
+                case (b, h) if !b.isNaN && !h.isNaN => h - b
+              }
+              if (ds.size < pairs) { if (!failed.contains(name)) failed ::= name }
+              else {
+                add(deltas, name, ds)
+                System.err.println(f"[compare] $name%-28s base=${median(bs.drop(1))}%.3f " +
+                  f"head=${median(hs.drop(1))}%.3f dMed=${median(ds)}%+.3f")
+              }
+          }
         }
-      }
+      } finally { base.shutdown(); head.shutdown() }
+    }
 
-      val paired = deltas.keys.toSeq
-      val dTotal = paired.map(n => median(deltas(n))).sum
-      val bTotal = paired.map(n => median(baseRuns(n).drop(1))).sum
-      val hTotal = paired.map(n => median(headRuns(n).drop(1))).sum
-      def jsArr(ts: Seq[Double]) = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
-      def jsMap[A](m: collection.Map[String, A])(f: A => String) =
-        m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-      val head_ =
-        f""""metric":"paired_delta_total","value":$dTotal%.3f,"unit":"sec","stats":"median of per-pair (head - base) deltas per query; value = sum over paired queries","base_commit":"$sha","pairs":$pairs,"base_total":$bTotal%.3f,"head_total":$hTotal%.3f,"ratio":${hTotal / math.max(bTotal, 1e-9)}%.3f"""
-      val tail_ =
-        s""""base_missing":${baseMissing.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
-      val dMedJs = jsMap(deltas)(ds => f"${median(ds)}%.4f")
-      val compact = s"""{$head_,"delta_medians":$dMedJs,$tail_}"""
-      val full = s"""{$head_,"delta_medians":$dMedJs,"deltas":${jsMap(deltas)(jsArr)},"base_runs":${jsMap(baseRuns)(jsArr)},"head_runs":${jsMap(headRuns)(jsArr)},$tail_}"""
-      println(compact)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_COMPARE_OUT", "bench_compare.json")), full)
-    } finally { base.shutdown(); head.shutdown() }
+    val paired = deltas.keys.toSeq.filterNot(failed.contains)
+    val dTotal = paired.map(n => median(deltas(n))).sum
+    val bTotal = paired.map(n => median(baseSteady(n))).sum
+    val hTotal = paired.map(n => median(headSteady(n))).sum
+    def jsArr(ts: Seq[Double]) = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+    def jsMap[A](m: collection.Map[String, A])(f: A => String) =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val head_ =
+      f""""metric":"paired_delta_total","value":$dTotal%.3f,"unit":"sec","stats":"median of per-pair (head - base) deltas per query, pooled across sessions; value = sum over paired queries","base_commit":"$sha","pairs":$pairs,"sessions":$sessions,"base_total":$bTotal%.3f,"head_total":$hTotal%.3f,"ratio":${hTotal / math.max(bTotal, 1e-9)}%.3f"""
+    val tail_ =
+      s""""base_missing":${baseMissing.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
+    val dMedJs = jsMap(deltas)(ds => f"${median(ds)}%.4f")
+    val compact = s"""{$head_,"delta_medians":$dMedJs,$tail_}"""
+    val full = s"""{$head_,"delta_medians":$dMedJs,"deltas":${jsMap(deltas)(jsArr)},"base_runs":${jsMap(baseRuns)(jsArr)},"head_runs":${jsMap(headRuns)(jsArr)},$tail_}"""
+    println(compact)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_COMPARE_OUT", "bench_compare.json")), full)
   }
 }

@@ -16,6 +16,9 @@ import graft.SparkEntry
 object Scaling {
 
   val queries = Seq("q1_pricing_summary", "j1_order_lineitem_join",
+    "j3_interval_join", "j4_lookup_dim_join", "a2_keyed_window_reduce",
+    "a5_is_new_repair", "sim_topk_bruteforce", "mm_decode_features",
+    "p7_map_projection",
     "a1_tumble_count", "a4_uv_per_day", "k5_upsert_latest_per_key",
     "u1_tokenize_explode", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "sim_lsh_ann", "sim_ivf_ann",
