@@ -2435,7 +2435,8 @@ object TextAnalysis extends OpModule {
     * discipline): per window, the SAME base / mod-(2^61−1) Horner
     * (base from the RollingFps.Base seed — default 131) evaluated with
     * composed builtins — DECIMAL(38,0) accumulator so
-    * `acc·base + c` (< 2^82 at the max seed) never wraps int64 — over
+    * `acc·base + c` (< 2^101 at the 2^40 seed cap, inside DECIMAL38's
+    * 10^38) never wraps int64 — over
     * `ascii()` of the per-character split. ASCII inputs only (every
     * normalize output; the expression's general code-point path is
     * pinned against a BigInt recompute in RollingFpsSpec). Sample-scale

@@ -48,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * it (both engines agree bit-for-bit by design). The random-prefix
   * bound only holds against inputs chosen WITHOUT knowing the base.
   * Mitigation: the base is a deployment-time SEED —
-  * `-Dgraft.rollingFpsBase=<2..p-2>` (or env GRAFT_ROLLING_FPS_BASE) —
+  * `-Dgraft.rollingFpsBase=<2..2^40>` (or env GRAFT_ROLLING_FPS_BASE) —
   * read once at JVM init by BOTH the engine walk and the oracle-SQL
   * generators (TextAnalysis.oraRollingCtes / rollingFpsSpecCol derive
   * base and modular inverse from [[RollingFps.Base]]/[[BaseInv]]), so a
@@ -96,12 +96,20 @@ object RollingFps {
 
   /** Polynomial base — a deployment-time seed (see the adversarial
     * caveat above). Read ONCE at JVM init so the engine expression and
-    * the oracle generators can never disagree mid-session. */
+    * the oracle generators can never disagree mid-session. Bounded at
+    * 2^40 so EVERY formulation stays exact: the native walk is modular
+    * (any base < p works), but the executable-spec Horner runs in
+    * DECIMAL(38,0) where `acc·base + c` must stay under 10^38
+    * (acc < 2^61, base ≤ 2^40 → product < 2^101 ≈ 2.5e30), and the
+    * oracle's HUGEINT ladder term c·ipw stays far inside 2^127. A 2^40
+    * seed space serves the threat model (non-targeted corpus poisoning
+    * by documents authored without knowing the seed). */
   val Base: Long = {
     val b = sys.props.get("graft.rollingFpsBase")
       .orElse(sys.env.get("GRAFT_ROLLING_FPS_BASE"))
       .map(_.toLong).getOrElse(131L)
-    require(b >= 2 && b < P - 1, s"rollingFpsBase must be in [2, p-2], got $b")
+    require(b >= 2 && b <= (1L << 40),
+      s"rollingFpsBase must be in [2, 2^40], got $b")
     b
   }
 
@@ -130,10 +138,10 @@ object RollingFps {
     if (r < 0) r + P else r
   }
 
-  /** 131^(e) mod P by square-and-multiply (once per call — e = L−1). */
-  private def powBase(e: Int): Long = {
+  /** base^(e) mod P by square-and-multiply (once per call — e = L−1). */
+  private def powBase(base: Long, e: Int): Long = {
     var result = 1L
-    var b = Base
+    var b = base
     var k = e
     while (k > 0) {
       if ((k & 1) == 1) result = mulmod(result, b)
@@ -145,7 +153,14 @@ object RollingFps {
 
   private val Empty = new GenericArrayData(Array.empty[Long])
 
-  def compute(s: UTF8String, winLen: Int): GenericArrayData = {
+  def compute(s: UTF8String, winLen: Int): GenericArrayData =
+    computeWithBase(s, winLen, Base)
+
+  /** Seed-parameterized walk — [[compute]] with an explicit base, so a
+    * test can exercise a NON-DEFAULT seed's arithmetic in-process (the
+    * JVM-global [[Base]] is fixed at init by design). */
+  private[graft] def computeWithBase(s: UTF8String, winLen: Int,
+      base: Long): GenericArrayData = {
     // cheap pre-decode guard: numBytes >= numChars always, so a string
     // with fewer BYTES than the window has no window — the binary
     // search's above-answer probes (mid up to 8192) cost a length read,
@@ -178,17 +193,17 @@ object RollingFps {
     val n = cps.length
     if (n < winLen) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n - winLen + 1)
-    // lead = 131^(L−1) mod P: the dropped term's coefficient
-    val lead = powBase(winLen - 1)
+    // lead = base^(L−1) mod P: the dropped term's coefficient
+    val lead = powBase(base, winLen - 1)
     // first window: Horner seeded by the first code point (list_reduce)
     var fp = cps(0).toLong % P
     var j = 1
-    while (j < winLen) { fp = addmod(mulmod(fp, Base), cps(j).toLong); j += 1 }
+    while (j < winLen) { fp = addmod(mulmod(fp, base), cps(j).toLong); j += 1 }
     out(0) = fp
     var w = 1
     while (w + winLen <= n) {
       fp = addmod(
-        mulmod(submod(fp, mulmod(cps(w - 1).toLong % P, lead)), Base),
+        mulmod(submod(fp, mulmod(cps(w - 1).toLong % P, lead)), base),
         cps(w + winLen - 1).toLong)
       out(w) = fp
       w += 1

@@ -47,10 +47,27 @@ object Sinks {
   /** Hash-bucket partition column of the keyed stores (K5/K6). The store
     * is laid out as `dir/__bucket=N/...`; a micro-batch reads and rewrites
     * ONLY the buckets its keys hash into — O(touched buckets), not
-    * O(table), per batch. At 100 TB, size `buckets` so one bucket is a few
-    * GB; the default 16 keeps local tests fast.
+    * O(table), per batch. At 100 TB, size the bucket count so one bucket
+    * is a few GB — set `spark.graft.storeBuckets` once per deployment
+    * (see [[DefaultBuckets]]); the built-in fallback 16 keeps local
+    * tests fast.
     */
   private val BucketCol = "__bucket"
+
+  /** Sentinel default for the `buckets` parameters: "use the session
+    * conf". A NEW store created with the default sizes itself from
+    * `spark.graft.storeBuckets` (falling back to 16 — right for local
+    * tests); an EXISTING store always keeps its marker-pinned layout
+    * regardless. This is the 100 TB sizing knob: one conf sets every
+    * ingest tier's store fan-out (size so one bucket is a few GB)
+    * without threading a parameter through every call site. An explicit
+    * `buckets` argument still wins over the conf.
+    */
+  val DefaultBuckets: Int = -1
+  private def requestedBuckets(spark: SparkSession, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else spark.conf.getOption("spark.graft.storeBuckets")
+      .map(_.toInt).filter(_ > 0).getOrElse(16)
 
   /** The store's bucket count is LAYOUT, not a per-call knob: it is
     * pinned in a `_graft_buckets` marker on first write and reused on
@@ -100,7 +117,7 @@ object Sinks {
     * makes micro-batch retries exactly-once in effect.
     */
   def upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
-      seqCol: String, dir: String, buckets: Int = 16): Unit = {
+      seqCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     mergeTouched(spark, incoming, keyCol, dir, buckets)(unioned =>
@@ -120,10 +137,10 @@ object Sinks {
     * (the internal bucket column rides along).
     */
   def mergeTouched(spark: SparkSession, incoming: DataFrame,
-      keyCol: String, dir: String, buckets: Int = 16)(
+      keyCol: String, dir: String, buckets: Int = DefaultBuckets)(
       merge: DataFrame => DataFrame): Unit = {
     val inc = incoming.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
@@ -140,9 +157,9 @@ object Sinks {
     * whole. None when none of the touched buckets exist yet.
     */
   def readTouchedFor(spark: SparkSession, keys: DataFrame, keyCol: String,
-      dir: String, buckets: Int = 16): Option[DataFrame] = {
+      dir: String, buckets: Int = DefaultBuckets): Option[DataFrame] = {
     val inc = keys.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
     readTouched(spark, touchedBuckets(inc), dir).map(_.drop(BucketCol))
   }
 
@@ -168,11 +185,11 @@ object Sinks {
     * `tsCol` supplies the interval bounds.
     */
   def scd2Upsert(spark: SparkSession, incoming: DataFrame, keyCol: String,
-      seqCol: String, tsCol: String, dir: String, buckets: Int = 16): Unit = {
+      seqCol: String, tsCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val srcCols = incoming.columns.toSeq
     val inc = incoming.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) =>
@@ -197,10 +214,10 @@ object Sinks {
     * only the buckets the changelog touches are read or rewritten.
     */
   def mergeDim(spark: SparkSession, changes: DataFrame, keyCol: String,
-      seqCol: String, opCol: String, dir: String, buckets: Int = 16): Unit = {
+      seqCol: String, opCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val inc = changes.withColumn(BucketCol,
-      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, buckets))))
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) => ex.withColumn(opCol, lit("r"))

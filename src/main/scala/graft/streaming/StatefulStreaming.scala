@@ -1389,7 +1389,8 @@ object StatefulStreaming {
       StructField("partner", StringType),
       StructField("owner_is_a", BooleanType),
       StructField("n_a", LongType), StructField("n_b", LongType),
-      StructField("inter", LongType)))
+      StructField("inter", LongType),
+      StructField("pass", BooleanType)))
   }
 
   /** Streaming maintenance tier for the COMPOSED containment default —
@@ -1426,10 +1427,17 @@ object StatefulStreaming {
     * (set-level idempotent, the [[simhashIngestBatch]] stance). Union
     * of emissions over any split == the batch `dedup_containment`
     * relation on the same corpus (StreamingSpec pins parity + replay +
-    * empty batch). Store IO is O(touched buckets) per batch; a
-    * band-reachable pair that FAILS verify is intentionally not stored
-    * (n and grams are immutable, so it re-fails if rediscovered —
-    * bounded re-compute, never duplicate emission).
+    * empty batch). Store IO is O(touched buckets) per batch.
+    *
+    * FAILED pairs are stored too (`pass = false`): a band-reachable
+    * pair that fails verify can never pass later (n and grams are
+    * immutable), but a HOT bucket would otherwise rediscover and
+    * re-verify its failing pairs on every touching batch — at crawl
+    * scale that is an unbounded stream of repeated sorted-intersect
+    * walks. One failed row per directed pair caps it at one verify
+    * ever; the anti-join skips any KNOWN pair, emissions filter
+    * `pass`. Store growth is bounded by the banded candidate relation
+    * — exactly the batch composed plan's candidate volume.
     */
   def containmentIngestBatch(batch: DataFrame, storeDir: String): DataFrame = {
     import graft.core.Barrier.BarrierOps
@@ -1521,13 +1529,13 @@ object StatefulStreaming {
       .getOrElse(containmentEmpty(spark, contDocsSchema))
       .barrier() // read by both orientations
     val bd = d.select(col("fp").as("bfp"), col("doc_id").as("bdoc"))
-    val emitBa = batchReach.filter(col("owner_is_a"))
+    val emitBa = batchReach.filter(col("owner_is_a") && col("pass"))
       .join(bd, col("owner") === col("bfp"))
       .join(partnerDocs.select(col("fp").as("partner"),
         col("doc_id").as("doc_b")), "partner")
       .select(col("bdoc").as("doc_a"), col("doc_b"), col("n_a"),
         col("n_b"), col("inter"))
-    val emitBb = batchReach.filter(!col("owner_is_a"))
+    val emitBb = batchReach.filter(!col("owner_is_a") && col("pass"))
       .join(bd, col("owner") === col("bfp"))
       .join(partnerDocs.select(col("fp").as("partner"),
         col("doc_id").as("doc_a")), "partner")
@@ -1539,12 +1547,27 @@ object StatefulStreaming {
       .distinct()
       .withColumn("cont_ppm", expr("(inter * 1000000) DIV n_a"))
       .barrier() // materialize BEFORE the reach merge rewrites state
-    val reachRows = verified
+    // store BOTH outcomes: passing pairs for later-doc expansion, failed
+    // pairs so a hot bucket never re-verifies them (see scaladoc)
+    val outcome = verified.withColumn("pass", lit(true))
+      .unionByName(newCand
+        .join(verified.select(col("fa"), col("fb")), Seq("fa", "fb"),
+          "left_anti")
+        .select(col("fa"), col("fb"),
+          lit(null).cast("long").as("n_a"), lit(null).cast("long").as("n_b"),
+          lit(null).cast("long").as("inter"), lit(false).as("pass")))
+      // materialize BEFORE the reach merge: the failed branch's lineage
+      // reads the reach store (via newCand → oldForCands), and the merge
+      // overwrites those same buckets — an unbarriered plan would read
+      // its own overwrite target mid-write
+      .barrier()
+    val reachRows = outcome
       .select(col("fa").as("owner"), col("fb").as("partner"),
-        lit(true).as("owner_is_a"), col("n_a"), col("n_b"), col("inter"))
-      .unionByName(verified.select(col("fb").as("owner"),
+        lit(true).as("owner_is_a"), col("n_a"), col("n_b"), col("inter"),
+        col("pass"))
+      .unionByName(outcome.select(col("fb").as("owner"),
         col("fa").as("partner"), lit(false).as("owner_is_a"),
-        col("n_a"), col("n_b"), col("inter")))
+        col("n_a"), col("n_b"), col("inter"), col("pass")))
     Sinks.mergeTouched(spark, reachRows, "owner", s"$storeDir/reach")(
       _.dropDuplicates("owner", "partner", "owner_is_a"))
     emitted

@@ -19,9 +19,10 @@ class RollingFpsSpec extends SparkSpec {
     val cps = s.codePoints().toArray
     if (cps.length < l) return Seq.empty
     val p = BigInt(P)
+    val b = BigInt(graft.plans.RollingFps.Base) // seed-aware recompute
     (0 to cps.length - l).map { i =>
       cps.slice(i, i + l)
-        .foldLeft(BigInt(0))((a, c) => (a * 131 + c) mod p).toLong
+        .foldLeft(BigInt(0))((a, c) => (a * b + c) mod p).toLong
     }
   }
 
@@ -112,5 +113,32 @@ class RollingFpsSpec extends SparkSpec {
       s"Base*BaseInv != 1 mod P (base=$b inv=$inv)")
     // default seed keeps the committed gate hashes stable
     assert(b === 131L && inv === 1372944692508917009L)
+  }
+
+  test("non-default seeds: the rolling walk matches a BigInt recompute " +
+      "at several bases, including the 2^40 cap") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = BigInt(P)
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "mixed ünïcødé 𐍈 text here")
+    Seq(2L, 9973L, 104729L, 1L << 40).foreach { base =>
+      val bb = BigInt(base)
+      texts.foreach { t =>
+        Seq(3, 8).foreach { l =>
+          val native = graft.plans.RollingFps
+            .computeWithBase(UTF8String.fromString(t), l, base)
+            .toLongArray().toSeq
+          val cps = t.codePoints().toArray
+          val expect =
+            if (cps.length < l) Seq.empty
+            else (0 to cps.length - l).map { i =>
+              cps.slice(i, i + l)
+                .foldLeft(BigInt(0))((a, c) => (a * bb + c) mod p).toLong
+            }
+          assert(native === expect,
+            s"seeded walk drift at base=$base L=$l on '${t.take(20)}'")
+        }
+      }
+    }
   }
 }

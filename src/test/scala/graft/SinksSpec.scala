@@ -38,6 +38,35 @@ class SinksSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L -> "a2"), s"latest-per-key broken: ${out.toList}")
   }
 
+  test("K5 default bucket count comes from spark.graft.storeBuckets for " +
+      "NEW stores; existing stores keep their pinned layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("buckconf").toString
+    def bucketDirs(dir: String): Int =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.count(_.getName.startsWith("__bucket="))).getOrElse(0)
+    // store created BEFORE the conf: default 16-bucket layout
+    Sinks.upsert(spark, (1L to 64L).map(k => (k, "v", 1L))
+      .toDF("k", "v", "seq"), "k", "seq", s"$root/pre")
+    spark.conf.set("spark.graft.storeBuckets", "4")
+    try {
+      // NEW store under the conf: 4 buckets
+      Sinks.upsert(spark, (1L to 64L).map(k => (k, "v", 1L))
+        .toDF("k", "v", "seq"), "k", "seq", s"$root/post")
+      assert(bucketDirs(s"$root/post") === 4,
+        s"new store must honor the conf, got ${bucketDirs(s"$root/post")}")
+      assert(bucketDirs(s"$root/pre") === 16,
+        "pre-conf store layout must be 16")
+      // EXISTING store merged under the conf keeps its 16-bucket marker
+      Sinks.upsert(spark, Seq((1L, "v2", 2L)).toDF("k", "v", "seq"),
+        "k", "seq", s"$root/pre")
+      val out = Sinks.readStore(spark, s"$root/pre")
+        .filter(org.apache.spark.sql.functions.col("k") === 1L).collect()
+      assert(out.map(_.getString(1)).toSeq === Seq("v2"),
+        "existing store must keep its pinned layout (no duplicate key 1)")
+    } finally spark.conf.unset("spark.graft.storeBuckets")
+  }
+
   test("K6 dim merge applies puts then deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dim").toString + "/d"

@@ -827,6 +827,50 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Barrier.releaseAll(spark)
   }
 
+  test("containment ingest: a LATE clone of an already-verified set " +
+      "expands through emission B, and a failed pair is verified once") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("contstore_b")
+      .toString
+    // set A = prefix of set B (planted asymmetric containment); x1/x3
+    // are clones (same gram set), so batch 3's x3 arrives AFTER pair
+    // (A,B) was verified in batch 2 — the emission-B path by
+    // construction
+    val a = "the quick brown fox jumps over the fence again and again"
+    val b = a + " while the lazy dog sleeps"
+    val b1 = Seq((101L, a)).toDF("doc_id", "text")
+    val b2 = Seq((202L, b)).toDF("doc_id", "text")
+    val b3 = Seq((303L, a)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e1 = rows(StatefulStreaming.containmentIngestBatch(b1, store))
+    graft.core.Barrier.releaseAll(spark)
+    val e2 = rows(StatefulStreaming.containmentIngestBatch(b2, store))
+    graft.core.Barrier.releaseAll(spark)
+    val e3 = rows(StatefulStreaming.containmentIngestBatch(b3, store))
+    graft.core.Barrier.releaseAll(spark)
+    assert(e1.isEmpty, s"single doc cannot pair: $e1")
+    // fixture sanity: the planted pair must actually be band-reachable
+    // and pass verify (else this test exercises nothing)
+    assert(e2.contains((101L, 202L)),
+      s"batch 2 must verify and expand the planted pair, got $e2")
+    // the late clone expands against the stored partner WITHOUT
+    // re-verifying — emission B, the pre-batch reach read
+    assert(e3.contains((303L, 202L)),
+      s"late clone must expand through emission B, got $e3")
+    assert(!e3.exists { case (x, y) => x == 101L || y == 101L },
+      s"batch 3 must not re-emit batch-2 rows, got $e3")
+    // failed-pair store: the reach store carries pass=false rows for
+    // band-reachable candidates that failed verify (if any arose) and
+    // pass=true for the planted pair — and NO candidate is verified
+    // twice, which the disjoint e2/e3 emissions above already witness
+    val reach = graft.streaming.Sinks.readStore(spark, s"$store/reach")
+    assert(reach.filter(col("pass") === lit(true)).count() >= 2,
+      "both orientations of the passing pair must be stored")
+  }
+
   test("PCA stats ingest: streamed sufficient statistics reproduce the " +
       "batch Gram bit-for-bit, replay-idempotent; from-Gram component " +
       "aligns with the batch ladder") {
