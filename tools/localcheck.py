@@ -51,13 +51,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
+    """only: optional set of query names — restrict the check to them
+    (tools/sfsweep.py runs one query per subprocess so a long oracle can
+    be timed out without killing the whole sweep)."""
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     qdirs = [d for d in sorted(os.listdir(outdir))
-             if os.path.isdir(os.path.join(outdir, d))]
+             if os.path.isdir(os.path.join(outdir, d))
+             and (only is None or d in only)]
     n_pass = n_fail = 0
     # a query that crashed in Verify writes no output dir at all — that is
     # a FAIL, not a skip (the driver's gate would record err for it).
@@ -67,6 +71,8 @@ def main(outdir, sfdir):
     exec_path = os.path.join(outdir, "executed_queries.json")
     expected = set(json.load(open(exec_path))) if os.path.exists(exec_path) \
         else set(oracle)
+    if only is not None:
+        expected &= set(only)
     for name in sorted(expected - set(qdirs)):
         print(f"FAIL {name}: no output dir (query crashed in Verify?)")
         n_fail += 1
@@ -133,4 +139,5 @@ def main(outdir, sfdir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Second-SF sweep: run the localcheck oracle compare for EVERY dumped
+query, one subprocess per query with a wall-clock timeout, so the whole
+surface can be validated at a larger scale factor without one
+quadratic-cost oracle (the exhaustive containment / blocked-pair
+families, >400 s at sf0.1 by construction) hanging the sweep.
+
+    python3 tools/sfsweep.py <verify_out_dir> <sf_dir> [timeout_s]
+
+Classifies each query PASS / FAIL / TIMEOUT and prints a summary line:
+TIMEOUT means "oracle infeasible at this SF within the budget" — a cost
+statement about the ORACLE's formulation, not an engine mismatch (these
+queries stay hash-validated at the gate SF).
+"""
+import json, os, subprocess, sys
+
+
+def main(outdir, sfdir, timeout_s=120):
+    qdirs = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for name in qdirs:
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(here, "localcheck.py"),
+                 outdir, sfdir, name],
+                capture_output=True, text=True, timeout=timeout_s)
+            line = next((l for l in p.stdout.splitlines()
+                         if l.startswith(("PASS", "FAIL"))), "")
+            results[name] = ("PASS" if line.startswith("PASS") else "FAIL",
+                             line)
+            if not line.startswith("PASS"):
+                print(p.stdout[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            results[name] = ("TIMEOUT", f"oracle exceeded {timeout_s}s")
+        tag, detail = results[name]
+        print(f"{tag:8s} {name}: {detail}", flush=True)
+    by = {"PASS": [], "FAIL": [], "TIMEOUT": []}
+    for n, (tag, _) in results.items():
+        by[tag].append(n)
+    print(f"\n{len(by['PASS'])} pass, {len(by['FAIL'])} fail, "
+          f"{len(by['TIMEOUT'])} timeout (oracle-infeasible at this SF)")
+    if by["FAIL"]:
+        print("FAILED:", ",".join(by["FAIL"]))
+    if by["TIMEOUT"]:
+        print("TIMEOUT:", ",".join(by["TIMEOUT"]))
+    return 1 if by["FAIL"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 120))
