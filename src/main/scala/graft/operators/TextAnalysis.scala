@@ -2662,6 +2662,10 @@ object TextAnalysis extends OpModule {
     // the vocab²-bounded cb rollup (c1/n1p_fw/n1p_bw/t_types are
     // aggregates OF cb, not corpus passes) and rides broadcasts.
     "text_kneser_ney" -> ((s, dir) => {
+      // barrier measured AGAINST the recompute alternative (r14): without
+      // it the twice-read bigram relation re-tokenizes AND re-plans both
+      // branches — 4.45 s vs 2.96 s at sf0.1 on the same harness. The
+      // materialization wins; keep it.
       val bigrams = bigramsOf(t(s, dir, "documents"))
         .barrier() // feeds the train counts AND the scoring join
       knScore(bigrams, lmTrainSplit(bigrams)

@@ -1573,6 +1573,29 @@ object StatefulStreaming {
     emitted
   }
 
+  /** Serve the maintained containment pair relation: expand every
+    * PASSING directed set pair in the reach store through both doc
+    * rosters — after any ingest sequence over a corpus this equals the
+    * batch `dedup_containment` relation on it (the [[graphSearchFrom]]
+    * discipline: the store IS the relation, no re-verification). One
+    * orientation per pair is read (owner_is_a), so each directed pair
+    * expands exactly once. */
+  def containmentPairsFrom(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    import graft.core.Barrier.BarrierOps
+    val reach = Sinks.readStore(spark, s"$storeDir/reach")
+      .filter(col("pass") && col("owner_is_a"))
+    val docs = Sinks.readStore(spark, s"$storeDir/docs")
+      .barrier() // joined on both sides
+    reach
+      .join(docs.select(col("fp").as("owner"), col("doc_id").as("doc_a")),
+        "owner")
+      .join(docs.select(col("fp").as("partner"), col("doc_id").as("doc_b")),
+        "partner")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), expr("(inter * 1000000) DIV n_a").as("cont_ppm"))
+  }
+
   private def ivfCentsFrom(spark: SparkSession,
       storeDir: String): DataFrame = {
     import org.apache.spark.sql.types._

@@ -814,6 +814,13 @@ class StreamingSpec extends SparkSpec {
       graft.core.Barrier.releaseAll(spark)
       assert(replayed.subsetOf(batchTwin),
         "replayed-batch emissions must stay inside the batch relation")
+      // serving read: the store reassembles the WHOLE batch relation
+      val served = pairSet(
+        StatefulStreaming.containmentPairsFrom(spark, store))
+      graft.core.Barrier.releaseAll(spark)
+      assert(served === batchTwin,
+        "containmentPairsFrom must equal the batch dedup_containment " +
+          "relation after full ingest")
       // empty micro-batch: no throw, no emission — including on a fresh
       // store where no bucket exists at all
       val fresh = java.nio.file.Files
