@@ -74,25 +74,74 @@ object Scaling {
     "text_kneser_ney", "dedup_containment", "dedup_containment_exact",
     "sim_hyperball",
     "sim_jl_recall", "text_longest_dup", "dedup_containment_estimate",
-    "text_dup_profile", "privacy_k_anonymity")
+    "text_dup_profile", "privacy_k_anonymity",
+    // r14 completion: every remaining query EXCEPT the documented
+    // sample-scale calibration tiers (blocked exhaustive jaccard/pair
+    // families, the exhaustive stats twins, the S-curve decile truth,
+    // dedup_method_matrix) — the sweep list now covers ~93% of the
+    // surface so future scale runs can filter any of it
+    "a3_global_window", "a4_login_uu_window", "a6_session_window",
+    "approx_uv_hll", "dedup_cc_canonical", "dedup_embedding_canonical",
+    "dedup_keep_canonical", "f_scalar_suite", "j2_double_left_join",
+    "j5_broadcast_config_join", "j8_salted_join", "k6_dim_merge_state",
+    "mm_binary_features", "mm_frame_sample", "mm_phash_band_coverage",
+    "mm_resize", "p10_snakecase_json", "p1_cdc_etl", "p2_log_etl",
+    "p3_parse_or_drop", "p4_config_pruning", "p6_op_selector",
+    "p8_predicate_filter", "p9_cart_delta", "q18_large_volume_customer",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q_rollup_sales",
+    "q_topn_per_group", "s3_json_source", "sample_exact_k_global",
+    "sample_hash_stratified", "sample_mixture_weights",
+    "sample_temperature_alpha", "sample_topk_per_source",
+    "sample_train_split", "sim_graph_components", "sim_hamming_ann",
+    "sim_kmeans_step", "text_contamination", "text_contamination_neardup",
+    "text_contamination_report", "text_corpus_stats", "text_fingerprint",
+    "text_langid", "text_perplexity_buckets", "text_pii_scrub",
+    "text_quality_filter", "text_repetition", "text_repetition_report",
+    "text_tokenizer_eval", "text_unigram_counts", "x1_explode_display",
+    "x1_split_action", "x1_split_err", "x1_split_page", "x1_split_start",
+    "x2_fact_router")
+
+  /** Scale-dir cache path. The `fk2` suffix versions the HARNESS: r14
+    * extended the FK offsets below to customer/supplier/part (and froze
+    * nation/region at 1×), so pre-r14 cached dirs — whose replicated
+    * dims carried k DUPLICATE copies of every key — must never be
+    * silently reused by the fixed harness (the r9 two-bases-one-dir
+    * lesson, applied to harness semantics). */
+  def scaleDir(base: String, k: Int): String =
+    s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x_fk2"
 
   def scaled(spark: SparkSession, base: String, name: String, k: Int): DataFrame = {
     val df = Tables.load(spark, base, name)
-    // FK columns must offset by the PARENT table's cardinality so replica
-    // i of lineitem still joins replica i of orders — otherwise the scaled
-    // join measures a broken (mostly-empty) workload
-    val nOrders = Tables.load(spark, base, "orders").count()
+    // geo dims stay CONSTANT under scale (a 16× business has 16× the
+    // customers and suppliers, not 16× the nations): replicating them
+    // un-offset gave every nation join k duplicate matches — the
+    // artifact behind q5's 86 s at 16× (256× row inflation through
+    // customer×supplier duplicate keys), found in the r14 list sweep
+    if (name == "nation" || name == "region") return df
+    // FK columns must offset by the PARENT table's cardinality so
+    // replica i of a child still joins exactly replica i of its parent
+    // — on EVERY FK edge, not just orders↔lineitem: un-offset
+    // customer/supplier/part keys turn the scaled join into an
+    // unrealistic k-way many-to-many
+    def n(t: String) = Tables.load(spark, base, t).count()
     val offsets: Seq[(String, Long)] = name match {
       case "documents" => Seq("doc_id" -> df.count())
       case "embeddings" => Seq("vec_id" -> df.count())
       case "events" => Seq("event_id" -> df.count())
-      case "lineitem" => Seq("l_orderkey" -> nOrders)
-      case "orders" => Seq("o_orderkey" -> nOrders)
+      case "lineitem" => Seq("l_orderkey" -> n("orders"),
+        "l_suppkey" -> n("supplier"), "l_partkey" -> n("part"))
+      case "orders" => Seq("o_orderkey" -> n("orders"),
+        "o_custkey" -> n("customer"))
+      case "customer" => Seq("c_custkey" -> n("customer"))
+      case "supplier" => Seq("s_suppkey" -> n("supplier"))
+      case "part" => Seq("p_partkey" -> n("part"))
       case _ => Seq.empty
     }
+    // offset only columns the table actually has (fixture schemas vary)
+    val present = offsets.filter { case (c, _) => df.columns.contains(c) }
     (0 until k).map { i =>
-      offsets.foldLeft(df) { case (d, (c, n)) =>
-        d.withColumn(c, col(c) + lit(i * n))
+      present.foldLeft(df) { case (d, (c, nn)) =>
+        d.withColumn(c, col(c) + lit(i * nn))
       }
     }.reduce(_ unionByName _)
   }
@@ -170,7 +219,7 @@ object Scaling {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      val dir = scaleDir(base, k)
       Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
@@ -235,7 +284,7 @@ object Scaling {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      val dir = scaleDir(base, k)
       Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
@@ -297,7 +346,7 @@ object Scaling {
       spark.sparkContext.setLogLevel("ERROR")
       val dir =
         if (k == 0) base
-        else s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+        else scaleDir(base, k)
       if (k != 0) Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
@@ -339,7 +388,7 @@ object Scaling {
       spark.sparkContext.setLogLevel("ERROR")
       val dir =
         if (k == 0) base
-        else s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+        else scaleDir(base, k)
       Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
@@ -471,7 +520,7 @@ object Scaling {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      val dir = scaleDir(base, k)
       Seq("embeddings").foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
@@ -601,7 +650,7 @@ object Scaling {
       // sf0.01 once masqueraded as sf0.1×16 (10× less data than the
       // reading claimed — caught in r9 when a same-session 64× ran 40×
       // the rows of "16×"). Never let two bases share a dir again.
-      val dir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${k}x"
+      val dir = scaleDir(base, k)
       Tables.names.foreach { n =>
         val out = s"$dir/$n.parquet"
         if (!new java.io.File(out).exists())
