@@ -32,10 +32,13 @@ import scala.collection.mutable
   * Run: `sbt "runMain graft.Bench compare <commit> [pairs] [q1,q2,..]"`
   * → one compact JSON line on stdout + the full record in
   * bench_compare.json (SPARK_GRAFT_COMPARE_OUT overrides).
-  * SPARK_GRAFT_COMPARE_SESSIONS=S restarts both arm JVMs S times and
-  * pools deltas across sessions — the defense against session-scoped
-  * JIT/GC bias the r13 "3/3-positive drift" episode showed a single
-  * arm pair cannot provide (see run()).
+  * SPARK_GRAFT_COMPARE_SESSIONS=S (default 2) restarts both arm JVMs S
+  * times and pools deltas across sessions — the defense against
+  * session-scoped JIT/GC bias the r13 "3/3-positive drift" episode
+  * showed a single arm pair cannot provide (see run()). Multi-session
+  * is the DEFAULT protocol since r15: a published compare record spans
+  * at least two independent JVM lifetimes per arm unless explicitly
+  * overridden with SESSIONS=1.
   */
 object BenchCompare {
 
@@ -147,8 +150,15 @@ object BenchCompare {
     // median spans S independent JVM lifetimes and a one-session bias is
     // voted out. Session count, not pair count, is the knob that
     // catches this class.
-    val sessions = sys.env.get("SPARK_GRAFT_COMPARE_SESSIONS")
-      .map(_.toInt).getOrElse(1)
+    val sessions = sys.env.get("SPARK_GRAFT_COMPARE_SESSIONS") match {
+      case None => 2 // multi-session is the default protocol (r14 lesson)
+      case Some(raw) =>
+        val n = raw.trim.toIntOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_COMPARE_SESSIONS must be a positive int, got '$raw'"))
+        require(n >= 1,
+          s"SPARK_GRAFT_COMPARE_SESSIONS must be >= 1, got $n")
+        n
+    }
     // optional comma-separated filter (4th CLI arg): deep-pair a suspect
     // query in isolation — the r13 drift bisect needed per-query pair
     // counts the full-headline session can't afford
@@ -218,13 +228,21 @@ object BenchCompare {
     def jsArr(ts: Seq[Double]) = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
     def jsMap[A](m: collection.Map[String, A])(f: A => String) =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    // an `only`-filtered run must be distinguishable from a full-headline
+    // record, and the published delta maps must be internally consistent
+    // with the paired totals: both are restricted to `paired` (failed
+    // queries' partial deltas stay in the full record's raw-runs arrays
+    // for audit, but never in delta_medians)
+    val filterJs = only.fold("")(f =>
+      s""""queries":${f.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
+    val pairedDeltas = deltas.filter { case (k, _) => paired.contains(k) }
     val head_ =
-      f""""metric":"paired_delta_total","value":$dTotal%.3f,"unit":"sec","stats":"median of per-pair (head - base) deltas per query, pooled across sessions; value = sum over paired queries","base_commit":"$sha","pairs":$pairs,"sessions":$sessions,"base_total":$bTotal%.3f,"head_total":$hTotal%.3f,"ratio":${hTotal / math.max(bTotal, 1e-9)}%.3f"""
+      f""""metric":"paired_delta_total","value":$dTotal%.3f,"unit":"sec","stats":"median of per-pair (head - base) deltas per query, pooled across sessions; value = sum over paired queries","base_commit":"$sha","pairs":$pairs,"sessions":$sessions,$filterJs"base_total":$bTotal%.3f,"head_total":$hTotal%.3f,"ratio":${hTotal / math.max(bTotal, 1e-9)}%.3f"""
     val tail_ =
       s""""base_missing":${baseMissing.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
-    val dMedJs = jsMap(deltas)(ds => f"${median(ds)}%.4f")
+    val dMedJs = jsMap(pairedDeltas)(ds => f"${median(ds)}%.4f")
     val compact = s"""{$head_,"delta_medians":$dMedJs,$tail_}"""
-    val full = s"""{$head_,"delta_medians":$dMedJs,"deltas":${jsMap(deltas)(jsArr)},"base_runs":${jsMap(baseRuns)(jsArr)},"head_runs":${jsMap(headRuns)(jsArr)},$tail_}"""
+    val full = s"""{$head_,"delta_medians":$dMedJs,"deltas":${jsMap(pairedDeltas)(jsArr)},"base_runs":${jsMap(baseRuns)(jsArr)},"head_runs":${jsMap(headRuns)(jsArr)},$tail_}"""
     println(compact)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_COMPARE_OUT", "bench_compare.json")), full)

@@ -390,19 +390,29 @@ object Relational extends OpModule {
     // bounded dims (nation⋈region, ≤ 25×5 rows at ANY scale factor) are
     // explicitly broadcast; the three fact-side joins shuffle on their
     // keys and AQE picks the physical strategy. The region filter prunes
-    // the dim BEFORE it reaches any fact row.
+    // the dim BEFORE it reaches any fact row — and (r15, the early-
+    // filter discipline of the reference's dim path, SURVEY §4.1) is
+    // ALSO pushed into customer and supplier as broadcast LEFT-SEMI
+    // joins before either touches a fact shuffle: the final
+    // s_nationkey = n_nationkey(ASIA) + c_nationkey = s_nationkey
+    // predicates imply both sides are ASIA-only, so pre-pruning ~80%
+    // of customers/suppliers (5 of 25 nations) is semantics-preserving
+    // and cuts the same fraction of the c⋈o and l⋈sup shuffle volume.
     "q5_local_supplier_volume" -> ((s, dir) => {
       val asiaNations = broadcast(
         t(s, dir, "nation")
           .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name")))
+      val asiaKeys = broadcast(asiaNations.select(col("n_nationkey")))
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(asiaKeys, col("c_nationkey") === col("n_nationkey"), "left_semi")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,2)").as("rev"))
       val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(asiaKeys, col("s_nationkey") === col("n_nationkey"), "left_semi")
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&

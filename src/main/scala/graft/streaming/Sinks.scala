@@ -66,8 +66,17 @@ object Sinks {
   val DefaultBuckets: Int = -1
   private def requestedBuckets(spark: SparkSession, buckets: Int): Int =
     if (buckets > 0) buckets
-    else spark.conf.getOption("spark.graft.storeBuckets")
-      .map(_.toInt).filter(_ > 0).getOrElse(16)
+    else spark.conf.getOption("spark.graft.storeBuckets") match {
+      case None => 16
+      case Some(raw) =>
+        // validate here, at store-creation time, so a typo'd conf fails
+        // with its name rather than a NumberFormatException from deep
+        // inside a merge; a NEW store reads the conf exactly once (its
+        // count is then marker-pinned), so a mid-stream conf change
+        // only affects stores created after it, never an existing one
+        raw.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+          s"spark.graft.storeBuckets must be a positive int, got '$raw'"))
+    }
 
   /** The store's bucket count is LAYOUT, not a per-call knob: it is
     * pinned in a `_graft_buckets` marker on first write and reused on

@@ -111,7 +111,14 @@ class RollingFpsSpec extends SparkSpec {
     val inv = graft.plans.RollingFps.BaseInv
     assert((BigInt(b) * BigInt(inv)).mod(BigInt(P)) === BigInt(1),
       s"Base*BaseInv != 1 mod P (base=$b inv=$inv)")
-    // default seed keeps the committed gate hashes stable
+    // The 131 pin only holds under the DEFAULT seed (the base is fixed
+    // at JVM init by design); with a seed override present the inverse
+    // property above is still the real check, so cancel rather than
+    // fail spuriously (ADVICE r14)
+    val overridden = sys.props.contains("graft.rollingFpsBase") ||
+      sys.env.contains("GRAFT_ROLLING_FPS_BASE")
+    assume(!overridden,
+      "rolling-fps seed overridden; skipping default-seed 131 pin")
     assert(b === 131L && inv === 1372944692508917009L)
   }
 

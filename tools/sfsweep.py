@@ -11,8 +11,21 @@ Classifies each query PASS / FAIL / TIMEOUT and prints a summary line:
 TIMEOUT means "oracle infeasible at this SF within the budget" — a cost
 statement about the ORACLE's formulation, not an engine mismatch (these
 queries stay hash-validated at the gate SF).
+
+Exit code: nonzero on any FAIL, and also on any TIMEOUT outside
+KNOWN_ORACLE_INFEASIBLE — a regression that turns a previously-passing
+oracle compare into a hang must not read as sweep success to automation
+keying on the return code. The allowlist holds the queries whose oracle
+is exhaustive BY DESIGN (documented in SCALING.md's second-SF table);
+extend it only with a SCALING.md entry explaining why.
 """
 import json, os, subprocess, sys
+
+# Oracles that are quadratic/exhaustive by construction and documented
+# as infeasible above the gate SF (SCALING.md "ONE oracle infeasible at
+# sf0.1"). A TIMEOUT on these is expected; on anything else it is a
+# failure.
+KNOWN_ORACLE_INFEASIBLE = {"dedup_containment_stats"}
 
 
 def main(outdir, sfdir, timeout_s=120):
@@ -45,7 +58,11 @@ def main(outdir, sfdir, timeout_s=120):
         print("FAILED:", ",".join(by["FAIL"]))
     if by["TIMEOUT"]:
         print("TIMEOUT:", ",".join(by["TIMEOUT"]))
-    return 1 if by["FAIL"] else 0
+    unexpected_to = [n for n in by["TIMEOUT"] if n not in KNOWN_ORACLE_INFEASIBLE]
+    if unexpected_to:
+        print("UNEXPECTED TIMEOUT (not in KNOWN_ORACLE_INFEASIBLE):",
+              ",".join(unexpected_to))
+    return 1 if (by["FAIL"] or unexpected_to) else 0
 
 
 if __name__ == "__main__":
