@@ -118,6 +118,40 @@ object Multimodal extends OpModule {
     } finally { reader.dispose(); iis.close() }
   }
 
+  /** Parallelism floor for codec stages (VERDICT r14 #4). A decode is
+    * compute-bound, so its task count must track CORES, not the scan's
+    * split count — yet it inherits the latter: the bench fixture's
+    * documents table is one ~600 KB file = ONE split, so every codec
+    * query ran serially on 1 of 32 threads (measured by MmDiag), which
+    * is both a 32× parallelism loss and the source of the
+    * mm_decode_features bench instability (a single-task stage has zero
+    * cross-task averaging, so one thread's scheduling jitter IS the
+    * query time; spread 1.9× even on a quiet host, 4× under load).
+    * When the input already carries >= defaultParallelism splits — any
+    * real corpus, where files.maxPartitionBytes controls sizing — this
+    * is a no-op and NO shuffle is added; below it, the thin
+    * (doc_id, payload) relation hash-repartitions once (deterministic,
+    * unlike round-robin), which costs ~the relation's size and buys a
+    * cores-wide codec stage.
+    */
+  private def spreadToCores(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < cores)
+      df.repartition(cores, col("doc_id"))
+    else df
+  }
+
+  /** The (doc_id, payload) relation every codec stage decodes — factored
+    * so all of them share [[spreadToCores]]'s parallelism floor. */
+  private def payloadRows(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MmRow] = {
+    import s.implicits._
+    spreadToCores(t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
+      .as[MmRow]
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_binary_features" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -136,10 +170,7 @@ object Multimodal extends OpModule {
     // round-trip happened (same contract as mm_decode_features).
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
+      payloadRows(s, dir)
         .mapPartitions { it =>
           it.flatMap { r =>
             decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
@@ -153,10 +184,7 @@ object Multimodal extends OpModule {
     }),
     "mm_decode_features" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
+      payloadRows(s, dir)
         .mapPartitions { it =>
           it.map { r =>
             val (w, h, c) = decodeImage(synthPng(r.doc_id, r.payload))
@@ -173,10 +201,7 @@ object Multimodal extends OpModule {
     // and preserved the geometry. One narrow mapPartitions stage.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
+      payloadRows(s, dir)
         .mapPartitions { it =>
           it.map { r =>
             val png = synthPng(r.doc_id, r.payload)
@@ -340,10 +365,7 @@ object Multimodal extends OpModule {
     // Narrow decode + map-side-combinable per-(doc, window) aggregate.
     "mm_audio_vad" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
+      payloadRows(s, dir)
         .mapPartitions { it =>
           it.flatMap { r =>
             val pcm = decodeWavSamples(synthWav(r.doc_id, r.payload))
@@ -364,10 +386,7 @@ object Multimodal extends OpModule {
     // re-derives them from the row alone
     "mm_audio_features" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(col("doc_id"), col("payload"))
-        .as[MmRow]
+      payloadRows(s, dir)
         .mapPartitions { it =>
           it.map { r =>
             val (rate, frames, ch) = decodeWav(synthWav(r.doc_id, r.payload))
@@ -447,10 +466,7 @@ object Multimodal extends OpModule {
   private def decodedFrames(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .withColumn("payload", encode(col("text"), "utf-8"))
-      .select(col("doc_id"), col("payload"))
-      .as[MmRow]
+    payloadRows(s, dir)
       .mapPartitions { it =>
         it.flatMap { r =>
           decodeGifFrames(synthGif(r.doc_id, r.payload)).zipWithIndex
@@ -489,7 +505,7 @@ object Multimodal extends OpModule {
   private[graft] def phashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    spreadToCores(t(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val key = java.lang.Math.floorMod(id, 100L)
