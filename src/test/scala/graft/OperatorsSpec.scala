@@ -143,6 +143,80 @@ class OperatorsSpec extends SparkSpec {
       "digit runs / dates / ID lists must NOT be redacted as phones")
   }
 
+  test("banded interval join == naive join on boundary-adversarial and " +
+      "random event fixtures") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The r15 banded j3 plan verifies with exact predicates, so its only
+    // failure class is CANDIDATE COVERAGE: a true pair whose click
+    // bucket falls outside the purchase's exploded bucket range — the
+    // risk sits exactly at the ±(15 min, 15 s) window edges and at
+    // bucket boundaries of the 915 s band. Plant pairs AT those edges
+    // (offset 0, ±1 µs around both window ends, and purchases whose
+    // admissible range starts exactly on a bucket boundary), plus a
+    // seeded random cloud, and pin banded == naive engine-vs-engine.
+    val W = 915000000L
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val rnd = new scala.util.Random(1915L)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    var id = 0L
+    def add(user: Long, us: Long, tpe: String): Unit = {
+      rows += ((id, us, user, tpe)); id += 1
+    }
+    // boundary pairs: click at pay − 15 s and pay + 15 min exactly, ±1 µs
+    val edges = Seq(-900000001L, -900000000L, -899999999L,
+      -1L, 0L, 1L, 14999999L, 15000000L, 15000001L)
+    edges.zipWithIndex.foreach { case (off, i) =>
+      val u = 100L + i
+      // pay_ts placed so its admissible range straddles a bucket edge:
+      // pay − 15 s lands exactly on a multiple of W
+      val pay = base + (i + 3) * W + 15000000L
+      add(u, pay, "purchase")
+      add(u, pay - off, "click") // click_ts = pay − off
+    }
+    // random cloud: 40 users × ~50 events inside a few bands
+    (0 until 40).foreach { u =>
+      (0 until 50).foreach { _ =>
+        add(u.toLong, base + math.abs(rnd.nextLong() % (20L * W)),
+          if (rnd.nextBoolean()) "purchase" else "click")
+      }
+    }
+    val ev = rows.toSeq
+      .map { case (eid, us, uid, tpe) =>
+        (eid, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC),
+          uid, tpe, 0.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = java.nio.file.Files.createTempDirectory("j3band").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val banded = graft.operators.Relational
+      .queries("j3_interval_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pay = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id").as("pay_user"),
+        col("ts").as("pay_ts"))
+    val det = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val naive = pay.join(det,
+        col("pay_user") === col("click_user") &&
+        col("pay_ts") >= col("click_ts") - expr("interval 15 minutes") &&
+        col("pay_ts") <= col("click_ts") + expr("interval 15 seconds"))
+      .select(col("pay_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === naive,
+      s"banded-only=${banded -- naive} naive-only=${naive -- banded}")
+    // the fixture must actually exercise both window edges: the exact
+    // −15 s and +15 min offsets are IN, the ±1 µs overshoots are OUT
+    assert(naive.nonEmpty && (banded -- naive).isEmpty)
+    val inEdges = edges.count(o => o >= -900000000L && o <= 15000000L)
+    assert(edges.zipWithIndex.count { case (_, i) =>
+      naive.exists(p => p._1 == 2L * i) } == inEdges,
+      "every in-window edge pair must match, every out-of-window must not")
+  }
+
   test("mm: codec stages get the parallelism floor on a single-split " +
       "scan, and no repartition when the scan is already wide") {
     import org.apache.spark.sql.functions.col
