@@ -49,17 +49,22 @@ object Relational extends OpModule {
     //   multiplicity and est = 16 × |sampled join| is unbiased — unlike
     //   independent row sampling, which destroys join keys (p² survival).
     // All integers; md5-deterministic → hash-exact under the oracle.
+    // r15: the 16 per-row sign coordinates come from ONE native walk
+    // (`agms_signs`, plans/AgmsSigns.scala — same md5 family bit for
+    // bit; sign-sum identity vs this composed form pinned in
+    // NativeExprSpec) instead of 16 independent md5→hex→substring→isin
+    // Column chains per row per side.
     "q_join_size_sketches" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val ca = t(s, dir, "orders")
         .select(col("o_orderkey").cast("string").as("k")).barrier()
       val cb = t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("string").as("k")).barrier()
-      def sign(j: Int) = when(substring(md5(concat(lit(s"agms$j|"),
-        col("k"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
-        1L).otherwise(-1L)
       def sketch(side: org.apache.spark.sql.DataFrame, p: String) =
-        side.agg(sum(sign(0)).as(s"${p}0"),
-          (1 until 16).map(j => sum(sign(j)).as(s"$p$j")): _*)
+        side.select(expr("agms_signs(k)").as("sg"))
+          .agg(sum(element_at(col("sg"), 1)).as(s"${p}0"),
+            (1 until 16).map(j =>
+              sum(element_at(col("sg"), j + 1)).as(s"$p$j")): _*)
       val exact = ca.groupBy(col("k")).agg(count(lit(1)).as("cA"))
         .join(cb.groupBy(col("k")).agg(count(lit(1)).as("cB")), "k")
         .agg(coalesce(sum(col("cA") * col("cB")), lit(0L))

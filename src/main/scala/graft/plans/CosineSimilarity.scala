@@ -126,6 +126,10 @@ object GraftFunctions {
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunks(children.head)),
+    // one-walk 16-coordinate AGMS sign vector (see AgmsSigns scaladoc)
+    (FunctionIdentifier("agms_signs"),
+      new ExpressionInfo(classOf[AgmsSigns].getName, "agms_signs"),
+      (children: Seq[Expression]) => AgmsSigns(children.head)),
     // rolling Rabin–Karp window fingerprints (see RollingFps scaladoc);
     // the window length must be a foldable integer literal
     (FunctionIdentifier("rolling_fps"),

@@ -125,4 +125,33 @@ class NativeExprSpec extends SparkSpec {
     val bad = diff.collect()
     assert(bad.isEmpty, s"native/spec divergence on: ${bad.take(3).toSeq}")
   }
+
+  test("native agms_signs == the composed md5-hex sign spec, " +
+      "coordinate for coordinate") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // the composed form q_join_size_sketches used through r14 — kept
+    // here as the executable spec the native walk must match bit for
+    // bit (the DuckDB oracle mirrors this form)
+    def sign(j: Int) = when(substring(md5(concat(lit(s"agms$j|"),
+      col("k"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+      1L).otherwise(-1L)
+    val keys = ((1 to 500).map(_.toString) ++
+      Seq("", "0", "-1", "9999999999999", "key with spaces", "ünïcode中"))
+      .toDF("k")
+    val diff = keys.select(col("k"),
+        expr("agms_signs(k)").as("native"),
+        array((0 until 16).map(sign): _*).as("spec"))
+      .filter(!(col("native") <=> col("spec")))
+    val bad = diff.collect()
+    assert(bad.isEmpty,
+      s"agms_signs diverges from the spec on: ${bad.take(3).toSeq}")
+    // null-intolerance: NULL key -> NULL vector (the composed form's
+    // when() would yield -1s; the query never feeds NULL keys — both
+    // fact keys are non-null FKs — but the expression contract is
+    // the standard null-in-null-out)
+    val n = keys.select(expr("agms_signs(CAST(NULL AS STRING))").as("v"))
+      .filter(col("v").isNull).count()
+    assert(n === keys.count())
+  }
 }
