@@ -148,14 +148,23 @@ object Sinks {
   def mergeTouched(spark: SparkSession, incoming: DataFrame,
       keyCol: String, dir: String, buckets: Int = DefaultBuckets)(
       merge: DataFrame => DataFrame): Unit = {
+    // the incoming lineage executes TWICE below — the touched-bucket
+    // discovery collect and the overwrite's localCheckpoint — and inside
+    // a streaming foreachBatch that lineage is the micro-batch's whole
+    // stateful plan (complete-mode state read + agg), measured 2–4 s per
+    // re-execution in the r15 soak DWS stages. A self-contained persist
+    // makes the batch plan run once; released before returning.
     val inc = incoming.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
-    val touched = touchedBuckets(inc)
-    val unioned = readTouched(spark, touched, dir) match {
-      case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
-      case None     => inc
-    }
-    overwriteTouched(merge(unioned), touched, dir)
+      .persist()
+    try {
+      val touched = touchedBuckets(inc)
+      val unioned = readTouched(spark, touched, dir) match {
+        case Some(ex) => ex.unionByName(inc, allowMissingColumns = false)
+        case None     => inc
+      }
+      overwriteTouched(merge(unioned), touched, dir)
+    } finally { inc.unpersist(); () }
   }
 
   /** Probe-read a keyed store at O(touched buckets) IO: read back ONLY
@@ -197,8 +206,10 @@ object Sinks {
       seqCol: String, tsCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val srcCols = incoming.columns.toSeq
+    // persist for the same double-execution reason as [[mergeTouched]]
     val inc = incoming.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
+      .persist()
     val touched = touchedBuckets(inc)
     val unioned = readTouched(spark, touched, dir) match {
       case Some(ex) =>
@@ -215,7 +226,8 @@ object Sinks {
         date_format(col("__valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("is_current", col("__valid_to_ts").isNull)
       .drop("__valid_to_ts")
-    overwriteTouched(hist, touched, dir)
+    try overwriteTouched(hist, touched, dir)
+    finally { inc.unpersist(); () }
   }
 
   /** K6: dim MERGE — apply a put/delete changelog (op column: 'd' deletes,
@@ -225,19 +237,23 @@ object Sinks {
   def mergeDim(spark: SparkSession, changes: DataFrame, keyCol: String,
       seqCol: String, opCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // persist for the same double-execution reason as [[mergeTouched]]
     val inc = changes.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
-    val touched = touchedBuckets(inc)
-    val unioned = readTouched(spark, touched, dir) match {
-      case Some(ex) => ex.withColumn(opCol, lit("r"))
-        .unionByName(inc, allowMissingColumns = true)
-      case None => inc
-    }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    val merged = unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= "d")
-      .drop("__rn", opCol)
-    overwriteTouched(merged, touched, dir)
+      .persist()
+    try {
+      val touched = touchedBuckets(inc)
+      val unioned = readTouched(spark, touched, dir) match {
+        case Some(ex) => ex.withColumn(opCol, lit("r"))
+          .unionByName(inc, allowMissingColumns = true)
+        case None => inc
+      }
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+      val merged = unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col(opCol) =!= "d")
+        .drop("__rn", opCol)
+      overwriteTouched(merged, touched, dir)
+    } finally { inc.unpersist(); () }
   }
 
   /** Distinct bucket ids of a batch — bounded by the constant bucket
