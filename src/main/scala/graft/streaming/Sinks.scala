@@ -206,28 +206,32 @@ object Sinks {
       seqCol: String, tsCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val srcCols = incoming.columns.toSeq
-    // persist for the same double-execution reason as [[mergeTouched]]
+    // persist for the same double-execution reason as [[mergeTouched]];
+    // everything from bucket discovery on sits INSIDE the try so the
+    // persisted block is released on every failure path too (a leak here
+    // accumulates across a long-running streaming driver's batches)
     val inc = incoming.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
       .persist()
-    val touched = touchedBuckets(inc)
-    val unioned = readTouched(spark, touched, dir) match {
-      case Some(ex) =>
-        ex.select((srcCols :+ BucketCol).map(col): _*).unionByName(inc)
-      case None => inc
-    }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
-    val hist = unioned.dropDuplicates(keyCol, seqCol)
-      .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("__valid_to_ts", lead(col(tsCol), 1).over(w))
-      .withColumn("valid_from",
-        date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("valid_to",
-        date_format(col("__valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("is_current", col("__valid_to_ts").isNull)
-      .drop("__valid_to_ts")
-    try overwriteTouched(hist, touched, dir)
-    finally { inc.unpersist(); () }
+    try {
+      val touched = touchedBuckets(inc)
+      val unioned = readTouched(spark, touched, dir) match {
+        case Some(ex) =>
+          ex.select((srcCols :+ BucketCol).map(col): _*).unionByName(inc)
+        case None => inc
+      }
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
+      val hist = unioned.dropDuplicates(keyCol, seqCol)
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("__valid_to_ts", lead(col(tsCol), 1).over(w))
+        .withColumn("valid_from",
+          date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("valid_to",
+          date_format(col("__valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("is_current", col("__valid_to_ts").isNull)
+        .drop("__valid_to_ts")
+      overwriteTouched(hist, touched, dir)
+    } finally { inc.unpersist(); () }
   }
 
   /** K6: dim MERGE — apply a put/delete changelog (op column: 'd' deletes,

@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object DwsDiag {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse(
-      new java.io.File("/tmp").listFiles()
+    val work = args.headOption.getOrElse {
+      // listFiles() is null on an unreadable dir, and maxBy throws on an
+      // empty filter — both would crash an ad-hoc diagnostic unhelpfully
+      val cands = Option(new java.io.File("/tmp").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
         .filter(_.getName.startsWith("soak_scale"))
-        .maxBy(_.lastModified()).getPath)
+      require(cands.nonEmpty,
+        "no /tmp/soak_scale* work dir found; pass one explicitly")
+      cands.maxBy(_.lastModified()).getPath
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
