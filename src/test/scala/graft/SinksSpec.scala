@@ -67,6 +67,43 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.storeBuckets")
   }
 
+  test("store merges execute the incoming micro-batch plan exactly once " +
+      "(r15 double-execution guard, all three entry points)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("execonce").toString
+    def batch(n: Int, seq: Long) = spark.range(n)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+        lit(seq).as("seq"))
+    // mergeTouched (via upsert): fresh store, then an existing-store merge
+    // (the union-with-read path must not change the execution count)
+    val (b1, a1) = LineageExecGuard.counted(batch(64, 1L))
+    Sinks.upsert(spark, b1, "k", "seq", s"$root/t")
+    assert(a1.value === 64L,
+      s"mergeTouched executed the incoming plan ${a1.value / 64.0}x on a " +
+        "fresh store — the r15 double-execution bug is back")
+    val (b2, a2) = LineageExecGuard.counted(batch(64, 2L))
+    Sinks.upsert(spark, b2, "k", "seq", s"$root/t")
+    assert(a2.value === 64L,
+      s"mergeTouched executed the incoming plan ${a2.value / 64.0}x on an " +
+        "existing store")
+    // scd2Upsert
+    val (b3, a3) = LineageExecGuard.counted(batch(64, 1L)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("k"))))
+    Sinks.scd2Upsert(spark, b3, "k", "seq", "ts", s"$root/h")
+    assert(a3.value === 64L,
+      s"scd2Upsert executed the incoming plan ${a3.value / 64.0}x")
+    // mergeDim
+    val (b4, a4) = LineageExecGuard.counted(batch(64, 1L)
+      .withColumn("op", lit("c")))
+    Sinks.mergeDim(spark, b4, "k", "seq", "op", s"$root/d")
+    assert(a4.value === 64L,
+      s"mergeDim executed the incoming plan ${a4.value / 64.0}x")
+    // the guard itself must not have perturbed the merges' results
+    val t = Sinks.readStore(spark, s"$root/t")
+    assert(t.count() === 64L && t.filter(col("seq") =!= 2L).isEmpty)
+  }
+
   test("K6 dim merge applies puts then deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dim").toString + "/d"

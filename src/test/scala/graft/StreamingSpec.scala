@@ -108,6 +108,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch store merge executes the stateful batch plan exactly " +
+      "once per micro-batch (r15 double-execution guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    // The r15 soak's shape: a complete-mode aggregation whose foreachBatch
+    // maintains a bucketed store. Each action over the handed-in batch DF
+    // re-runs the state read + agg, so a merge that takes two unguarded
+    // actions doubles every micro-batch's stateful work — invisible to
+    // result checks. The lineage counter sits between the agg output and
+    // the store entry point, exactly where the soak paid.
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val base = java.nio.file.Files.createTempDirectory("fbexec").toString
+    val acc = spark.sparkContext.longAccumulator("fb-exec-rows")
+    val tick = udf(() => { acc.add(1L); true }).asNondeterministic()
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val src = batch.toDF().filter(tick()).withColumn("__seq", lit(id))
+          graft.streaming.Sinks.upsert(spark, src, "k", "__seq",
+            s"$base/store")
+          ()
+      }
+      .option("checkpointLocation", s"$base/chk").start()
+    try {
+      input.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      // complete-mode batch 0 emits keys {1,2} = 2 rows, counted ONCE each
+      assert(acc.value === 2L,
+        s"batch 0 stateful plan ran ${acc.value / 2.0}x")
+      input.addData((1L, 5L), (3L, 7L))
+      q.processAllAvailable()
+      // batch 1 emits the cumulative keys {1,2,3} = 3 rows → 5 total
+      assert(acc.value === 5L,
+        s"batch 1: expected 5 cumulative row-executions, got ${acc.value} " +
+          "— the micro-batch plan ran more than once inside the store merge")
+      // and the guard didn't perturb the store contents
+      val out = graft.streaming.Sinks.readStore(spark, s"$base/store")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(out === Map(1L -> ((2L, 15L)), 2L -> ((1L, 20L)),
+        3L -> ((1L, 7L))))
+    } finally q.stop()
+  }
+
   test("J3/W7 streaming: interval join matches within band across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
