@@ -505,10 +505,22 @@ object Multimodal extends OpModule {
   private[graft] def phashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // Content-class space: floorMod(doc_id, classes). The default 100 is
+    // the ORACLE contract — oraPhashCtes mirrors it analytically, and the
+    // driver's gate runs at the default. The scale harness raises it ∝ k
+    // (`spark.graft.mmClasses`, tools/Scaling.scala) so clone density
+    // stays CONSTANT as the corpus scales: with the cap fixed at 100, a
+    // k× corpus has k× members per class and the neardup sweep row
+    // measures the fixture's k² clone growth, not the operator
+    // (VERDICT r15 #2). Captured as a value — the closure must not drag
+    // the session into the task.
+    val classes = s.conf.getOption("spark.graft.mmClasses")
+      .map(_.trim.toLong).getOrElse(100L)
+    require(classes > 0, s"spark.graft.mmClasses must be positive, got $classes")
     spreadToCores(t(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val key = java.lang.Math.floorMod(id, 100L)
+          val key = java.lang.Math.floorMod(id, classes)
           // payload length 7 + key%24 → width 8 + key%24: wide enough
           // that the 8x8 grid samples distinct columns (w >= 8), so
           // different keys produce different hashes instead of

@@ -480,6 +480,16 @@ object Relational extends OpModule {
     // meets exactly once (at the click's bucket), so no distinct is
     // needed; integer microsecond bucket math loses nothing.
     "j3_interval_join" -> ((s, dir) => {
+      // The bucket math below relies on the NTZ→LTZ cast being
+      // epoch-identity, which holds ONLY in a UTC session (core.Sessions
+      // pins it; the oracle gate runs under it). Under a DST timezone the
+      // exploded bucket range can MISS a true pair's click bucket —
+      // silent row loss, not a formatting difference like the
+      // date_format queries — so a misconfigured session fails loudly
+      // here instead of returning incomplete results (ADVICE r15).
+      require(s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
+        "j3_interval_join requires spark.sql.session.timeZone=UTC: the " +
+          "banded time-bucket math is epoch-exact only under UTC")
       val W = 915000000L // microseconds: 15 min + 15 s, the band span
       val ev = t(s, dir, "events")
       val pay = ev.filter(col("event_type") === "purchase")

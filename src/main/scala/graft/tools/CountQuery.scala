@@ -16,6 +16,10 @@ object CountQuery {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // match the scale harness's content-diversity knob when counting at a
+    // scaled dir (Scaling sets classes = 100·k; see scaled())
+    sys.env.get("SPARK_GRAFT_MM_CLASSES")
+      .foreach(spark.conf.set("spark.graft.mmClasses", _))
     names.foreach { n =>
       val t0 = System.nanoTime()
       val c = graft.SparkEntry.queries(n)(spark, dir)

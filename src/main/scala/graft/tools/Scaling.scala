@@ -656,6 +656,14 @@ object Scaling {
         if (!new java.io.File(out).exists())
           scaled(spark, base, n, k).write.mode("overwrite").parquet(out)
       }
+      // mm content diversity scales WITH the corpus (VERDICT r15 #2):
+      // classes ∝ k holds expected clones-per-class constant. Under the
+      // old fixed 100-class cap a k× corpus had k× members per class, so
+      // the phash-neardup sweep row grew with the fixture's k² clone
+      // density instead of the operator's cost (64× measured 2.27 B
+      // output pairs purely from the cap). 100·k matches the default at
+      // k=1, so 1× rows stay comparable to the oracle-gated runs.
+      spark.conf.set("spark.graft.mmClasses", (100L * k).toString)
       toRun.foreach { q =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

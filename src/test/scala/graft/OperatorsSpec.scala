@@ -149,46 +149,12 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     // The r15 banded j3 plan verifies with exact predicates, so its only
     // failure class is CANDIDATE COVERAGE: a true pair whose click
-    // bucket falls outside the purchase's exploded bucket range — the
-    // risk sits exactly at the ±(15 min, 15 s) window edges and at
-    // bucket boundaries of the 915 s band. Plant pairs AT those edges
-    // (offset 0, ±1 µs around both window ends, and purchases whose
-    // admissible range starts exactly on a bucket boundary), plus a
-    // seeded random cloud, and pin banded == naive engine-vs-engine.
-    val W = 915000000L
-    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
-    val rnd = new scala.util.Random(1915L)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
-    var id = 0L
-    def add(user: Long, us: Long, tpe: String): Unit = {
-      rows += ((id, us, user, tpe)); id += 1
-    }
-    // boundary pairs: click at pay − 15 s and pay + 15 min exactly, ±1 µs
-    val edges = Seq(-900000001L, -900000000L, -899999999L,
-      -1L, 0L, 1L, 14999999L, 15000000L, 15000001L)
-    edges.zipWithIndex.foreach { case (off, i) =>
-      val u = 100L + i
-      // pay_ts placed so its admissible range straddles a bucket edge:
-      // pay − 15 s lands exactly on a multiple of W
-      val pay = base + (i + 3) * W + 15000000L
-      add(u, pay, "purchase")
-      add(u, pay - off, "click") // click_ts = pay − off
-    }
-    // random cloud: 40 users × ~50 events inside a few bands
-    (0 until 40).foreach { u =>
-      (0 until 50).foreach { _ =>
-        add(u.toLong, base + math.abs(rnd.nextLong() % (20L * W)),
-          if (rnd.nextBoolean()) "purchase" else "click")
-      }
-    }
-    val ev = rows.toSeq
-      .map { case (eid, us, uid, tpe) =>
-        (eid, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
-          ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC),
-          uid, tpe, 0.0, "{}")
-      }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // bucket falls outside the purchase's exploded bucket range — see
+    // J3Fixture for the boundary-adversarial construction (window edges
+    // ±1 µs, bucket-boundary-aligned purchases, seeded random cloud).
+    // Pin banded == naive engine-vs-engine over it.
+    val edges = J3Fixture.edges
+    val ev = J3Fixture.eventsDf(spark, J3Fixture.rows())
     val dir = java.nio.file.Files.createTempDirectory("j3band").toString
     ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val banded = graft.operators.Relational
@@ -215,6 +181,33 @@ class OperatorsSpec extends SparkSpec {
     assert(edges.zipWithIndex.count { case (_, i) =>
       naive.exists(p => p._1 == 2L * i) } == inEdges,
       "every in-window edge pair must match, every out-of-window must not")
+  }
+
+  test("mm content-class space scales with spark.graft.mmClasses " +
+      "(the scale harness's clone-density knob, VERDICT r15 #2)") {
+    // default 100 is the oracle contract; the harness raises it ∝ k so
+    // clone density stays constant at scale. sf0.001's 500 docs cover
+    // every residue of both moduli, so distinct phashes must grow.
+    def distinctHashes(): Long = graft.operators.Multimodal
+      .phashes(spark, sfDir).select("phash").distinct().count()
+    val d100 = distinctHashes()
+    spark.conf.set("spark.graft.mmClasses", "400")
+    try {
+      val d400 = distinctHashes()
+      assert(d400 > d100,
+        s"400-class space must yield more distinct hashes: $d400 vs $d100")
+    } finally spark.conf.unset("spark.graft.mmClasses")
+  }
+
+  test("j3 fails loudly in a non-UTC session instead of silently " +
+      "dropping rows (ADVICE r15)") {
+    // the banded bucket math is epoch-exact only under UTC; a DST session
+    // would MISS true pairs' click buckets — incomplete results, the
+    // worst failure mode — so query construction must refuse
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try intercept[IllegalArgumentException] {
+      graft.operators.Relational.queries("j3_interval_join")(spark, sfDir)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("mm: codec stages get the parallelism floor on a single-split " +
