@@ -56,6 +56,42 @@ object Multimodal extends OpModule {
     bos.toByteArray
   }
 
+  /** High-entropy sibling of [[synthPng]] for the scale harness's
+    * EXTENDED content classes (`spark.graft.mmClasses` beyond the
+    * oracle-pinned 100): same shape distribution (w = 8 + key%24,
+    * h = 1 + key%17), but per-pixel values come from a splitmix64-style
+    * integer mixer instead of the linear gradient, so the 8×8
+    * grid-sample aHash sees ~independent pixels and every class gets a
+    * decorrelated ~Bernoulli(1/2) hash. This is what actually uncaps the
+    * fixture's content space: the gradient's aHash collapses to ~55
+    * patterns regardless of class count, the mixer's does not. Real PNG
+    * encode stays — the operator under test is decode+hash.
+    */
+  private[graft] def synthMixedPng(key: Long): Array[Byte] = {
+    val w = 8 + (key % 24L).toInt
+    val h = 1 + (key % 17L).toInt
+    def mix(a: Long): Long = {
+      var x = a + -7046029254386353131L // splitmix64 finalizer
+      x = (x ^ (x >>> 30)) * -4658895280553007687L
+      x = (x ^ (x >>> 27)) * -7723592293110705685L
+      x ^ (x >>> 31)
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (mix(key * 100003L + x * 131L + y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL image decode (JDK `ImageIO`): PNG/BMP/GIF bytes in →
     * (width, height, raster bands) out. Swapping in a heavier codec
     * (JPEG-XL, video keyframes) keeps this signature and the mapPartitions
@@ -524,8 +560,21 @@ object Multimodal extends OpModule {
           // payload length 7 + key%24 → width 8 + key%24: wide enough
           // that the 8x8 grid samples distinct columns (w >= 8), so
           // different keys produce different hashes instead of
-          // collapsing into a handful of degenerate patterns
-          val png = synthPng(key, new Array[Byte](7 + (key % 24L).toInt))
+          // collapsing into a handful of degenerate patterns.
+          // Classes BEYOND the oracle-pinned first 100 render through
+          // [[synthMixedPng]] instead: aHash over synthPng's linear
+          // gradient is intrinsically DEGENERATE — mean-thresholding a
+          // near-constant-slope ramp yields ~55 distinct bit patterns
+          // total (the mm_phash_dedup gate row IS that count), so any
+          // corpus growth collapses onto the same few hashes and the
+          // pair relation is quadratic no matter how many gradient
+          // classes exist (measured r16: classes ∝ k alone moved 64×
+          // rows 2.27 B → 0.86 B, still ~k²). The mixed renderer gives
+          // every extended class a decorrelated ~Bernoulli(1/2) hash;
+          // keys < 100 stay bit-identical to the oracle contract.
+          val png = if (key < 100L)
+            synthPng(key, new Array[Byte](7 + (key % 24L).toInt))
+          else synthMixedPng(key)
           (id, aHash(ImageIO.read(new ByteArrayInputStream(png))))
         }
       }

@@ -65,6 +65,20 @@ object Relational extends OpModule {
           .agg(sum(element_at(col("sg"), 1)).as(s"${p}0"),
             (1 until 16).map(j =>
               sum(element_at(col("sg"), j + 1)).as(s"$p$j")): _*)
+      // DECISION (r16, kneser_ney-style — recorded where the next
+      // profiler will look): this exact twin is the query's COST at
+      // scale, and that is intentional. Sweep rows (sf0.1 harness):
+      // 16× 5.47 s, 64× 19.7 s — 3.6× for 4× data. The sketch side is
+      // one narrow agms_signs walk per fact (16 integers out, linear,
+      // no key ever crosses an exchange); the growth is entirely this
+      // groupBy+join over BOTH fact key columns. It stays because the
+      // exact join size is the query's CONTRACT — err_ppm against the
+      // true value is what the report exists to say, and the oracle
+      // recomputes it — so capping the twin to the universe-sampled
+      // keys would change the semantics (err vs an estimate of the
+      // truth), not just the plan. A deployment that wants sketch-only
+      // cost drops the twin: the agms/universe rows are independent of
+      // it up to the final broadcast attach.
       val exact = ca.groupBy(col("k")).agg(count(lit(1)).as("cA"))
         .join(cb.groupBy(col("k")).agg(count(lit(1)).as("cB")), "k")
         .agg(coalesce(sum(col("cA") * col("cB")), lit(0L))

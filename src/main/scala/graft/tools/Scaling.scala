@@ -84,7 +84,13 @@ object Scaling {
     "approx_uv_hll", "dedup_cc_canonical", "dedup_embedding_canonical",
     "dedup_keep_canonical", "f_scalar_suite", "j2_double_left_join",
     "j5_broadcast_config_join", "j8_salted_join", "k6_dim_merge_state",
-    "mm_binary_features", "mm_frame_sample", "mm_phash_band_coverage",
+    // mm_phash_band_coverage left out as of r16: its all-pairs hamming
+    // truth over DISTINCT hash classes is the calibration tier by
+    // design (its own doc says so), and the r16 content-diversity fix
+    // makes distinct classes grow ∝ k — under the old degenerate
+    // fixture (~55 classes at every k) it merely LOOKED sweepable.
+    // Scale paths: mm_phash_neardup / mm_phash_clusters.
+    "mm_binary_features", "mm_frame_sample",
     "mm_resize", "p10_snakecase_json", "p1_cdc_etl", "p2_log_etl",
     "p3_parse_or_drop", "p4_config_pruning", "p6_op_selector",
     "p8_predicate_filter", "p9_cart_delta", "q18_large_volume_customer",
