@@ -293,30 +293,31 @@ object Multimodal extends OpModule {
       import graft.core.Barrier.BarrierOps
       val hc = phashes(s, dir).select(col("phash")).distinct()
         .barrier() // all-pairs sides + band sides
-      val bands = hc.select(col("phash"),
-        posexplode(array((0 until 4).map(b =>
-          substring(col("phash"), 1 + 16 * b, 16)): _*))
-          .as(Seq("band_idx", "band")))
-      val cand = bands.select(col("band_idx"), col("band"),
-          col("phash").as("ha"))
-        .join(bands.select(col("band_idx"), col("band"),
-          col("phash").as("hb")), Seq("band_idx", "band"))
-        .filter(col("ha") < col("hb"))
-        .select(col("ha"), col("hb")).distinct()
-        .withColumn("hit", lit(1L))
-      hc.select(col("phash").as("ha"))
-        .join(hc.select(col("phash").as("hb")), col("ha") < col("hb"))
-        .select(col("ha"), col("hb"),
-          expr("size(filter(sequence(1, 64), i -> " +
-            "substring(ha, i, 1) != substring(hb, i, 1)))")
-            .cast("long").as("hamming"))
-        .join(cand, Seq("ha", "hb"), "left")
-        .groupBy(col("hamming"))
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_band_hits"))
-        .select(col("hamming"), col("n_pairs"), col("n_band_hits"),
-          expr("(n_band_hits * 1000000) DIV n_pairs").as("hit_ppm"),
-          (col("hamming") <= 3).as("guaranteed"))
+      bandAudit(hc)
+    }),
+    // The SCALE tier of the band-coverage audit (r16): the exact audit
+    // above is all-pairs over distinct hash classes BY DESIGN, and the
+    // r16 content-diversity fix makes distinct classes grow with the
+    // corpus — so the sweepable form runs the SAME audit over a
+    // universe sample of classes (the correlated-sampling device from
+    // q_join_size_sketches: BOTH pair sides come from the one kept set,
+    // so within-sample pair structure is exact, and the pigeonhole
+    // guarantee — hamming ≤ 3 ⇒ ≥ 1 band hit — is a theorem on every
+    // pair, sampled or not). `spark.graft.bandAuditMod` keeps 1/mod of
+    // the classes; the oracle pins the default 2 (the ivfCentroids
+    // precedent), and the scale harness sets mod ∝ k so kept classes —
+    // and audit cost — stay CONSTANT at any corpus size.
+    "mm_phash_band_coverage_sampled" -> ((s, dir) => {
+      import graft.core.Barrier.BarrierOps
+      val mod = s.conf.getOption("spark.graft.bandAuditMod")
+        .map(_.trim.toInt).getOrElse(2)
+      require(mod > 0,
+        s"spark.graft.bandAuditMod must be positive, got $mod")
+      val hc = phashes(s, dir).select(col("phash")).distinct()
+        .filter(expr("pmod(CAST(conv(substring(md5(concat('bc|', phash))" +
+          s", 1, 15), 16, 10) AS BIGINT), $mod) = 0"))
+        .barrier() // all-pairs sides + band sides
+      bandAudit(hc)
     }),
     // image-dedup clusters — the CONSUMER of the near-dup pairs: the
     // LARGE-STAR/SMALL-STAR edge-rewrite fixpoint from the dedup family
@@ -608,6 +609,39 @@ object Multimodal extends OpModule {
       .filter(col("hamming") <= 3)
   }
 
+  /** The band-coverage audit body over a (possibly sampled) distinct-hash
+    * relation: 4×16-bit band split, band-match candidates, all-pairs
+    * hamming histogram with per-distance hit ppm and the pigeonhole
+    * guarantee bit. Caller barriers `hc` (read by three sides).
+    */
+  private def bandAudit(
+      hc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = hc.select(col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("phash"), 1 + 16 * b, 16)): _*))
+        .as(Seq("band_idx", "band")))
+    val cand = bands.select(col("band_idx"), col("band"),
+        col("phash").as("ha"))
+      .join(bands.select(col("band_idx"), col("band"),
+        col("phash").as("hb")), Seq("band_idx", "band"))
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb")).distinct()
+      .withColumn("hit", lit(1L))
+    hc.select(col("phash").as("ha"))
+      .join(hc.select(col("phash").as("hb")), col("ha") < col("hb"))
+      .select(col("ha"), col("hb"),
+        expr("size(filter(sequence(1, 64), i -> " +
+          "substring(ha, i, 1) != substring(hb, i, 1)))")
+          .cast("long").as("hamming"))
+      .join(cand, Seq("ha", "hb"), "left")
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_band_hits"))
+      .select(col("hamming"), col("n_pairs"), col("n_band_hits"),
+        expr("(n_band_hits * 1000000) DIV n_pairs").as("hit_ppm"),
+        (col("hamming") <= 3).as("guaranteed"))
+  }
+
   /** Doc-level near-dup pair relation (doc_a, doc_b, hamming <= 3) —
     * the collapse-first expansion of [[nearHashPairs]]: within-class
     * pairs are the exact-dup (hamming 0) expansion, cross-class pairs
@@ -734,6 +768,39 @@ object Multimodal extends OpModule {
     "mm_phash_band_coverage" ->
       s"""WITH $oraPhashCtes,
          |hc AS MATERIALIZED (SELECT DISTINCT phash FROM hs),
+         |bands AS MATERIALIZED (
+         |  SELECT phash, b AS band_idx,
+         |    substring(phash, 1 + 16 * b, 16) AS band
+         |  FROM hc, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.phash AS ha, b.phash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |   AND a.phash < b.phash),
+         |pr AS MATERIALIZED (
+         |  SELECT a.phash AS ha, b.phash AS hb,
+         |    CAST(len(list_filter(generate_series(1, 64), i ->
+         |      substring(a.phash, i, 1) <> substring(b.phash, i, 1)))
+         |      AS BIGINT) AS hamming
+         |  FROM hc a JOIN hc b ON a.phash < b.phash)
+         |SELECT pr.hamming, count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN cand.ha IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_band_hits,
+         |  (CAST(coalesce(sum(CASE WHEN cand.ha IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000000) // count(*)
+         |    AS hit_ppm,
+         |  pr.hamming <= 3 AS guaranteed
+         |FROM pr LEFT JOIN cand ON cand.ha = pr.ha AND cand.hb = pr.hb
+         |GROUP BY 1""".stripMargin,
+    // the sampled scale tier: identical audit over the universe-sampled
+    // class set (md5-bucket gate, both pair sides from the one kept set;
+    // the oracle pins the default mod 2)
+    "mm_phash_band_coverage_sampled" ->
+      s"""WITH $oraPhashCtes,
+         |hc AS MATERIALIZED (
+         |  SELECT phash FROM (SELECT DISTINCT phash FROM hs)
+         |  WHERE ('0x' || substring(md5('bc|' || phash), 1, 15))::BIGINT
+         |    % 2 = 0),
          |bands AS MATERIALIZED (
          |  SELECT phash, b AS band_idx,
          |    substring(phash, 1 + 16 * b, 16) AS band

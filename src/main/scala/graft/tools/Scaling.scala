@@ -89,7 +89,9 @@ object Scaling {
     // design (its own doc says so), and the r16 content-diversity fix
     // makes distinct classes grow ∝ k — under the old degenerate
     // fixture (~55 classes at every k) it merely LOOKED sweepable.
-    // Scale paths: mm_phash_neardup / mm_phash_clusters.
+    // Its scale tier mm_phash_band_coverage_sampled sweeps instead
+    // (universe-sampled classes, mod set ∝ k below → constant cost).
+    "mm_phash_band_coverage_sampled",
     "mm_binary_features", "mm_frame_sample",
     "mm_resize", "p10_snakecase_json", "p1_cdc_etl", "p2_log_etl",
     "p3_parse_or_drop", "p4_config_pruning", "p6_op_selector",
@@ -670,6 +672,10 @@ object Scaling {
       // output pairs purely from the cap). 100·k matches the default at
       // k=1, so 1× rows stay comparable to the oracle-gated runs.
       spark.conf.set("spark.graft.mmClasses", (100L * k).toString)
+      // ...and the sampled band-audit keeps a CONSTANT kept-class count
+      // as classes grow ∝ k (mod 2·k ≈ 50 extended classes kept; the
+      // default mod 2 is the oracle pin, matched at k=1)
+      spark.conf.set("spark.graft.bandAuditMod", (2L * k).toString)
       toRun.foreach { q =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

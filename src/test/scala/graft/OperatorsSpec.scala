@@ -199,6 +199,34 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mmClasses")
   }
 
+  test("sampled band-coverage audit: mod=1 equals the full audit; the " +
+      "pigeonhole guarantee holds on the sampled tier") {
+    import org.apache.spark.sql.functions.col
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    // mod=1 keeps every class → the sampled query IS the full audit
+    spark.conf.set("spark.graft.bandAuditMod", "1")
+    try assert(rows("mm_phash_band_coverage_sampled") ===
+      rows("mm_phash_band_coverage"))
+    finally spark.conf.unset("spark.graft.bandAuditMod")
+    // default mod 2 (the oracle pin): a PROPER nonempty subsample, and
+    // hamming ≤ 3 must still read exactly 10⁶ ppm — the guarantee is a
+    // theorem on every pair, sampled or not
+    val sampled = SparkEntry
+      .queries("mm_phash_band_coverage_sampled")(spark, sfDir)
+    val g = sampled.filter(col("guaranteed")).collect()
+    assert(g.nonEmpty, "sampled audit must retain guaranteed-band rows")
+    g.foreach(r => assert(r.getLong(3) === 1000000L,
+      s"pigeonhole violated on sampled tier: $r"))
+    val full = SparkEntry.queries("mm_phash_band_coverage")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_pairs"))).collect()(0).getLong(0)
+    val sub = sampled
+      .agg(org.apache.spark.sql.functions.sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(sub > 0 && sub < full,
+      s"mod 2 must be a proper nonempty subsample: $sub vs $full")
+  }
+
   test("j3 fails loudly in a non-UTC session instead of silently " +
       "dropping rows (ADVICE r15)") {
     // the banded bucket math is epoch-exact only under UTC; a DST session
