@@ -129,9 +129,74 @@ object Sinks {
       seqCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    mergeTouched(spark, incoming, keyCol, dir, buckets)(unioned =>
-      unioned.withColumn("__rn", row_number().over(w))
+    mergeTouchedKeyed(spark, incoming, keyCol, dir, buckets)(changed =>
+      changed.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Split a touched-bucket read around the batch's key set (null-safe, so
+    * null-key rows keep their pre-split window semantics): stored rows of
+    * keys the batch CHANGES go to the merge, every other stored row rides
+    * through untouched. This is the r16 compute bound: per-batch shuffle +
+    * window work is ∝ the changed keys' history, not the touched buckets'
+    * whole content — the difference between "reprocess every key that
+    * shares a bucket with a change" and "reprocess what changed" once
+    * buckets hold many keys (always true at 100 TB sizing). The key set is
+    * broadcast: a micro-batch's distinct keys are bounded by batch size
+    * (a bulk backfill that overflows the broadcast threshold should merge
+    * through the unsplit [[mergeTouched]] instead).
+    *
+    * The key set is materialized on the DRIVER and re-planted as a
+    * LocalRelation rather than broadcast-joined straight off the batch
+    * lineage: building a BroadcastExchange from the persisted batch plan
+    * MISSES the cache inside foreachBatch and re-executes the whole
+    * micro-batch stateful plan per broadcast — the exact r15
+    * double-execution class, caught the day it was written by the
+    * LineageExecGuard streaming gate. A broadcast collects to the driver
+    * anyway, so this moves no more data than the hinted join would; it
+    * just routes through an action on the persisted DataFrame itself,
+    * the one path the cache provably serves, and makes execute-once
+    * STRUCTURAL (a LocalRelation has no lineage to re-run).
+    */
+  private def splitByBatchKeys(spark: SparkSession, ex: DataFrame,
+      inc: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val field = inc.schema(keyCol)
+    val keyRows = inc.select(col(keyCol)).distinct().collect()
+    val keys = spark.createDataFrame(keyRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(field.copy(name = "__mk"))))
+    (ex.join(broadcast(keys), col(keyCol) <=> col("__mk"), "left_semi"),
+      ex.join(broadcast(keys), col(keyCol) <=> col("__mk"), "left_anti"))
+  }
+
+  /** [[mergeTouched]] for PER-KEY merges: `merge` receives only the rows
+    * of keys present in the batch (stored ∪ incoming); stored rows of
+    * every other key in the touched buckets bypass it unchanged. Correct
+    * whenever merge is a per-key function — its output for key k depends
+    * only on k's rows — and the store already holds each key's merged
+    * state (both hold for keep-newest; a merge that mixes keys must use
+    * [[mergeTouched]]). Same persist discipline; the broadcasts read the
+    * cached batch, so the incoming lineage still executes exactly once
+    * (LineageExecGuard covers this path).
+    */
+  def mergeTouchedKeyed(spark: SparkSession, incoming: DataFrame,
+      keyCol: String, dir: String, buckets: Int = DefaultBuckets)(
+      merge: DataFrame => DataFrame): Unit = {
+    val inc = incoming.withColumn(BucketCol,
+      pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
+      .persist()
+    try {
+      val touched = touchedBuckets(inc)
+      val (changed, passthrough) = readTouched(spark, touched, dir) match {
+        case Some(ex) =>
+          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
+          (chEx.unionByName(inc, allowMissingColumns = false), Some(pass))
+        case None => (inc, None)
+      }
+      val merged = merge(changed)
+      overwriteTouched(passthrough.fold(merged)(merged.unionByName(_)),
+        touched, dir)
+    } finally { inc.unpersist(); () }
   }
 
   /** The generic touched-bucket read-merge-rewrite [[upsert]]
@@ -215,10 +280,16 @@ object Sinks {
       .persist()
     try {
       val touched = touchedBuckets(inc)
-      val unioned = readTouched(spark, touched, dir) match {
+      // changed-key split (r16, see [[splitByBatchKeys]]): only the keys
+      // this batch changes re-run the dedup + window recompute; every
+      // other key's history rows — presentation columns included — ride
+      // through exactly as stored (the store IS their recomputed form)
+      val (unioned, passthrough) = readTouched(spark, touched, dir) match {
         case Some(ex) =>
-          ex.select((srcCols :+ BucketCol).map(col): _*).unionByName(inc)
-        case None => inc
+          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
+          (chEx.select((srcCols :+ BucketCol).map(col): _*)
+            .unionByName(inc), Some(pass))
+        case None => (inc, None)
       }
       val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
       val hist = unioned.dropDuplicates(keyCol, seqCol)
@@ -230,7 +301,8 @@ object Sinks {
           date_format(col("__valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
         .withColumn("is_current", col("__valid_to_ts").isNull)
         .drop("__valid_to_ts")
-      overwriteTouched(hist, touched, dir)
+      overwriteTouched(passthrough.fold(hist)(hist.unionByName(_)),
+        touched, dir)
     } finally { inc.unpersist(); () }
   }
 
@@ -247,16 +319,22 @@ object Sinks {
       .persist()
     try {
       val touched = touchedBuckets(inc)
-      val unioned = readTouched(spark, touched, dir) match {
-        case Some(ex) => ex.withColumn(opCol, lit("r"))
-          .unionByName(inc, allowMissingColumns = true)
-        case None => inc
+      // changed-key split (r16, see [[splitByBatchKeys]]): only keys in
+      // this changelog batch enter the latest-wins window; other keys'
+      // dim rows pass through as stored
+      val (unioned, passthrough) = readTouched(spark, touched, dir) match {
+        case Some(ex) =>
+          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
+          (chEx.withColumn(opCol, lit("r"))
+            .unionByName(inc, allowMissingColumns = true), Some(pass))
+        case None => (inc, None)
       }
       val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
       val merged = unioned.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col(opCol) =!= "d")
         .drop("__rn", opCol)
-      overwriteTouched(merged, touched, dir)
+      overwriteTouched(passthrough.fold(merged)(merged.unionByName(_)),
+        touched, dir)
     } finally { inc.unpersist(); () }
   }
 

@@ -104,6 +104,50 @@ class SinksSpec extends SparkSpec {
     assert(t.count() === 64L && t.filter(col("seq") =!= 2L).isEmpty)
   }
 
+  test("r16 changed-key split: unchanged keys' stored rows ride through " +
+      "the per-key merges untouched (single shared bucket)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("keysplit").toString
+    // ONE bucket forces every key into the touched bucket — the split,
+    // not bucket pruning, is what must protect the unchanged keys
+    // upsert: update key 1 only; 2 and 3 keep their stored state
+    Sinks.upsert(spark, Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "seq"), "k", "seq", s"$root/t", buckets = 1)
+    Sinks.upsert(spark, Seq((1L, "a2", 2L)).toDF("k", "v", "seq"),
+      "k", "seq", s"$root/t", buckets = 1)
+    assert(Sinks.readStore(spark, s"$root/t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // scd2: extend key 1's history; key 2's history rows — presentation
+    // columns included — must come back BYTE-IDENTICAL from passthrough
+    def ts(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$n%d 00:00:00")
+    Sinks.scd2Upsert(spark,
+      Seq((1L, 1L, ts(1), "x"), (1L, 2L, ts(2), "y"), (2L, 1L, ts(1), "z"))
+        .toDF("k", "seq", "ts", "v"), "k", "seq", "ts", s"$root/h",
+      buckets = 1)
+    val key2Before = Sinks.readStore(spark, s"$root/h")
+      .filter(col("k") === 2L).collect().map(_.toString).toSet
+    Sinks.scd2Upsert(spark, Seq((1L, 3L, ts(3), "w"))
+      .toDF("k", "seq", "ts", "v"), "k", "seq", "ts", s"$root/h",
+      buckets = 1)
+    val after = Sinks.readStore(spark, s"$root/h")
+    assert(after.filter(col("k") === 2L).collect().map(_.toString).toSet
+      === key2Before, "unchanged key's history must pass through as stored")
+    assert(after.filter(col("k") === 1L).count() === 3L &&
+      after.filter(col("k") === 1L && col("is_current")).collect()
+        .map(_.getAs[Long]("version")).toSeq === Seq(3L))
+    // mergeDim: delete key 1 only; key 2 survives from passthrough
+    Sinks.mergeDim(spark, Seq((1L, "x", 1L, "c"), (2L, "y", 1L, "c"))
+      .toDF("k", "v", "seq", "op"), "k", "seq", "op", s"$root/d",
+      buckets = 1)
+    Sinks.mergeDim(spark, Seq((1L, "x", 2L, "d"))
+      .toDF("k", "v", "seq", "op"), "k", "seq", "op", s"$root/d",
+      buckets = 1)
+    assert(Sinks.readStore(spark, s"$root/d").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === Map(2L -> "y"))
+  }
+
   test("K6 dim merge applies puts then deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dim").toString + "/d"
