@@ -1218,7 +1218,14 @@ object StatefulStreaming {
         expr("cosine_sim(ea, eb)").as("sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    Sinks.mergeTouched(spark, scored, "vec_id",
+    // keyed merge (r16): the step-3 doc above always promised
+    // "re-rank ONLY touched vertices"; mergeTouched delivered that at
+    // BUCKET granularity (untouched vertices sharing a bucket with a
+    // touched one still re-ranked). The keyed form is the promise kept
+    // at key granularity — all seven ingest-tier merges moved together,
+    // every closure being a per-key dropDuplicates/rank whose stored
+    // rows are already their own merged state.
+    Sinks.mergeTouchedKeyed(spark, scored, "vec_id",
       s"$storeDir/topk") { unioned =>
       unioned.dropDuplicates("vec_id", "neighbor_id")
         .withColumn("__rk", row_number().over(w))
@@ -1306,7 +1313,7 @@ object StatefulStreaming {
       .select(col("doc_id"),
         coalesce(expr("simhash60(text)"), lit(allOnes)).as("sig"))
       .barrier() // docs upsert, roster build, probe side, expansion
-    Sinks.mergeTouched(spark, sigs, "sig", s"$storeDir/docs")(
+    Sinks.mergeTouchedKeyed(spark, sigs, "sig", s"$storeDir/docs")(
       _.dropDuplicates("sig", "doc_id"))
     val banded = sigs.select(col("sig")).distinct()
       .select(col("sig"), posexplode(array((0 until 4).map(b =>
@@ -1314,7 +1321,7 @@ object StatefulStreaming {
       .select(col("sig"),
         (col("pos").cast("long") * 32768L + col("col")).as("bkey"))
       .barrier() // roster upsert AND the candidate probe
-    Sinks.mergeTouched(spark, banded, "bkey", s"$storeDir/roster")(
+    Sinks.mergeTouchedKeyed(spark, banded, "bkey", s"$storeDir/roster")(
       _.dropDuplicates("bkey", "sig"))
     // post-merge, the touched buckets hold every distinct sig ever seen
     // there — the probe never reads an untouched bucket. An EMPTY
@@ -1453,9 +1460,9 @@ object StatefulStreaming {
       .withColumn("fp", md5(concat_ws("\u0001", col("grams"))))
       .withColumn("n", size(col("grams")).cast("long"))
       .barrier() // three store merges + band join + emission B anchor
-    Sinks.mergeTouched(spark, d.select(col("fp"), col("grams"), col("n")),
+    Sinks.mergeTouchedKeyed(spark, d.select(col("fp"), col("grams"), col("n")),
       "fp", s"$storeDir/sets")(_.dropDuplicates("fp"))
-    Sinks.mergeTouched(spark, d.select(col("fp"), col("doc_id")),
+    Sinks.mergeTouchedKeyed(spark, d.select(col("fp"), col("doc_id")),
       "fp", s"$storeDir/docs")(_.dropDuplicates("fp", "doc_id"))
     // band entries at the SET level: a doc contributes its own text's
     // MinHash band buckets under its set's fp — the union over docs is
@@ -1465,7 +1472,7 @@ object StatefulStreaming {
       .select(concat(col("band").cast("string"), lit(":"), col("sig"))
         .as("bkey"), col("fp"))
       .distinct().barrier() // roster merge AND the candidate probe
-    Sinks.mergeTouched(spark, bands, "bkey", s"$storeDir/roster")(
+    Sinks.mergeTouchedKeyed(spark, bands, "bkey", s"$storeDir/roster")(
       _.dropDuplicates("bkey", "fp"))
     // 3. candidates: batch buckets post-merge hold every fp ever seen
     // there (same-batch partners included)
@@ -1568,7 +1575,7 @@ object StatefulStreaming {
       .unionByName(outcome.select(col("fb").as("owner"),
         col("fa").as("partner"), lit(false).as("owner_is_a"),
         col("n_a"), col("n_b"), col("inter"), col("pass")))
-    Sinks.mergeTouched(spark, reachRows, "owner", s"$storeDir/reach")(
+    Sinks.mergeTouchedKeyed(spark, reachRows, "owner", s"$storeDir/reach")(
       _.dropDuplicates("owner", "partner", "owner_is_a"))
     emitted
   }
