@@ -127,6 +127,24 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Bounded quiet-window wait (VERDICT r16 #1): the host has documented
+    // multi-minute EXTERNAL load bursts that inflate every query 1.2–2x;
+    // BENCH_r16's headline landed in one and misstated the engine 2x.
+    // Before the first timed run, poll /proc/loadavg for up to 2 minutes
+    // for a window below 1.0 — bursts are minutes-scale, so this catches
+    // most of them; if none opens, proceed (the min-substitution below is
+    // the second line of defense) and record both the wait and the
+    // loadavg the run started at so the record explains itself.
+    val startWait = System.nanoTime()
+    var l = loadAvg1()
+    while (l > 1.0 && (System.nanoTime() - startWait) < 120e9) {
+      System.err.println(f"[bench] loadavg $l%.1f > 1.0 — waiting for a " +
+        "quiet window (bounded 120s)")
+      Thread.sleep(10000)
+      l = loadAvg1()
+    }
+    val quietWaitSec = (System.nanoTime() - startWait) / 1e9
+    val startLoad = l
     val spark = graft.core.Sessions.local()
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query measures the plan, not JVM startup
@@ -218,10 +236,21 @@ object Bench {
     // unflagged queries' 3 runs). For an unretried query that window IS
     // its 3 runs; for a retried one it is the steady tail — a time
     // window, not a best-of-rank pick. raw_runs still carries every run.
+    //
+    // LOAD IMMUNITY (VERDICT r16 #1): a query whose spread never settled
+    // — retries AND the tail pass exhausted — has a load-poisoned median
+    // by the record's own diagnosis, so its published value is its
+    // SESSION MIN over every run instead (identical plans don't vary 10x;
+    // the min is the one sample load can only inflate, never deflate).
+    // Substituted queries are listed in the `substituted` field so the
+    // headline `value` can no longer misstate the engine 2x while the
+    // evidence sits one field over (the BENCH_r16 failure shape).
+    val substituted = loadFlagged.filterNot(failed.contains)
     val stats = raw.map { case (name, ts) =>
       val w = ts.takeRight(3)
       // a failed query must not shrink the total into a fake improvement
       name -> (if (failed.contains(name)) (-1.0, -1.0)
+               else if (substituted.contains(name)) (ts.min, ts.min)
                else (median(w), w.min))
     }
     val qs = stats.map { case (k, (m, _)) => "\"" + k + f"""\":$m%.3f""" }
@@ -259,10 +288,11 @@ object Bench {
     // is ALWAYS per-query MEDIANS (seconds) over the stat window, `mins`
     // the window mins — labeled so a record reader never has to infer
     // which statistic a dict carries (the BENCH_r08 ambiguity).
+    val substJson = substituted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val head =
-      f""""metric":"total","value":$total%.3f,"unit":"sec","stats":"median and min per query over stat_window; value = sum of medians","stat_window":"last_3_runs","median_total":$total%.3f,"min_total":$minTotal%.3f$vsCommitted"""
+      f""""metric":"total","value":$total%.3f,"unit":"sec","stats":"median and min per query over stat_window; value = sum of medians, with the SESSION MIN substituted for queries whose spread never settled (listed in substituted)","stat_window":"last_3_runs","median_total":$total%.3f,"min_total":$minTotal%.3f$vsCommitted"""
     val tail =
-      s""""load_flagged":$flaggedJson,"requalified":$requalJson,"failed":$failedJson,"sf":"$sfDir""""
+      f""""load_flagged":$flaggedJson,"substituted":$substJson,"requalified":$requalJson,"failed":$failedJson,"quiet_wait_sec":$quietWaitSec%.0f,"start_loadavg":${if (startLoad.isNaN) "null" else f"$startLoad%.1f"},"sf":"$sfDir""""
     // stdout gets the COMPACT line only: the driver records a bounded TAIL
     // of sbt output, and r8's full line was long enough that the head
     // (metric/value/medians) was truncated away, leaving an unlabeled

@@ -309,10 +309,12 @@ object Multimodal extends OpModule {
     // and audit cost — stay CONSTANT at any corpus size.
     "mm_phash_band_coverage_sampled" -> ((s, dir) => {
       import graft.core.Barrier.BarrierOps
+      // validated like storeBuckets (ADVICE r16): a typo'd conf fails
+      // naming its key, not as a bare NumberFormatException
       val mod = s.conf.getOption("spark.graft.bandAuditMod")
-        .map(_.trim.toInt).getOrElse(2)
-      require(mod > 0,
-        s"spark.graft.bandAuditMod must be positive, got $mod")
+        .map(raw => raw.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+          s"spark.graft.bandAuditMod must be a positive int, got '$raw'")))
+        .getOrElse(2)
       val hc = phashes(s, dir).select(col("phash")).distinct()
         .filter(expr("pmod(CAST(conv(substring(md5(concat('bc|', phash))" +
           s", 1, 15), 16, 10) AS BIGINT), $mod) = 0"))
@@ -551,9 +553,11 @@ object Multimodal extends OpModule {
     // measures the fixture's k² clone growth, not the operator
     // (VERDICT r15 #2). Captured as a value — the closure must not drag
     // the session into the task.
+    // validated like storeBuckets (ADVICE r16): fail naming the conf key
     val classes = s.conf.getOption("spark.graft.mmClasses")
-      .map(_.trim.toLong).getOrElse(100L)
-    require(classes > 0, s"spark.graft.mmClasses must be positive, got $classes")
+      .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(sys.error(
+        s"spark.graft.mmClasses must be a positive long, got '$raw'")))
+      .getOrElse(100L)
     spreadToCores(t(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>

@@ -501,9 +501,23 @@ object Relational extends OpModule {
       // silent row loss, not a formatting difference like the
       // date_format queries — so a misconfigured session fails loudly
       // here instead of returning incomplete results (ADVICE r15).
-      require(s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
-        "j3_interval_join requires spark.sql.session.timeZone=UTC: the " +
-          "banded time-bucket math is epoch-exact only under UTC")
+      // normalized via ZoneId, not string equality (ADVICE r16): Spark
+      // defaults the conf to the JVM zone id, so an effectively-UTC
+      // session ("Etc/UTC", "GMT", "+00:00") must pass — the bucket math
+      // is exact under ANY fixed zero-offset, DST-free zone
+      val tz = s.conf.getOption("spark.sql.session.timeZone")
+        .getOrElse(java.util.TimeZone.getDefault.getID)
+      val rules =
+        try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+        catch { case e: java.time.DateTimeException =>
+          throw new IllegalArgumentException(
+            s"j3_interval_join: unparseable session timezone '$tz'", e)
+        }
+      require(rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+        s"j3_interval_join requires a fixed zero-offset session timezone " +
+          s"(UTC / Etc/UTC / GMT / +00:00), got '$tz': the banded " +
+          "time-bucket math is epoch-exact only there")
       val W = 915000000L // microseconds: 15 min + 15 s, the band span
       val ev = t(s, dir, "events")
       val pay = ev.filter(col("event_type") === "purchase")

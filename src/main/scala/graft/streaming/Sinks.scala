@@ -134,6 +134,27 @@ object Sinks {
         .filter(col("__rn") === 1).drop("__rn"))
   }
 
+  /** Cap on the distinct batch keys the changed-key split will carry to
+    * the driver; past it the merge falls back to the unsplit path
+    * automatically (r16 left the fallback as a docstring instruction —
+    * nothing enforced it, so a bulk backfill batch with millions of
+    * distinct keys could stress driver memory before anyone re-read the
+    * doc). The default 1M keys is ~tens of MB collected — well inside any
+    * driver — while every real micro-batch stays far below it; size it
+    * per deployment like `storeBuckets`.
+    */
+  private def keyedSplitMaxKeys(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.keyedSplitMaxKeys") match {
+      case None => 1000000
+      case Some(raw) => raw.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"spark.graft.keyedSplitMaxKeys must be a positive int, got '$raw'"))
+    }
+
+  /** Diagnostic: how many keyed merges fell back to the unsplit path this
+    * JVM (bulk-backfill gate above). Test hook + soak observability only.
+    */
+  private[graft] val keyedSplitFallbacks = new java.util.concurrent.atomic.AtomicLong
+
   /** Split a touched-bucket read around the batch's key set (null-safe, so
     * null-key rows keep their pre-split window semantics): stored rows of
     * keys the batch CHANGES go to the merge, every other stored row rides
@@ -142,9 +163,13 @@ object Sinks {
     * whole content — the difference between "reprocess every key that
     * shares a bucket with a change" and "reprocess what changed" once
     * buckets hold many keys (always true at 100 TB sizing). The key set is
-    * broadcast: a micro-batch's distinct keys are bounded by batch size
-    * (a bulk backfill that overflows the broadcast threshold should merge
-    * through the unsplit [[mergeTouched]] instead).
+    * broadcast: a micro-batch's distinct keys are bounded by batch size.
+    * A bulk backfill past [[keyedSplitMaxKeys]] returns None — the caller
+    * merges through its unsplit form instead; the gate is a LIMIT on the
+    * distinct collect, so driver memory is bounded by the cap even when
+    * the batch holds millions of keys (r16 VERDICT #2). With that many
+    * changed keys the split buys little anyway: most stored rows are in
+    * the merge either way.
     *
     * The key set is materialized on the DRIVER and re-planted as a
     * LocalRelation rather than broadcast-joined straight off the batch
@@ -157,17 +182,78 @@ object Sinks {
     * just routes through an action on the persisted DataFrame itself,
     * the one path the cache provably serves, and makes execute-once
     * STRUCTURAL (a LocalRelation has no lineage to re-run).
+    *
+    * One scan, not two: a marker column off a single left-outer broadcast
+    * join replaces the r16 semi/anti pair, and the joined frame is
+    * persisted so the changed and passthrough branches — consumed in two
+    * subtrees of the rewrite's one union plan, which Spark does not
+    * common-subexpression — read the touched buckets' parquet ONCE
+    * (ADVICE r16; per-batch store IO halves). The third tuple element
+    * releases that cache; callers run it after [[overwriteTouched]].
     */
   private def splitByBatchKeys(spark: SparkSession, ex: DataFrame,
-      inc: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
+      inc: DataFrame, keyCol: String)
+      : Option[(DataFrame, DataFrame, () => Unit)] = {
     import scala.jdk.CollectionConverters._
+    val maxKeys = keyedSplitMaxKeys(spark)
     val field = inc.schema(keyCol)
-    val keyRows = inc.select(col(keyCol)).distinct().collect()
-    val keys = spark.createDataFrame(keyRows.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(field.copy(name = "__mk"))))
-    (ex.join(broadcast(keys), col(keyCol) <=> col("__mk"), "left_semi"),
-      ex.join(broadcast(keys), col(keyCol) <=> col("__mk"), "left_anti"))
+    val keyRows = inc.select(col(keyCol)).distinct().limit(maxKeys + 1).collect()
+    if (keyRows.length > maxKeys) {
+      keyedSplitFallbacks.incrementAndGet()
+      System.err.println(s"[graft] keyed split: batch exceeds $maxKeys " +
+        s"distinct '$keyCol' keys (spark.graft.keyedSplitMaxKeys); " +
+        "merging unsplit")
+      None
+    } else {
+      val keys = spark.createDataFrame(keyRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(field.copy(name = "__mk"))))
+        .withColumn("__ch", lit(true))
+      val marked = ex.join(broadcast(keys), col(keyCol) <=> col("__mk"), "left")
+        .persist()
+      Some((marked.filter(col("__ch").isNotNull).drop("__mk", "__ch"),
+        marked.filter(col("__ch").isNull).drop("__mk", "__ch"),
+        () => { marked.unpersist(); () }))
+    }
   }
+
+  /** Opt-in production twin of the test-scope LineageExecGuard (r16
+    * VERDICT #6): `spark.graft.lineageGuard=true` embeds a row
+    * accumulator in the incoming lineage BELOW the persist boundary of
+    * every store merge and asserts execute-once when the merge completes,
+    * so harness runs (the 16x soak, the scale sweeps) catch a
+    * reintroduced double-execution in situ, not only the spec fixtures.
+    * Off by default: the nondeterministic filter fences optimizer
+    * movement around itself, which is exactly what makes the count exact
+    * but costs pushdown through the batch plan. The check snapshots the
+    * accumulator BEFORE the verification count so a cache-evicted
+    * partition recomputed BY the count cannot false-positive; an eviction
+    * recompute DURING the merge does trip it — acceptable for a debug
+    * conf, and says something real about memory sizing when it fires.
+    */
+  private def guarded(spark: SparkSession, incoming: DataFrame)
+      : (DataFrame, Option[org.apache.spark.util.LongAccumulator]) =
+    if (!spark.conf.getOption("spark.graft.lineageGuard")
+        .exists(_.trim.equalsIgnoreCase("true"))) (incoming, None)
+    else {
+      val acc = spark.sparkContext.longAccumulator("graft-lineage-guard")
+      val tick = udf(() => { acc.add(1L); true }).asNondeterministic()
+      (incoming.filter(tick()), Some(acc))
+    }
+
+  /** Guard epilogue: executed-row count vs the persisted batch's true
+    * row count (a cache read, costing one cheap job only when the guard
+    * conf is on).
+    */
+  private def assertExecutedOnce(site: String, inc: DataFrame,
+      acc: Option[org.apache.spark.util.LongAccumulator]): Unit =
+    acc.foreach { a =>
+      val executed = a.value
+      val rows = inc.count()
+      require(executed == rows, s"[graft] lineageGuard: $site executed the " +
+        s"incoming micro-batch plan ${executed}/${rows} row-increments — " +
+        "the r15 double-execution class is back (or the batch cache was " +
+        "evicted mid-merge)")
+    }
 
   /** [[mergeTouched]] for PER-KEY merges: `merge` receives only the rows
     * of keys present in the batch (stored ∪ incoming); stored rows of
@@ -182,21 +268,28 @@ object Sinks {
   def mergeTouchedKeyed(spark: SparkSession, incoming: DataFrame,
       keyCol: String, dir: String, buckets: Int = DefaultBuckets)(
       merge: DataFrame => DataFrame): Unit = {
-    val inc = incoming.withColumn(BucketCol,
+    val (src, guardAcc) = guarded(spark, incoming)
+    val inc = src.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
       .persist()
+    var release: () => Unit = () => ()
     try {
       val touched = touchedBuckets(inc)
       val (changed, passthrough) = readTouched(spark, touched, dir) match {
-        case Some(ex) =>
-          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
-          (chEx.unionByName(inc, allowMissingColumns = false), Some(pass))
+        case Some(ex) => splitByBatchKeys(spark, ex, inc, keyCol) match {
+          case Some((chEx, pass, rel)) =>
+            release = rel
+            (chEx.unionByName(inc, allowMissingColumns = false), Some(pass))
+          case None => // bulk-backfill gate: the pre-r16 unsplit merge
+            (ex.unionByName(inc, allowMissingColumns = false), None)
+        }
         case None => (inc, None)
       }
       val merged = merge(changed)
       overwriteTouched(passthrough.fold(merged)(merged.unionByName(_)),
         touched, dir)
-    } finally { inc.unpersist(); () }
+      assertExecutedOnce("mergeTouchedKeyed", inc, guardAcc)
+    } finally { release(); inc.unpersist(); () }
   }
 
   /** The generic touched-bucket read-merge-rewrite [[upsert]]
@@ -219,7 +312,8 @@ object Sinks {
     // stateful plan (complete-mode state read + agg), measured 2–4 s per
     // re-execution in the r15 soak DWS stages. A self-contained persist
     // makes the batch plan run once; released before returning.
-    val inc = incoming.withColumn(BucketCol,
+    val (src, guardAcc) = guarded(spark, incoming)
+    val inc = src.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
       .persist()
     try {
@@ -229,6 +323,7 @@ object Sinks {
         case None     => inc
       }
       overwriteTouched(merge(unioned), touched, dir)
+      assertExecutedOnce("mergeTouched", inc, guardAcc)
     } finally { inc.unpersist(); () }
   }
 
@@ -275,9 +370,11 @@ object Sinks {
     // everything from bucket discovery on sits INSIDE the try so the
     // persisted block is released on every failure path too (a leak here
     // accumulates across a long-running streaming driver's batches)
-    val inc = incoming.withColumn(BucketCol,
+    val (src, guardAcc) = guarded(spark, incoming)
+    val inc = src.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
       .persist()
+    var release: () => Unit = () => ()
     try {
       val touched = touchedBuckets(inc)
       // changed-key split (r16, see [[splitByBatchKeys]]): only the keys
@@ -285,10 +382,15 @@ object Sinks {
       // other key's history rows — presentation columns included — ride
       // through exactly as stored (the store IS their recomputed form)
       val (unioned, passthrough) = readTouched(spark, touched, dir) match {
-        case Some(ex) =>
-          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
-          (chEx.select((srcCols :+ BucketCol).map(col): _*)
-            .unionByName(inc), Some(pass))
+        case Some(ex) => splitByBatchKeys(spark, ex, inc, keyCol) match {
+          case Some((chEx, pass, rel)) =>
+            release = rel
+            (chEx.select((srcCols :+ BucketCol).map(col): _*)
+              .unionByName(inc), Some(pass))
+          case None => // bulk-backfill gate: every stored row re-windows
+            (ex.select((srcCols :+ BucketCol).map(col): _*)
+              .unionByName(inc), None)
+        }
         case None => (inc, None)
       }
       val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
@@ -303,7 +405,8 @@ object Sinks {
         .drop("__valid_to_ts")
       overwriteTouched(passthrough.fold(hist)(hist.unionByName(_)),
         touched, dir)
-    } finally { inc.unpersist(); () }
+      assertExecutedOnce("scd2Upsert", inc, guardAcc)
+    } finally { release(); inc.unpersist(); () }
   }
 
   /** K6: dim MERGE — apply a put/delete changelog (op column: 'd' deletes,
@@ -314,19 +417,26 @@ object Sinks {
       seqCol: String, opCol: String, dir: String, buckets: Int = DefaultBuckets): Unit = {
     import org.apache.spark.sql.expressions.Window
     // persist for the same double-execution reason as [[mergeTouched]]
-    val inc = changes.withColumn(BucketCol,
+    val (src, guardAcc) = guarded(spark, changes)
+    val inc = src.withColumn(BucketCol,
       pmod(hash(col(keyCol)), lit(resolveBuckets(dir, requestedBuckets(spark, buckets)))))
       .persist()
+    var release: () => Unit = () => ()
     try {
       val touched = touchedBuckets(inc)
       // changed-key split (r16, see [[splitByBatchKeys]]): only keys in
       // this changelog batch enter the latest-wins window; other keys'
       // dim rows pass through as stored
       val (unioned, passthrough) = readTouched(spark, touched, dir) match {
-        case Some(ex) =>
-          val (chEx, pass) = splitByBatchKeys(spark, ex, inc, keyCol)
-          (chEx.withColumn(opCol, lit("r"))
-            .unionByName(inc, allowMissingColumns = true), Some(pass))
+        case Some(ex) => splitByBatchKeys(spark, ex, inc, keyCol) match {
+          case Some((chEx, pass, rel)) =>
+            release = rel
+            (chEx.withColumn(opCol, lit("r"))
+              .unionByName(inc, allowMissingColumns = true), Some(pass))
+          case None => // bulk-backfill gate: all stored rows re-window
+            (ex.withColumn(opCol, lit("r"))
+              .unionByName(inc, allowMissingColumns = true), None)
+        }
         case None => (inc, None)
       }
       val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
@@ -335,7 +445,8 @@ object Sinks {
         .drop("__rn", opCol)
       overwriteTouched(passthrough.fold(merged)(merged.unionByName(_)),
         touched, dir)
-    } finally { inc.unpersist(); () }
+      assertExecutedOnce("mergeDim", inc, guardAcc)
+    } finally { release(); inc.unpersist(); () }
   }
 
   /** Distinct bucket ids of a batch — bounded by the constant bucket

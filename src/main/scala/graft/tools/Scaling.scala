@@ -448,6 +448,11 @@ object Scaling {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        // r16 VERDICT #6: the soak runs with the production lineage guard
+        // ON — every store merge asserts it executed the micro-batch plan
+        // exactly once, so the r15 double-execution class fails the
+        // harness run itself, not only the spec fixtures
+        .config("spark.graft.lineageGuard", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       // The soak gets its OWN scaled dir: the sweep dirs' documents are
@@ -485,9 +490,21 @@ object Scaling {
       // work (gates) from store-size-shaped work (the probe), which the
       // aggregate stage number conflates.
       val srcFiles = args.lift(3).map(_.toInt).getOrElse(8)
+      // per-stage loadavg (r16 VERDICT #4): the scd2_dim spread (42–170s)
+      // forced two manual base-worktree A/Bs last round — sampling
+      // /proc/loadavg into the stage table makes the host-vs-code call
+      // mechanical (the soak itself keeps cores busy, so readings well
+      // past the run's own footprint are the external-burst signature)
+      def load1(): String =
+        try java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split("\\s+")(0)
+        catch { case _: Throwable => "?" }
       graft.streaming.Jobs.runSoak(spark, dir, work, srcFiles = srcFiles,
-        stageTimer = (st, s) => println(f"[soak] k=$k stage=$st%-10s $s%8.3fs"))
-      println(f"[soak] k=$k total ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+        stageTimer = (st, s) =>
+          println(f"[soak] k=$k stage=$st%-10s $s%8.3fs loadavg=${load1()}"))
+      println(f"[soak] k=$k total ${(System.nanoTime() - t0) / 1e9}%8.3fs " +
+        s"loadavg=${load1()}")
       def du(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
         else f.length()

@@ -236,6 +236,19 @@ class OperatorsSpec extends SparkSpec {
     try intercept[IllegalArgumentException] {
       graft.operators.Relational.queries("j3_interval_join")(spark, sfDir)
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // ...but any EFFECTIVELY-UTC zone id passes (ADVICE r16): Spark
+    // defaults the conf to the JVM zone, so exact string equality
+    // rejected sessions where the bucket math is in fact exact
+    Seq("Etc/UTC", "GMT", "+00:00").foreach { z =>
+      spark.conf.set("spark.sql.session.timeZone", z)
+      try graft.operators.Relational.queries("j3_interval_join")(spark, sfDir)
+      finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    // a fixed but NONZERO offset still refuses (epoch buckets shift)
+    spark.conf.set("spark.sql.session.timeZone", "+05:30")
+    try intercept[IllegalArgumentException] {
+      graft.operators.Relational.queries("j3_interval_join")(spark, sfDir)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("mm: codec stages get the parallelism floor on a single-split " +

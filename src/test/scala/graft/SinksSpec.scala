@@ -148,6 +148,88 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === Map(2L -> "y"))
   }
 
+  test("r17 bulk-backfill gate: a batch past spark.graft.keyedSplitMaxKeys " +
+      "merges unsplit and produces a byte-identical store") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bulkgate").toString
+    def ts(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$n%d 00:00:00")
+    // same two batches against two stores per entry point: `split` under
+    // the default cap, `bulk` with the cap forced below the second
+    // batch's key count — the gate must route through the unsplit merge
+    // (bounded driver collect) and the stores must not differ in any row
+    def drive(suffix: String): Unit = {
+      Sinks.upsert(spark, (1L to 6L).map(k => (k, s"v$k", 1L))
+        .toDF("k", "v", "seq"), "k", "seq", s"$root/t$suffix", buckets = 1)
+      Sinks.upsert(spark, (1L to 4L).map(k => (k, s"w$k", 2L))
+        .toDF("k", "v", "seq"), "k", "seq", s"$root/t$suffix", buckets = 1)
+      Sinks.scd2Upsert(spark, (1L to 6L).map(k => (k, 1L, ts(1), s"v$k"))
+        .toDF("k", "seq", "ts", "v"), "k", "seq", "ts", s"$root/h$suffix",
+        buckets = 1)
+      Sinks.scd2Upsert(spark, (1L to 4L).map(k => (k, 2L, ts(2), s"w$k"))
+        .toDF("k", "seq", "ts", "v"), "k", "seq", "ts", s"$root/h$suffix",
+        buckets = 1)
+      Sinks.mergeDim(spark, (1L to 6L).map(k => (k, s"v$k", 1L, "c"))
+        .toDF("k", "v", "seq", "op"), "k", "seq", "op", s"$root/d$suffix",
+        buckets = 1)
+      Sinks.mergeDim(spark,
+        ((1L to 3L).map(k => (k, s"w$k", 2L, "u")) :+ ((4L, "x", 2L, "d")))
+          .toDF("k", "v", "seq", "op"), "k", "seq", "op", s"$root/d$suffix",
+        buckets = 1)
+    }
+    drive("split")
+    val before = Sinks.keyedSplitFallbacks.get()
+    spark.conf.set("spark.graft.keyedSplitMaxKeys", "2")
+    try drive("bulk") finally spark.conf.unset("spark.graft.keyedSplitMaxKeys")
+    // 3 second batches (4 keys each) over an existing store > cap 2 → 3
+    // fallbacks; the 6-key seed batches hit empty stores (no split runs)
+    assert(Sinks.keyedSplitFallbacks.get() - before === 3L,
+      "the oversized batches must have taken the unsplit path")
+    Seq("t", "h", "d").foreach { s =>
+      val a = Sinks.readStore(spark, s"$root/${s}split").collect()
+        .map(_.toString).sorted.toSeq
+      val b = Sinks.readStore(spark, s"$root/${s}bulk").collect()
+        .map(_.toString).sorted.toSeq
+      assert(a === b, s"store '$s': split and bulk paths must agree")
+      assert(a.nonEmpty)
+    }
+    // a typo'd cap fails naming its conf, like storeBuckets
+    spark.conf.set("spark.graft.keyedSplitMaxKeys", "many")
+    try {
+      val e = intercept[RuntimeException] {
+        Sinks.upsert(spark, Seq((1L, "a", 3L)).toDF("k", "v", "seq"),
+          "k", "seq", s"$root/tsplit", buckets = 1)
+      }
+      assert(e.getMessage.contains("keyedSplitMaxKeys"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.keyedSplitMaxKeys")
+  }
+
+  test("r17 production lineage guard: spark.graft.lineageGuard=true " +
+      "asserts execute-once inside every merge entry point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("prodguard").toString
+    spark.conf.set("spark.graft.lineageGuard", "true")
+    try {
+      // a miscounting guard (e.g. the tick filter executing twice, or the
+      // verification count re-running lineage) would throw right here —
+      // green means the guard's exactly-once arithmetic holds on fresh
+      // AND existing-store merges of all three shapes
+      def batch(seq: Long) = spark.range(8)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+          lit(seq).as("seq"))
+      Sinks.upsert(spark, batch(1L), "k", "seq", s"$root/t")
+      Sinks.upsert(spark, batch(2L), "k", "seq", s"$root/t")
+      Sinks.scd2Upsert(spark, batch(1L)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("k"))),
+        "k", "seq", "ts", s"$root/h")
+      Sinks.mergeDim(spark, batch(1L).withColumn("op", lit("c")),
+        "k", "seq", "op", s"$root/d")
+      val t = Sinks.readStore(spark, s"$root/t")
+      assert(t.count() === 8L && t.filter(col("seq") =!= 2L).isEmpty,
+        "guard must not perturb merge results")
+    } finally spark.conf.unset("spark.graft.lineageGuard")
+  }
+
   test("K6 dim merge applies puts then deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dim").toString + "/d"
