@@ -108,10 +108,19 @@ object Bench {
     * gate anything, but a record showing loadavg 3x the core count
     * explains a poisoned median without re-adjudication.
     */
-  private def loadAvg1(): Double =
+  private def loadAvg1(): Double = loadAvg(0)
+  /** 5-minute load average — the quiet-wait gate reads it alongside the
+    * 1-minute value because a JUST-ENDED burst leaves l1 low while the
+    * machine is still draining (page cache churn, background IO): an r17
+    * pin launched at l1=0.25 / l5=0.65 / l15=1.76 read a graded 1.29x
+    * median inflation with zero spread flags — the post-burst band, not
+    * a quiet window.
+    */
+  private def loadAvg5(): Double = loadAvg(1)
+  private def loadAvg(idx: Int): Double =
     try java.nio.file.Files
       .readString(java.nio.file.Paths.get("/proc/loadavg"))
-      .split("\\s+")(0).toDouble
+      .split("\\s+")(idx).toDouble
     catch { case _: Throwable => Double.NaN }
 
   def main(args: Array[String]): Unit = {
@@ -137,11 +146,14 @@ object Bench {
     // loadavg the run started at so the record explains itself.
     val startWait = System.nanoTime()
     var l = loadAvg1()
-    while (l > 1.0 && (System.nanoTime() - startWait) < 120e9) {
-      System.err.println(f"[bench] loadavg $l%.1f > 1.0 — waiting for a " +
-        "quiet window (bounded 120s)")
+    var l5 = loadAvg5()
+    // l5 gates too (see loadAvg5): a burst that ended seconds ago shows
+    // l1 quiet while the window is still the degraded post-burst band
+    while ((l > 1.0 || l5 > 1.5) && (System.nanoTime() - startWait) < 180e9) {
+      System.err.println(f"[bench] loadavg $l%.1f/5min $l5%.1f above " +
+        "1.0/1.5 — waiting for a quiet window (bounded 180s)")
       Thread.sleep(10000)
-      l = loadAvg1()
+      l = loadAvg1(); l5 = loadAvg5()
     }
     val quietWaitSec = (System.nanoTime() - startWait) / 1e9
     val startLoad = l
