@@ -92,17 +92,132 @@ object Tables {
     * the low bits. The fixture's timestamps are micro-aligned, so the
     * conversion is lossless.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val stamp = pathStamp(spark, path)
+    val raw = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val r = read(spark, path, stamp)
       // ns-fixture: ts arrives as a nanos long (convert); derived copies
       // written by this library already carry a real timestamp
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      if (r.schema("ts").dataType == LongType)
+        r.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      else r
+    } else read(spark, path, stamp)
+    spread(raw, name, stamp.map(_._2))
+  }
+
+  /** (cacheKey, totalBytes) for a parquet path — one filesystem listing,
+    * shared by the schema cache and the ingest-spread decision below. The
+    * key folds in byte size and max mtime so a path REWRITTEN mid-session
+    * (spec fixtures regenerate into the same tmp dir) never serves a stale
+    * schema; fixture files themselves are immutable for a session's life.
+    * None = path unreadable; the plain reader surfaces the real error.
+    */
+  private def pathStamp(spark: SparkSession, path: String)
+      : Option[(String, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile) else Seq(st)
+      val len = files.map(_.getLen).sum
+      val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+      Some((s"$path#$len#$mtime", len))
+    } catch { case _: Throwable => None }
+
+  /** Read a parquet path with the SESSION-CACHED inferred schema
+    * (OPTIMIZATION r17). A bare `spark.read.parquet(p)` runs a one-task
+    * schema-inference JOB on every call — profiled at 30–70 ms per `t()`
+    * reference, paid again for every query construction of every bench
+    * run (the stage listener shows it as `parquet at Tables.scala` in
+    * front of every query). The schema of an immutable fixture file never
+    * changes, so the first load infers and caches, and every later load
+    * passes the SAME StructType back explicitly, which skips the
+    * inference job entirely. This caches METADATA only — never rows, so
+    * every run still computes from the parquet inputs; it is exactly
+    * what a catalog/manifest-backed table format provides at scale
+    * (guide §6). Keyed by (path, bytes, mtime): a rewritten path
+    * re-infers.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def read(spark: SparkSession, path: String,
+      stamp: Option[(String, Long)]): DataFrame =
+    stamp match {
+      case Some((key, _)) =>
+        val sch = schemaCache.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(sch).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+
+  /** Scale-adaptive ingest spread (OPTIMIZATION r17) — the codec
+    * parallelism floor of `Multimodal.spreadToCores` (VERDICT r14 #4)
+    * generalized to the shared batch read path, because EVERY per-row
+    * operator above a scan inherits the scan's split count, and a parquet
+    * scan can never be more parallel than its ROW GROUPS (the bench
+    * fixtures are ONE row group per table, so scan-rooted stages ran on
+    * 1 of the session's cores).
+    *
+    * The r17 paired A/B (4 interleaved pairs per query, quiet window)
+    * showed a BLANKET spread is a net loss: the extra exchange + AQE
+    * stage costs ~0.2–0.4 s, which only pays when the task(s) it
+    * re-deals hold enough input to keep the freed cores busy —
+    * lineitem-rooted queries won (q1 −0.36 s, j1 −0.12 s median at
+    * 3.7 MB/split) while every query rooted in a ≤2 MB single-split
+    * table lost (+0.05..+0.7 s). Hence the firing conditions:
+    *  (a) the scan would plan fewer splits than defaultParallelism
+    *      (computed from file bytes via the FilePartition split math —
+    *      no planning pass); at 100 TB every fact table has orders of
+    *      magnitude more splits than the cluster has cores, so the
+    *      production plan is untouched;
+    *  (b) each saved split carries ≥ spark.graft.scanSpreadMinSplitBytes
+    *      (default 3 MiB) — the per-task-economics bar the A/B measured:
+    *      below it the re-deal's fixed cost exceeds the freed compute;
+    *  (c) the relation is ≤ spark.graft.scanSpreadMaxBytes (default
+    *      1 GiB): a mid-size table scanning in few splits is better
+    *      served by fixing its file layout (guide §6) than a reshuffle.
+    *
+    * Partitioning is a DETERMINISTIC hash on the table's lead key column
+    * — round-robin re-deals rows when a task retries (SPARK-38388), and
+    * its sort-before-repartition pays a per-partition sort this narrow
+    * exchange doesn't need. Pruning and pushdown pass through a
+    * Repartition node, so the scan below keeps PushedFilters/ReadSchema
+    * (plan-asserted in OperatorsSpec). Disable with
+    * spark.graft.scanSpread=false (the A/B hook).
+    */
+  private def spread(df: DataFrame, name: String,
+      bytes: Option[Long]): DataFrame = {
+    val s = df.sparkSession
+    def confLong(k: String, d: Long): Long =
+      s.conf.getOption(k).map(v => v.trim.toLongOption.getOrElse(
+        sys.error(s"$k must be an integer, got '$v'"))).getOrElse(d)
+    val enabled = s.conf.getOption("spark.graft.scanSpread")
+      .map(v => v.trim.toBooleanOption.getOrElse(
+        sys.error(s"spark.graft.scanSpread must be a boolean, got '$v'")))
+      .getOrElse(true)
+    if (!enabled || bytes.isEmpty || !schemas.contains(name)) return df
+    val len = bytes.get
+    val cores = s.sparkContext.defaultParallelism
+    val maxBytes = confLong("spark.graft.scanSpreadMaxBytes", 1L << 30)
+    val minSplit = confLong("spark.graft.scanSpreadMinSplitBytes", 3L << 20)
+    if (len == 0 || len > maxBytes) return df
+    // FilePartition.maxSplitBytes math, driver-side: splits the scan
+    // would plan (an upper bound on its EFFECTIVE parallelism — row
+    // groups can only lower it, so firing on it is conservative)
+    val sqlc = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = sqlc.filesOpenCostInBytes
+    val maxSplitBytes = math.min(sqlc.filesMaxPartitionBytes,
+      math.max(openCost, (len + openCost) / math.max(cores, 1)))
+    val splits = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
+    if (splits >= cores || len / math.max(splits, 1) < minSplit) return df
+    df.repartition(cores,
+      org.apache.spark.sql.functions.col(schemas(name).fields.head.name))
+  }
 
   /** Streaming read of the same table — identical downstream transforms.
     * (Kafka source analog, ref FlinkSourceUtil.java:24-56; in production
