@@ -105,7 +105,7 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
       else r
     } else read(spark, path, stamp)
-    spread(raw, name, stamp.map(_._2))
+    spread(raw, name, stamp.map(_._2).getOrElse(Seq.empty))
   }
 
   /** (cacheKey, totalBytes) for a parquet path — one filesystem listing,
@@ -116,16 +116,16 @@ object Tables {
     * None = path unreadable; the plain reader surfaces the real error.
     */
   private def pathStamp(spark: SparkSession, path: String)
-      : Option[(String, Long)] =
+      : Option[(String, Seq[Long])] =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       val files =
         if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile) else Seq(st)
-      val len = files.map(_.getLen).sum
+      val lens = files.map(_.getLen)
       val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
-      Some((s"$path#$len#$mtime", len))
+      Some((s"$path#${lens.sum}#$mtime", lens))
     } catch { case _: Throwable => None }
 
   /** Read a parquet path with the SESSION-CACHED inferred schema
@@ -146,7 +146,7 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def read(spark: SparkSession, path: String,
-      stamp: Option[(String, Long)]): DataFrame =
+      stamp: Option[(String, Seq[Long])]): DataFrame =
     stamp match {
       case Some((key, _)) =>
         val sch = schemaCache.computeIfAbsent(key,
@@ -191,7 +191,7 @@ object Tables {
     * spark.graft.scanSpread=false (the A/B hook).
     */
   private def spread(df: DataFrame, name: String,
-      bytes: Option[Long]): DataFrame = {
+      fileLens: Seq[Long]): DataFrame = {
     val s = df.sparkSession
     def confLong(k: String, d: Long): Long =
       s.conf.getOption(k).map(v => v.trim.toLongOption.getOrElse(
@@ -200,20 +200,25 @@ object Tables {
       .map(v => v.trim.toBooleanOption.getOrElse(
         sys.error(s"spark.graft.scanSpread must be a boolean, got '$v'")))
       .getOrElse(true)
-    if (!enabled || bytes.isEmpty || !schemas.contains(name)) return df
-    val len = bytes.get
+    if (!enabled || fileLens.isEmpty || !schemas.contains(name)) return df
+    val len = fileLens.sum
     val cores = s.sparkContext.defaultParallelism
     val maxBytes = confLong("spark.graft.scanSpreadMaxBytes", 1L << 30)
     val minSplit = confLong("spark.graft.scanSpreadMinSplitBytes", 3L << 20)
     if (len == 0 || len > maxBytes) return df
-    // FilePartition.maxSplitBytes math, driver-side: splits the scan
-    // would plan (an upper bound on its EFFECTIVE parallelism — row
-    // groups can only lower it, so firing on it is conservative)
+    // FilePartition.maxSplitBytes math, driver-side, PER FILE (a parquet
+    // file splits into ceil(len/maxSplitBytes) pieces; small files can
+    // only pack together, never split further — so Σ per-file splits is
+    // the scan's parallelism ceiling, and row groups can only lower it:
+    // firing on it is conservative). The openCost term charges each file
+    // the same padding FilePartition uses when sizing bytesPerCore.
     val sqlc = org.apache.spark.sql.internal.SQLConf.get
     val openCost = sqlc.filesOpenCostInBytes
+    val padded = len + openCost * fileLens.size
     val maxSplitBytes = math.min(sqlc.filesMaxPartitionBytes,
-      math.max(openCost, (len + openCost) / math.max(cores, 1)))
-    val splits = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
+      math.max(openCost, padded / math.max(cores, 1)))
+    val splits = fileLens
+      .map(l => ((l + maxSplitBytes - 1) / maxSplitBytes).toInt).sum
     if (splits >= cores || len / math.max(splits, 1) < minSplit) return df
     df.repartition(cores,
       org.apache.spark.sql.functions.col(schemas(name).fields.head.name))
