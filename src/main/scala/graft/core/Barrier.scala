@@ -9,14 +9,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * Two modes, selected by the `spark.graft.reuseBarrier` conf:
   *
-  *  - `localCheckpoint` (default, right for local[n]): truncates lineage
+  *  - `localCheckpoint` (the default on local masters): truncates lineage
   *    into the block manager. Fastest single-JVM barrier, but an executor
   *    loss on a real cluster kills the job (no lineage to recompute), and
   *    blocks live until released.
   *  - `persist`: `persist(DISK_ONLY)` + eager materialization. Keeps
   *    lineage (executor loss recomputes only lost blocks), never competes
   *    with execution memory, and releases deterministically via
-  *    [[releaseAll]]. The cluster-mode choice.
+  *    [[releaseAll]]. The cluster-mode choice — and the DEFAULT on
+  *    non-local masters (see [[defaultMode]]).
   *
   * Lifecycle: barrier blocks are NOT free — SCALING.md measured a later
   * query inflating 2× at 16× data purely from accumulated barrier storage.
@@ -53,6 +54,18 @@ object Barrier {
 
   val ConfKey = "spark.graft.reuseBarrier"
 
+  /** Default barrier mode when [[ConfKey]] is unset (OPTIMIZATION r18,
+    * VERDICT r17 #3): `localCheckpoint` truncates lineage into the block
+    * manager, so on a REAL cluster an executor/block loss mid-query is
+    * unrecoverable — the right default there is the `persist(DISK_ONLY)`
+    * mode, which keeps lineage and recomputes only lost blocks. Local
+    * masters keep the faster single-JVM localCheckpoint (an executor loss
+    * IS the JVM dying; there is nothing to recover to). An explicit conf
+    * always wins — this only picks the unset-conf default.
+    */
+  private[graft] def defaultMode(master: String): String =
+    if (master.startsWith("local")) "localCheckpoint" else "persist"
+
   private final class Scope {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val ckptRddIds = scala.collection.mutable.Set.empty[Int]
@@ -75,13 +88,23 @@ object Barrier {
     // releaseAll — sweeping here bounds that growth at the next barrier
     // creation from ANY thread
     sweepDead(df.sparkSession)
-    df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
+    materialize(df, myScope())
+  }
+
+  /** Materialize one barrier, registering its blocks in `scope` (which may
+    * belong to a thread other than the one running the job — see [[all]]).
+    * Scope mutation is monitor-guarded, so cross-thread registration is
+    * safe as long as the owning thread stays alive, which [[all]]'s caller
+    * does by construction.
+    */
+  private def materialize(df: DataFrame, scope: Scope): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey)
+      .getOrElse(defaultMode(df.sparkSession.sparkContext.master)) match {
       case "persist" =>
         val p = df.persist(StorageLevel.DISK_ONLY)
         // materialize now: downstream readers hit the store instead of
         // racing to populate it, mirroring localCheckpoint's eagerness
         p.queryExecution.toRdd.count()
-        val scope = myScope()
         scope.synchronized { scope.persisted += p }
         p
       case _ =>
@@ -93,10 +116,42 @@ object Barrier {
         val ids = out.queryExecution.logical.collect {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
         }
-        val scope = myScope()
         scope.synchronized { scope.ckptRddIds ++= ids }
         out
     }
+
+  /** Materialize several INDEPENDENT barriers CONCURRENTLY (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially; a query whose plan needs two unrelated relations
+    * materialized was paying their job tails back to back). Each input
+    * materializes on its own thread while every created block registers
+    * in the CALLING thread's scope, so the create/release-on-one-thread
+    * ownership contract is unchanged — `releaseAll` on the caller drops
+    * them all, and the short-lived workers own nothing a sweep could
+    * reclaim. Spark's scheduler interleaves the jobs (FIFO: later legs
+    * back-fill cores the first leg's tail frees). Result order matches
+    * input order; the first failure rethrows after every worker settles.
+    */
+  def all(dfs: Seq[DataFrame]): Seq[DataFrame] = dfs match {
+    case Seq() => Seq.empty
+    case Seq(one) => Seq(apply(one))
+    case _ =>
+      dfs.headOption.foreach(df => sweepDead(df.sparkSession))
+      val scope = myScope()
+      val results = new Array[Either[Throwable, DataFrame]](dfs.size)
+      val threads = dfs.zipWithIndex.map { case (df, i) =>
+        val t = new Thread(() => {
+          results(i) =
+            try Right(materialize(df, scope))
+            catch { case e: Throwable => Left(e) }
+        }, s"graft-barrier-all-$i")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      results.collectFirst { case Left(e) => e }.foreach(throw _)
+      results.map(_.toOption.get).toSeq
   }
 
   /** `df.barrier()` chain syntax at call sites. */

@@ -110,10 +110,16 @@ object Tables {
 
   /** (cacheKey, totalBytes) for a parquet path — one filesystem listing,
     * shared by the schema cache and the ingest-spread decision below. The
-    * key folds in byte size and max mtime so a path REWRITTEN mid-session
-    * (spec fixtures regenerate into the same tmp dir) never serves a stale
+    * key folds in EVERY data file's (name, length, mtime) — not just the
+    * totals (ADVICE r17: a rewrite preserving total bytes within one mtime
+    * tick must still miss) — so a path REWRITTEN mid-session (spec
+    * fixtures regenerate into the same tmp dir) never serves a stale
     * schema; fixture files themselves are immutable for a session's life.
+    * Directory listings skip `_`/`.`-prefixed entries (_SUCCESS,
+    * .crc) to match Spark's own data-file filter — counting them would
+    * pad the openCost math and perturb the split estimate.
     * None = path unreadable; the plain reader surfaces the real error.
+    * Only NonFatal errors downgrade — OOM/interrupts propagate.
     */
   private def pathStamp(spark: SparkSession, path: String)
       : Option[(String, Seq[Long])] =
@@ -122,11 +128,18 @@ object Tables {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       val files =
-        if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile) else Seq(st)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.filter(f => f.isFile && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Seq(st)
       val lens = files.map(_.getLen)
-      val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
-      Some((s"$path#${lens.sum}#$mtime", lens))
-    } catch { case _: Throwable => None }
+      val sig = files.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .mkString(",")
+      Some((s"$path#$sig", lens))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Read a parquet path with the SESSION-CACHED inferred schema
     * (OPTIMIZATION r17). A bare `spark.read.parquet(p)` runs a one-task
@@ -149,6 +162,12 @@ object Tables {
       stamp: Option[(String, Seq[Long])]): DataFrame =
     stamp match {
       case Some((key, _)) =>
+        // bound the cache (ADVICE r17): every rewrite strands its old
+        // entry, so a long session regenerating fixtures could grow this
+        // without limit; schemas are tiny but the keys embed file lists.
+        // A rare full clear is cheaper than LRU bookkeeping — the next
+        // loads just re-infer once each.
+        if (schemaCache.size > 512) schemaCache.clear()
         val sch = schemaCache.computeIfAbsent(key,
           _ => spark.read.parquet(path).schema)
         spark.read.schema(sch).parquet(path)
@@ -182,8 +201,13 @@ object Tables {
     *      1 GiB): a mid-size table scanning in few splits is better
     *      served by fixing its file layout (guide §6) than a reshuffle.
     *
-    * Partitioning is a DETERMINISTIC hash on the table's lead key column
-    * — round-robin re-deals rows when a task retries (SPARK-38388), and
+    * Partitioning is a DETERMINISTIC hash over ALL of the table's columns
+    * (r18, VERDICT r17 #6: the r17 lead-key hash silently under-delivered
+    * on a low-cardinality or skewed lead column — a constant key would
+    * re-deal everything into ONE partition; the full row hash is
+    * shape-proof for any table whose rows are mostly distinct, which every
+    * declared fixture table is). Deterministic hash, not round-robin —
+    * round-robin re-deals rows when a task retries (SPARK-38388), and
     * its sort-before-repartition pays a per-partition sort this narrow
     * exchange doesn't need. Pruning and pushdown pass through a
     * Repartition node, so the scan below keeps PushedFilters/ReadSchema
@@ -212,7 +236,10 @@ object Tables {
     // the scan's parallelism ceiling, and row groups can only lower it:
     // firing on it is conservative). The openCost term charges each file
     // the same padding FilePartition uses when sizing bytesPerCore.
-    val sqlc = org.apache.spark.sql.internal.SQLConf.get
+    // one conf source (ADVICE r17): read the split knobs from THIS df's
+    // session, not the thread-local active one — multi-session callers
+    // (BenchServer threads, suite-vs-query sessions) can differ
+    val sqlc = s.sessionState.conf
     val openCost = sqlc.filesOpenCostInBytes
     val padded = len + openCost * fileLens.size
     val maxSplitBytes = math.min(sqlc.filesMaxPartitionBytes,
@@ -220,8 +247,8 @@ object Tables {
     val splits = fileLens
       .map(l => ((l + maxSplitBytes - 1) / maxSplitBytes).toInt).sum
     if (splits >= cores || len / math.max(splits, 1) < minSplit) return df
-    df.repartition(cores,
-      org.apache.spark.sql.functions.col(schemas(name).fields.head.name))
+    df.repartition(cores, schemas(name).fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)): _*)
   }
 
   /** Streaming read of the same table — identical downstream transforms.

@@ -286,8 +286,12 @@ object Dedup extends OpModule {
         .select(col("doc_id"),
           coalesce(expr("simhash60(text)"), lit(allOnes)).as("sig"))
         .barrier() // distinct roster + same-sig pairs + both expansions
-      val ds = sigs.select(col("sig")).distinct().barrier()
-      val banded = ds
+      // distinct → band-explode → bucket repartition in ONE chain behind
+      // ONE barrier (r18, VERDICT r17 #2): the r17 intermediate ds
+      // checkpoint had a single consumer, so its materialization bought
+      // nothing but an extra job + block write; only the self-join-facing
+      // banded relation needs the barrier.
+      val banded = sigs.select(col("sig")).distinct()
         .select(col("sig"), posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(sig, ${15 * b}) & 32767")): _*)))
         .select(col("sig"), col("pos").as("band"), col("col").as("bval"))

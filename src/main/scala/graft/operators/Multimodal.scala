@@ -172,10 +172,32 @@ object Multimodal extends OpModule {
     */
   private def spreadToCores(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < cores)
-      df.repartition(cores, col("doc_id"))
-    else df
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val n = df.queryExecution.toRdd.getNumPartitions
+    if (n >= cores) return df
+    // Work-per-task bar (r18, VERDICT r17 #5): the r14 floor re-dealt ANY
+    // sub-cores input to ALL cores, which over-spreads tiny inputs — the
+    // 8-core driver run beat the 32-core run (ratio 0.67) because 32
+    // tasks of ~18 KB each are scheduling overhead, not parallelism.
+    // Like the ingest spread's per-split bar, the target task count is
+    // input-size-derived: enough tasks that each holds
+    // >= codecMinBytesPerTask of payload (decode cost tracks payload
+    // bytes), capped at cores. 0 disables the bar (always spread to
+    // cores). At production split counts (n >= cores) this whole floor
+    // is a no-op either way.
+    val minPer = s.conf.getOption("spark.graft.codecMinBytesPerTask")
+      .map(v => v.trim.toLongOption.getOrElse(sys.error(
+        "spark.graft.codecMinBytesPerTask must be an integer, got '" + v +
+          "'"))).getOrElse(32L << 10)
+    val target =
+      if (minPer <= 0) cores
+      else {
+        // driver-side estimate from the scan's file bytes — no data pass
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / minPer).min(BigInt(cores)).max(BigInt(1)).toInt
+      }
+    if (n < target) df.repartition(target, col("doc_id")) else df
   }
 
   /** The (doc_id, payload) relation every codec stage decodes — factored

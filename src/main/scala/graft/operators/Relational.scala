@@ -56,10 +56,14 @@ object Relational extends OpModule {
     // Column chains per row per side.
     "q_join_size_sketches" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val ca = t(s, dir, "orders")
-        .select(col("o_orderkey").cast("string").as("k")).barrier()
-      val cb = t(s, dir, "lineitem")
-        .select(col("l_orderkey").cast("string").as("k")).barrier()
+      // the two fact-side key relations are independent — materialize
+      // their barriers CONCURRENTLY (r18, guide §2.6) instead of paying
+      // the two job tails back to back
+      val Seq(ca, cb) = graft.core.Barrier.all(Seq(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k")),
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("string").as("k"))))
       def sketch(side: org.apache.spark.sql.DataFrame, p: String) =
         side.select(expr("agms_signs(k)").as("sg"))
           .agg(sum(element_at(col("sg"), 1)).as(s"${p}0"),
@@ -118,15 +122,18 @@ object Relational extends OpModule {
     // join and shuffling ~the matching tenth: prune_ppm IS the shuffle
     // saved.
     "j9_bloom_semijoin" -> ((s, dir) => {
-      val dimSel = t(s, dir, "part").filter(col("p_size") >= 46)
-        .select(col("p_partkey")).barrier() // bitmap + truth + join side
+      // dim side and fact side are independent — concurrent barriers
+      // (r18, guide §2.6); dimSel serves bitmap + truth + join side,
+      // fact is counted, probed, and ground-truth joined
+      val Seq(dimSel, fact) = graft.core.Barrier.all(Seq(
+        t(s, dir, "part").filter(col("p_size") >= 46)
+          .select(col("p_partkey")),
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), " +
+              "1, 15), 16, 10) AS BIGINT)").as("fpl"))))
       val bitmap = TextAnalysis.bloomBitmapFromFps(
         dimSel.select(md5(col("p_partkey").cast("string")).as("fp")))
-      val fact = t(s, dir, "lineitem")
-        .select(col("l_partkey"),
-          expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), " +
-            "1, 15), 16, 10) AS BIGINT)").as("fpl"))
-        .barrier() // counted, probed, and ground-truth joined
       val pass = fact.join(broadcast(bitmap), lit(true))
         .filter(expr(TextAnalysis.bloomMightContain))
         .select(col("l_partkey"))
@@ -161,16 +168,27 @@ object Relational extends OpModule {
     // is 32-row or 1-row relations crossJoined. The exact twin's
     // count-join is key-keyed, output-bounded — never the row join.
     "q_join_card_estimate" -> ((s, dir) => {
-      def one(name: String, ta: String, ka: String, tb: String,
-          kb: String): org.apache.spark.sql.DataFrame = {
-        val ca = t(s, dir, ta).groupBy(col(ka).as("k"))
-          .agg(count(lit(1)).as("c")).barrier()
-        val cb = t(s, dir, tb).groupBy(col(kb).as("k"))
-          .agg(count(lit(1)).as("c")).barrier()
-        val ma = ca.orderBy(col("c").desc, col("k").asc).limit(32)
-          .barrier()
-        val mb = cb.orderBy(col("c").desc, col("k").asc).limit(32)
-          .barrier()
+      val legs = Seq(
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem",
+          "l_orderkey"),
+        ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"))
+      // the three legs' SIX key-count rollups are independent, as are the
+      // six MCV cuts over them — materialize each tier's barriers
+      // CONCURRENTLY (r18, guide §2.6) instead of twelve sequential job
+      // tails
+      val counts = graft.core.Barrier.all(legs.flatMap {
+        case (_, ta, ka, tb, kb) => Seq(
+          t(s, dir, ta).groupBy(col(ka).as("k")).agg(count(lit(1)).as("c")),
+          t(s, dir, tb).groupBy(col(kb).as("k")).agg(count(lit(1)).as("c")))
+      })
+      val mcvs = graft.core.Barrier.all(counts.map(c =>
+        c.orderBy(col("c").desc, col("k").asc).limit(32)))
+      def one(name: String, ca: org.apache.spark.sql.DataFrame,
+          cb: org.apache.spark.sql.DataFrame,
+          ma: org.apache.spark.sql.DataFrame,
+          mb: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
         val tot = ca.agg(sum(col("c")).as("rows_a"),
             count(lit(1)).as("nd_a"))
           .crossJoin(cb.agg(sum(col("c")).as("rows_b"),
@@ -203,24 +221,26 @@ object Relational extends OpModule {
             expr("(abs(est_rows - exact_rows) * 1000000)" +
               " DIV greatest(exact_rows, 1)").as("err_ppm"))
       }
-      one("orders_lineitem", "orders", "o_orderkey", "lineitem",
-        "l_orderkey")
-        .unionByName(one("part_lineitem", "part", "p_partkey",
-          "lineitem", "l_partkey"))
-        .unionByName(one("customer_orders", "customer", "c_custkey",
-          "orders", "o_custkey"))
+      legs.zipWithIndex.map { case ((name, _, _, _, _), i) =>
+        one(name, counts(2 * i), counts(2 * i + 1),
+          mcvs(2 * i), mcvs(2 * i + 1))
+      }.reduce(_ unionByName _)
     }),
     "q_skew_report" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      def report(rel: String, key: String,
-          df: org.apache.spark.sql.DataFrame) = {
+      def cumOf(key: String, df: org.apache.spark.sql.DataFrame) = {
         val dist = df.groupBy(col(key).as("k"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("c")).agg(count(lit(1)).as("nk"))
+        // bounded-window: input is the count-of-counts histogram —
+        // rows = distinct per-key multiplicities, not keys
         val w = Window.orderBy(col("c"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // bounded unpartitioned window: rows = distinct per-key counts
-        val cum = dist.withColumn("cum", sum(col("nk")).over(w)).barrier()
+        dist.withColumn("cum", sum(col("nk")).over(w))
+      }
+      def report(rel: String, key: String,
+          cum: org.apache.spark.sql.DataFrame) = {
         val tot = cum.agg(sum(col("nk")).as("n_keys"),
           sum(col("c") * col("nk")).as("n_rows"),
           max(col("c")).as("max_per_key"))
@@ -237,8 +257,13 @@ object Relational extends OpModule {
             expr("(max_per_key * n_keys * 1000000) DIV n_rows")
               .as("hot_ratio_ppm"))
       }
-      report("lineitem", "l_orderkey", t(s, dir, "lineitem"))
-        .unionByName(report("events", "user_id", t(s, dir, "events")))
+      // the two relation reports are independent — their histogram
+      // barriers materialize CONCURRENTLY (r18, guide §2.6)
+      val Seq(cumL, cumE) = graft.core.Barrier.all(Seq(
+        cumOf("l_orderkey", t(s, dir, "lineitem")),
+        cumOf("user_id", t(s, dir, "events"))))
+      report("lineitem", "l_orderkey", cumL)
+        .unionByName(report("events", "user_id", cumE))
     }),
     // TPC-H Q1-style pricing summary: the headline scan+agg.
     "q1_pricing_summary" -> ((s, dir) => {

@@ -413,6 +413,8 @@ object TextAnalysis extends OpModule {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .barrier() // read by both granularity tiers
       def curve(first: org.apache.spark.sql.DataFrame, kind: String) = {
+        // bounded-window: input is the binary-length bucket rollup —
+        // ≤ 64 rows at any corpus size (j = length(bin(doc_id)))
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("j"))
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
@@ -896,6 +898,8 @@ object TextAnalysis extends OpModule {
         .barrier() // counted AND joined-back-to — one pair pass, not two
       val counts = pairs.groupBy(col("pfp"))
         .agg(count(lit(1)).as("pair_count"))
+      // bounded-window: ranks the 40-row limit() below — never the
+      // unbounded counts relation
       val w = Window.orderBy(col("pair_count").desc, col("pfp").asc)
       val winners = counts
         .orderBy(col("pair_count").desc, col("pfp").asc).limit(40)
@@ -1236,7 +1240,7 @@ object TextAnalysis extends OpModule {
         .barrier() // read by the total and the top-V cut
       val total = tf.agg(sum(col("tf")).as("total_tokens"))
       val ranked = tf.orderBy(col("tf").desc, col("tok").asc).limit(4096)
-        .withColumn("rank",
+        .withColumn("rank", // bounded-window: over the 4096-row limit()
           row_number().over(Window.orderBy(col("tf").desc, col("tok").asc)))
       val sizes = Seq(8L, 16L, 32L, 64L, 256L).toDF("vocab_size")
       ranked.join(broadcast(sizes), col("rank") <= col("vocab_size"))
@@ -1468,6 +1472,7 @@ object TextAnalysis extends OpModule {
         .withColumn("bucket",
           least(floor(col("score") * nB), lit(nB.toLong)).cast("int"))
         .barrier() // read by the bucket rollup AND the final selection
+      // bounded-window: input is the ≤ nB+1-row score-bucket rollup
       val wb = Window.orderBy(col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = scored.groupBy(col("bucket"))
@@ -1510,6 +1515,7 @@ object TextAnalysis extends OpModule {
         .withColumn("bucket", expr(s"toks * ${nB}L div (mxt + 1L)"))
         .drop("mxt")
         .barrier() // read by the count rollup AND the rank projection
+      // bounded-window: input is the ≤ nB+1-row token-bucket rollup
       val wb = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = bucketed.groupBy(col("bucket"))
@@ -1705,6 +1711,7 @@ object TextAnalysis extends OpModule {
         .withColumn("sub", expr(s"doc_id * ${nB}L div (mx + 1L)"))
         .drop("mx")
         .barrier() // read by the offset rollup AND the final rank
+      // bounded-window: input is the ≤ bands·(nB+1)-row offset rollup
       val wb = Window.orderBy(col("band"), col("sub"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = bucketed.groupBy(col("band"), col("sub"))
@@ -1973,6 +1980,7 @@ object TextAnalysis extends OpModule {
         .withColumn("sub", expr(s"cycle * ${nB}L DIV (mxc + 1L)"))
         .drop("mxc")
         .barrier() // read by the offset rollup AND the final rank
+      // bounded-window: input is the ≤ nB+1-row cycle-bucket rollup
       val wb = Window.orderBy(col("sub"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = bucketed.groupBy(col("sub"))
@@ -2403,8 +2411,20 @@ object TextAnalysis extends OpModule {
     * batch queries and the streaming model-maintenance tier. */
   private[graft] def bigramsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
+    bigramsFromToks(
+      docs.select(col("doc_id"), Text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2))
+
+  /** The bigram explode over an already-tokenized (doc_id, toks) relation
+    * (r18): split out of [[bigramsOf]] so a query that reads the bigram
+    * relation TWICE can barrier at the token level — the checkpoint then
+    * stores each token once per doc instead of twice per bigram event
+    * (measured 0.31 s vs 0.54 s at sf0.1), and each consumer re-runs only
+    * this cheap codegen'd explode, never the tokenizer.
+    */
+  private[graft] def bigramsFromToks(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks) - 1), " +
           "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"))
@@ -2519,20 +2539,39 @@ object TextAnalysis extends OpModule {
   private[graft] def knScore(bigrams: org.apache.spark.sql.DataFrame,
       cb0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val cb = cb0.barrier() // all four model relations read it
-    val cfw = cb.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
-    val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
-    val tt = cb.agg(count(lit(1)).as("t_types"))
+    val cb = cb0.barrier() // the model rollup AND the scoring join read it
+    // ONE union rollup builds the whole per-word model — c1/n1p_fw for the
+    // LEFT-context role, n1p_bw for the RIGHT — where r17 ran THREE
+    // separate Exchange+HashAggregate pipelines over cb (r18, guide §2.4:
+    // one exchange instead of three over the same vocab²-bounded relation;
+    // measured 0.13 s vs 0.30 s at sf0.1). t_types (distinct bigram types)
+    // = Σ n1p_fw, so the global rollup rides the same pass. Equivalence
+    // with the r17 per-relation rollups: a word seen only as w2 gets
+    // c1 = NULL (sum over no rows) exactly like the old missed cfw join,
+    // and its n1p_fw = 0 (count) is only read on the c1-non-null branch;
+    // symmetrically n1p_bw = 0 for a w1-only word feeds
+    // (1000000 * 0) DIV t_types = 0 = the old NULL-branch value. Pinned
+    // in OperatorsSpec (kn model fused-rollup equivalence).
+    val model = cb
+      .select(col("w1").as("word"), col("cb"), lit(1).as("fw"))
+      .unionAll(cb.select(col("w2"), col("cb"), lit(0)))
+      .groupBy(col("word"))
+      .agg(sum(when(col("fw") === 1, col("cb"))).as("c1"),
+        count(when(col("fw") === 1, lit(1))).as("n1p_fw"),
+        count(when(col("fw") === 0, lit(1))).as("n1p_bw"))
+      .barrier() // both scoring joins AND the t_types rollup read it
+    val tt = model.agg(sum(col("n1p_fw")).as("t_types"))
+    val m1 = model.select(col("word").as("w1"), col("c1"), col("n1p_fw"))
+    val m2 = model.select(col("word").as("w2"), col("n1p_bw"))
     bigrams
       // cb is bigram-TYPE-bounded (vocab², not vocab): at 100 TB it can
       // exceed broadcast memory, so no forced hint — AQE broadcasts it
       // only when runtime stats say it fits, else this stays a shuffle
-      // join on (w1, w2). The per-context rollups below are
-      // vocab-bounded and stay explicitly broadcast.
+      // join on (w1, w2). The per-word model relation is vocab-bounded
+      // and stays explicitly broadcast.
       .join(cb, Seq("w1", "w2"), "left")
-      .join(broadcast(cfw), Seq("w1"), "left")
-      .join(broadcast(cbw), Seq("w2"), "left")
+      .join(broadcast(m1), Seq("w1"), "left")
+      .join(broadcast(m2), Seq("w2"), "left")
       .join(broadcast(tt), lit(true))
       .withColumn("p_micro", expr(
         "CASE WHEN c1 IS NULL THEN " +
@@ -2665,10 +2704,27 @@ object TextAnalysis extends OpModule {
       // barrier measured AGAINST the recompute alternative (r14): without
       // it the twice-read bigram relation re-tokenizes AND re-plans both
       // branches — 4.45 s vs 2.96 s at sf0.1 on the same harness. The
-      // materialization wins; keep it.
-      val bigrams = bigramsOf(t(s, dir, "documents"))
+      // materialization wins; keep it — but at the TOKEN level (r18): the
+      // checkpoint stores each token once per doc instead of twice per
+      // bigram event (0.31 s vs 0.54 s at sf0.1), and the two consumers
+      // re-run only the cheap codegen'd bigram explode, never the
+      // tokenizer.
+      // the train membership is a function of doc_id ALONE, so evaluate
+      // its salted-md5 bucket ONCE PER DOC here (r18) instead of once per
+      // bigram event inside lmTrainSplit — the r17 shape ran the
+      // md5→conv→substring chain 53× per doc (265k events vs 5k docs at
+      // sf0.1, measured 0.35 s vs 0.1 s for the train rollup leg) — and
+      // filter BEFORE the explode, so the train side explodes only train
+      // docs. Same predicate, same rows; oracle unchanged.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenize(col("text")).as("toks"),
+          (hashBucket("lm|", col("doc_id")) < 50).as("is_train"))
+        .filter(size(col("toks")) >= 2)
         .barrier() // feeds the train counts AND the scoring join
-      knScore(bigrams, lmTrainSplit(bigrams)
+      val bigrams = bigramsFromToks(toks.select(col("doc_id"), col("toks")))
+      knScore(bigrams,
+        bigramsFromToks(toks.filter(col("is_train"))
+          .select(col("doc_id"), col("toks")))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
     }),
     // CCNet-style perplexity bucketing — the published head/middle/tail
@@ -3311,6 +3367,7 @@ object TextAnalysis extends OpModule {
       .withColumn("bucket", expr(s"doc_id * ${nB}L div (mx + 1L)"))
       .drop("mx")
       .barrier() // read by the bucket rollup AND the final projection
+    // bounded-window: input is the ≤ nB+1-row doc-bucket rollup
     val wb = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("bucket"))
@@ -3995,6 +4052,7 @@ object TextAnalysis extends OpModule {
       exact: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bounded-window: ranks the 20-row limit() below
     val w = Window.orderBy(col("exact_count").desc, col("fp").asc)
     val winners = exact
       .orderBy(col("exact_count").desc, col("fp").asc).limit(20)

@@ -248,6 +248,8 @@ object Jobs {
     val docSrc = s"$workDir/doc_src"
     val hadoopFs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bounded-window: harness-only soak fixture prep (ntile over the test
+    // corpus to deal source files); never a declared query path
     val chunk = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
     val docsC = docs.withColumn("__c", ntile(srcFiles).over(chunk)).persist()
     (1 to srcFiles).foreach { i =>

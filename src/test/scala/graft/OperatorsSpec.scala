@@ -885,6 +885,46 @@ class OperatorsSpec extends SparkSpec {
       "per-doc KN sums must discriminate, not collapse")
   }
 
+  test("kneser-ney: fused model rollup ≡ r17 per-relation rollups") {
+    // r18 rebuilt the KN model as ONE union rollup (c1/n1p_fw/n1p_bw in a
+    // single pass over cb, t_types = Σ n1p_fw) where r17 ran three
+    // separate rollups. The boundary cases differ in REPRESENTATION
+    // (n1p_fw/n1p_bw 0 instead of a missed-join NULL) but not in any
+    // output value; pin the whole query output against the r17
+    // formulation recomputed verbatim.
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val bigrams = TextAnalysis.bigramsOf(docs)
+    val cb = TextAnalysis.lmTrainSplit(bigrams)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cfw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p_fw"))
+    val cbw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+    val tt = cb.agg(count(lit(1)).as("t_types"))
+    val r17Form = bigrams
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(broadcast(cfw), Seq("w1"), "left")
+      .join(broadcast(cbw), Seq("w2"), "left")
+      .join(broadcast(tt), lit(true))
+      .withColumn("p_micro", expr(
+        "CASE WHEN c1 IS NULL THEN " +
+          "(CASE WHEN n1p_bw IS NULL THEN 0 " +
+          "ELSE (1000000 * n1p_bw) DIV t_types END) " +
+          "ELSE (CASE WHEN cb IS NULL THEN 0 " +
+          "ELSE ((4 * cb - 3) * 250000) DIV c1 END) + " +
+          "((750000 * n1p_fw * coalesce(n1p_bw, 0)) DIV t_types) DIV c1 " +
+          "END"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("kn_micro_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val now = SparkEntry.queries("text_kneser_ney")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(now.length === r17Form.length)
+    assert(now === r17Form, "fused KN model must reproduce the r17 scores")
+  }
+
   test("longest duplicated substring: planted answer, fixture sanity") {
     import spark.implicits._
     // two docs share a known 43-char normalized span; everything else

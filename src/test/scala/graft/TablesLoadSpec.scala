@@ -39,14 +39,19 @@ class TablesLoadSpec extends SparkSpec {
       assert(ingestExchanges(forced) === 1, "forced spread must add " +
         "exactly the one REPARTITION_BY_NUM ingest exchange")
       // ... with identical content (order-independent): the spread is a
-      // partitioning change only
-      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val cols = df.columns.map(c => col(c).cast("string"))
+      // partitioning change only. Signature = count + DECIMAL sum of
+      // per-row hashes over null-sentineled casts (ADVICE r17: a bare
+      // bit_xor cancels rows duplicated an even number of times and
+      // concat_ws silently drops nulls; sum distinguishes multiplicity
+      // and the sentinel distinguishes null from absent).
+      def sig(df: org.apache.spark.sql.DataFrame)
+          : (Long, java.math.BigDecimal) = {
+        val cols = df.columns.map(c =>
+          coalesce(col(c).cast("string"), lit("∅")))
         val r = df.select(count(lit(1)),
-          expr("bit_xor(" +
-            s"xxhash64(concat_ws('|', ${df.columns.mkString(", ")})))"))
+          sum(xxhash64(concat_ws("|", cols: _*)).cast("decimal(38,0)")))
           .collect()(0)
-        (r.getLong(0), r.getLong(1))
+        (r.getLong(0), r.getDecimal(1))
       }
       assert(sig(forced) === sig(plain), "spread changed the relation")
       // the kill switch wins over everything
@@ -70,6 +75,34 @@ class TablesLoadSpec extends SparkSpec {
     try body finally old match {
       case Some(x) => spark.conf.set(k, x)
       case None    => spark.conf.unset(k)
+    }
+  }
+
+  test("spread stays even under a degenerate (constant) lead column") {
+    // VERDICT r17 #6: the r17 spread hashed the table's LEAD column only —
+    // a constant lead key would re-deal every row into ONE partition,
+    // silently losing the parallelism it promises. r18 hashes ALL columns,
+    // so distinct rows spread regardless of any one column's cardinality.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("tables_spread_degenerate").toString
+    (1 to 2048).map(i => (42L, s"text $i", "en", s"s$i", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    withConf("spark.graft.scanSpreadMinSplitBytes" -> "1") {
+      val spreadDf = Tables.load(spark, dir, "documents")
+      assert(ingestExchanges(spreadDf) === 1, "spread must fire")
+      val perPart = spreadDf
+        .groupBy(spark_partition_id().as("p"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val cores = spark.sparkContext.defaultParallelism
+      assert(perPart.length > math.max(2, cores / 2),
+        s"constant lead column must not collapse the spread: " +
+          s"${perPart.length} non-empty partitions of $cores")
+      assert(perPart.map(_.getLong(1)).max <= 2048 / 2,
+        "no partition may hold the bulk of a degenerate-lead-key table")
     }
   }
 
